@@ -1,0 +1,81 @@
+#!/usr/bin/env python
+"""Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints
+ONE JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec}, "sf": ...}.
+
+Each query is forced through a full materialization with the `noop`
+sink (count() would let Catalyst prune the plan down to a row count —
+noop executes every column of the physical plan).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from data_pipeline_postgres_spark.plans import registry
+from data_pipeline_postgres_spark.session import get_spark
+
+# Headline set: one representative per operator family (scan, filter,
+# scalar derive, hash agg, window, merge-join, reshape, sort, JSON,
+# tumbling window) + the flagship pipeline. EXT queries are appended
+# dynamically if registered.
+HEADLINE = [
+    "material_demand",
+    "agg_group_sum_multi",
+    "agg_group_sum_sql",
+    "filter_date_range",
+    "derive_case_when",
+    "unpivot_melt",
+    "window_latest_per_key",
+    "cdc_merge",
+    "order_by_multi",
+    "json_extract",
+    "window_tumbling_daily",
+]
+EXT_HEADLINE = [
+    "dedup_exact",
+    "dedup_minhash",
+    "sim_topk",
+    "text_stats",
+    "text_token_count",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    spark = get_spark(app_name="bench")
+    registry.load_all()
+
+    names = [n for n in HEADLINE + EXT_HEADLINE if n in registry.QUERIES]
+    timings: dict[str, float] = {}
+    for name in names:
+        df = registry.QUERIES[name](spark, sf_dir)
+        df.write.format("noop").mode("overwrite").save()  # warm: JVM/IO caches
+        t0 = time.perf_counter()
+        df2 = registry.QUERIES[name](spark, sf_dir)
+        df2.write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_wall",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()
