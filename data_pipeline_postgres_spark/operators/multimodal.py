@@ -1,0 +1,102 @@
+"""Multimodal column plumbing (SURVEY.md §2.11 [EXT]).
+
+Image/audio/video payloads are opaque ``binary`` columns with a typed
+metadata struct alongside. The Spark-side plumbing — schema, batch
+iteration, partition sizing — is real and tested; the actual
+image/audio decode is STUBBED with a deterministic fake (the decode
+libraries are not in this container) behind ``fake_decode_batch``,
+clearly marked below.
+
+Scale design: payload bytes travel executor→executor only on explicit
+repartition; ``mapInPandas`` streams Arrow record batches through the
+Python worker, so per-batch memory is bounded by
+``spark.sql.execution.arrow.maxRecordsPerBatch`` — the knob to tune
+when payloads are MBs, not bytes. Metadata-only queries never touch
+the payload column (column pruning keeps binary out of the scan).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+from typing import TYPE_CHECKING
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+if TYPE_CHECKING:
+    import pandas as pd
+
+DECODED_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("n_frames", T.IntegerType()),
+    ]
+)
+
+
+def attach_payload(docs: DataFrame) -> DataFrame:
+    """Synthesize an opaque binary payload column + typed metadata from
+    ``documents`` (stand-in for real image/audio bytes):
+    (doc_id, payload binary, meta struct<mime, n_bytes, content_sha>).
+    """
+    payload = F.encode(F.col("text"), "UTF-8")
+    return docs.select(
+        "doc_id",
+        payload.alias("payload"),
+        F.struct(
+            F.lit("application/octet-stream").alias("mime"),
+            F.length(payload).cast("bigint").alias("n_bytes"),
+            F.sha2(F.col("text"), 256).alias("content_sha"),
+        ).alias("meta"),
+    )
+
+
+def payload_meta(docs: DataFrame) -> DataFrame:
+    """Metadata projection — flat columns so the scan prunes the
+    payload: (doc_id, mime, n_bytes, content_sha)."""
+    with_payload = attach_payload(docs)
+    return with_payload.select(
+        "doc_id",
+        F.col("meta.mime").alias("mime"),
+        F.col("meta.n_bytes").alias("n_bytes"),
+        F.col("meta.content_sha").alias("content_sha"),
+    )
+
+
+def fake_decode_batch(pdf: "pd.DataFrame") -> "pd.DataFrame":
+    """STUB decode: deterministic pseudo-dimensions from payload bytes.
+
+    A real implementation calls PIL/ffmpeg here (NOT INSTALLED in this
+    container); the contract — bytes in, typed dims out, vectorized
+    over an Arrow batch — is identical.
+    """
+    import pandas as pd
+
+    payloads = pdf["payload"]
+    first = payloads.map(lambda b: b[0] if len(b) else 0)
+    last = payloads.map(lambda b: b[-1] if len(b) else 0)
+    n = payloads.map(len)
+    return pd.DataFrame(
+        {
+            "doc_id": pdf["doc_id"],
+            "width": (64 + (first % 64)).astype("int32"),
+            "height": (64 + (last % 64)).astype("int32"),
+            "n_frames": (1 + (n % 16)).astype("int32"),
+        }
+    )
+
+
+def decode_payloads(docs: DataFrame) -> DataFrame:
+    """Decode/feature-extract pass over payload batches via
+    ``mapInPandas`` (Arrow-batched — the only sanctioned Python hop):
+    (doc_id, width, height, n_frames)."""
+
+    def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in batches:
+            yield fake_decode_batch(pdf)
+
+    payloads = attach_payload(docs).select("doc_id", "payload")
+    return payloads.mapInPandas(run, DECODED_SCHEMA)

@@ -1,0 +1,124 @@
+"""Text-analysis operators for training-data curation
+(SURVEY.md §2.11 [EXT]): language ID, quality scoring, token
+counting, document fingerprinting.
+
+All pure Column expressions over the ``documents`` table — per-row,
+narrow, whole-stage-codegen'd; the only shuffle anywhere here is the
+final groupBy in ``text_stats``. Identical arithmetic is expressible in
+DuckDB, so every operator is oracle-checked.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions import text as TX
+
+# Marker-token heuristics per language: (lang, regex counted on the
+# lowered text). A real pipeline swaps in a char-n-gram profile model
+# (e.g. CLD-style); the operator shape — N regexp_counts + argmax —
+# is the same and stays JVM-side.
+LANG_MARKERS = (
+    ("en", r"\b(the|and|of)\b"),
+    ("de", r"\b(der|und|die)\b"),
+    ("fr", r"\b(le|la|et)\b"),
+    ("es", r"\b(el|los|que)\b"),
+)
+
+
+def lang_id(docs: DataFrame) -> DataFrame:
+    """N-gram-marker language ID: (doc_id, lang_pred, lang_score).
+
+    Score per candidate language = count of its marker tokens; argmax
+    with fixed precedence (first in LANG_MARKERS wins ties, 'und'
+    [undetermined] when all scores are 0).
+    """
+    lowered = F.lower(F.col("text"))
+    scores = {
+        lang: F.regexp_count(lowered, F.lit(pat)) for lang, pat in LANG_MARKERS
+    }
+    best = F.greatest(*scores.values())
+    pred = F.lit("und")
+    for lang, _ in reversed(LANG_MARKERS):
+        pred = F.when(
+            (best > 0) & (scores[lang] == best), F.lit(lang)
+        ).otherwise(pred)
+    return docs.select(
+        "doc_id",
+        pred.alias("lang_pred"),
+        best.cast("bigint").alias("lang_score"),
+    )
+
+
+def token_counts(docs: DataFrame) -> DataFrame:
+    """(doc_id, ws_tokens, bpe_tokens): whitespace tokens and BPE-ish
+    subword tokens (letter-runs / digit-runs / single glyphs)."""
+    return docs.select(
+        "doc_id",
+        TX.ws_token_count("text").cast("bigint").alias("ws_tokens"),
+        TX.bpe_token_count("text").cast("bigint").alias("bpe_tokens"),
+    )
+
+
+def quality_scores(docs: DataFrame) -> DataFrame:
+    """Heuristic quality signals per doc:
+    (doc_id, n_tokens, mean_token_len, stopword_ratio, punct_ratio,
+    is_quality).
+
+    The classic pre-training filters (Gopher/C4-style): document
+    length band, mean word length band, stopword presence. Ratios are
+    single exact-int divisions → deterministic doubles for the oracle.
+    """
+    toks = TX.tokens("text")
+    n = F.size(toks)
+    charlen = F.length(F.trim(F.col("text")))
+    mean_len = (
+        # total token chars = trimmed length minus the n-1 separators
+        (charlen - (n - 1)).cast("double") / n
+    )
+    stop_ratio = TX.stopword_count(toks).cast("double") / n
+    punct_ratio = TX.punct_count("text").cast("double") / F.greatest(
+        charlen, F.lit(1)
+    )
+    return docs.select(
+        "doc_id",
+        n.cast("bigint").alias("n_tokens"),
+        mean_len.alias("mean_token_len"),
+        stop_ratio.alias("stopword_ratio"),
+        punct_ratio.alias("punct_ratio"),
+        (
+            (n >= 10)
+            & (mean_len >= 2.0)
+            & (mean_len <= 12.0)
+            & (stop_ratio >= 0.01)
+        ).alias("is_quality"),
+    )
+
+
+def fingerprints(docs: DataFrame, n: int = 3) -> DataFrame:
+    """Winnowing-style document fingerprint: (doc_id, fingerprint) =
+    lexicographic-min md5 over word n-gram shingles (the rolling-hash
+    window collapsed to its global minimum — a 1-slot MinHash). Docs
+    sharing a fingerprint are near-dup candidates; grouping by it is
+    a linear-cost clustering pass."""
+    sh = TX.word_shingles(TX.tokens("text"), n)
+    return docs.select(
+        "doc_id",
+        F.array_min(F.transform(sh, F.md5)).alias("fingerprint"),
+    )
+
+
+def text_stats(docs: DataFrame) -> DataFrame:
+    """Corpus stats by declared language: (lang, n_docs, avg_chars,
+    total_tokens). One partial-agg shuffle."""
+    return (
+        docs.groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            (
+                F.sum("n_chars").cast("double") / F.count("*")
+            ).alias("avg_chars"),
+            F.sum(TX.ws_token_count("text")).alias("total_tokens"),
+        )
+    )

@@ -1,7 +1,420 @@
 """[EXT] LLM-data-pipeline operator queries (SURVEY.md §2.11).
 
-Filled in incrementally: dedup family, similarity search, text
-analysis, multimodal plumbing.
+Dedup family, similarity search, text analysis, multimodal plumbing,
+and the Structured Streaming surface — each registered with a DuckDB
+oracle wherever the semantics are SQL-expressible (all but the
+approximate-LSH rerank and the stubbed multimodal decode).
+
+Cross-engine determinism contract (why the oracles hash-match):
+- tokens  = split(trim(text), '\\s+')  ≡ duckdb regexp_split_to_array
+- hashes  = lowercase-hex md5/sha256 strings, min-reduced
+  lexicographically — identical bytes in both engines
+- cosines = array<float> cast to double FIRST, then a left-to-right
+  fold (Spark ``aggregate`` ≡ duckdb ``list_reduce``) — verified
+  bit-identical; rounded to 6 digits before any threshold filter
+- ratios  = a single exact-int division to double
 """
 
 from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ..catalog import load_table
+from ..operators import dedup, multimodal, similarity, textstats
+from ..streaming import jobs as stream_jobs
+from .registry import query
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "documents")
+
+
+def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "embeddings")
+
+
+# -- shared oracle SQL fragments ------------------------------------------
+
+_TOKS = r"""
+toks AS (
+    SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w
+    FROM documents
+)"""
+
+_SHINGLES = r"""
+sh AS (
+    SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS shingle
+    FROM toks, unnest(range(1, len(w) - 1)) AS t(i)
+)"""
+
+_JACCARD_TAIL = r"""
+sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
+inter AS (
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
+    FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+    GROUP BY 1, 2
+)"""
+
+
+def _duck_cos(a: str, b: str) -> str:
+    """DuckDB cosine mirroring functions/vectors.py exactly: ordered
+    left fold over doubles (bit-identical to Spark ``aggregate``)."""
+    def ssq(v: str) -> str:
+        return f"list_reduce(list_transform({v}, x -> x*x), (x,y) -> x+y)"
+
+    dot = (
+        f"list_reduce(list_transform(range(64), i -> {a}[i+1]*{b}[i+1]),"
+        " (x,y) -> x+y)"
+    )
+    return f"({dot} / (sqrt({ssq(a)}) * sqrt({ssq(b)})))"
+
+
+# -- dedup family ----------------------------------------------------------
+
+
+@query(
+    "dedup_exact",
+    """
+SELECT MIN(doc_id) AS doc_id,
+       sha256(lower(trim(text))) AS text_hash,
+       COUNT(*) AS n_copies
+FROM documents GROUP BY 2
+""",
+)
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: normalized-content sha256, survivor = min doc_id."""
+    return dedup.exact_dedup(_docs(spark, sf_dir))
+
+
+_MINHASH_ORACLE = f"""
+WITH {_TOKS}, {_SHINGLES},
+slots AS (
+    SELECT doc_id, band,
+           MIN(md5(concat_ws(':', band, 0, shingle))) AS mh0,
+           MIN(md5(concat_ws(':', band, 1, shingle))) AS mh1
+    FROM sh, (SELECT unnest(range(4)) AS band)
+    GROUP BY 1, 2
+),
+bk AS (SELECT doc_id, concat_ws('|', band, mh0, mh1) AS band_key FROM slots),
+cand AS (
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM bk a JOIN bk b ON a.band_key = b.band_key AND a.doc_id < b.doc_id
+),
+{_JACCARD_TAIL.lstrip()}
+SELECT i.doc_a, i.doc_b,
+       CAST(n_common AS DOUBLE) / (sa.n + sb.n - n_common) AS jaccard
+FROM inter i
+JOIN cand USING (doc_a, doc_b)
+JOIN sizes sa ON sa.doc_id = i.doc_a
+JOIN sizes sb ON sb.doc_id = i.doc_b
+WHERE CAST(n_common AS DOUBLE) / (sa.n + sb.n - n_common) >= 0.8
+"""
+
+
+@query("dedup_minhash", _MINHASH_ORACLE)
+def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH near-dup: shingle → minhash sig (4 bands × 2 rows) →
+    band bucket-join → exact-Jaccard verify ≥ 0.8."""
+    return dedup.minhash_dedup(_docs(spark, sf_dir))
+
+
+_NGRAM_ORACLE = f"""
+WITH {_TOKS}, {_SHINGLES}, {_JACCARD_TAIL.lstrip()}
+SELECT doc_a, doc_b,
+       CAST(n_common AS DOUBLE) / (sa.n + sb.n - n_common) AS jaccard
+FROM inter i
+JOIN sizes sa ON sa.doc_id = i.doc_a
+JOIN sizes sb ON sb.doc_id = i.doc_b
+WHERE CAST(n_common AS DOUBLE) / (sa.n + sb.n - n_common) >= 0.8
+"""
+
+
+@query("dedup_ngram_jaccard", _NGRAM_ORACLE)
+def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 3-gram Jaccard pairs ≥ 0.8 (ground truth for the LSH
+    path; quadratic, so at scale it runs only inside LSH buckets)."""
+    docs = _docs(spark, sf_dir)
+    return dedup.jaccard_pairs(dedup.doc_shingles(docs), None, 0.8)
+
+
+_SIMHASH_ORACLE = rf"""
+WITH {_TOKS},
+tok AS (SELECT DISTINCT doc_id, unnest(w) AS tok FROM toks),
+bits AS (
+    SELECT doc_id, md5(tok) AS h, b
+    FROM tok, (SELECT unnest(range(32)) AS b)
+),
+contrib AS (
+    SELECT doc_id, b,
+           2 * (CAST(floor(
+                 (instr('0123456789abcdef',
+                        substr(h, CAST(floor(b / 4) AS INT) + 1, 1)) - 1)
+                 / power(2, 3 - (b % 4))) AS INT) % 2) - 1 AS c
+    FROM bits
+),
+persum AS (SELECT doc_id, b, SUM(c) AS s FROM contrib GROUP BY 1, 2)
+SELECT doc_id,
+       CAST(SUM(CASE WHEN s > 0 THEN CAST(power(2, b) AS BIGINT)
+                     ELSE 0 END) AS BIGINT) AS simhash
+FROM persum GROUP BY 1
+"""
+
+
+@query("dedup_simhash", _SIMHASH_ORACLE)
+def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """32-bit SimHash fingerprint per doc (linear; near-dup = banded
+    hamming probe on the fingerprint)."""
+    return dedup.simhash(_docs(spark, sf_dir))
+
+
+_EMB_NEARDUP_ORACLE = f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
+SELECT a.vec_id AS vec_id_a, b.vec_id AS vec_id_b,
+       round({_duck_cos('a.v', 'b.v')}, 6) AS cosine
+FROM e a JOIN e b ON a.vec_id < b.vec_id
+WHERE round({_duck_cos('a.v', 'b.v')}, 6) >= 0.45
+"""
+
+
+@query("dedup_embedding_cosine", _EMB_NEARDUP_ORACLE)
+def q_dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup pairs, cosine ≥ 0.45 (brute baseline; the
+    scale path equi-joins on sign-LSH buckets first)."""
+    return dedup.embedding_near_dup(_emb(spark, sf_dir))
+
+
+# -- similarity search -----------------------------------------------------
+
+_TOPK_ORACLE = f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+q AS (SELECT v AS qv FROM e ORDER BY vec_id LIMIT 1)
+SELECT vec_id, round({_duck_cos('v', 'qv')}, 6) AS cosine
+FROM e, q
+ORDER BY cosine DESC, vec_id
+LIMIT 10
+"""
+
+
+@query("sim_topk", _TOPK_ORACLE)
+def q_sim_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact brute-force cosine top-10 vs the min-vec_id query vector."""
+    return similarity.brute_topk(_emb(spark, sf_dir))
+
+
+@query("sim_topk_lsh")  # approximate → rows-only check; recall vs
+def q_sim_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN top-10 via sign-LSH bucket probe + exact rerank (recall
+    measured against sim_topk in tests/test_ext.py)."""
+    return similarity.lsh_topk(_emb(spark, sf_dir))
+
+
+_IVF_ORACLE = f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+cents AS (
+    SELECT row_number() OVER (ORDER BY vec_id) - 1 AS centroid_id, v AS cv
+    FROM e ORDER BY vec_id LIMIT 8
+),
+assign AS (
+    SELECT vec_id, centroid_id FROM (
+        SELECT e.vec_id, c.centroid_id,
+               row_number() OVER (
+                   PARTITION BY e.vec_id
+                   ORDER BY {_duck_cos('e.v', 'c.cv')} DESC, c.centroid_id
+               ) AS rn
+        FROM e, cents c
+    ) WHERE rn = 1
+),
+q AS (SELECT v AS qv FROM e ORDER BY vec_id LIMIT 1),
+probe AS (
+    SELECT centroid_id FROM (
+        SELECT c.centroid_id,
+               row_number() OVER (
+                   ORDER BY {_duck_cos('c.cv', 'qv')} DESC, c.centroid_id
+               ) AS rn
+        FROM cents c, q
+    ) WHERE rn <= 2
+)
+SELECT vec_id, round({_duck_cos('e.v', 'qv')}, 6) AS cosine
+FROM e
+JOIN assign USING (vec_id)
+JOIN probe USING (centroid_id), q
+ORDER BY cosine DESC, vec_id
+LIMIT 10
+"""
+
+
+@query("sim_ann_ivf", _IVF_ORACLE)
+def q_sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-lite ANN: 8 deterministic seed centroids, probe 2 inverted
+    lists, exact rerank — fully oracle-checked (deterministic
+    quantizer stands in for a KMeans fit)."""
+    return similarity.ivf_topk(_emb(spark, sf_dir))
+
+
+# -- text analysis ---------------------------------------------------------
+
+
+@query(
+    "text_stats",
+    r"""
+SELECT lang, COUNT(*) AS n_docs,
+       CAST(SUM(n_chars) AS DOUBLE) / COUNT(*) AS avg_chars,
+       CAST(SUM(len(regexp_split_to_array(trim(text), '\s+'))) AS BIGINT)
+           AS total_tokens
+FROM documents GROUP BY 1
+""",
+)
+def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus stats by declared language."""
+    return textstats.text_stats(_docs(spark, sf_dir))
+
+
+@query(
+    "token_count",
+    r"""
+SELECT doc_id,
+       CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT)
+           AS ws_tokens,
+       CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\s]'))
+            AS BIGINT) AS bpe_tokens
+FROM documents
+""",
+)
+def q_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whitespace + BPE-ish token counts per doc."""
+    return textstats.token_counts(_docs(spark, sf_dir))
+
+
+@query(
+    "lang_id",
+    r"""
+WITH scores AS (
+    SELECT doc_id,
+           len(regexp_extract_all(lower(text), '\b(the|and|of)\b'))  AS s_en,
+           len(regexp_extract_all(lower(text), '\b(der|und|die)\b')) AS s_de,
+           len(regexp_extract_all(lower(text), '\b(le|la|et)\b'))    AS s_fr,
+           len(regexp_extract_all(lower(text), '\b(el|los|que)\b'))  AS s_es
+    FROM documents
+)
+SELECT doc_id,
+       CASE WHEN greatest(s_en, s_de, s_fr, s_es) = 0 THEN 'und'
+            WHEN s_en = greatest(s_en, s_de, s_fr, s_es) THEN 'en'
+            WHEN s_de = greatest(s_en, s_de, s_fr, s_es) THEN 'de'
+            WHEN s_fr = greatest(s_en, s_de, s_fr, s_es) THEN 'fr'
+            ELSE 'es' END AS lang_pred,
+       CAST(greatest(s_en, s_de, s_fr, s_es) AS BIGINT) AS lang_score
+FROM scores
+""",
+)
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Marker-n-gram language ID, fixed-precedence argmax."""
+    return textstats.lang_id(_docs(spark, sf_dir))
+
+
+@query(
+    "text_quality",
+    r"""
+WITH t AS (
+    SELECT doc_id, text,
+           regexp_split_to_array(trim(text), '\s+') AS w,
+           length(trim(text)) AS charlen
+    FROM documents
+),
+m AS (
+    SELECT doc_id,
+           len(w) AS n,
+           CAST(charlen - (len(w) - 1) AS DOUBLE) / len(w) AS mean_token_len,
+           CAST(len(list_filter(w,
+                tok -> tok IN ('the','a','and','of','to','in'))) AS DOUBLE)
+               / len(w) AS stopword_ratio,
+           CAST(len(regexp_extract_all(lower(text), '[^a-z0-9\s]')) AS DOUBLE)
+               / greatest(charlen, 1) AS punct_ratio
+    FROM t
+)
+SELECT doc_id, CAST(n AS BIGINT) AS n_tokens, mean_token_len,
+       stopword_ratio, punct_ratio,
+       (n >= 10 AND mean_token_len >= 2.0 AND mean_token_len <= 12.0
+        AND stopword_ratio >= 0.01) AS is_quality
+FROM m
+""",
+)
+def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher/C4-style quality heuristics per doc."""
+    return textstats.quality_scores(_docs(spark, sf_dir))
+
+
+@query(
+    "doc_fingerprint",
+    f"""
+WITH {_TOKS}, {_SHINGLES},
+fp AS (SELECT doc_id, MIN(md5(shingle)) AS fingerprint FROM sh GROUP BY 1)
+SELECT d.doc_id, fp.fingerprint
+FROM documents d LEFT JOIN fp ON fp.doc_id = d.doc_id
+""",
+)
+def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing-style fingerprint: min rolling (md5) hash over word
+    3-shingles."""
+    return textstats.fingerprints(_docs(spark, sf_dir))
+
+
+# -- multimodal ------------------------------------------------------------
+
+
+@query(
+    "multimodal_meta",
+    """
+SELECT doc_id,
+       'application/octet-stream' AS mime,
+       CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+       sha256(text) AS content_sha
+FROM documents
+""",
+)
+def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Typed metadata over opaque binary payloads (payload column
+    pruned out of the scan)."""
+    return multimodal.payload_meta(_docs(spark, sf_dir))
+
+
+@query("multimodal_decode")  # stubbed decode → rows-only check
+def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow-batched mapInPandas decode pass (decode itself is a
+    deterministic stub — see operators/multimodal.py)."""
+    return multimodal.decode_payloads(_docs(spark, sf_dir))
+
+
+# -- streaming -------------------------------------------------------------
+
+
+@query(
+    "stream_tumbling_daily",
+    """
+SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+FROM events GROUP BY 1
+""",
+)
+def q_stream_tumbling_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Structured Streaming tumbling 1-day window agg, AvailableNow —
+    must equal the batch window_tumbling_daily result."""
+    return stream_jobs.tumbling_daily(spark, sf_dir)
+
+
+@query(
+    "stream_cdc_latest",
+    """
+SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id, event_type, value
+FROM (
+    SELECT *, row_number() OVER (
+        PARTITION BY user_id
+        ORDER BY CAST(ts AS TIMESTAMP) DESC, event_id DESC) AS rn
+    FROM events
+) WHERE rn = 1
+""",
+)
+def q_stream_cdc_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful streaming op (applyInPandasWithState): latest
+    event per user — the CDC latest-change-wins collapse, streamed."""
+    return stream_jobs.cdc_latest(spark, sf_dir)

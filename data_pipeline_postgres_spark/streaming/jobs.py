@@ -1,0 +1,247 @@
+"""Structured Streaming jobs over the events lake.
+
+The reference expresses streaming concepts through Airflow
+orchestration: a ``@daily`` schedule with half-open ``[ds, next_ds)``
+windows (reference: mnt/dags/01fetch_from_database.py:42,52) and a CDC
+staging table collapsed to the newest change per key (reference:
+mnt/dags/unused_02retail_stage.py:101-144). Here both are first-class
+Structured Streaming ops:
+
+- ``tumbling_daily``: file-source stream → event-time tumbling 1-day
+  window agg, ``Trigger.AvailableNow`` (the exact analog of one
+  catch-up DAG run: process everything available, in serialized
+  micro-batches, then stop). Complete output mode keeps every window's
+  final value in the sink; in production, append mode + a watermark
+  bounds state instead (watermark noted below).
+- ``cdc_latest``: custom stateful operator via
+  ``applyInPandasWithState`` — per-key state holds the newest
+  (ts, event_id) change seen; each micro-batch emits the keys it
+  updated (update semantics). State size = O(live keys), the scale
+  bound; emitted batches land in a parquet spool via ``foreachBatch``
+  and a final linear compaction keeps only each key's last change
+  (same comparator), so the result equals the batch latest-per-key
+  window query — which is the oracle.
+
+Results return as plain batch DataFrames so the driver's oracle
+harness can hash them like any other query.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+from collections.abc import Iterator
+from typing import TYPE_CHECKING, Any
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+from ..catalog import table_path
+from ..operators.aggregate import exact_sum
+
+if TYPE_CHECKING:
+    import pandas as pd
+
+# events.parquet stores ts as TIMESTAMP(NANOS); the streaming reader
+# gets it as long via the same legacy conf the batch loader uses
+# (catalog.load_table), then floor-converts to micros — identical
+# values to what DuckDB sees.
+EVENTS_STREAM_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.LongType()),
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("props", T.StringType()),
+    ]
+)
+
+_SCRATCH = "/root/repo/.scratch/streaming"
+
+
+def _scratch(name: str) -> str:
+    path = os.path.join(_SCRATCH, name)
+    if os.path.exists(path):
+        shutil.rmtree(path)
+    os.makedirs(path, exist_ok=True)
+    return path
+
+
+class _shuffle_partitions:
+    """Temporarily pin the shuffle-partition count for a streaming
+    query. The state store allocates one instance per shuffle
+    partition; for a small hot-key space that fixed cost (store init +
+    one Python worker round per partition) dominates, so stateful
+    queries pick a partition count sized to their key cardinality, not
+    the session default. Safe here because each run starts from a
+    fresh checkpoint (the count is frozen into a checkpoint once
+    created)."""
+
+    def __init__(self, spark: SparkSession, n: int):
+        self.spark = spark
+        self.n = str(n)
+
+    def __enter__(self) -> None:
+        self.prev = self.spark.conf.get("spark.sql.shuffle.partitions")
+        self.spark.conf.set("spark.sql.shuffle.partitions", self.n)
+
+    def __exit__(self, *exc: object) -> None:
+        self.spark.conf.set("spark.sql.shuffle.partitions", self.prev)
+
+
+def _stream_dir(sf_dir: str) -> str:
+    """The file stream source wants a *directory* it can monitor for
+    new files; expose the single events parquet through a symlinked
+    scratch dir (in production the lake layout is already a directory
+    per table and new files arrive in place)."""
+    d = os.path.join(_SCRATCH, "src", sf_dir.strip("/").replace("/", "_"))
+    os.makedirs(d, exist_ok=True)
+    link = os.path.join(d, "events.parquet")
+    if not os.path.exists(link):
+        os.symlink(table_path(sf_dir, "events"), link)
+    return d
+
+
+def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-source stream over the events parquet (new files under the
+    path would be discovered and processed in arrival order — the
+    ExternalTaskSensor availability gate, without polling)."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw = (
+        spark.readStream.schema(EVENTS_STREAM_SCHEMA)
+        .parquet(_stream_dir(sf_dir))
+    )
+    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+
+def tumbling_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming tumbling 1-day window aggregation, AvailableNow.
+
+    Returns the final per-day aggregate as a batch DataFrame:
+    (day, n_events, sum_value) — byte-identical to the batch
+    ``window_tumbling_daily`` query, which is the oracle.
+    """
+    ev = events_stream(spark, sf_dir)
+    agg = (
+        # production note: .withWatermark("ts", "1 day") + append mode
+        # bounds state for an unbounded stream; complete mode is used
+        # here so the one-shot AvailableNow run emits every window.
+        ev.groupBy(F.window("ts", "1 day").alias("w"))
+        .agg(F.count("*").alias("n_events"), exact_sum("value", "sum_value"))
+        .select(F.col("w.start").cast("date").alias("day"), "n_events", "sum_value")
+    )
+    with _shuffle_partitions(spark, 8):
+        q = (
+            agg.writeStream.format("memory")
+            .queryName("stream_tumbling_daily")
+            .outputMode("complete")
+            .option("checkpointLocation", _scratch("tumbling_ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    return spark.table("stream_tumbling_daily")
+
+
+CDC_OUTPUT_SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("ts", T.TimestampType()),
+        T.StructField("event_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+    ]
+)
+
+CDC_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("ts", T.LongType()),  # micros since epoch
+        T.StructField("event_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+    ]
+)
+
+
+def _latest_per_key(
+    key: tuple[Any, ...],
+    pdfs: Iterator["pd.DataFrame"],
+    state: GroupState,
+) -> Iterator["pd.DataFrame"]:
+    """Stateful reducer: keep the (ts, event_id)-max change per key,
+    emit the key's current latest once per batch it appears in."""
+    import pandas as pd
+
+    best = state.get if state.exists else None  # (ts_us, event_id, type, value)
+    for pdf in pdfs:
+        if pdf.empty:
+            continue
+        pdf = pdf.sort_values(["ts", "event_id"])
+        row = pdf.iloc[-1]
+        cand = (
+            int(row["ts"].value // 1000),  # pandas ns → µs
+            int(row["event_id"]),
+            row["event_type"],
+            float(row["value"]),
+        )
+        if best is None or (cand[0], cand[1]) > (best[0], best[1]):
+            best = cand
+    if best is None:
+        return
+    state.update(best)
+    yield pd.DataFrame(
+        {
+            "user_id": [key[0]],
+            "ts": [pd.Timestamp(best[0], unit="us")],
+            "event_id": [best[1]],
+            "event_type": [best[2]],
+            "value": [best[3]],
+        }
+    )
+
+
+def cdc_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful streaming operator: latest event per user_id
+    (the reference's CDC latest-change-wins merge input, streamed).
+
+    Returns (user_id, ts, event_id, event_type, value) as a batch
+    DataFrame after the AvailableNow run drains.
+    """
+    ev = events_stream(spark, sf_dir)
+    latest = ev.groupBy("user_id").applyInPandasWithState(
+        _latest_per_key,
+        outputStructType=CDC_OUTPUT_SCHEMA,
+        stateStructType=CDC_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    spool = _scratch("cdc_spool")
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df.write.mode("append").parquet(spool)
+
+    with _shuffle_partitions(spark, 8):
+        q = (
+            latest.writeStream.foreachBatch(sink)
+            .outputMode("update")
+            .option("checkpointLocation", _scratch("cdc_ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    # Final compaction: several micro-batches may each have emitted a
+    # key; keep the last change per key (same comparator as the state).
+    from pyspark.sql import Window
+
+    emitted = spark.read.parquet(spool)
+    w = Window.partitionBy("user_id").orderBy(
+        F.desc("ts"), F.desc("event_id")
+    )
+    return (
+        emitted.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("user_id", "ts", "event_id", "event_type", "value")
+    )

@@ -1,0 +1,144 @@
+"""[EXT] operator self-checks beyond the oracle gate: LSH recall
+against exact ground truth, ANN vs brute-force overlap, multimodal
+determinism, streaming ≡ batch (SURVEY.md §5 metamorphic strategy)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from data_pipeline_postgres_spark.catalog import load_table
+from data_pipeline_postgres_spark.operators import (
+    dedup,
+    multimodal,
+    similarity,
+    textstats,
+)
+from data_pipeline_postgres_spark.plans import registry
+from data_pipeline_postgres_spark.streaming import jobs as stream_jobs
+
+from .conftest import SF_SMOKE
+
+registry.load_all()
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return load_table(spark, SF_SMOKE, "documents").cache()
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return load_table(spark, SF_SMOKE, "embeddings").cache()
+
+
+def _pairs(df):
+    return {(r.doc_a, r.doc_b) for r in df.select("doc_a", "doc_b").collect()}
+
+
+class TestDedup:
+    def test_exact_dedup_partitions_corpus(self, docs):
+        out = dedup.exact_dedup(docs)
+        total = out.agg(F.sum("n_copies")).collect()[0][0]
+        assert total == docs.count()
+        assert out.select("text_hash").distinct().count() == out.count()
+
+    def test_minhash_subset_of_exact_jaccard(self, docs):
+        sh = dedup.doc_shingles(docs)
+        exact = _pairs(dedup.jaccard_pairs(sh, None, 0.8))
+        lsh = _pairs(dedup.minhash_dedup(docs))
+        assert lsh <= exact
+        assert lsh, "LSH found no near-dup pairs at all"
+
+    def test_minhash_recall_on_high_jaccard(self, docs):
+        """Pairs with j ≥ 0.95 collide in a band with prob
+        1-(1-j^2)^4 ≈ 0.9999 — with the fixed md5 family the outcome
+        is deterministic; requires (near-)total recall on them."""
+        sh = dedup.doc_shingles(docs)
+        strong = _pairs(dedup.jaccard_pairs(sh, None, 0.95))
+        lsh = _pairs(dedup.minhash_dedup(docs))
+        assert strong, "fixture should contain planted near-dups"
+        missed = strong - lsh
+        assert len(missed) <= max(1, len(strong) // 50), missed
+
+    def test_simhash_close_for_near_dups(self, spark, docs):
+        """A ≥0.95-Jaccard pair shares almost all tokens → hamming
+        distance of simhashes must be small."""
+        sh = dedup.doc_shingles(docs)
+        strong = list(_pairs(dedup.jaccard_pairs(sh, None, 0.95)))[:20]
+        sims = {
+            r.doc_id: r.simhash for r in dedup.simhash(docs).collect()
+        }
+        for a, b in strong:
+            ham = bin(sims[a] ^ sims[b]).count("1")
+            assert ham <= 6, (a, b, ham)
+
+
+class TestSimilarity:
+    def test_lsh_topk_values_subset_of_brute(self, emb):
+        brute = {
+            r.vec_id: r.cosine for r in similarity.brute_topk(emb, k=500).collect()
+        }
+        approx = similarity.lsh_topk(emb, k=10).collect()
+        assert approx
+        for r in approx:
+            assert brute[r.vec_id] == r.cosine
+
+    def test_ivf_overlaps_brute(self, emb):
+        brute = [r.vec_id for r in similarity.brute_topk(emb, k=10).collect()]
+        ivf = [r.vec_id for r in similarity.ivf_topk(emb, k=10).collect()]
+        assert len(ivf) == 10
+        # probing 2/8 lists: require meaningful overlap with the truth
+        assert len(set(brute) & set(ivf)) >= 3
+        # the query vector itself (cosine 1.0) must always be found
+        assert brute[0] == ivf[0]
+
+
+class TestMultimodal:
+    def test_decode_deterministic_and_complete(self, docs):
+        a = {r.doc_id: (r.width, r.height, r.n_frames)
+             for r in multimodal.decode_payloads(docs).collect()}
+        b = {r.doc_id: (r.width, r.height, r.n_frames)
+             for r in multimodal.decode_payloads(docs).collect()}
+        assert a == b
+        assert len(a) == docs.count()
+        for w, h, n in a.values():
+            assert 64 <= w < 128 and 64 <= h < 128 and 1 <= n <= 16
+
+    def test_meta_has_no_payload_column(self, docs):
+        out = multimodal.payload_meta(docs)
+        assert "payload" not in out.columns
+        assert dict(out.dtypes)["n_bytes"] == "bigint"
+
+
+class TestStreaming:
+    def test_tumbling_equals_batch(self, spark):
+        stream = stream_jobs.tumbling_daily(spark, SF_SMOKE)
+        batch = registry.QUERIES["window_tumbling_daily"](spark, SF_SMOKE)
+        assert sorted(map(tuple, stream.collect())) == sorted(
+            map(tuple, batch.collect())
+        )
+
+    def test_cdc_latest_idempotent(self, spark):
+        r1 = sorted(map(tuple, stream_jobs.cdc_latest(spark, SF_SMOKE).collect()))
+        r2 = sorted(map(tuple, stream_jobs.cdc_latest(spark, SF_SMOKE).collect()))
+        assert r1 == r2
+
+
+class TestTextAnalysis:
+    def test_quality_ratios_bounded(self, docs):
+        rows = textstats.quality_scores(docs).collect()
+        assert len(rows) == docs.count()
+        for r in rows:
+            assert 0.0 <= r.stopword_ratio <= 1.0
+            assert 0.0 <= r.punct_ratio <= 1.0
+            assert r.mean_token_len > 0
+
+    def test_fingerprint_clusters_near_dups(self, docs):
+        """≥0.95-Jaccard pairs usually share their min-shingle-hash
+        fingerprint (1-slot MinHash: P(match) = j)."""
+        sh = dedup.doc_shingles(docs)
+        strong = list(_pairs(dedup.jaccard_pairs(sh, None, 0.95)))
+        fps = {r.doc_id: r.fingerprint for r in textstats.fingerprints(docs).collect()}
+        hits = sum(1 for a, b in strong if fps[a] == fps[b])
+        assert hits >= len(strong) * 0.7
