@@ -41,9 +41,15 @@ HEADLINE = [
 EXT_HEADLINE = [
     "dedup_exact",
     "dedup_minhash",
+    "dedup_simhash",
+    "dedup_embedding_cosine",
     "sim_topk",
+    "sim_ann_ivf",
     "text_stats",
-    "text_token_count",
+    "token_count",
+    "text_quality",
+    "stream_tumbling_daily",
+    "stream_cdc_latest",
 ]
 
 
@@ -54,14 +60,24 @@ def main() -> None:
     registry.load_all()
 
     names = [n for n in HEADLINE + EXT_HEADLINE if n in registry.QUERIES]
+    # Session-wide warmup (JVM, codegen, Arrow, parquet footer caches)
+    # so the first timed query isn't charged for engine init.
+    from data_pipeline_postgres_spark.catalog import load_table
+
+    load_table(spark, sf_dir, "events").limit(1000).write.format(
+        "noop"
+    ).mode("overwrite").save()
     timings: dict[str, float] = {}
     for name in names:
         df = registry.QUERIES[name](spark, sf_dir)
         df.write.format("noop").mode("overwrite").save()  # warm: JVM/IO caches
-        t0 = time.perf_counter()
-        df2 = registry.QUERIES[name](spark, sf_dir)
-        df2.write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.perf_counter() - t0, 3)
+        best = float("inf")
+        for _ in range(2):  # best-of-2: damp host-level CPU noise
+            t0 = time.perf_counter()
+            df2 = registry.QUERIES[name](spark, sf_dir)
+            df2.write.format("noop").mode("overwrite").save()
+            best = min(best, time.perf_counter() - t0)
+        timings[name] = round(best, 3)
 
     total = round(sum(timings.values()), 3)
     print(

@@ -34,20 +34,22 @@ def tokens(col: str = "text") -> Column:
 def word_shingles(toks: Column, n: int = 3) -> Column:
     """Word n-gram shingles: array of space-joined n-token windows.
 
-    Pure higher-order-function expression (transform over sequence) —
-    stays inside codegen, no explode until the caller wants rows.
-    Empty array when the document has fewer than ``n`` tokens.
+    Shape matters for speed: ``arrays_zip`` of n shifted ``slice``\\ s
+    evaluates the token array once per ROW, then a transform walks the
+    zipped structs. (The naive form — ``element_at(toks, i+j)`` inside
+    the lambda — re-evaluates the upstream tokenizer expression per
+    ELEMENT, which made shingling ~10× slower than the rest of the
+    MinHash pipeline combined.) Empty array when the document has
+    fewer than ``n`` tokens.
     """
-    toks = toks.alias("_toks")
-    return F.when(
-        F.size(toks) >= n,
-        F.transform(
-            F.sequence(F.lit(0), F.size(toks) - n),
-            lambda i: F.concat_ws(
-                " ", *[F.element_at(toks, i + j + 1) for j in range(n)]
-            ),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
+    cnt = F.size(toks) - (n - 1)
+    z = F.arrays_zip(*[F.slice(toks, i + 1, cnt) for i in range(n)])
+    sh = F.transform(
+        z, lambda s: F.concat_ws(" ", *[s[str(i)] for i in range(n)])
+    )
+    return F.when(F.size(toks) >= n, sh).otherwise(
+        F.array().cast("array<string>")
+    )
 
 
 def ws_token_count(col: str = "text") -> Column:

@@ -58,12 +58,20 @@ def exact_dedup(docs: DataFrame) -> DataFrame:
     )
 
 
-def doc_shingles(docs: DataFrame, n: int = 3) -> DataFrame:
-    """Distinct word n-gram shingles per document: (doc_id, shingle)."""
-    return docs.select(
+def doc_shingles(
+    docs: DataFrame, n: int = 3, distinct: bool = True
+) -> DataFrame:
+    """Word n-gram shingles per document: (doc_id, shingle).
+
+    ``distinct=True`` (set semantics, needed for Jaccard counting)
+    costs a shuffle; min-hashing is idempotent under duplicates, so
+    the signature path passes ``distinct=False`` and skips it.
+    """
+    sh = docs.select(
         "doc_id",
         F.explode(TX.word_shingles(TX.tokens("text"), n)).alias("shingle"),
-    ).distinct()
+    )
+    return sh.distinct() if distinct else sh
 
 
 def _minhash_sig(band: Column, row: Column, shingle: Column) -> Column:
@@ -131,29 +139,45 @@ def jaccard_pairs(
     """Exact shingle-Jaccard pairs ≥ threshold:
     (doc_a, doc_b, jaccard).
 
-    Intersections come from a shingle equi-join (never a cross join);
-    when ``candidates`` is given (the LSH path), the join is
-    pre-filtered to candidate pairs so cost is O(candidates), the
-    100 TB idiom. jaccard = |∩| / (|A|+|B|-|∩|) — exact integer
-    division to double, deterministic for the oracle hash.
+    Intersections come from a shingle equi-join (never a cross join).
+    When ``candidates`` is given (the LSH path), the candidate pairs
+    DRIVE the join — shingles are joined onto the pair list, so the
+    pairwise stage costs O(candidates × shingles-per-doc), not
+    O(all shingle-sharing pairs). That asymmetry is the entire point
+    of LSH at 100 TB: verification work scales with what the bands
+    admitted, never with corpus size squared. jaccard =
+    |∩| / (|A|+|B|-|∩|) — exact integer division to double,
+    deterministic for the oracle hash.
     """
     sizes = shingles.groupBy("doc_id").agg(F.count("*").alias("n"))
-    a = shingles.alias("sa")
-    b = shingles.alias("sb")
-    inter = (
-        a.join(
-            b,
-            (F.col("sa.shingle") == F.col("sb.shingle"))
-            & (F.col("sa.doc_id") < F.col("sb.doc_id")),
-        )
-        .groupBy(
-            F.col("sa.doc_id").alias("doc_a"),
-            F.col("sb.doc_id").alias("doc_b"),
-        )
-        .agg(F.count("*").alias("n_common"))
-    )
     if candidates is not None:
-        inter = inter.join(candidates, ["doc_a", "doc_b"], "left_semi")
+        sh_a = shingles.select(
+            F.col("doc_id").alias("doc_a"), "shingle"
+        )
+        sh_b = shingles.select(
+            F.col("doc_id").alias("doc_b"), "shingle"
+        )
+        inter = (
+            candidates.join(sh_a, "doc_a")
+            .join(sh_b, ["doc_b", "shingle"])
+            .groupBy("doc_a", "doc_b")
+            .agg(F.count("*").alias("n_common"))
+        )
+    else:
+        a = shingles.alias("sa")
+        b = shingles.alias("sb")
+        inter = (
+            a.join(
+                b,
+                (F.col("sa.shingle") == F.col("sb.shingle"))
+                & (F.col("sa.doc_id") < F.col("sb.doc_id")),
+            )
+            .groupBy(
+                F.col("sa.doc_id").alias("doc_a"),
+                F.col("sb.doc_id").alias("doc_b"),
+            )
+            .agg(F.count("*").alias("n_common"))
+        )
     na = sizes.select(
         F.col("doc_id").alias("doc_a"), F.col("n").alias("n_a")
     )
@@ -189,10 +213,24 @@ def minhash_dedup(
     False positives from banding are removed by the verify step, so
     the output is exact *given* the candidate set; recall is governed
     by (bands, rows) — P(candidate) = 1-(1-j^rows)^bands.
+
+    Cost shape (the 100 TB contract): signatures read RAW shingles
+    (no distinct — min is duplicate-proof), so the only corpus-wide
+    shuffle is the per-doc signature groupBy; the set-semantic
+    distinct needed for exact Jaccard runs solely over docs the bands
+    admitted (a semi-join), i.e. verification cost tracks the
+    candidate volume, never corpus².
     """
-    sh = doc_shingles(docs, n)
-    cands = minhash_candidates(minhash_bands(sh, bands, rows))
-    return jaccard_pairs(sh, cands, threshold)
+    cands = minhash_candidates(
+        minhash_bands(doc_shingles(docs, n, distinct=False), bands, rows)
+    )
+    cand_ids = (
+        cands.select(F.col("doc_a").alias("doc_id"))
+        .unionByName(cands.select(F.col("doc_b").alias("doc_id")))
+        .distinct()
+    )
+    cand_docs = docs.join(cand_ids, "doc_id", "left_semi")
+    return jaccard_pairs(doc_shingles(cand_docs, n), cands, threshold)
 
 
 # -- SimHash ---------------------------------------------------------------
@@ -244,32 +282,85 @@ def simhash(docs: DataFrame) -> DataFrame:
 
 # -- Embedding near-dup ----------------------------------------------------
 
+# Quantization scale for the exact-integer cosine (see below).
+QSCALE = float(1 << 20)
+
+
+def quantize_np(mat):
+    """L2-normalize (double) then quantize to floor(x·2^20 + 0.5)
+    int64 — numpy mirror of the oracle's per-element math.
+
+    The ssq accumulation uses ``cumsum`` (strict sequential left
+    fold), NOT ``sum`` (pairwise), so the norm is bit-identical to
+    DuckDB's ``list_reduce`` fold; every later op is elementwise and
+    therefore deterministic.
+
+    Why quantize: the integer dot product of quantized vectors is
+    EXACT and order-independent, so any execution strategy — numpy
+    matmul, block-partitioned matrix join — produces identical
+    results, and a DuckDB oracle reproduces them bit-for-bit. The
+    quantized cosine deviates from the float cosine by ~1e-6, noise
+    at near-dup thresholds.
+    """
+    import numpy as np
+
+    x = np.asarray(mat, dtype=np.float64)
+    nrm = np.sqrt(np.cumsum(x * x, axis=1)[:, -1])
+    return np.floor(x / nrm[:, None] * QSCALE + 0.5).astype(np.int64)
+
 
 def embedding_near_dup(
     emb: DataFrame, threshold: float = 0.45, round_digits: int = 6
 ) -> DataFrame:
-    """Near-duplicate vector pairs by cosine ≥ threshold:
+    """Near-duplicate vector pairs by quantized cosine ≥ threshold:
     (vec_id_a, vec_id_b, cosine).
 
-    Brute pairwise — the correctness baseline (verified bit-identical
-    against DuckDB's ordered list fold). The 100 TB path replaces the
-    `<` cross-join with a sign-LSH bucket equi-join
-    (similarity.sign_lsh_buckets) and runs this exact scorer only
-    within buckets.
+    Execution: all-pairs scoring as a blocked integer matrix product
+    inside ``mapInPandas`` — each Arrow batch of rows is scored
+    against the full corpus matrix with an int64 matmul (exact, no
+    float-order hazard). Here the corpus side fits in a task
+    broadcast (the small-dim-table pattern); at 100 TB both sides are
+    block-partitioned and this same kernel runs per block pair, after
+    a sign-LSH bucket join (similarity.sign_lsh_buckets) prunes the
+    pair space.
     """
-    v = emb.select(
-        "vec_id", V.as_double(F.col("embedding")).alias("v")
-    )
-    a = v.alias("a")
-    b = v.alias("b")
-    return (
-        a.join(b, F.col("a.vec_id") < F.col("b.vec_id"))
-        .select(
-            F.col("a.vec_id").alias("vec_id_a"),
-            F.col("b.vec_id").alias("vec_id_b"),
-            F.round(
-                V.cosine(F.col("a.v"), F.col("b.v")), round_digits
-            ).alias("cosine"),
-        )
-        .filter(F.col("cosine") >= threshold)
-    )
+    import numpy as np
+
+    src = emb.select("vec_id", V.as_double(F.col("embedding")).alias("v"))
+    rows = src.collect()  # corpus matrix: one bounded collect (n × dim × 8B)
+    ids = np.array([r.vec_id for r in rows], dtype=np.int64)
+    mat = quantize_np([r.v for r in rows])
+    norms = np.sqrt((mat * mat).sum(axis=1).astype(np.float64))
+    spark = emb.sparkSession
+    b_ids = spark.sparkContext.broadcast(ids)
+    b_mat = spark.sparkContext.broadcast(mat)
+    b_norms = spark.sparkContext.broadcast(norms)
+
+    out_schema = "vec_id_a bigint, vec_id_b bigint, cosine double"
+
+    def score(batches):
+        import numpy as np
+        import pandas as pd
+
+        B_ids, B, Bn = b_ids.value, b_mat.value, b_norms.value
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            a_ids = pdf["vec_id"].to_numpy(dtype=np.int64)
+            A = quantize_np(list(pdf["v"]))
+            an = np.sqrt((A * A).sum(axis=1).astype(np.float64))
+            # exact int64 dot products, then deterministic double math
+            cos = (A @ B.T).astype(np.float64) / np.outer(an, Bn)
+            scale = 10.0**round_digits
+            cos = np.floor(cos * scale + 0.5) / scale  # round half-up
+            keep = (cos >= threshold) & (a_ids[:, None] < B_ids[None, :])
+            ai, bj = np.nonzero(keep)
+            yield pd.DataFrame(
+                {
+                    "vec_id_a": a_ids[ai],
+                    "vec_id_b": B_ids[bj],
+                    "cosine": cos[ai, bj],
+                }
+            )
+
+    return src.mapInPandas(score, out_schema)

@@ -167,19 +167,44 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.simhash(_docs(spark, sf_dir))
 
 
-_EMB_NEARDUP_ORACLE = f"""
-WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
-SELECT a.vec_id AS vec_id_a, b.vec_id AS vec_id_b,
-       round({_duck_cos('a.v', 'b.v')}, 6) AS cosine
-FROM e a JOIN e b ON a.vec_id < b.vec_id
-WHERE round({_duck_cos('a.v', 'b.v')}, 6) >= 0.45
+# Quantized-cosine near-dup: both engines L2-normalize in double
+# (ordered fold), quantize to floor(x·2^20 + 0.5) int64, take EXACT
+# integer dot products (order-independent → numpy matmul is legal on
+# the Spark side), and round half-up to 6 digits — bit-identical.
+_EMB_NEARDUP_ORACLE = """
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+qv AS (
+    SELECT vec_id,
+           list_transform(v, x -> CAST(floor(
+               x / sqrt(list_reduce(list_transform(v, y -> y*y),
+                                    (a,b) -> a+b)) * 1048576.0 + 0.5
+           ) AS BIGINT)) AS q
+    FROM e
+),
+n AS (
+    SELECT vec_id, q,
+           sqrt(CAST(list_reduce(list_transform(q, x -> x*x),
+                                 (a,b) -> a+b) AS DOUBLE)) AS nrm
+    FROM qv
+),
+scored AS (
+    SELECT a.vec_id AS vec_id_a, b.vec_id AS vec_id_b,
+           floor(
+               CAST(list_reduce(
+                    list_transform(range(64), i -> a.q[i+1] * b.q[i+1]),
+                    (x,y) -> x+y) AS DOUBLE)
+               / (a.nrm * b.nrm) * 1000000.0 + 0.5) / 1000000.0 AS cosine
+    FROM n a JOIN n b ON a.vec_id < b.vec_id
+)
+SELECT vec_id_a, vec_id_b, cosine FROM scored WHERE cosine >= 0.45
 """
 
 
 @query("dedup_embedding_cosine", _EMB_NEARDUP_ORACLE)
 def q_dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding near-dup pairs, cosine ≥ 0.45 (brute baseline; the
-    scale path equi-joins on sign-LSH buckets first)."""
+    """Embedding near-dup pairs, quantized cosine ≥ 0.45 (exact-int
+    blocked matmul; the scale path equi-joins on sign-LSH buckets
+    first)."""
     return dedup.embedding_near_dup(_emb(spark, sf_dir))
 
 
