@@ -1,0 +1,462 @@
+"""[EXT] Analytical surface beyond the reference: joins (broadcast +
+shuffle), as-of join, window extensions (rolling, sliding, session,
+top-k, lead/lag, percentiles), multi-dimensional aggregation
+(ROLLUP / GROUPING SETS), HAVING, distinct counting.
+
+The reference's only join semantics hide inside MERGE DML
+(reference: mnt/dags/unused_02retail_stage.py:101-144) and its only
+window is latest-per-key (:109-122); everything here is the natural
+widening a warehouse engine needs, each expressed so Catalyst picks
+the right physical strategy (broadcast vs sort-merge is asserted in
+tests/test_plans.py) and each hash-checked against DuckDB.
+
+Determinism notes: double sums always pass through DECIMAL(18,2)
+(data is 2-decimal); revenue terms are rounded half-up to 2 digits
+per row BEFORE the decimal sum on both engines; avg = decimal-sum /
+count in one double division.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from ..operators import join_ext
+from ..operators.aggregate import exact_sum
+from .registry import query
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, sf_dir, name)
+
+
+# -- joins -----------------------------------------------------------------
+
+
+@query(
+    "join_broadcast_dim",
+    """
+SELECT r_name, n_name, COUNT(*) AS n_customers,
+       CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_acctbal
+FROM customer
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY r_name, n_name
+""",
+)
+def q_join_broadcast_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Star-schema dim join: customer ⋈ nation ⋈ region with both dims
+    explicitly broadcast — zero shuffle on the fact side until the
+    final aggregation."""
+    c = _t(spark, sf_dir, "customer")
+    n = F.broadcast(_t(spark, sf_dir, "nation"))
+    r = F.broadcast(_t(spark, sf_dir, "region"))
+    return (
+        c.join(n, c.c_nationkey == n.n_nationkey)
+        .join(r, n.n_regionkey == r.r_regionkey)
+        .groupBy("r_name", "n_name")
+        .agg(
+            F.count("*").alias("n_customers"),
+            exact_sum("c_acctbal", "total_acctbal"),
+        )
+    )
+
+
+@query(
+    "join_shuffle_fact",
+    """
+SELECT o_orderpriority,
+       COUNT(*) AS n_lines,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE)
+           AS revenue
+FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+GROUP BY o_orderpriority
+""",
+)
+def q_join_shuffle_fact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Large-fact ⋈ large-fact equi-join (orders ⋈ lineitem): both
+    sides shuffle on the join key — the sort-merge/shuffled-hash
+    case AQE manages. Revenue = price·(1-discount) entirely in exact
+    decimal (the 2-decimal inputs are exactly representable), summed
+    exactly, one final cast to double — no float-rounding divergence
+    between engines."""
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    rev = F.col("l_extendedprice").cast("decimal(18,2)") * (
+        F.lit(1) - F.col("l_discount").cast("decimal(18,2)")
+    )
+    return (
+        o.join(li, o.o_orderkey == li.l_orderkey)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count("*").alias("n_lines"),
+            F.sum(rev).cast("double").alias("revenue"),
+        )
+    )
+
+
+@query(
+    "join_asof",
+    """
+WITH od AS (
+    SELECT o_custkey, o_orderdate, o_orderkey, o_totalprice FROM (
+        SELECT *, row_number() OVER (
+            PARTITION BY o_custkey, o_orderdate
+            ORDER BY o_orderkey DESC) AS rn
+        FROM orders
+    ) WHERE rn = 1
+)
+SELECT e.event_id, e.user_id, CAST(e.ts AS TIMESTAMP) AS ts,
+       o.o_orderkey, o.o_totalprice
+FROM events e
+ASOF LEFT JOIN od o
+  ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate
+""",
+)
+def q_join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: each event picks up the newest order of the same
+    key at-or-before its timestamp (merge-asof via union + sorted
+    last-value carry — one shuffle, linear; operators/join_ext.py).
+    Oracle is DuckDB's native ASOF JOIN."""
+    ev = _t(spark, sf_dir, "events").select("event_id", "user_id", "ts")
+    orders = join_ext.dedup_right_for_asof(
+        _t(spark, sf_dir, "orders"), "o_custkey", "o_orderdate", "o_orderkey"
+    )
+    return join_ext.asof_join(
+        ev,
+        orders,
+        key="user_id",
+        left_ts="ts",
+        right_ts="o_orderdate",
+        payload=["o_orderkey", "o_totalprice"],
+        right_key="o_custkey",
+    )
+
+
+# -- window extensions -----------------------------------------------------
+
+
+@query(
+    "window_rolling_7d",
+    """
+WITH daily AS (
+    SELECT user_id, CAST(date_trunc('day', ts) AS DATE) AS day,
+           date_diff('day', DATE '1970-01-01',
+                     CAST(date_trunc('day', ts) AS DATE)) AS day_num,
+           SUM(CAST(value AS DECIMAL(18,2))) AS day_value
+    FROM events GROUP BY 1, 2, 3
+)
+SELECT user_id, day,
+       CAST(SUM(day_value) OVER (
+           PARTITION BY user_id ORDER BY day_num
+           RANGE BETWEEN 6 PRECEDING AND CURRENT ROW
+       ) AS DOUBLE) AS rolling_7d
+FROM daily
+""",
+)
+def q_window_rolling_7d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling 7-day sum per user: daily pre-aggregate (one shuffle)
+    then a RANGE frame over day numbers — gap-correct, and the frame
+    sum stays exact (decimal) so partial orders don't matter."""
+    ev = _t(spark, sf_dir, "events")
+    daily = (
+        ev.groupBy(
+            "user_id",
+            F.to_date("ts").alias("day"),
+        )
+        .agg(
+            F.sum(F.col("value").cast("decimal(18,2)")).alias("day_value")
+        )
+        .withColumn(
+            "day_num", F.datediff("day", F.lit("1970-01-01"))
+        )
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("day_num")
+        .rangeBetween(-6, Window.currentRow)
+    )
+    return daily.select(
+        "user_id",
+        "day",
+        F.sum("day_value").over(w).cast("double").alias("rolling_7d"),
+    )
+
+
+@query(
+    "window_sliding_3d1d",
+    """
+SELECT CAST(date_trunc('day', ts) - o * INTERVAL '1 day' AS DATE)
+           AS window_start,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+FROM events, (SELECT unnest(range(3)) AS o)
+GROUP BY 1
+""",
+)
+def q_window_sliding_3d1d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding window: 3-day windows advancing 1 day (each event lands
+    in 3 windows). Spark's window() replicates rows window-side;
+    the oracle unrolls the same 3 offsets explicitly."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "3 days", "1 day").alias("w"))
+        .agg(
+            F.count("*").alias("n_events"),
+            exact_sum("value", "sum_value"),
+        )
+        .select(
+            F.col("w.start").cast("date").alias("window_start"),
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+@query(
+    "window_session_1h",
+    """
+WITH ordered AS (
+    SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, value,
+           CASE WHEN CAST(ts AS TIMESTAMP)
+                     - lag(CAST(ts AS TIMESTAMP)) OVER w
+                     >= INTERVAL '1 hour'
+                OR lag(CAST(ts AS TIMESTAMP)) OVER w IS NULL
+                THEN 1 ELSE 0 END AS new_session
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id)
+),
+sessions AS (
+    SELECT user_id, ts, value,
+           SUM(new_session) OVER (
+               PARTITION BY user_id ORDER BY ts
+               ROWS UNBOUNDED PRECEDING) AS session_id
+    FROM ordered
+)
+SELECT user_id, MIN(ts) AS session_start,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+FROM sessions GROUP BY user_id, session_id
+""",
+)
+def q_window_session_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session windows (1 h inactivity gap) via Spark's native
+    session_window; the oracle derives identical sessions with the
+    gaps-and-islands idiom (boundary: a gap of exactly 1 h starts a
+    new session in both)."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy("user_id", F.session_window("ts", "1 hour").alias("w"))
+        .agg(
+            F.count("*").alias("n_events"),
+            exact_sum("value", "sum_value"),
+        )
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+@query(
+    "window_topk_per_group",
+    """
+SELECT o_custkey, o_orderkey, o_totalprice, rnk FROM (
+    SELECT o_custkey, o_orderkey, o_totalprice,
+           row_number() OVER (
+               PARTITION BY o_custkey
+               ORDER BY o_totalprice DESC, o_orderkey) AS rnk
+    FROM orders
+) WHERE rnk <= 3
+""",
+)
+def q_window_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 orders per customer by price — rank-filter window. At
+    scale this is the standard 'group top-k' (no global sort; one
+    hash shuffle + per-partition heaps via WindowGroupLimit)."""
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.desc("o_totalprice"), F.asc("o_orderkey")
+    )
+    return (
+        o.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 3)
+        .select("o_custkey", "o_orderkey", "o_totalprice", "rnk")
+    )
+
+
+@query(
+    "window_lead_lag",
+    """
+SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts, value,
+       value - lag(value) OVER w AS delta_prev,
+       lead(value) OVER w - value AS delta_next
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id)
+""",
+)
+def q_window_lead_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user event-to-event deltas (lag/lead) — deterministic
+    (ts, event_id) ordering; subtraction is elementwise double."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return ev.select(
+        "event_id",
+        "user_id",
+        "ts",
+        "value",
+        (F.col("value") - F.lag("value").over(w)).alias("delta_prev"),
+        (F.lead("value").over(w) - F.col("value")).alias("delta_next"),
+    )
+
+
+@query(
+    "agg_percentile",
+    """
+SELECT o_orderstatus,
+       quantile_cont(o_totalprice, 0.5) AS p50,
+       quantile_cont(o_totalprice, 0.9) AS p90,
+       quantile_cont(o_totalprice, 0.99) AS p99
+FROM orders GROUP BY o_orderstatus
+""",
+)
+def q_agg_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles per group (Spark ``percentile``
+    ≡ DuckDB ``quantile_cont``: same (n-1)·p linear interpolation)."""
+    o = _t(spark, sf_dir, "orders")
+    return o.groupBy("o_orderstatus").agg(
+        F.expr("percentile(o_totalprice, 0.5)").alias("p50"),
+        F.expr("percentile(o_totalprice, 0.9)").alias("p90"),
+        F.expr("percentile(o_totalprice, 0.99)").alias("p99"),
+    )
+
+
+# -- multi-dimensional aggregation ----------------------------------------
+
+
+@query(
+    "agg_rollup",
+    """
+SELECT r_name, n_name, COUNT(*) AS n_customers
+FROM customer
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY ROLLUP (r_name, n_name)
+""",
+)
+def q_agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP over the region→nation hierarchy (subtotals + grand
+    total; one Expand + single shuffle)."""
+    c = _t(spark, sf_dir, "customer")
+    n = F.broadcast(_t(spark, sf_dir, "nation"))
+    r = F.broadcast(_t(spark, sf_dir, "region"))
+    return (
+        c.join(n, c.c_nationkey == n.n_nationkey)
+        .join(r, n.n_regionkey == r.r_regionkey)
+        .rollup("r_name", "n_name")
+        .agg(F.count("*").alias("n_customers"))
+    )
+
+
+@query(
+    "agg_grouping_sets",
+    """
+SELECT c_mktsegment, n_name, COUNT(*) AS n_customers
+FROM customer JOIN nation ON c_nationkey = n_nationkey
+GROUP BY GROUPING SETS ((c_mktsegment), (n_name))
+""",
+)
+def q_agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS: per-segment and per-nation counts in
+    one pass (vs two scans + union)."""
+    c = _t(spark, sf_dir, "customer")
+    n = F.broadcast(_t(spark, sf_dir, "nation"))
+    j = c.join(n, c.c_nationkey == n.n_nationkey)
+    j.createOrReplaceTempView("_gs_join")
+    return spark.sql(
+        """
+        SELECT c_mktsegment, n_name, COUNT(*) AS n_customers
+        FROM _gs_join
+        GROUP BY GROUPING SETS ((c_mktsegment), (n_name))
+        """
+    )
+
+
+@query(
+    "agg_having",
+    """
+SELECT l_returnflag, l_linestatus, COUNT(*) AS n_lines
+FROM lineitem
+GROUP BY l_returnflag, l_linestatus
+HAVING COUNT(*) > 1000
+""",
+)
+def q_agg_having(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUP BY + HAVING (post-aggregation filter)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag", "l_linestatus")
+        .agg(F.count("*").alias("n_lines"))
+        .filter(F.col("n_lines") > 1000)
+    )
+
+
+@query(
+    "agg_count_distinct",
+    """
+SELECT o_orderpriority,
+       COUNT(DISTINCT o_custkey) AS n_customers,
+       COUNT(*) AS n_orders
+FROM orders GROUP BY o_orderpriority
+""",
+)
+def q_agg_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact distinct count per group (Expand-based two-phase
+    count-distinct)."""
+    o = _t(spark, sf_dir, "orders")
+    return o.groupBy("o_orderpriority").agg(
+        F.countDistinct("o_custkey").alias("n_customers"),
+        F.count("*").alias("n_orders"),
+    )
+
+
+@query("agg_approx_distinct")  # sketch-based → rows-only; accuracy in tests
+def q_agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog++ distinct count per group — the 100 TB path where
+    exact distinct's Expand shuffle is unaffordable; accuracy vs
+    exact is asserted in tests/test_analytics.py."""
+    o = _t(spark, sf_dir, "orders")
+    return o.groupBy("o_orderpriority").agg(
+        F.approx_count_distinct("o_custkey", rsd=0.02).alias("n_customers")
+    )
+
+
+@query(
+    "agg_stats_multi",
+    """
+SELECT o_orderstatus,
+       MIN(o_totalprice) AS min_price,
+       MAX(o_totalprice) AS max_price,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*)
+           AS avg_price,
+       COUNT(*) AS n_orders
+FROM orders GROUP BY o_orderstatus
+""",
+)
+def q_agg_stats_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """min/max/avg/count in one aggregation pass; avg as exact
+    decimal-sum ÷ count (single double division)."""
+    o = _t(spark, sf_dir, "orders")
+    return o.groupBy("o_orderstatus").agg(
+        F.min("o_totalprice").alias("min_price"),
+        F.max("o_totalprice").alias("max_price"),
+        (
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double")
+            / F.count("*")
+        ).alias("avg_price"),
+        F.count("*").alias("n_orders"),
+    )

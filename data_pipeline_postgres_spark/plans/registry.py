@@ -39,5 +39,6 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 
 def load_all() -> None:
     """Import every module that registers queries (idempotent)."""
+    from . import queries_analytics  # noqa: F401
     from . import queries_core  # noqa: F401
     from . import queries_ext  # noqa: F401

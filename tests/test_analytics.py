@@ -1,0 +1,121 @@
+"""Analytics-surface tests: as-of join semantics on a hand fixture,
+sketch accuracy, and PHYSICAL PLAN assertions — the shape Catalyst
+must pick (broadcast vs shuffle, pushdown, group-limit) is part of
+the operator contract at scale, not an accident."""
+
+from __future__ import annotations
+
+import datetime
+
+import pytest
+from pyspark.sql import functions as F
+
+from data_pipeline_postgres_spark.operators import join_ext
+from data_pipeline_postgres_spark.plans import registry
+
+from .conftest import SF_SMOKE
+
+registry.load_all()
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+class TestAsofJoin:
+    def test_hand_fixture(self, spark):
+        TS = datetime.datetime
+        left = spark.createDataFrame(
+            [(1, TS(2024, 1, 10)), (1, TS(2024, 1, 1)), (2, TS(2024, 1, 5))],
+            "k bigint, t timestamp",
+        )
+        right = spark.createDataFrame(
+            [
+                (1, TS(2024, 1, 5), 100.0),
+                (1, TS(2024, 1, 9), 200.0),
+                (2, TS(2024, 1, 6), 300.0),  # after left's t → no match
+            ],
+            "k bigint, rt timestamp, px double",
+        )
+        out = join_ext.asof_join(
+            left, right, key="k", left_ts="t", right_ts="rt", payload=["px"]
+        )
+        got = {(r.k, r.t): r.px for r in out.collect()}
+        assert got[(1, TS(2024, 1, 10))] == 200.0  # newest at-or-before
+        assert got[(1, TS(2024, 1, 1))] is None  # nothing before
+        assert got[(2, TS(2024, 1, 5))] is None  # right row is later
+
+    def test_exact_timestamp_is_inclusive(self, spark):
+        TS = datetime.datetime
+        left = spark.createDataFrame(
+            [(1, TS(2024, 1, 5))], "k bigint, t timestamp"
+        )
+        right = spark.createDataFrame(
+            [(1, TS(2024, 1, 5), 42.0)], "k bigint, rt timestamp, px double"
+        )
+        out = join_ext.asof_join(
+            left, right, key="k", left_ts="t", right_ts="rt", payload=["px"]
+        )
+        assert out.collect()[0].px == 42.0
+
+
+class TestSketchAccuracy:
+    def test_approx_distinct_within_5pct(self, spark):
+        exact = {
+            r.o_orderpriority: r.n_customers
+            for r in registry.QUERIES["agg_count_distinct"](
+                spark, SF_SMOKE
+            ).collect()
+        }
+        approx = {
+            r.o_orderpriority: r.n_customers
+            for r in registry.QUERIES["agg_approx_distinct"](
+                spark, SF_SMOKE
+            ).collect()
+        }
+        assert set(exact) == set(approx)
+        for k, v in exact.items():
+            assert abs(approx[k] - v) <= max(2, 0.05 * v), (k, v, approx[k])
+
+
+class TestPhysicalPlans:
+    """The plan the optimizer must produce — these assertions are the
+    scale contract (a broadcast that silently becomes a shuffle join
+    is a 100 TB regression even if results stay correct)."""
+
+    def test_dim_join_broadcasts(self, spark):
+        plan = _plan(registry.QUERIES["join_broadcast_dim"](spark, SF_SMOKE))
+        assert "BroadcastHashJoin" in plan
+        assert "SortMergeJoin" not in plan
+
+    def test_fact_join_shuffles_not_nested_loop(self, spark):
+        plan = _plan(registry.QUERIES["join_shuffle_fact"](spark, SF_SMOKE))
+        assert "NestedLoop" not in plan
+        # equi-join: hash or sort-merge are both acceptable; cartesian isn't
+        assert ("SortMergeJoin" in plan) or ("HashJoin" in plan)
+
+    def test_topk_uses_group_limit(self, spark):
+        plan = _plan(
+            registry.QUERIES["window_topk_per_group"](spark, SF_SMOKE)
+        )
+        # rank<=k must push a per-group limit below the window sort
+        assert "WindowGroupLimit" in plan
+
+    def test_filter_pushdown_reaches_scan(self, spark):
+        plan = _plan(
+            registry.QUERIES["jdbc_scan_pushdown"](spark, SF_SMOKE)
+        )
+        assert "PushedFilters: [" in plan
+        assert "IsNotNull(l_shipdate)" in plan or "GreaterThanOrEqual" in plan
+
+    def test_projection_prunes_scan_columns(self, spark):
+        plan = _plan(registry.QUERIES["project_cols"](spark, SF_SMOKE))
+        # ReadSchema must not contain columns the query never touches
+        read = plan.split("ReadSchema:", 1)[1].splitlines()[0]
+        assert "o_orderpriority" not in read
+
+    def test_asof_join_single_shuffle(self, spark):
+        plan = _plan(registry.QUERIES["join_asof"](spark, SF_SMOKE))
+        # merge-asof = union + ONE window exchange (+ the right-side
+        # dedup window sharing the same key partitioning); no join node
+        assert "SortMergeJoin" not in plan and "BroadcastHashJoin" not in plan
