@@ -39,6 +39,13 @@ HEADLINE = [
     "window_tumbling_daily",
 ]
 EXT_HEADLINE = [
+    "join_broadcast_dim",
+    "join_shuffle_fact",
+    "join_asof",
+    "window_rolling_7d",
+    "window_topk_per_group",
+    "agg_rollup",
+    "agg_percentile",
     "dedup_exact",
     "dedup_minhash",
     "dedup_simhash",

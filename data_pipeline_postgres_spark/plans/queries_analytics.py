@@ -460,3 +460,47 @@ def q_agg_stats_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("avg_price"),
         F.count("*").alias("n_orders"),
     )
+
+
+# -- partitioned lake layout ----------------------------------------------
+
+
+@query(
+    "partitioned_write_prune",
+    """
+SELECT event_type, COUNT(*) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+FROM events
+WHERE CAST(date_trunc('day', ts) AS DATE) = DATE '2024-01-15'
+GROUP BY event_type
+""",
+)
+def q_partitioned_write_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hive-partitioned lake round-trip: write events partitioned by
+    day (dynamic partition overwrite — the reference's replace=True
+    idempotency, SURVEY.md §2.9), read back filtered to ONE day.
+
+    The read plan must show PartitionFilters (asserted in
+    tests/test_analytics.py): the scan touches 1/30th of the files —
+    the same pruning that makes a [ds, next_ds) incremental run at
+    100 TB read only its slice.
+    """
+    import os
+
+    ev = _t(spark, sf_dir, "events")
+    path = os.path.join(
+        "/root/repo/.scratch", "events_by_day_" + os.path.basename(sf_dir.rstrip("/"))
+    )
+    (
+        ev.withColumn("day", F.to_date("ts"))
+        .write.mode("overwrite")
+        .partitionBy("day")
+        .parquet(path)
+    )
+    back = spark.read.parquet(path).filter(
+        F.col("day") == F.lit("2024-01-15").cast("date")
+    )
+    return back.groupBy("event_type").agg(
+        F.count("*").alias("n_events"),
+        exact_sum("value", "sum_value"),
+    )

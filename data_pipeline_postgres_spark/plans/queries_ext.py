@@ -443,3 +443,49 @@ def q_stream_cdc_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Custom stateful streaming op (applyInPandasWithState): latest
     event per user — the CDC latest-change-wins collapse, streamed."""
     return stream_jobs.cdc_latest(spark, sf_dir)
+
+
+@query(
+    "stream_static_join",
+    """
+SELECT c_nationkey, COUNT(*) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+FROM events JOIN customer ON user_id = c_custkey
+GROUP BY c_nationkey
+""",
+)
+def q_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static join: event stream enriched against the customer
+    dim (re-broadcast per micro-batch), aggregated per nation."""
+    return stream_jobs.static_join_agg(spark, sf_dir)
+
+
+@query(
+    "stream_dedup",
+    """
+SELECT event_type, COUNT(DISTINCT user_id) AS n_users
+FROM events GROUP BY event_type
+""",
+)
+def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming dropDuplicates on (user_id, event_type): exactly-once
+    key emission across micro-batches; result compacted to distinct
+    users per event type."""
+    return stream_jobs.stream_dedup(spark, sf_dir)
+
+
+@query(
+    "stream_sliding_3d1d",
+    """
+SELECT CAST(date_trunc('day', ts) - o * INTERVAL '1 day' AS DATE)
+           AS window_start,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+FROM events, (SELECT unnest(range(3)) AS o)
+GROUP BY 1
+""",
+)
+def q_stream_sliding_3d1d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming sliding windows (3-day / 1-day slide), AvailableNow —
+    equals the batch window_sliding_3d1d query."""
+    return stream_jobs.sliding_3d1d(spark, sf_dir)

@@ -245,3 +245,96 @@ def cdc_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") == 1)
         .select("user_id", "ts", "event_id", "event_type", "value")
     )
+
+
+def static_join_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static join: the event stream enriches against a static
+    dimension (customer), aggregated per nation.
+
+    The static side is re-broadcast per micro-batch — the streaming
+    analog of the star-schema dim join; no shuffle on the stream side
+    until the aggregation. Returns the final aggregate as a batch
+    DataFrame (oracle: the same join+agg in SQL).
+    """
+    from ..catalog import load_table
+
+    ev = events_stream(spark, sf_dir)
+    cust = F.broadcast(
+        load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    )
+    agg = (
+        ev.join(cust, ev.user_id == cust.c_custkey)
+        .groupBy("c_nationkey")
+        .agg(F.count("*").alias("n_events"), exact_sum("value", "sum_value"))
+    )
+    with _shuffle_partitions(spark, 8):
+        q = (
+            agg.writeStream.format("memory")
+            .queryName("stream_static_join")
+            .outputMode("complete")
+            .option("checkpointLocation", _scratch("static_join_ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    return spark.table("stream_static_join")
+
+
+def stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming dropDuplicates on (user_id, event_type): exactly-once
+    key emission across micro-batches (state = seen-key set; a
+    watermark bounds it on unbounded streams). The deduped key stream
+    lands in a parquet spool via foreachBatch; the returned batch
+    DataFrame counts distinct users per event type — deterministic
+    regardless of which physical row the dedup kept.
+    """
+    ev = events_stream(spark, sf_dir)
+    keys = ev.select("user_id", "event_type").dropDuplicates(
+        ["user_id", "event_type"]
+    )
+    spool = _scratch("dedup_spool")
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df.write.mode("append").parquet(spool)
+
+    with _shuffle_partitions(spark, 8):
+        q = (
+            keys.writeStream.foreachBatch(sink)
+            .outputMode("update")
+            .option("checkpointLocation", _scratch("dedup_ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    return (
+        spark.read.parquet(spool)
+        .groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("n_users"))
+    )
+
+
+def sliding_3d1d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming sliding windows (3-day length, 1-day slide) — every
+    event contributes to 3 windows; complete-mode AvailableNow run
+    must equal the batch window_sliding_3d1d query (the oracle)."""
+    ev = events_stream(spark, sf_dir)
+    agg = (
+        ev.groupBy(F.window("ts", "3 days", "1 day").alias("w"))
+        .agg(F.count("*").alias("n_events"), exact_sum("value", "sum_value"))
+        .select(
+            F.col("w.start").cast("date").alias("window_start"),
+            "n_events",
+            "sum_value",
+        )
+    )
+    with _shuffle_partitions(spark, 8):
+        q = (
+            agg.writeStream.format("memory")
+            .queryName("stream_sliding_3d1d")
+            .outputMode("complete")
+            .option("checkpointLocation", _scratch("sliding_ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    return spark.table("stream_sliding_3d1d")

@@ -114,6 +114,13 @@ class TestPhysicalPlans:
         read = plan.split("ReadSchema:", 1)[1].splitlines()[0]
         assert "o_orderpriority" not in read
 
+    def test_partitioned_read_prunes(self, spark):
+        df = registry.QUERIES["partitioned_write_prune"](spark, SF_SMOKE)
+        plan = _plan(df)
+        assert "PartitionFilters: [" in plan
+        # the day predicate must be a partition filter, not a data filter
+        assert "day" in plan.split("PartitionFilters:", 1)[1].splitlines()[0]
+
     def test_asof_join_single_shuffle(self, spark):
         plan = _plan(registry.QUERIES["join_asof"](spark, SF_SMOKE))
         # merge-asof = union + ONE window exchange (+ the right-side
