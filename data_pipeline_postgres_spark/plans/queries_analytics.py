@@ -504,3 +504,40 @@ def q_partitioned_write_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_events"),
         exact_sum("value", "sum_value"),
     )
+
+
+# -- pipeline parity (SURVEY.md §3, §7 phase 6) ---------------------------
+
+
+@query(
+    "pipeline_incremental_day",
+    None,  # oracle attached below (reuses the flagship oracle + day filter)
+)
+def q_pipeline_incremental_day(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One full scheduler day-run (the reference's DAG chain for a
+    single ``ds``): extract the [ds, next_ds) slice into the
+    day-partitioned raw zone, transform it, read the transformed
+    partition back — partition-pruned at every hop and idempotent
+    under re-runs (pipelines.py; metamorphic tests in
+    tests/test_pipelines.py)."""
+    import os
+
+    from .. import pipelines
+
+    ds = "2024-01-15"
+    work = os.path.join(
+        "/root/repo/.scratch",
+        "pipeline_day_" + os.path.basename(sf_dir.rstrip("/")),
+    )
+    pipelines.extract_day(spark, sf_dir, work, ds)
+    pipelines.transform_day(spark, work, ds)
+    return pipelines.load_warehouse(spark, work)
+
+
+from .queries_core import FLAGSHIP_ORACLE  # noqa: E402
+
+from .registry import ORACLES  # noqa: E402
+
+ORACLES["pipeline_incremental_day"] = (
+    f"SELECT * FROM ({FLAGSHIP_ORACLE}) WHERE date = DATE '2024-01-15'"
+)

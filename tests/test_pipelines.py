@@ -1,0 +1,58 @@
+"""Pipeline-parity metamorphic tests (SURVEY.md §5): idempotent
+re-runs, per-day union ≡ full transform, streaming ≡ batch."""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+import pytest
+from pyspark.sql import functions as F
+
+from data_pipeline_postgres_spark import pipelines
+from data_pipeline_postgres_spark.plans.flagship import flagship
+
+from .conftest import SF_SMOKE
+
+WORK = "/root/repo/.scratch/pipeline_test"
+DATES = [f"2024-01-{d:02d}" for d in range(1, 31)]
+
+
+@pytest.fixture(scope="module")
+def warehouse(spark):
+    if os.path.exists(WORK):
+        shutil.rmtree(WORK)
+    df = pipelines.run_incremental(spark, SF_SMOKE, WORK, DATES)
+    return sorted(map(tuple, df.collect()))
+
+
+def test_union_of_days_equals_full_transform(spark, warehouse):
+    full = sorted(map(tuple, flagship(spark, SF_SMOKE).collect()))
+    assert warehouse == full
+
+
+def test_rerun_day_is_idempotent(spark, warehouse):
+    pipelines.extract_day(spark, SF_SMOKE, WORK, "2024-01-15")
+    pipelines.transform_day(spark, WORK, "2024-01-15")
+    again = sorted(
+        map(tuple, pipelines.load_warehouse(spark, WORK).collect())
+    )
+    assert again == warehouse
+
+
+def test_day_read_prunes_partitions(spark, warehouse):
+    raw = spark.read.parquet(pipelines.raw_path(WORK)).filter(
+        F.col("date") == F.lit("2024-01-15").cast("date")
+    )
+    plan = raw._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [" in plan
+    assert "date" in plan.split("PartitionFilters:", 1)[1].splitlines()[0]
+
+
+def test_streaming_transform_equals_batch(spark, warehouse):
+    ckpt = os.path.join(WORK, "ckpt")
+    if os.path.exists(ckpt):
+        shutil.rmtree(ckpt)
+    stream = pipelines.transform_stream(spark, WORK, ckpt)
+    got = sorted(map(tuple, stream.collect()))
+    assert got == warehouse
