@@ -41,6 +41,7 @@ HEADLINE = [
 EXT_HEADLINE = [
     "join_broadcast_dim",
     "join_shuffle_fact",
+    "join_bucketed_colocated",
     "join_asof",
     "window_rolling_7d",
     "window_topk_per_group",

@@ -541,3 +541,168 @@ from .registry import ORACLES  # noqa: E402
 ORACLES["pipeline_incremental_day"] = (
     f"SELECT * FROM ({FLAGSHIP_ORACLE}) WHERE date = DATE '2024-01-15'"
 )
+
+
+# -- scale patterns: bucketing, skew salting, JSON source -----------------
+
+
+@query(
+    "join_bucketed_colocated",
+    """
+SELECT o_orderstatus, COUNT(*) AS n_lines,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS total_qty
+FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+GROUP BY o_orderstatus
+""",
+)
+def q_join_bucketed_colocated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Co-located join via bucketed tables: both facts written
+    bucketed (8 buckets) + sorted on the join key, so the join runs
+    WITHOUT a shuffle exchange on either side (asserted in
+    tests/test_analytics.py) — the write-once/join-many idiom that
+    removes the dominant cost of repeated fact-fact joins at 100 TB.
+    """
+    import os
+
+    import shutil
+
+    suffix = os.path.basename(sf_dir.rstrip("/")).replace(".", "_")
+    ot, lt = f"orders_b_{suffix}", f"lineitem_b_{suffix}"
+    for src, tbl, key in (("orders", ot, "o_orderkey"), ("lineitem", lt, "l_orderkey")):
+        if not spark.catalog.tableExists(tbl):
+            # a previous session's managed-table files survive into a
+            # fresh in-memory catalog; clear the location or CTAS fails
+            loc = os.path.join("/root/repo/spark-warehouse", tbl)
+            if os.path.exists(loc):
+                shutil.rmtree(loc)
+            (
+                _t(spark, sf_dir, src)
+                .write.bucketBy(8, key)
+                .sortBy(key)
+                .mode("overwrite")
+                .saveAsTable(tbl)
+            )
+    o = spark.table(ot)
+    li = spark.table(lt)
+    return (
+        o.join(li, o.o_orderkey == li.l_orderkey)
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count("*").alias("n_lines"),
+            exact_sum("l_quantity", "total_qty"),
+        )
+    )
+
+
+@query(
+    "join_salted_skew",
+    """
+SELECT c_nationkey, COUNT(*) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+FROM events JOIN customer ON user_id = c_custkey
+GROUP BY c_nationkey
+""",
+)
+def q_join_salted_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-salted join: the (potentially hot-keyed) fact side gets a
+    deterministic salt pmod(event_id, 8); the dim side is exploded
+    across all 8 salts; the join key becomes (key, salt) so one hot
+    key spreads over 8 reducers. Result is identical to the plain
+    join (the oracle). AQE's skew-join split handles the same problem
+    adaptively; explicit salting is the belt-and-braces form for
+    known-pathological keys.
+    """
+    ev = _t(spark, sf_dir, "events").withColumn(
+        "salt", F.pmod(F.col("event_id"), F.lit(8)).cast("int")
+    )
+    cust = (
+        _t(spark, sf_dir, "customer")
+        .select("c_custkey", "c_nationkey")
+        .withColumn(
+            "salt", F.explode(F.sequence(F.lit(0), F.lit(7)).cast("array<int>"))
+        )
+    )
+    return (
+        ev.join(
+            cust,
+            (ev.user_id == cust.c_custkey) & (ev.salt == cust.salt),
+        )
+        .groupBy("c_nationkey")
+        .agg(
+            F.count("*").alias("n_events"),
+            exact_sum("value", "sum_value"),
+        )
+    )
+
+
+@query(
+    "json_source_roundtrip",
+    """
+SELECT event_type, COUNT(*) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+FROM events GROUP BY event_type
+""",
+)
+def q_json_source_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON-lines source/sink round-trip: events → .json write →
+    schema-explicit read (no inference scan at 100 TB) → aggregate.
+    Timestamps travel as ISO strings; values survive exactly."""
+    import os
+
+    from pyspark.sql import types as T
+
+    ev = _t(spark, sf_dir, "events").select("event_id", "event_type", "value")
+    path = os.path.join(
+        "/root/repo/.scratch",
+        "events_json_" + os.path.basename(sf_dir.rstrip("/")),
+    )
+    ev.write.mode("overwrite").json(path)
+    schema = T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("value", T.DoubleType()),
+        ]
+    )
+    back = spark.read.schema(schema).json(path)
+    return back.groupBy("event_type").agg(
+        F.count("*").alias("n_events"),
+        exact_sum("value", "sum_value"),
+    )
+
+
+@query(
+    "text_ngram_topk",
+    r"""
+WITH toks AS (
+    SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w
+    FROM documents
+),
+bg AS (
+    SELECT w[i] || ' ' || w[i+1] AS bigram
+    FROM toks, unnest(range(1, len(w))) AS t(i)
+),
+counts AS (SELECT bigram, COUNT(*) AS n FROM bg GROUP BY 1)
+SELECT bigram, n FROM (
+    SELECT bigram, n,
+           row_number() OVER (ORDER BY n DESC, bigram) AS rnk
+    FROM counts
+) WHERE rnk <= 10
+""",
+)
+def q_text_ngram_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide top-10 word bigrams: one explode + count shuffle +
+    a 10-row global top-k (rank tie-broken lexicographically)."""
+    from ..functions import text as TX
+
+    docs = _t(spark, sf_dir, "documents")
+    bg = docs.select(
+        F.explode(TX.word_shingles(TX.tokens("text"), 2)).alias("bigram")
+    )
+    counts = bg.groupBy("bigram").agg(F.count("*").alias("n"))
+    w = Window.orderBy(F.desc("n"), F.asc("bigram"))
+    return (
+        counts.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 10)
+        .select("bigram", "n")
+    )

@@ -121,6 +121,24 @@ class TestPhysicalPlans:
         # the day predicate must be a partition filter, not a data filter
         assert "day" in plan.split("PartitionFilters:", 1)[1].splitlines()[0]
 
+    def test_bucketed_join_has_no_join_exchange(self, spark):
+        plan = _plan(
+            registry.QUERIES["join_bucketed_colocated"](spark, SF_SMOKE)
+        )
+        assert plan.count("Bucketed: true") == 2
+        # no shuffle on the join key — the join must consume the
+        # bucketed layout (or broadcast at tiny scale); only the final
+        # group-by may exchange
+        assert "Exchange hashpartitioning(o_orderkey" not in plan
+        assert "Exchange hashpartitioning(l_orderkey" not in plan
+
+    def test_salted_join_equals_plain(self, spark):
+        salted = registry.QUERIES["join_salted_skew"](spark, SF_SMOKE)
+        plain = registry.QUERIES["stream_static_join"](spark, SF_SMOKE)
+        assert sorted(map(tuple, salted.collect())) == sorted(
+            map(tuple, plain.collect())
+        )
+
     def test_asof_join_single_shuffle(self, spark):
         plan = _plan(registry.QUERIES["join_asof"](spark, SF_SMOKE))
         # merge-asof = union + ONE window exchange (+ the right-side
