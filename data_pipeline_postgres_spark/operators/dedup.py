@@ -364,3 +364,48 @@ def embedding_near_dup(
             )
 
     return src.mapInPandas(score, out_schema)
+
+
+def minhash_dedup_ml(
+    docs: DataFrame, n: int = 3, threshold: float = 0.8
+) -> DataFrame:
+    """spark.ml variant of the MinHash near-dup pipeline:
+    shingles → HashingTF sparse vectors → MinHashLSH
+    approxSimilarityJoin → exact-Jaccard verify (same verify stage as
+    the custom path, so the output contract matches minhash_dedup).
+
+    Returns (doc_a, doc_b, jaccard) with jaccard ≥ threshold. The ML
+    estimator's hash family is seeded, so results are reproducible
+    but not oracle-expressible (rows-only check); equivalence with
+    the md5-family pipeline on high-Jaccard pairs is asserted in
+    tests/test_ext.py. At scale both paths share the same shape:
+    per-doc signatures, band bucket-join, candidate-only verify.
+    """
+    from pyspark.ml.feature import HashingTF, MinHashLSH
+
+    sh = doc_shingles(docs, n)
+    shingle_sets = sh.groupBy("doc_id").agg(
+        F.collect_list("shingle").alias("shingles")
+    )
+    tf = HashingTF(
+        inputCol="shingles", outputCol="features", numFeatures=1 << 18
+    )
+    feats = tf.transform(shingle_sets)
+    # MinHashLSH requires at least one non-zero entry
+    feats = feats.filter(F.size("shingles") > 0)
+    lsh = MinHashLSH(
+        inputCol="features", outputCol="hashes", numHashTables=8, seed=42
+    )
+    model = lsh.fit(feats)
+    # approxSimilarityJoin distance = 1 - estimated Jaccard; admit a
+    # wide candidate band, then verify exactly
+    pairs = (
+        model.approxSimilarityJoin(feats, feats, 1.0 - threshold + 0.15)
+        .select(
+            F.col("datasetA.doc_id").alias("doc_a"),
+            F.col("datasetB.doc_id").alias("doc_b"),
+        )
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .distinct()
+    )
+    return jaccard_pairs(sh, pairs, threshold)

@@ -489,3 +489,11 @@ def q_stream_sliding_3d1d(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming sliding windows (3-day / 1-day slide), AvailableNow —
     equals the batch window_sliding_3d1d query."""
     return stream_jobs.sliding_3d1d(spark, sf_dir)
+
+
+@query("dedup_minhash_ml")  # seeded spark.ml hash family → rows-only
+def q_dedup_minhash_ml(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """spark.ml MinHashLSH near-dup variant (HashingTF → MinHashLSH →
+    approxSimilarityJoin → exact verify); equivalence with the
+    md5-family pipeline asserted in tests."""
+    return dedup.minhash_dedup_ml(_docs(spark, sf_dir))

@@ -61,6 +61,18 @@ class TestDedup:
         missed = strong - lsh
         assert len(missed) <= max(1, len(strong) // 50), missed
 
+    def test_minhash_ml_finds_strong_pairs(self, docs):
+        """The spark.ml MinHashLSH variant must recover every planted
+        ≥0.95-Jaccard pair the exact ground truth contains (its hash
+        family differs from the md5 pipeline; the verify stage makes
+        both exact over their candidates)."""
+        sh = dedup.doc_shingles(docs)
+        strong = _pairs(dedup.jaccard_pairs(sh, None, 0.95))
+        ml = _pairs(dedup.minhash_dedup_ml(docs))
+        exact = _pairs(dedup.jaccard_pairs(sh, None, 0.8))
+        assert strong <= ml
+        assert ml <= exact
+
     def test_simhash_close_for_near_dups(self, spark, docs):
         """A ≥0.95-Jaccard pair shares almost all tokens → hamming
         distance of simhashes must be small."""
