@@ -706,3 +706,100 @@ def q_text_ngram_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rnk") <= 10)
         .select("bigram", "n")
     )
+
+
+# -- set ops / global top-N / sketches ------------------------------------
+
+
+@query(
+    "sort_limit_topn",
+    """
+SELECT o_orderkey, o_custkey, o_totalprice
+FROM orders
+ORDER BY o_totalprice DESC, o_orderkey
+LIMIT 100
+""",
+)
+def q_sort_limit_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global top-100 by price: ORDER BY + LIMIT compiles to
+    TakeOrderedAndProject (per-partition heaps + driver merge of 100
+    rows — no global sort; plan-asserted), the only sane shape at
+    100 TB."""
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.select("o_orderkey", "o_custkey", "o_totalprice")
+        .orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+        .limit(100)
+    )
+
+
+@query(
+    "set_intersect",
+    """
+SELECT c_nationkey AS nationkey FROM customer
+INTERSECT
+SELECT s_nationkey AS nationkey FROM supplier
+""",
+)
+def q_set_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT (distinct semantics): nations having both customers
+    and suppliers."""
+    c = _t(spark, sf_dir, "customer").select(
+        F.col("c_nationkey").alias("nationkey")
+    )
+    s = _t(spark, sf_dir, "supplier").select(
+        F.col("s_nationkey").alias("nationkey")
+    )
+    return c.intersect(s)
+
+
+@query(
+    "set_except",
+    """
+SELECT c_nationkey AS nationkey FROM customer
+EXCEPT
+SELECT s_nationkey AS nationkey FROM supplier
+""",
+)
+def q_set_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXCEPT (distinct semantics): nations with customers but no
+    suppliers."""
+    c = _t(spark, sf_dir, "customer").select(
+        F.col("c_nationkey").alias("nationkey")
+    )
+    s = _t(spark, sf_dir, "supplier").select(
+        F.col("s_nationkey").alias("nationkey")
+    )
+    return c.subtract(s)
+
+
+@query(
+    "set_union_distinct",
+    """
+SELECT c_nationkey AS nationkey FROM customer
+UNION
+SELECT s_nationkey AS nationkey FROM supplier
+""",
+)
+def q_set_union_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNION with distinct semantics (the reference only ever uses
+    UNION ALL — SURVEY §2.5)."""
+    c = _t(spark, sf_dir, "customer").select(
+        F.col("c_nationkey").alias("nationkey")
+    )
+    s = _t(spark, sf_dir, "supplier").select(
+        F.col("s_nationkey").alias("nationkey")
+    )
+    return c.union(s).distinct()
+
+
+@query("agg_approx_quantile")  # sketch-based → rows-only; accuracy in tests
+def q_agg_approx_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greenwald-Khanna approximate percentiles — the mergeable-sketch
+    path for 100 TB where exact percentile's full sort-per-group is
+    unaffordable; accuracy vs the exact query tested."""
+    o = _t(spark, sf_dir, "orders")
+    return o.groupBy("o_orderstatus").agg(
+        F.percentile_approx("o_totalprice", 0.5, 1000).alias("p50"),
+        F.percentile_approx("o_totalprice", 0.9, 1000).alias("p90"),
+    )

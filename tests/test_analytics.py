@@ -78,6 +78,27 @@ class TestSketchAccuracy:
             assert abs(approx[k] - v) <= max(2, 0.05 * v), (k, v, approx[k])
 
 
+class TestApproxQuantile:
+    def test_within_tolerance_of_exact(self, spark):
+        exact = {
+            r.o_orderstatus: (r.p50, r.p90)
+            for r in registry.QUERIES["agg_percentile"](
+                spark, SF_SMOKE
+            ).collect()
+        }
+        approx = {
+            r.o_orderstatus: (r.p50, r.p90)
+            for r in registry.QUERIES["agg_approx_quantile"](
+                spark, SF_SMOKE
+            ).collect()
+        }
+        assert set(exact) == set(approx)
+        for k, (e50, e90) in exact.items():
+            a50, a90 = approx[k]
+            assert abs(a50 - e50) / max(e50, 1) < 0.05
+            assert abs(a90 - e90) / max(e90, 1) < 0.05
+
+
 class TestPhysicalPlans:
     """The plan the optimizer must produce — these assertions are the
     scale contract (a broadcast that silently becomes a shuffle join
@@ -113,6 +134,11 @@ class TestPhysicalPlans:
         # ReadSchema must not contain columns the query never touches
         read = plan.split("ReadSchema:", 1)[1].splitlines()[0]
         assert "o_orderpriority" not in read
+
+    def test_global_topn_uses_take_ordered(self, spark):
+        plan = _plan(registry.QUERIES["sort_limit_topn"](spark, SF_SMOKE))
+        assert "TakeOrderedAndProject" in plan
+        assert "Exchange rangepartitioning" not in plan  # no global sort
 
     def test_partitioned_read_prunes(self, spark):
         df = registry.QUERIES["partitioned_write_prune"](spark, SF_SMOKE)
