@@ -20,9 +20,11 @@ Layout
                  and the full driver-facing query/oracle registry.
 - ``streaming``  Structured Streaming analogs of the reference's
                  orchestration-level incremental semantics (SURVEY.md §2.9).
-- ``ext``        LLM-data-pipeline extensions: dedup (exact/MinHash/SimHash/
-                 n-gram/embedding), similarity search, text analysis,
-                 multimodal binary-column plumbing (SURVEY.md §2.11).
+- ``functions``  Column-expression helpers (text n-grams/hashing, vector
+                 math) shared by the LLM-data-pipeline operators: dedup
+                 (exact/MinHash/SimHash/n-gram/embedding), similarity
+                 search, text analysis, multimodal binary-column plumbing
+                 (SURVEY.md §2.11) — all under ``operators``.
 """
 
 __version__ = "0.1.0"
