@@ -803,3 +803,161 @@ def q_agg_approx_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.percentile_approx("o_totalprice", 0.5, 1000).alias("p50"),
         F.percentile_approx("o_totalprice", 0.9, 1000).alias("p90"),
     )
+
+
+# -- semi/anti/outer joins, pivot, cube, scalar subquery ------------------
+
+
+@query(
+    "join_semi",
+    """
+SELECT c_custkey, c_name FROM customer c
+WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+""",
+)
+def q_join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXISTS as a left-semi join: customers with >=1 order. Semi join
+    never duplicates the left side, so no post-join distinct — the
+    probe side streams through one shuffle at most."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    return c.join(
+        o, c.c_custkey == o.o_custkey, "left_semi"
+    ).select("c_custkey", "c_name")
+
+
+@query(
+    "join_anti",
+    """
+SELECT c_custkey, c_name FROM customer c
+WHERE NOT EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey
+                    AND EXTRACT(year FROM o.o_orderdate) = 1998)
+""",
+)
+def q_join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NOT EXISTS as a left-anti join: customers with no 1998 order —
+    the churn/retention query shape. The year filter pushes into the
+    orders scan before the anti join shrinks its build side."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").filter(
+        F.year("o_orderdate") == 1998
+    )
+    return c.join(
+        o, c.c_custkey == o.o_custkey, "left_anti"
+    ).select("c_custkey", "c_name")
+
+
+@query(
+    "join_left_outer",
+    """
+SELECT c_custkey, COUNT(o_orderkey) AS n_orders,
+       CAST(COALESCE(SUM(CAST(o_totalprice AS DECIMAL(18,2))), 0) AS DOUBLE)
+         AS total_spent
+FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+GROUP BY c_custkey
+""",
+)
+def q_join_left_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT OUTER join preserving order-less customers (n_orders=0,
+    total_spent=0.0): COUNT over the nullable right key + COALESCE'd
+    decimal sum match SQL outer-agg null semantics exactly."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(
+            F.count("o_orderkey").alias("n_orders"),
+            F.coalesce(
+                F.sum(F.col("o_totalprice").cast("decimal(18,2)")),
+                F.lit(0).cast("decimal(18,2)"),
+            )
+            .cast("double")
+            .alias("total_spent"),
+        )
+    )
+
+
+@query(
+    "pivot_wide",
+    """
+SELECT o_orderstatus,
+       COUNT(CASE WHEN EXTRACT(year FROM o_orderdate) = 1996 THEN 1 END) AS y1996,
+       COUNT(CASE WHEN EXTRACT(year FROM o_orderdate) = 1997 THEN 1 END) AS y1997,
+       COUNT(CASE WHEN EXTRACT(year FROM o_orderdate) = 1998 THEN 1 END) AS y1998
+FROM orders
+GROUP BY o_orderstatus
+""",
+)
+def q_pivot_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Long→wide PIVOT (inverse of unpivot_melt): order counts by
+    status × year. The explicit value list keeps it one pass — no
+    extra distinct-values job, which at 100 TB would be a full scan
+    before the real one."""
+    o = _t(spark, sf_dir, "orders")
+    years = [1996, 1997, 1998]
+    wide = (
+        o.withColumn("yr", F.year("o_orderdate"))
+        .groupBy("o_orderstatus")
+        .pivot("yr", years)
+        .count()
+    )
+    return wide.select(
+        "o_orderstatus",
+        *[
+            F.coalesce(F.col(str(y)), F.lit(0)).alias(f"y{y}")
+            for y in years
+        ],
+    )
+
+
+@query(
+    "agg_cube",
+    """
+SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n_orders
+FROM orders
+GROUP BY CUBE (o_orderstatus, o_orderpriority)
+""",
+)
+def q_agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE: all 2^2 grouping combinations in one Expand + single
+    shuffle (completes the rollup/grouping-sets family)."""
+    o = _t(spark, sf_dir, "orders")
+    return o.cube("o_orderstatus", "o_orderpriority").agg(
+        F.count("*").alias("n_orders")
+    )
+
+
+@query(
+    "filter_scalar_subquery",
+    """
+SELECT o_orderkey, o_totalprice
+FROM orders
+WHERE o_totalprice > 1.5 * (
+  SELECT CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*)
+  FROM orders
+)
+""",
+)
+def q_filter_scalar_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar-subquery filter: orders above 1.5× the mean price. The
+    scalar aggregates in one pass and broadcasts as a literal into the
+    scan filter; the mean is a decimal-sum / count double division so
+    both engines compute the identical threshold bit-for-bit."""
+    o = _t(spark, sf_dir, "orders")
+    mean = F.broadcast(
+        o.agg(
+            (
+                F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast(
+                    "double"
+                )
+                / F.count("*")
+            ).alias("_mean")
+        )
+    )
+    return (
+        o.crossJoin(mean)
+        .filter(F.col("o_totalprice") > 1.5 * F.col("_mean"))
+        .select("o_orderkey", "o_totalprice")
+    )

@@ -135,6 +135,21 @@ class TestPhysicalPlans:
         read = plan.split("ReadSchema:", 1)[1].splitlines()[0]
         assert "o_orderpriority" not in read
 
+    def test_semi_anti_join_physical_types(self, spark):
+        semi = _plan(registry.QUERIES["join_semi"](spark, SF_SMOKE))
+        anti = _plan(registry.QUERIES["join_anti"](spark, SF_SMOKE))
+        assert "LeftSemi" in semi
+        assert "LeftAnti" in anti
+
+    def test_pivot_has_no_distinct_values_job(self, spark):
+        # explicit value list → values baked into pivotfirst, no
+        # distinct-scan pre-job; both exchanges sit above partial
+        # aggregates so they carry only |status|x|year| rows
+        plan = _plan(registry.QUERIES["pivot_wide"](spark, SF_SMOKE))
+        assert "pivotfirst" in plan
+        assert plan.count("Exchange hashpartitioning") <= 2
+        assert plan.index("partial_count") > plan.rindex("Exchange")
+
     def test_global_topn_uses_take_ordered(self, spark):
         plan = _plan(registry.QUERIES["sort_limit_topn"](spark, SF_SMOKE))
         assert "TakeOrderedAndProject" in plan
