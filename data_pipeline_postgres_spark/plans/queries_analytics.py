@@ -961,3 +961,58 @@ def q_filter_scalar_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("o_totalprice") > 1.5 * F.col("_mean"))
         .select("o_orderkey", "o_totalprice")
     )
+
+
+@query(
+    "join_range_banded",
+    """
+WITH bands(band, lo, hi) AS (
+    VALUES ('tiny', 0.0, 25.0), ('small', 25.0, 120.0),
+           ('mid', 120.0, 333.0), ('large', 333.0, 1000.0)
+)
+SELECT band, COUNT(*) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+FROM events JOIN bands ON value >= lo AND value < hi
+GROUP BY band
+""",
+)
+def q_join_range_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range (interval-predicate) join via bin bucketing: Spark would
+    execute `value >= lo AND value < hi` as a nested-loop join (O(n·m)
+    row comparisons — unusable at 100 TB even with a broadcast side).
+    Instead each band explodes to the fixed-width bins it overlaps and
+    the fact side equi-joins on its bin, so candidate pairing is a
+    hash lookup and the exact bounds filter only within-bin candidates
+    — the standard bin-optimized range-join rewrite."""
+    BIN = 50.0
+    bands = spark.createDataFrame(
+        [
+            ("tiny", 0.0, 25.0),
+            ("small", 25.0, 120.0),
+            ("mid", 120.0, 333.0),
+            ("large", 333.0, 1000.0),
+        ],
+        "band STRING, lo DOUBLE, hi DOUBLE",
+    ).withColumn(
+        "bin",
+        F.explode(
+            F.sequence(
+                F.floor(F.col("lo") / BIN),
+                # hi is exclusive: a band ending exactly on a bin edge
+                # does not overlap the next bin
+                F.floor((F.col("hi") - 1e-9) / BIN),
+            )
+        ),
+    )
+    ev = _t(spark, sf_dir, "events").withColumn(
+        "bin", F.floor(F.col("value") / BIN)
+    )
+    return (
+        ev.join(F.broadcast(bands), "bin")
+        .filter((F.col("value") >= F.col("lo")) & (F.col("value") < F.col("hi")))
+        .groupBy("band")
+        .agg(
+            F.count("*").alias("n_events"),
+            exact_sum("value", "sum_value"),
+        )
+    )

@@ -150,6 +150,13 @@ class TestPhysicalPlans:
         assert plan.count("Exchange hashpartitioning") <= 2
         assert plan.index("partial_count") > plan.rindex("Exchange")
 
+    def test_range_join_avoids_nested_loop(self, spark):
+        # the bin-bucket rewrite must turn the interval predicate
+        # into an equi-join; a NestedLoop here is O(n*m) at scale
+        plan = _plan(registry.QUERIES["join_range_banded"](spark, SF_SMOKE))
+        assert "NestedLoop" not in plan
+        assert "BroadcastHashJoin" in plan
+
     def test_global_topn_uses_take_ordered(self, spark):
         plan = _plan(registry.QUERIES["sort_limit_topn"](spark, SF_SMOKE))
         assert "TakeOrderedAndProject" in plan
