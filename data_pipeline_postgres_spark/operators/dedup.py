@@ -310,60 +310,189 @@ def quantize_np(mat):
 
 
 def embedding_near_dup(
-    emb: DataFrame, threshold: float = 0.45, round_digits: int = 6
+    emb: DataFrame,
+    threshold: float = 0.45,
+    round_digits: int = 6,
+    n_blocks: int = 4,
 ) -> DataFrame:
     """Near-duplicate vector pairs by quantized cosine ≥ threshold:
-    (vec_id_a, vec_id_b, cosine).
+    (vec_id_a, vec_id_b, cosine). EXACT all-pairs (the oracle's
+    contract) — no LSH recall loss, and **no driver round-trip**.
 
-    Execution: all-pairs scoring as a blocked integer matrix product
-    inside ``mapInPandas`` — each Arrow batch of rows is scored
-    against the full corpus matrix with an int64 matmul (exact, no
-    float-order hazard). Here the corpus side fits in a task
-    broadcast (the small-dim-table pattern); at 100 TB both sides are
-    block-partitioned and this same kernel runs per block pair, after
-    a sign-LSH bucket join (similarity.sign_lsh_buckets) prunes the
-    pair space.
+    Execution: classic block-partitioned all-pairs. Vectors are hashed
+    into ``n_blocks`` blocks; a broadcast ``B(B+1)/2``-row block-pair
+    relation replicates each vector to the ``B`` tasks whose pair
+    contains its block; ``applyInPandas`` over (bi, bj) scores one
+    block pair with an exact int64 matmul (order-independent, no
+    float-reduction hazard). Every task holds ≤ 2/B of the corpus —
+    pick B so two blocks fit an executor; total work is the inherent
+    O(n²/2) of the exact contract, spread over B(B+1)/2 independent
+    tasks. At 100 TB the approximate path
+    (``embedding_near_dup_lsh``) prunes the pair space with sign-LSH
+    bands first and reuses the same verify kernel.
     """
-    import numpy as np
-
     src = emb.select("vec_id", V.as_double(F.col("embedding")).alias("v"))
-    rows = src.collect()  # corpus matrix: one bounded collect (n × dim × 8B)
-    ids = np.array([r.vec_id for r in rows], dtype=np.int64)
-    mat = quantize_np([r.v for r in rows])
-    norms = np.sqrt((mat * mat).sum(axis=1).astype(np.float64))
     spark = emb.sparkSession
-    b_ids = spark.sparkContext.broadcast(ids)
-    b_mat = spark.sparkContext.broadcast(mat)
-    b_norms = spark.sparkContext.broadcast(norms)
+    pairs = spark.createDataFrame(
+        [(bi, bj) for bi in range(n_blocks) for bj in range(bi, n_blocks)],
+        "bi int, bj int",
+    )
+    blocked = src.withColumn(
+        "blk", F.pmod(F.col("vec_id"), F.lit(n_blocks)).cast("int")
+    )
+    rep = blocked.join(
+        F.broadcast(pairs),
+        (F.col("blk") == F.col("bi")) | (F.col("blk") == F.col("bj")),
+    )
 
     out_schema = "vec_id_a bigint, vec_id_b bigint, cosine double"
+    scale = 10.0**round_digits
 
-    def score(batches):
+    def score_block(pdf):
         import numpy as np
         import pandas as pd
 
-        B_ids, B, Bn = b_ids.value, b_mat.value, b_norms.value
-        for pdf in batches:
-            if pdf.empty:
-                continue
-            a_ids = pdf["vec_id"].to_numpy(dtype=np.int64)
-            A = quantize_np(list(pdf["v"]))
-            an = np.sqrt((A * A).sum(axis=1).astype(np.float64))
-            # exact int64 dot products, then deterministic double math
-            cos = (A @ B.T).astype(np.float64) / np.outer(an, Bn)
-            scale = 10.0**round_digits
-            cos = np.floor(cos * scale + 0.5) / scale  # round half-up
-            keep = (cos >= threshold) & (a_ids[:, None] < B_ids[None, :])
-            ai, bj = np.nonzero(keep)
-            yield pd.DataFrame(
-                {
-                    "vec_id_a": a_ids[ai],
-                    "vec_id_b": B_ids[bj],
-                    "cosine": cos[ai, bj],
-                }
-            )
+        empty = pd.DataFrame(
+            {
+                "vec_id_a": pd.Series(dtype="int64"),
+                "vec_id_b": pd.Series(dtype="int64"),
+                "cosine": pd.Series(dtype="float64"),
+            }
+        )
+        if pdf.empty:
+            return empty
+        bi, bj = int(pdf["bi"].iloc[0]), int(pdf["bj"].iloc[0])
+        a_pdf = pdf[pdf["blk"] == bi]
+        b_pdf = a_pdf if bi == bj else pdf[pdf["blk"] == bj]
+        if a_pdf.empty or b_pdf.empty:
+            return empty
+        a_ids = a_pdf["vec_id"].to_numpy(dtype=np.int64)
+        b_ids = b_pdf["vec_id"].to_numpy(dtype=np.int64)
+        A = quantize_np(list(a_pdf["v"]))
+        B = A if bi == bj else quantize_np(list(b_pdf["v"]))
+        an = np.sqrt((A * A).sum(axis=1).astype(np.float64))
+        bn = np.sqrt((B * B).sum(axis=1).astype(np.float64))
+        # exact int64 dot products, then deterministic double math
+        cos = (A @ B.T).astype(np.float64) / np.outer(an, bn)
+        cos = np.floor(cos * scale + 0.5) / scale  # round half-up
+        keep = cos >= threshold
+        if bi == bj:
+            # same block on both sides: admit each unordered pair once
+            keep &= a_ids[:, None] < b_ids[None, :]
+        ai, bj_ = np.nonzero(keep)
+        lhs, rhs = a_ids[ai], b_ids[bj_]
+        # blocks are vec_id % B, so ids interleave across blocks —
+        # orient each (disjoint-block) pair as (min, max)
+        return pd.DataFrame(
+            {
+                "vec_id_a": np.minimum(lhs, rhs),
+                "vec_id_b": np.maximum(lhs, rhs),
+                "cosine": cos[ai, bj_],
+            }
+        )
 
-    return src.mapInPandas(score, out_schema)
+    return rep.groupBy("bi", "bj").applyInPandas(score_block, out_schema)
+
+
+def quantize_col(v: Column) -> Column:
+    """JVM-side mirror of :func:`quantize_np`: L2-normalize with an
+    ordered left fold (≡ numpy cumsum's strict sequential order) then
+    quantize to floor(x·2^20 + 0.5) int64 — bit-identical to the
+    numpy kernel and to the DuckDB oracle."""
+    nrm = F.sqrt(F.aggregate(v, F.lit(0.0), lambda a, x: a + x * x))
+    return F.transform(
+        v,
+        lambda x: F.floor(x / nrm * F.lit(QSCALE) + F.lit(0.5)).cast(
+            "bigint"
+        ),
+    )
+
+
+def _quantized_cosine(qa: Column, qb: Column, round_digits: int) -> Column:
+    """Exact-int dot of two quantized vectors → rounded-half-up double
+    cosine (identical math to the numpy/DuckDB kernels)."""
+    def idot(a: Column, b: Column) -> Column:
+        return F.aggregate(
+            F.zip_with(a, b, lambda x, y: x * y),
+            F.lit(0).cast("bigint"),
+            lambda acc, v: acc + v,
+        )
+
+    scale = float(10**round_digits)
+    na = F.sqrt(idot(qa, qa).cast("double"))
+    nb = F.sqrt(idot(qb, qb).cast("double"))
+    raw = idot(qa, qb).cast("double") / (na * nb)
+    return F.floor(raw * F.lit(scale) + F.lit(0.5)) / F.lit(scale)
+
+
+def embedding_near_dup_lsh(
+    emb: DataFrame,
+    threshold: float = 0.45,
+    round_digits: int = 6,
+    planes: int = 4,
+    bands: int = 8,
+    dim: int = 64,
+) -> DataFrame:
+    """Approximate near-dup pairs — the 100 TB scale path: multi-band
+    sign-LSH prunes the pair space, then the exact quantized kernel
+    verifies only the admitted candidates.
+
+    ``bands`` independent sets of ``planes`` hyperplanes (OR-of-ANDs
+    amplification, same shape as MinHash banding): two vectors are
+    candidates iff all sign bits agree in ≥1 band —
+    P = 1-(1-p^planes)^bands with p = 1-θ/π. Candidate generation is
+    a bucket equi-join on small uniform (band, bucket) keys; verify
+    cost tracks candidate volume, never corpus². Output schema equals
+    :func:`embedding_near_dup`; recall vs the exact path is asserted
+    in tests (rows-only driver check — the hyperplane fold is not
+    reasonably SQL-expressible).
+    """
+    from ..operators import similarity as S
+
+    src = emb.select("vec_id", V.as_double(F.col("embedding")).alias("v"))
+    per_band = [
+        S.sign_lsh_buckets(emb, planes, dim, band=t).withColumn(
+            "band", F.lit(t)
+        )
+        for t in range(bands)
+    ]
+    bk = per_band[0]
+    for more in per_band[1:]:
+        bk = bk.unionByName(more)
+    a = bk.alias("a")
+    b = bk.alias("b")
+    cands = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(
+            F.col("a.vec_id").alias("vec_id_a"),
+            F.col("b.vec_id").alias("vec_id_b"),
+        )
+        .distinct()
+    )
+    q = src.select("vec_id", quantize_col(F.col("v")).alias("q"))
+    qa = q.select(
+        F.col("vec_id").alias("vec_id_a"), F.col("q").alias("qa")
+    )
+    qb = q.select(
+        F.col("vec_id").alias("vec_id_b"), F.col("q").alias("qb")
+    )
+    return (
+        cands.join(qa, "vec_id_a")
+        .join(qb, "vec_id_b")
+        .select(
+            "vec_id_a",
+            "vec_id_b",
+            _quantized_cosine(
+                F.col("qa"), F.col("qb"), round_digits
+            ).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= threshold)
+    )
 
 
 def minhash_dedup_ml(

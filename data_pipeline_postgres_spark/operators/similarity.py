@@ -45,12 +45,15 @@ def query_vector(emb: DataFrame) -> DataFrame:
     Kept as a relation (not a collected literal) so the plan is a
     broadcast-able 1-row cross join — no driver round-trip, and the
     oracle can express the identical thing as a CTE.
+
+    ``orderBy().limit(1)`` compiles to TakeOrderedAndProject: each
+    partition keeps its min row, the driver merges N candidates — no
+    single-partition global sort.
     """
-    w = Window.orderBy("vec_id")
     return (
         _vecs(emb)
-        .withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
+        .orderBy("vec_id")
+        .limit(1)
         .select(F.col("v").alias("qv"))
     )
 
@@ -58,6 +61,11 @@ def query_vector(emb: DataFrame) -> DataFrame:
 def brute_topk(emb: DataFrame, k: int = 10, round_digits: int = 6) -> DataFrame:
     """Exact cosine top-k vs the deterministic query vector:
     (vec_id, cosine), ties broken by vec_id.
+
+    The reduction is ``orderBy().limit(k)`` → TakeOrderedAndProject:
+    a per-partition k-heap, then a driver merge of k rows per
+    partition — the scored corpus never funnels through one
+    partition (plan-asserted in tests/test_ext.py).
     """
     vs = _vecs(emb)
     q = query_vector(emb)
@@ -67,10 +75,9 @@ def brute_topk(emb: DataFrame, k: int = 10, round_digits: int = 6) -> DataFrame:
             "cosine"
         ),
     )
-    w = Window.orderBy(F.desc("cosine"), F.asc("vec_id"))
     return (
-        scored.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") <= k)
+        scored.orderBy(F.desc("cosine"), F.asc("vec_id"))
+        .limit(k)
         .select("vec_id", "cosine")
     )
 
@@ -99,9 +106,14 @@ def _hyperplane(p: int, dim: int) -> Column:
     )
 
 
-def sign_lsh_buckets(emb: DataFrame, planes: int = 8, dim: int = 64) -> DataFrame:
+def sign_lsh_buckets(
+    emb: DataFrame, planes: int = 8, dim: int = 64, band: int = 0
+) -> DataFrame:
     """(vec_id, bucket): bucket = integer of sign bits of
-    dot(v, hyperplane_p) for p in 0..planes-1.
+    dot(v, hyperplane_p) for p in 0..planes-1. ``band`` offsets the
+    hyperplane family (plane index = band·planes + p) so multi-band
+    OR-amplification (dedup.embedding_near_dup_lsh) gets independent
+    families per band.
 
     Narrow per-row computation; the payoff is that cosine-similar
     vectors collide with high probability, so downstream pairwise
@@ -110,7 +122,8 @@ def sign_lsh_buckets(emb: DataFrame, planes: int = 8, dim: int = 64) -> DataFram
     vs = _vecs(emb)
     bits = [
         F.when(
-            V.dot(F.col("v"), _hyperplane(p, dim)) >= 0, F.lit(1 << p)
+            V.dot(F.col("v"), _hyperplane(band * planes + p, dim)) >= 0,
+            F.lit(1 << p),
         ).otherwise(F.lit(0))
         for p in range(planes)
     ]
@@ -132,10 +145,9 @@ def lsh_topk(
     tests. (vec_id, cosine)."""
     buckets = sign_lsh_buckets(emb, planes, dim)
     vs = _vecs(emb).join(buckets, "vec_id")
-    w = Window.orderBy("vec_id")
     q = (
-        vs.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
+        vs.orderBy("vec_id")
+        .limit(1)
         .select(
             F.col("v").alias("qv"), F.col("bucket").alias("qbucket")
         )
@@ -150,10 +162,9 @@ def lsh_topk(
             ).alias("cosine"),
         )
     )
-    w2 = Window.orderBy(F.desc("cosine"), F.asc("vec_id"))
     return (
-        scored.withColumn("rn", F.row_number().over(w2))
-        .filter(F.col("rn") <= k)
+        scored.orderBy(F.desc("cosine"), F.asc("vec_id"))
+        .limit(k)
         .select("vec_id", "cosine")
     )
 
@@ -164,12 +175,16 @@ def lsh_topk(
 def ivf_centroids(emb: DataFrame, nlist: int = 8) -> DataFrame:
     """Coarse quantizer: the ``nlist`` smallest-vec_id vectors as seed
     centroids → (centroid_id 0.., cv). Deterministic stand-in for a
-    KMeans fit (spark.ml KMeans(seed=…) slots in here unchanged)."""
+    KMeans fit (spark.ml KMeans(seed=…) slots in here unchanged).
+
+    The corpus-wide reduction is ``orderBy().limit(nlist)``
+    (TakeOrderedAndProject); the row_number that assigns centroid ids
+    runs AFTER the limit, over an nlist-row relation — a window over
+    ≤nlist rows, not over the corpus."""
+    seeds = _vecs(emb).orderBy("vec_id").limit(nlist)
     w = Window.orderBy("vec_id")
     return (
-        _vecs(emb)
-        .withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") <= nlist)
+        seeds.withColumn("rn", F.row_number().over(w))
         .select(
             (F.col("rn") - 1).alias("centroid_id"),
             F.col("v").alias("cv"),
@@ -221,13 +236,8 @@ def ivf_topk(
             "centroid_id",
             V.cosine(F.col("cv"), F.col("qv")).alias("cs"),
         )
-        .withColumn(
-            "rn",
-            F.row_number().over(
-                Window.orderBy(F.desc("cs"), F.asc("centroid_id"))
-            ),
-        )
-        .filter(F.col("rn") <= nprobe)
+        .orderBy(F.desc("cs"), F.asc("centroid_id"))
+        .limit(nprobe)
         .select("centroid_id")
     )
     shortlist = _vecs(emb).join(assign, "vec_id").join(
@@ -239,9 +249,8 @@ def ivf_topk(
             "cosine"
         ),
     )
-    w = Window.orderBy(F.desc("cosine"), F.asc("vec_id"))
     return (
-        scored.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") <= k)
+        scored.orderBy(F.desc("cosine"), F.asc("vec_id"))
+        .limit(k)
         .select("vec_id", "cosine")
     )

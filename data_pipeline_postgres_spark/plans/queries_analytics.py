@@ -692,7 +692,10 @@ SELECT bigram, n FROM (
 )
 def q_text_ngram_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus-wide top-10 word bigrams: one explode + count shuffle +
-    a 10-row global top-k (rank tie-broken lexicographically)."""
+    ``orderBy().limit(10)`` → TakeOrderedAndProject (per-partition
+    10-heaps, driver merges 10 rows per partition — the distinct-
+    bigram relation never funnels through one partition; tie-broken
+    lexicographically)."""
     from ..functions import text as TX
 
     docs = _t(spark, sf_dir, "documents")
@@ -700,10 +703,9 @@ def q_text_ngram_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.explode(TX.word_shingles(TX.tokens("text"), 2)).alias("bigram")
     )
     counts = bg.groupBy("bigram").agg(F.count("*").alias("n"))
-    w = Window.orderBy(F.desc("n"), F.asc("bigram"))
     return (
-        counts.withColumn("rnk", F.row_number().over(w))
-        .filter(F.col("rnk") <= 10)
+        counts.orderBy(F.desc("n"), F.asc("bigram"))
+        .limit(10)
         .select("bigram", "n")
     )
 

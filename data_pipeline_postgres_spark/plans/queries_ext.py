@@ -202,10 +202,19 @@ SELECT vec_id_a, vec_id_b, cosine FROM scored WHERE cosine >= 0.45
 
 @query("dedup_embedding_cosine", _EMB_NEARDUP_ORACLE)
 def q_dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding near-dup pairs, quantized cosine ≥ 0.45 (exact-int
-    blocked matmul; the scale path equi-joins on sign-LSH buckets
-    first)."""
+    """Embedding near-dup pairs, quantized cosine ≥ 0.45 — EXACT
+    all-pairs via block-partitioned int64 matmul (no driver collect;
+    B(B+1)/2 independent block-pair tasks)."""
     return dedup.embedding_near_dup(_emb(spark, sf_dir))
+
+
+@query("dedup_embedding_lsh")  # md5-hyperplane fold not SQL-expressible
+def q_dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate embedding near-dup — the 100 TB path: multi-band
+    sign-LSH candidate pruning + exact quantized-int verify of the
+    admitted pairs only (recall vs the exact path asserted in
+    tests/test_ext.py)."""
+    return dedup.embedding_near_dup_lsh(_emb(spark, sf_dir))
 
 
 # -- similarity search -----------------------------------------------------

@@ -86,7 +86,61 @@ class TestDedup:
             assert ham <= 6, (a, b, ham)
 
 
+class TestEmbeddingNearDup:
+    def _pairs(self, df):
+        return {
+            (r.vec_id_a, r.vec_id_b, r.cosine)
+            for r in df.select("vec_id_a", "vec_id_b", "cosine").collect()
+        }
+
+    def test_no_driver_collect(self, emb, monkeypatch):
+        """The exact near-dup plan must never materialize the corpus
+        on the driver: plan construction AND execution run with
+        DataFrame.collect/toPandas forbidden."""
+        from pyspark.sql import DataFrame
+
+        def _boom(self, *a, **k):  # pragma: no cover - should not run
+            raise AssertionError("driver-side materialization in near-dup")
+
+        monkeypatch.setattr(DataFrame, "collect", _boom)
+        monkeypatch.setattr(DataFrame, "toPandas", _boom)
+        out = dedup.embedding_near_dup(emb)
+        assert out.count() >= 0  # executes distributed, no driver hop
+
+    def test_block_count_invariance(self, emb):
+        """Blocked all-pairs is exact: the result cannot depend on the
+        block count (1 block ≡ single-task ground truth)."""
+        one = self._pairs(dedup.embedding_near_dup(emb, n_blocks=1))
+        four = self._pairs(dedup.embedding_near_dup(emb, n_blocks=4))
+        seven = self._pairs(dedup.embedding_near_dup(emb, n_blocks=7))
+        assert one == four == seven
+        assert one, "fixture should contain near-dup vectors"
+
+    def test_lsh_subset_and_recall(self, emb):
+        """The banded sign-LSH path verifies candidates with the same
+        exact kernel → its pairs are a subset of the exact output;
+        the md5-fixed hyperplanes make recall deterministic."""
+        exact = self._pairs(dedup.embedding_near_dup(emb))
+        approx = self._pairs(dedup.embedding_near_dup_lsh(emb))
+        assert approx <= exact
+        assert len(approx) >= 0.8 * len(exact)
+
+
 class TestSimilarity:
+    def test_topk_plans_use_take_ordered(self, emb):
+        """The top-k reduction must be TakeOrderedAndProject
+        (per-partition heaps + driver merge), never a row_number over
+        an unpartitioned window (single-partition global sort)."""
+        for df in (
+            similarity.brute_topk(emb),
+            similarity.lsh_topk(emb),
+            similarity.ivf_topk(emb),
+        ):
+            plan = df._jdf.queryExecution().executedPlan().toString()
+            assert "TakeOrderedAndProject" in plan
+            assert "SinglePartition" not in plan
+
+
     def test_lsh_topk_values_subset_of_brute(self, emb):
         brute = {
             r.vec_id: r.cosine for r in similarity.brute_topk(emb, k=500).collect()
