@@ -48,6 +48,12 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         # reader rejects (PARQUET_TYPE_ILLEGAL). Read nanos as long and
         # floor-convert to microseconds — the same truncation DuckDB
         # applies — so both engines see identical timestamps.
+        # The conf must OUTLIVE this call: the returned DataFrame is
+        # lazy and the scan consults the session conf when an action
+        # finally runs, so a set/restore here would break execution.
+        # It is scoped to TIMESTAMP(NANOS) columns only — parquet with
+        # micro/milli timestamps is unaffected. Bounded streaming runs
+        # do scope it (streaming/jobs._nanos_as_long).
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(table_path(sf_dir, name))
         if dict(df.dtypes).get("ts") == "bigint":

@@ -241,42 +241,91 @@ SIMHASH_BITS = 32
 def simhash(docs: DataFrame) -> DataFrame:
     """32-bit SimHash fingerprint per doc: (doc_id, simhash).
 
-    Bit b of md5(token) is extracted hex-digit-wise with arithmetic
-    DuckDB reproduces exactly (instr on a hex alphabet + floor/pow),
-    summed ±1 over distinct tokens, majority → bit. One explode
-    (tokens × 32 bit slots) + one groupBy(doc_id) — linear, no pairs.
-    Near-dup probing is then a fingerprint-equality (or banded
-    hamming) lookup, done by the caller.
+    One md5 per distinct token; its first 8 hex digits become a
+    32-bit integer (``conv(hex, 16, 10)``), and all 32 bit
+    contributions are extracted from that ONE value with
+    ``shiftright & 1`` inside 32 aggregate expressions of a single
+    groupBy(doc_id). Bit b (MSB-first, matching the hex-digit oracle)
+    = bit (31-b) of the integer; majority over tokens
+    (s_b = 2·Σbit_b − n > 0) sets bit b of the fingerprint.
+
+    Cost: ONE explode (distinct tokens) + one shuffle — no bit-slot
+    row amplification (the previous form exploded tokens × 32).
+    Near-dup probing is a banded-hamming lookup: simhash_pairs.
     """
     toks = docs.select(
         "doc_id", F.explode(F.array_distinct(TX.tokens("text"))).alias("tok")
     )
-    b = F.explode(
-        F.sequence(F.lit(0), F.lit(SIMHASH_BITS - 1))
-    ).alias("b")
-    bits = toks.select("doc_id", F.md5(F.col("tok")).alias("h"), b)
-    hexdigit = F.substring(
-        F.col("h"), (F.col("b") / 4).cast("int") + 1, 1
+    val = F.conv(F.substring(F.md5(F.col("tok")), 1, 8), 16, 10).cast(
+        "bigint"
     )
-    val = F.instr(F.lit("0123456789abcdef"), hexdigit) - 1
-    bit = (
-        F.floor(val / F.pow(F.lit(2), 3 - (F.col("b") % 4))).cast("int") % 2
+    pertok = toks.select("doc_id", val.alias("val"))
+    bit_sums = [
+        F.sum(
+            F.shiftright(F.col("val"), 31 - b).bitwiseAND(F.lit(1))
+        ).alias(f"s{b}")
+        for b in range(SIMHASH_BITS)
+    ]
+    agg = pertok.groupBy("doc_id").agg(F.count("*").alias("n"), *bit_sums)
+    fp = F.lit(0).cast("bigint")
+    for b in range(SIMHASH_BITS):
+        fp = fp + F.when(
+            F.col(f"s{b}") * 2 - F.col("n") > 0,
+            F.lit(1 << b).cast("bigint"),
+        ).otherwise(F.lit(0).cast("bigint"))
+    return agg.select("doc_id", fp.alias("simhash"))
+
+
+SIMHASH_BANDS = 4  # 4 bands × 8 bits
+
+
+def simhash_pairs(docs: DataFrame, max_hamming: int = 3) -> DataFrame:
+    """Banded-hamming near-dup pairs over the SimHash fingerprint:
+    (doc_a, doc_b, hamming) with hamming ≤ ``max_hamming``.
+
+    The 32-bit fingerprint splits into 4 bands of 8 bits; candidates
+    are docs sharing ≥1 exact band (equi-join on small uniform
+    (band, band_value) keys — the same bucket-join shape as MinHash
+    banding, never all-pairs). By pigeonhole, any pair within
+    hamming ≤ 3 differs in at most 3 bands, so at least one band
+    matches exactly → the banded search is LOSSLESS for the default
+    radius, and the verify (``bit_count(a XOR b)``) is exact.
+    """
+    fp = simhash(docs)
+    bands = fp.select(
+        "doc_id",
+        "simhash",
+        F.posexplode(
+            F.array(
+                *[
+                    F.shiftright(F.col("simhash"), 8 * k).bitwiseAND(
+                        F.lit(255)
+                    )
+                    for k in range(SIMHASH_BANDS)
+                ]
+            )
+        ).alias("band", "bv"),
     )
-    contrib = bits.select(
-        "doc_id", "b", (bit * 2 - 1).alias("c")
-    )
+    a = bands.alias("a")
+    b = bands.alias("b")
     return (
-        contrib.groupBy("doc_id", "b")
-        .agg(F.sum("c").alias("s"))
-        .groupBy("doc_id")
-        .agg(
-            F.sum(
-                F.when(
-                    F.col("s") > 0,
-                    F.pow(F.lit(2), F.col("b")).cast("bigint"),
-                ).otherwise(F.lit(0).cast("bigint"))
-            ).alias("simhash")
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bv") == F.col("b.bv"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
         )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.bit_count(
+                F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
+            )
+            .cast("bigint")
+            .alias("hamming"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .distinct()
     )
 
 

@@ -59,6 +59,10 @@ def extract_day(
     )
     (
         day.write.mode("overwrite")
+        # writer-scoped so idempotency NEVER depends on the ambient
+        # session conf: only this day's partition is replaced even
+        # under a default (static-mode) session
+        .option("partitionOverwriteMode", "dynamic")
         .partitionBy("date")
         .parquet(raw_path(work_dir))
     )
@@ -74,6 +78,7 @@ def transform_day(spark: SparkSession, work_dir: str, ds: str) -> None:
     out = material_demand(raw)
     (
         out.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
         .partitionBy("date")
         .parquet(transformed_path(work_dir))
     )

@@ -487,13 +487,16 @@ def q_partitioned_write_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     import os
 
+    from ..scratch import scratch_dir
+
     ev = _t(spark, sf_dir, "events")
-    path = os.path.join(
-        "/root/repo/.scratch", "events_by_day_" + os.path.basename(sf_dir.rstrip("/"))
+    path = scratch_dir(
+        "events_by_day_" + os.path.basename(sf_dir.rstrip("/"))
     )
     (
         ev.withColumn("day", F.to_date("ts"))
         .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
         .partitionBy("day")
         .parquet(path)
     )
@@ -523,10 +526,10 @@ def q_pipeline_incremental_day(spark: SparkSession, sf_dir: str) -> DataFrame:
     import os
 
     from .. import pipelines
+    from ..scratch import scratch_dir
 
     ds = "2024-01-15"
-    work = os.path.join(
-        "/root/repo/.scratch",
+    work = scratch_dir(
         "pipeline_day_" + os.path.basename(sf_dir.rstrip("/")),
     )
     pipelines.extract_day(spark, sf_dir, work, ds)
@@ -572,7 +575,9 @@ def q_join_bucketed_colocated(spark: SparkSession, sf_dir: str) -> DataFrame:
         if not spark.catalog.tableExists(tbl):
             # a previous session's managed-table files survive into a
             # fresh in-memory catalog; clear the location or CTAS fails
-            loc = os.path.join("/root/repo/spark-warehouse", tbl)
+            from ..scratch import warehouse_dir
+
+            loc = os.path.join(warehouse_dir(spark), tbl)
             if os.path.exists(loc):
                 shutil.rmtree(loc)
             (
@@ -651,9 +656,10 @@ def q_json_source_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from pyspark.sql import types as T
 
+    from ..scratch import scratch_dir
+
     ev = _t(spark, sf_dir, "events").select("event_id", "event_type", "value")
-    path = os.path.join(
-        "/root/repo/.scratch",
+    path = scratch_dir(
         "events_json_" + os.path.basename(sf_dir.rstrip("/")),
     )
     ev.write.mode("overwrite").json(path)

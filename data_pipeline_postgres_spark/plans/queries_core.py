@@ -27,7 +27,7 @@ from .flagship import (
 )
 from .registry import query
 
-SCRATCH = "/root/repo/.scratch"
+from ..scratch import SCRATCH_ROOT as SCRATCH  # noqa: E402
 
 
 def _scratch(name: str, wipe: bool = False) -> str:

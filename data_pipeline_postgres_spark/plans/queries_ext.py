@@ -167,6 +167,30 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.simhash(_docs(spark, sf_dir))
 
 
+_SIMHASH_PAIRS_ORACLE = f"""
+WITH fps AS ({_SIMHASH_ORACLE}),
+bands AS (
+    SELECT doc_id, simhash, b AS band, (simhash >> (8 * b)) & 255 AS bv
+    FROM fps, (SELECT unnest(range(4)) AS b)
+),
+pairs AS (
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+    FROM bands a
+    JOIN bands b ON a.band = b.band AND a.bv = b.bv AND a.doc_id < b.doc_id
+)
+SELECT doc_a, doc_b, hamming FROM pairs WHERE hamming <= 3
+"""
+
+
+@query("dedup_simhash_pairs", _SIMHASH_PAIRS_ORACLE)
+def q_dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash banded-hamming near-dup pairs (hamming ≤ 3): band
+    bucket-join candidates + exact popcount verify — lossless at this
+    radius by pigeonhole (4 bands, ≤3 differing bits)."""
+    return dedup.simhash_pairs(_docs(spark, sf_dir))
+
+
 # Quantized-cosine near-dup: both engines L2-normalize in double
 # (ordered fold), quantize to floor(x·2^20 + 0.5) int64, take EXACT
 # integer dot products (order-independent → numpy matmul is legal on
@@ -434,6 +458,22 @@ def q_stream_tumbling_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Structured Streaming tumbling 1-day window agg, AvailableNow —
     must equal the batch window_tumbling_daily result."""
     return stream_jobs.tumbling_daily(spark, sf_dir)
+
+
+@query(
+    "stream_tumbling_watermark",
+    """
+SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+FROM events GROUP BY 1
+""",
+)
+def q_stream_tumbling_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked APPEND-mode tumbling daily agg to a parquet sink —
+    bounded state (windows emitted once when the watermark passes,
+    then dropped); compacted sink equals the batch oracle."""
+    return stream_jobs.tumbling_daily_watermark(spark, sf_dir)
 
 
 @query(

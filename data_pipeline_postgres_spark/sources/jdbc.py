@@ -89,23 +89,87 @@ def jdbc_write(
     )
 
 
+def pg_dsn(jdbc_url: str, properties: dict[str, str] | None = None) -> str:
+    """``jdbc:postgresql://host:port/db`` → libpq URI, folding user/
+    password properties in (psycopg2 accepts the URI form directly)."""
+    if not jdbc_url.startswith("jdbc:"):
+        raise ValueError(f"not a JDBC url: {jdbc_url}")
+    uri = jdbc_url[len("jdbc:") :]
+    props = properties or {}
+    creds = ""
+    if props.get("user"):
+        creds = props["user"]
+        if props.get("password"):
+            creds += ":" + props["password"]
+        creds += "@"
+    scheme, rest = uri.split("://", 1)
+    return f"{scheme}://{creds}{rest}"
+
+
+def copy_rows(
+    conn_factory: Callable[[], object],
+    table: str,
+    columns: list[str],
+    rows,
+    chunk_rows: int = 50_000,
+) -> int:
+    """Core of the COPY sink, connection-agnostic so a fake cursor can
+    unit-test it: encode ``rows`` (iterable of Row/tuple) as CSV in
+    ``chunk_rows`` batches and stream each batch through
+    ``cursor.copy_expert("COPY … FROM STDIN WITH (FORMAT CSV)")`` —
+    the same protocol as the reference's bulk loader (reference:
+    mnt/dags/02datalake_to_datawarehouse.py:136-148). One transaction
+    per partition: all chunks commit together or not at all. Returns
+    the row count written."""
+    import csv
+    import io
+    import itertools
+
+    collist = ", ".join(columns)
+    sql = f"COPY {table} ({collist}) FROM STDIN WITH (FORMAT CSV)"
+    n = 0
+    conn = conn_factory()
+    try:
+        cur = conn.cursor()
+        it = iter(rows)
+        while True:
+            chunk = list(itertools.islice(it, chunk_rows))
+            if not chunk:
+                break
+            buf = io.StringIO()
+            w = csv.writer(buf)
+            for row in chunk:
+                w.writerow(["" if v is None else v for v in row])
+            buf.seek(0)
+            cur.copy_expert(sql, buf)
+            n += len(chunk)
+        conn.commit()
+    except Exception:
+        conn.rollback()
+        raise
+    finally:
+        conn.close()
+    return n
+
+
 def copy_sink(df: DataFrame, cfg: JdbcConfig, table: str) -> None:
-    """COPY-protocol fast-path sink: each partition streams itself via
-    Postgres COPY (parity with the reference's bulk loader, reference:
-    mnt/dags/02datalake_to_datawarehouse.py:136-148), parallel across
-    executors. Requires psycopg2 on executors — not available in this
-    container, so the body is a guarded stub."""
+    """COPY-protocol fast-path sink: each partition opens ONE
+    connection and streams itself via Postgres COPY (parity with the
+    reference's bulk loader), parallel across executors — never
+    funneled through the driver. psycopg2 must be importable on
+    executors (guarded; the CSV-encode + copy_expert core is
+    unit-tested with a fake cursor in tests/test_analytics.py)."""
+    columns = list(df.columns)
+    dsn = pg_dsn(cfg.url, cfg.properties)
 
     def _copy_partition(rows) -> None:  # pragma: no cover - needs psycopg2+PG
         try:
-            import psycopg2  # noqa: F401
+            import psycopg2
         except ImportError as e:
             raise NotImplementedError(
                 "copy_sink requires psycopg2 on executors"
             ) from e
-        # COPY protocol: open one connection per partition, stream rows
-        # through copy_expert("COPY <table> FROM STDIN WITH CSV").
-        raise NotImplementedError("COPY sink: wire psycopg2 copy_expert here")
+        copy_rows(lambda: psycopg2.connect(dsn), table, columns, rows)
 
     df.foreachPartition(_copy_partition)
 

@@ -59,7 +59,9 @@ EVENTS_STREAM_SCHEMA = T.StructType(
     ]
 )
 
-_SCRATCH = "/root/repo/.scratch/streaming"
+from ..scratch import SCRATCH_ROOT
+
+_SCRATCH = os.path.join(SCRATCH_ROOT, "streaming")
 
 
 def _scratch(name: str) -> str:
@@ -68,6 +70,32 @@ def _scratch(name: str) -> str:
         shutil.rmtree(path)
     os.makedirs(path, exist_ok=True)
     return path
+
+
+class _nanos_as_long:
+    """Scope ``spark.sql.legacy.parquet.nanosAsLong`` to one streaming
+    run: events.parquet stores TIMESTAMP(NANOS), which the reader only
+    accepts as long under this conf. A streaming job plans/executes
+    every micro-batch inside ``awaitTermination``, so the conf can be
+    restored afterwards without breaking lazy execution (unlike the
+    batch loader — see catalog.load_table)."""
+
+    def __init__(self, spark: SparkSession):
+        self.spark = spark
+
+    def __enter__(self) -> None:
+        self.prev = self.spark.conf.get(
+            "spark.sql.legacy.parquet.nanosAsLong", None
+        )
+        self.spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+
+    def __exit__(self, *exc: object) -> None:
+        if self.prev is None:
+            self.spark.conf.unset("spark.sql.legacy.parquet.nanosAsLong")
+        else:
+            self.spark.conf.set(
+                "spark.sql.legacy.parquet.nanosAsLong", self.prev
+            )
 
 
 class _shuffle_partitions:
@@ -109,7 +137,6 @@ def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """File-source stream over the events parquet (new files under the
     path would be discovered and processed in arrival order — the
     ExternalTaskSensor availability gate, without polling)."""
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     raw = (
         spark.readStream.schema(EVENTS_STREAM_SCHEMA)
         .parquet(_stream_dir(sf_dir))
@@ -133,7 +160,7 @@ def tumbling_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n_events"), exact_sum("value", "sum_value"))
         .select(F.col("w.start").cast("date").alias("day"), "n_events", "sum_value")
     )
-    with _shuffle_partitions(spark, 8):
+    with _nanos_as_long(spark), _shuffle_partitions(spark, 8):
         q = (
             agg.writeStream.format("memory")
             .queryName("stream_tumbling_daily")
@@ -144,6 +171,88 @@ def tumbling_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         q.awaitTermination()
     return spark.table("stream_tumbling_daily")
+
+
+SENTINEL_DAY = "2099-01-01"
+
+
+def _wm_source_dir(spark: SparkSession, sf_dir: str) -> str:
+    """Build a 2-file stream source for the watermark demo: the real
+    events file, then a single far-future sentinel event with a later
+    mtime. On an unbounded stream the watermark advances as newer
+    events arrive and closed windows flush naturally; for a bounded
+    AvailableNow drain the sentinel plays the role of 'the next day's
+    data arriving', which pushes the watermark past every real
+    window's end so append mode emits them all."""
+    import shutil
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    d = _scratch("wm_src")
+    events = os.path.join(d, "000_events.parquet")
+    shutil.copyfile(table_path(sf_dir, "events"), events)
+    sentinel_ns = 4_070_908_800 * 1_000_000_000  # 2099-01-01 UTC
+    tbl = pa.table(
+        {
+            "event_id": pa.array([-1], pa.int64()),
+            "ts": pa.array([sentinel_ns], pa.timestamp("ns")),
+            "user_id": pa.array([-1], pa.int64()),
+            "event_type": pa.array(["__sentinel__"], pa.string()),
+            "value": pa.array([0.0], pa.float64()),
+            "props": pa.array(["{}"], pa.string()),
+        }
+    )
+    sentinel = os.path.join(d, "999_sentinel.parquet")
+    pq.write_table(tbl, sentinel)
+    now = os.path.getmtime(events)
+    os.utime(sentinel, (now + 100, now + 100))
+    return d
+
+
+def tumbling_daily_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked APPEND-mode tumbling 1-day aggregation — the
+    production shape for an unbounded stream: state for a day's
+    window is emitted once (when the watermark passes the window end)
+    and then dropped, so state size is bounded by the watermark
+    horizon instead of growing with stream lifetime (complete mode,
+    ``tumbling_daily``, retains every window forever).
+
+    The append-mode rows land in a parquet sink; the compacted sink
+    (minus the sentinel's own window) must equal the batch
+    ``window_tumbling_daily`` result — the oracle.
+    """
+    src_dir = _wm_source_dir(spark, sf_dir)
+    raw = (
+        spark.readStream.schema(EVENTS_STREAM_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src_dir)
+    )
+    ev = raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    agg = (
+        ev.withWatermark("ts", "0 seconds")
+        .groupBy(F.window("ts", "1 day").alias("w"))
+        .agg(F.count("*").alias("n_events"), exact_sum("value", "sum_value"))
+        .select(
+            F.col("w.start").cast("date").alias("day"),
+            "n_events",
+            "sum_value",
+        )
+    )
+    sink = _scratch("wm_sink")
+    with _nanos_as_long(spark), _shuffle_partitions(spark, 8):
+        q = (
+            agg.writeStream.format("parquet")
+            .option("path", sink)
+            .outputMode("append")
+            .option("checkpointLocation", _scratch("wm_ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    return spark.read.parquet(sink).filter(
+        F.col("day") < F.lit(SENTINEL_DAY).cast("date")
+    )
 
 
 CDC_OUTPUT_SCHEMA = T.StructType(
@@ -223,7 +332,7 @@ def cdc_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
     def sink(batch_df: DataFrame, batch_id: int) -> None:
         batch_df.write.mode("append").parquet(spool)
 
-    with _shuffle_partitions(spark, 8):
+    with _nanos_as_long(spark), _shuffle_partitions(spark, 8):
         q = (
             latest.writeStream.foreachBatch(sink)
             .outputMode("update")
@@ -267,7 +376,7 @@ def static_join_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("c_nationkey")
         .agg(F.count("*").alias("n_events"), exact_sum("value", "sum_value"))
     )
-    with _shuffle_partitions(spark, 8):
+    with _nanos_as_long(spark), _shuffle_partitions(spark, 8):
         q = (
             agg.writeStream.format("memory")
             .queryName("stream_static_join")
@@ -297,7 +406,7 @@ def stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     def sink(batch_df: DataFrame, batch_id: int) -> None:
         batch_df.write.mode("append").parquet(spool)
 
-    with _shuffle_partitions(spark, 8):
+    with _nanos_as_long(spark), _shuffle_partitions(spark, 8):
         q = (
             keys.writeStream.foreachBatch(sink)
             .outputMode("update")
@@ -327,7 +436,7 @@ def sliding_3d1d(spark: SparkSession, sf_dir: str) -> DataFrame:
             "sum_value",
         )
     )
-    with _shuffle_partitions(spark, 8):
+    with _nanos_as_long(spark), _shuffle_partitions(spark, 8):
         q = (
             agg.writeStream.format("memory")
             .queryName("stream_sliding_3d1d")

@@ -49,6 +49,39 @@ def test_day_read_prunes_partitions(spark, warehouse):
     assert "date" in plan.split("PartitionFilters:", 1)[1].splitlines()[0]
 
 
+def test_incremental_under_static_mode_session(spark):
+    """Per-partition idempotency must NOT depend on the ambient
+    session conf: under Spark's default (static) partitionOverwriteMode
+    — e.g. the driver's own harness session — a multi-day
+    run_incremental must still accumulate all days (the writers scope
+    the dynamic mode themselves)."""
+    work = WORK + "_static"
+    if os.path.exists(work):
+        shutil.rmtree(work)
+    key = "spark.sql.sources.partitionOverwriteMode"
+    prev = spark.conf.get(key)
+    spark.conf.set(key, "static")
+    try:
+        days = ["2024-01-10", "2024-01-11", "2024-01-12"]
+        got = sorted(
+            map(
+                tuple,
+                pipelines.run_incremental(
+                    spark, SF_SMOKE, work, days
+                ).collect(),
+            )
+        )
+    finally:
+        spark.conf.set(key, prev)
+        shutil.rmtree(work, ignore_errors=True)
+    full = flagship(spark, SF_SMOKE).filter(
+        F.col("date").cast("string").isin(days)
+    )
+    want = sorted(map(tuple, full.collect()))
+    assert got == want
+    assert {t[0].isoformat() for t in got} == set(days)
+
+
 def test_streaming_transform_equals_batch(spark, warehouse):
     ckpt = os.path.join(WORK, "ckpt")
     if os.path.exists(ckpt):
