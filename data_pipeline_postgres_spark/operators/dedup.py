@@ -74,12 +74,43 @@ def doc_shingles(
     return sh.distinct() if distinct else sh
 
 
-def _minhash_sig(band: Column, row: Column, shingle: Column) -> Column:
-    """One minhash slot: md5 over (band, row, shingle) — an independent
-    hash family member per (band, row), min-reduced over shingles."""
-    return F.md5(
-        F.concat_ws(":", band.cast("string"), row.cast("string"), shingle)
+# Universal-hash MinHash family (Broder/Carter-Wegman): ONE md5 per
+# shingle gives a 60-bit base hash h; slot i applies the affine map
+# (a_i·(h mod p) + b_i) mod p over the Mersenne prime p = 2^31-1 —
+# pairwise-independent, and 8× fewer md5 evaluations than hashing the
+# shingle once per slot (md5 dominates signature cost at scale).
+# Constants are md5-derived so Spark and the DuckDB oracle share them
+# as literals.
+MINHASH_P = (1 << 31) - 1
+
+
+def _affine_const(tag: str, i: int) -> int:
+    import hashlib
+
+    x = int(hashlib.md5(f"{tag}{i}".encode()).hexdigest()[:8], 16)
+    return (x % (MINHASH_P - 1)) + 1  # 1 .. p-1
+
+
+MINHASH_A = [_affine_const("a", i) for i in range(16)]
+MINHASH_B = [_affine_const("b", i) for i in range(16)]
+
+
+def minhash_base(shingle: Column) -> Column:
+    """60-bit base hash of a shingle, reduced mod p: first 15 hex
+    digits of md5 as an integer (identical arithmetic in DuckDB via
+    ``('0x' || substr(md5(s),1,15))::BIGINT``)."""
+    return (
+        F.conv(F.substring(F.md5(shingle), 1, 15), 16, 10).cast("bigint")
+        % F.lit(MINHASH_P)
     )
+
+
+def _minhash_sig(slot: int, base: Column) -> Column:
+    """Minhash slot ``slot``: affine transform of the base hash,
+    min-reduced over a doc's shingles."""
+    return (
+        F.lit(MINHASH_A[slot]) * base + F.lit(MINHASH_B[slot])
+    ) % F.lit(MINHASH_P)
 
 
 def minhash_bands(
@@ -89,24 +120,37 @@ def minhash_bands(
 
     band_key = concat of the band's ``rows`` minhash values; two docs
     land in the same bucket for a band iff all ``rows`` slots agree.
-    One explode (bands) + one groupBy(doc_id, band) — a single shuffle
-    keyed by doc, which AQE coalesces; no pairwise work here.
+
+    All bands·rows min-slots are aggregate expressions of ONE
+    groupBy(doc_id) over the raw shingle rows — no band explode, so
+    the only shuffle carries the shingles once (map-side partial min
+    collapses most of it), not ×bands copies; and ONE md5 per shingle
+    row (the affine universal-hash family derives every slot from the
+    same base hash). The per-band rows come from a stack (posexplode)
+    of the tiny aggregated relation (docs × bands).
     """
-    b = F.explode(F.sequence(F.lit(0), F.lit(bands - 1))).alias("band")
-    per_band = shingles.select("doc_id", "shingle", b)
+    base = shingles.select(
+        "doc_id", minhash_base(F.col("shingle")).alias("h")
+    )
     aggs = [
-        F.min(_minhash_sig(F.col("band"), F.lit(r), F.col("shingle"))).alias(
-            f"mh{r}"
-        )
+        F.min(_minhash_sig(b * rows + r, F.col("h"))).alias(f"mh_{b}_{r}")
+        for b in range(bands)
         for r in range(rows)
     ]
-    sig = per_band.groupBy("doc_id", "band").agg(*aggs)
+    sig = base.groupBy("doc_id").agg(*aggs)
+    band_keys = F.array(
+        *[
+            F.concat_ws(
+                "|",
+                F.lit(str(b)),
+                *[F.col(f"mh_{b}_{r}") for r in range(rows)],
+            )
+            for b in range(bands)
+        ]
+    )
     return sig.select(
         "doc_id",
-        "band",
-        F.concat_ws("|", F.col("band").cast("string"), *[f"mh{r}" for r in range(rows)]).alias(
-            "band_key"
-        ),
+        F.posexplode(band_keys).alias("band", "band_key"),
     )
 
 

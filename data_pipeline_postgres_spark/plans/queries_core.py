@@ -776,8 +776,11 @@ def q_bulk_load_copy(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bulk warehouse load (reference COPY FROM STDIN:
     mnt/dags/02datalake_to_datawarehouse.py:136-148). Engine-native
     sink is a parallel partitioned write; against Postgres use
-    ``sources.jdbc.jdbc_write`` (batched) / ``copy_sink`` (COPY
-    protocol, one stream per partition)."""
+    ``sources.jdbc.jdbc_write`` (batched) or ``copy_sink`` — a real
+    per-partition ``COPY … FROM STDIN (FORMAT CSV)`` via psycopg2
+    copy_expert (CSV-encode core unit-tested in tests/test_jdbc.py;
+    needs psycopg2 + a live Postgres on executors to run end-to-end,
+    neither exists in this container)."""
     path = _scratch("warehouse_customer")
     filesource.parquet_write(_t(spark, sf_dir, "customer"), path)
     return filesource.parquet_read(spark, path)

@@ -86,16 +86,42 @@ def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.exact_dedup(_docs(spark, sf_dir))
 
 
-_MINHASH_ORACLE = f"""
+# Mirror of operators/dedup.py's universal-hash MinHash family: same
+# base hash (15 hex digits of md5 → BIGINT mod p) and the same affine
+# constants, emitted as literals.
+def _minhash_oracle() -> str:
+    from ..operators.dedup import MINHASH_A, MINHASH_B, MINHASH_P
+
+    bands, rows = 4, 2
+    slot_mins = ",\n           ".join(
+        f"MIN(({MINHASH_A[b * rows + r]} * h + {MINHASH_B[b * rows + r]})"
+        f" % {MINHASH_P}) AS mh_{b}_{r}"
+        for b in range(bands)
+        for r in range(rows)
+    )
+    band_keys = "\n    UNION ALL ".join(
+        "SELECT doc_id, concat_ws('|', '"
+        + str(b)
+        + "', "
+        + ", ".join(f"mh_{b}_{r}" for r in range(rows))
+        + ") AS band_key FROM slots"
+        for b in range(bands)
+    )
+    return f"""
 WITH {_TOKS}, {_SHINGLES},
-slots AS (
-    SELECT doc_id, band,
-           MIN(md5(concat_ws(':', band, 0, shingle))) AS mh0,
-           MIN(md5(concat_ws(':', band, 1, shingle))) AS mh1
-    FROM sh, (SELECT unnest(range(4)) AS band)
-    GROUP BY 1, 2
+base AS (
+    SELECT doc_id,
+           ('0x' || substr(md5(shingle), 1, 15))::BIGINT % {MINHASH_P} AS h
+    FROM sh
 ),
-bk AS (SELECT doc_id, concat_ws('|', band, mh0, mh1) AS band_key FROM slots),
+slots AS (
+    SELECT doc_id,
+           {slot_mins}
+    FROM base GROUP BY 1
+),
+bk AS (
+    {band_keys}
+),
 cand AS (
     SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
     FROM bk a JOIN bk b ON a.band_key = b.band_key AND a.doc_id < b.doc_id
@@ -109,6 +135,9 @@ JOIN sizes sa ON sa.doc_id = i.doc_a
 JOIN sizes sb ON sb.doc_id = i.doc_b
 WHERE CAST(n_common AS DOUBLE) / (sa.n + sb.n - n_common) >= 0.8
 """
+
+
+_MINHASH_ORACLE = _minhash_oracle()
 
 
 @query("dedup_minhash", _MINHASH_ORACLE)
