@@ -41,6 +41,9 @@ HEADLINE = [
 EXT_HEADLINE = [
     "join_broadcast_dim",
     "join_shuffle_fact",
+    "tpch_q1_pricing_summary",
+    "tpch_q3_shipping_priority",
+    "tpch_q5_local_supplier",
     "join_bucketed_colocated",
     "join_asof",
     "window_rolling_7d",

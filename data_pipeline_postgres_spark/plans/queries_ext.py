@@ -20,7 +20,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 
 from ..catalog import load_table
-from ..operators import dedup, multimodal, similarity, textstats
+from ..operators import dedup, multimodal, similarity, textclean, textstats
 from ..streaming import jobs as stream_jobs
 from .registry import query
 
@@ -443,6 +443,79 @@ def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Winnowing-style fingerprint: min rolling (md5) hash over word
     3-shingles."""
     return textstats.fingerprints(_docs(spark, sf_dir))
+
+
+# -- text cleaning / filtering --------------------------------------------
+
+
+@query(
+    "text_normalize",
+    f"""
+SELECT doc_id,
+       trim(regexp_replace(regexp_replace(lower(text),
+            '{textclean.CTRL_RE}', ' ', 'g'), '{textclean.WS_RE}', ' ', 'g'))
+           AS norm_text,
+       CAST(length(trim(regexp_replace(regexp_replace(lower(text),
+            '{textclean.CTRL_RE}', ' ', 'g'), '{textclean.WS_RE}', ' ', 'g')))
+           AS BIGINT) AS n_chars_norm
+FROM documents
+""",
+)
+def q_text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical text form: lower, strip control chars, collapse
+    whitespace (C4-style cleanup pass)."""
+    return textclean.normalize(_docs(spark, sf_dir))
+
+
+@query(
+    "pii_redact",
+    f"""
+SELECT doc_id,
+       regexp_replace(regexp_replace(regexp_replace(text,
+            '{textclean.EMAIL_RE}', '<EMAIL>', 'g'),
+            '{textclean.IPV4_RE}', '<IP>', 'g'),
+            '{textclean.PHONE_RE}', '<PHONE>', 'g') AS redacted,
+       CAST(len(regexp_extract_all(text, '{textclean.EMAIL_RE}')) AS BIGINT)
+           AS n_emails,
+       CAST(len(regexp_extract_all(text, '{textclean.IPV4_RE}')) AS BIGINT)
+           AS n_ips,
+       CAST(len(regexp_extract_all(text, '{textclean.PHONE_RE}')) AS BIGINT)
+           AS n_phones
+FROM documents
+""",
+)
+def q_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrub: email/IPv4/phone redaction + per-doc counts."""
+    return textclean.pii_redact(_docs(spark, sf_dir))
+
+
+@query(
+    "text_repetition_filter",
+    f"""
+WITH {_TOKS},
+base AS (
+    SELECT doc_id, len(w) AS n, len(list_distinct(w)) AS nd FROM toks
+),
+bg AS (
+    SELECT doc_id, w[i] || ' ' || w[i+1] AS bg
+    FROM toks, unnest(range(1, len(w))) AS t(i)
+),
+cnt AS (SELECT doc_id, bg, COUNT(*) AS c FROM bg GROUP BY 1, 2),
+top AS (SELECT doc_id, MAX(c) AS top_c, SUM(c) AS n_bg FROM cnt GROUP BY 1)
+SELECT b.doc_id,
+       CAST(b.n AS BIGINT) AS n_tokens,
+       CAST(b.nd AS DOUBLE) / b.n AS distinct_ratio,
+       COALESCE(CAST(t.top_c AS DOUBLE) / t.n_bg, 0.0) AS top_bigram_frac,
+       (CAST(b.nd AS DOUBLE) / b.n >= {textclean.MIN_DISTINCT_RATIO}
+        AND COALESCE(CAST(t.top_c AS DOUBLE) / t.n_bg, 0.0)
+            <= {textclean.MAX_TOP_BIGRAM_FRAC}) AS keep
+FROM base b LEFT JOIN top t USING (doc_id)
+""",
+)
+def q_text_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition gate: distinct-token ratio + top-bigram
+    fraction per doc."""
+    return textclean.repetition(_docs(spark, sf_dir))
 
 
 # -- multimodal ------------------------------------------------------------

@@ -42,3 +42,4 @@ def load_all() -> None:
     from . import queries_analytics  # noqa: F401
     from . import queries_core  # noqa: F401
     from . import queries_ext  # noqa: F401
+    from . import queries_tpch  # noqa: F401

@@ -192,3 +192,36 @@ class TestPhysicalPlans:
         # merge-asof = union + ONE window exchange (+ the right-side
         # dedup window sharing the same key partitioning); no join node
         assert "SortMergeJoin" not in plan and "BroadcastHashJoin" not in plan
+
+
+class TestTpchShapes:
+    """Plan-shape contracts for the TPC-H-style reporting queries."""
+
+    def test_q1_pushdown_and_partial_agg(self, spark):
+        plan = _plan(
+            registry.QUERIES["tpch_q1_pricing_summary"](spark, SF_SMOKE)
+        )
+        # shipdate predicate must reach the parquet scan, and the
+        # single exchange must sit above the partial aggregate (the
+        # shuffle carries ~4 grouped rows, not 60k lineitems)
+        assert "PushedFilters: [" in plan
+        pushed = plan.split("PushedFilters:", 1)[1].splitlines()[0]
+        assert "l_shipdate" in pushed
+        assert plan.index("partial_sum") > plan.rindex("Exchange")
+
+    def test_q3_topn_is_take_ordered(self, spark):
+        plan = _plan(
+            registry.QUERIES["tpch_q3_shipping_priority"](spark, SF_SMOKE)
+        )
+        assert "TakeOrderedAndProject" in plan
+        assert "Exchange rangepartitioning" not in plan  # no global sort
+
+    def test_q5_broadcasts_dim_chain(self, spark):
+        plan = _plan(
+            registry.QUERIES["tpch_q5_local_supplier"](spark, SF_SMOKE)
+        )
+        # supplier, nation, region ride broadcasts; only the facts
+        # (customer⋈orders, ⋈lineitem) may shuffle
+        assert plan.count("BroadcastHashJoin") >= 3
+        assert "NestedLoop" not in plan
+        assert "CartesianProduct" not in plan

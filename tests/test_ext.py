@@ -208,3 +208,49 @@ class TestTextAnalysis:
         fps = {r.doc_id: r.fingerprint for r in textstats.fingerprints(docs).collect()}
         hits = sum(1 for a, b in strong if fps[a] == fps[b])
         assert hits >= len(strong) * 0.7
+
+
+class TestTextClean:
+    """Behavior checks on hand fixtures — the synthetic corpus holds
+    no control chars / PII, so the oracle gate alone would only prove
+    the identity path."""
+
+    @pytest.fixture(scope="class")
+    def dirty(self, spark):
+        from data_pipeline_postgres_spark.operators import textclean
+
+        df = spark.createDataFrame(
+            [
+                (1, "  Hello\tWorld\x07 FROM\x00Spark  "),
+                (2, "mail me at Bob.Smith+x@Example.org or 10.0.0.1"),
+                (3, "call +1 555-123-4567 now"),
+                (4, "spam spam spam spam spam spam spam spam spam spam"),
+                (5, "a perfectly ordinary varied sentence with words"),
+            ],
+            "doc_id bigint, text string",
+        )
+        return textclean, df
+
+    def test_normalize(self, dirty):
+        tc, df = dirty
+        out = {r.doc_id: r.norm_text for r in tc.normalize(df).collect()}
+        assert out[1] == "hello world from spark"
+        assert out[2].startswith("mail me at bob.smith+x@example.org")
+
+    def test_pii_redact(self, dirty):
+        tc, df = dirty
+        rows = {r.doc_id: r for r in tc.pii_redact(df).collect()}
+        assert rows[2].n_emails == 1 and rows[2].n_ips == 1
+        assert "<EMAIL>" in rows[2].redacted and "<IP>" in rows[2].redacted
+        assert "Bob.Smith" not in rows[2].redacted
+        assert rows[3].n_phones == 1 and "<PHONE>" in rows[3].redacted
+        assert rows[5].n_emails == rows[5].n_ips == rows[5].n_phones == 0
+
+    def test_repetition_gate(self, dirty):
+        tc, df = dirty
+        rows = {r.doc_id: r for r in tc.repetition(df).collect()}
+        assert not rows[4].keep  # one word repeated → degenerate
+        assert rows[4].distinct_ratio == pytest.approx(0.1)
+        assert rows[4].top_bigram_frac == pytest.approx(1.0)
+        assert rows[5].keep
+        assert rows[5].distinct_ratio == pytest.approx(1.0)
