@@ -58,6 +58,35 @@ def exact_dedup(docs: DataFrame) -> DataFrame:
     )
 
 
+def _content_hash(docs: DataFrame) -> DataFrame:
+    return docs.select(
+        "doc_id",
+        F.sha2(F.lower(F.trim(F.col("text"))), 256).alias("text_hash"),
+    )
+
+
+def incremental_dedup(new: DataFrame, corpus: DataFrame) -> DataFrame:
+    """Cross-snapshot dedup: drop new-batch docs whose normalized
+    content hash already exists in the corpus, then dedup within the
+    batch (survivor = min doc_id). Returns (doc_id, text_hash).
+
+    The daily-ingest idiom at 100 TB: the anti-join shuffles BOTH
+    sides by hash (never materializes the corpus anywhere), and the
+    corpus side projects to the bare hash column before the exchange.
+    With AQE runtime filters on, the new batch's hashes additionally
+    bloom-prune the corpus scan — the common case (tiny delta vs huge
+    corpus) reads a fraction of the corpus hash index.
+    """
+    fresh = _content_hash(new).join(
+        _content_hash(corpus).select("text_hash"), "text_hash", "left_anti"
+    )
+    return (
+        fresh.groupBy("text_hash")
+        .agg(F.min("doc_id").alias("doc_id"))
+        .select("doc_id", "text_hash")
+    )
+
+
 def doc_shingles(
     docs: DataFrame, n: int = 3, distinct: bool = True
 ) -> DataFrame:

@@ -972,6 +972,48 @@ def q_filter_scalar_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "join_bloom_filtered",
+    """
+SELECT l_returnflag, COUNT(*) AS n_lines,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE)
+           AS revenue
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+WHERE o_orderpriority = '1-URGENT'
+  AND o_orderdate >= TIMESTAMP '2001-06-01'
+GROUP BY l_returnflag
+""",
+)
+def q_join_bloom_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Selective-dim ⋈ big-fact: the filter keeps a sliver of orders,
+    but a plain shuffle join still shuffles EVERY lineitem row. The
+    scale fix is Spark's runtime bloom filter (
+    spark.sql.optimizer.runtime.bloomFilter.enabled): the optimizer
+    builds a bloom over the surviving o_orderkeys and injects
+    might_contain(l_orderkey) into the lineitem scan, so ~the sliver's
+    share of the fact survives to the exchange. Size thresholds keep
+    it off at toy scale — tests/test_analytics.py lowers them and
+    asserts the bloom appears; semantics are unchanged either way
+    (the same oracle passes with and without)."""
+    o = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderpriority") == "1-URGENT")
+        & (F.col("o_orderdate") >= F.to_timestamp(F.lit("2001-06-01")))
+    )
+    li = _t(spark, sf_dir, "lineitem")
+    rev = F.col("l_extendedprice").cast("decimal(18,2)") * (
+        F.lit(1) - F.col("l_discount").cast("decimal(18,2)")
+    )
+    return (
+        li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("l_returnflag")
+        .agg(
+            F.count("*").alias("n_lines"),
+            F.sum(rev).cast("double").alias("revenue"),
+        )
+    )
+
+
+@query(
     "join_range_banded",
     """
 WITH bands(band, lo, hi) AS (

@@ -18,6 +18,7 @@ Cross-engine determinism contract (why the oracles hash-match):
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from ..catalog import load_table
 from ..operators import dedup, multimodal, similarity, textclean, textstats
@@ -84,6 +85,59 @@ FROM documents GROUP BY 2
 def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact dedup: normalized-content sha256, survivor = min doc_id."""
     return dedup.exact_dedup(_docs(spark, sf_dir))
+
+
+@query(
+    "dedup_incremental",
+    """
+WITH nh AS (
+    SELECT doc_id, sha256(lower(trim(text))) AS text_hash
+    FROM documents WHERE source = 'src0'
+),
+old AS (
+    SELECT DISTINCT sha256(lower(trim(text))) AS text_hash
+    FROM documents WHERE source <> 'src0'
+)
+SELECT MIN(doc_id) AS doc_id, text_hash
+FROM nh
+WHERE text_hash NOT IN (SELECT text_hash FROM old)
+GROUP BY text_hash
+""",
+)
+def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily-ingest dedup: new batch (source='src0') anti-joined by
+    content hash against the rest of the corpus, then in-batch dedup."""
+    d = _docs(spark, sf_dir)
+    return dedup.incremental_dedup(
+        d.filter(F.col("source") == "src0"),
+        d.filter(F.col("source") != "src0"),
+    )
+
+
+# Per-stratum sampling rates: downsample dominant English, keep the
+# tail (permille, shared with the oracle below).
+_SAMPLE_RATES = {"en": 100, "zh": 500}
+_SAMPLE_DEFAULT = 300
+
+
+@query(
+    "docs_sample_stratified",
+    f"""
+SELECT doc_id, lang, source FROM documents
+WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 1000
+      < CASE WHEN lang = 'en' THEN {_SAMPLE_RATES['en']}
+             WHEN lang = 'zh' THEN {_SAMPLE_RATES['zh']}
+             ELSE {_SAMPLE_DEFAULT} END
+""",
+)
+def q_docs_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic hash-gated stratified sample (rebalance by
+    language) — map-only, reproducible, no RNG."""
+    from ..operators import sampling
+
+    return sampling.stratified_sample(
+        _docs(spark, sf_dir), _SAMPLE_RATES, _SAMPLE_DEFAULT
+    )
 
 
 # Mirror of operators/dedup.py's universal-hash MinHash family: same
@@ -336,6 +390,110 @@ def q_sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     lists, exact rerank — fully oracle-checked (deterministic
     quantizer stands in for a KMeans fit)."""
     return similarity.ivf_topk(_emb(spark, sf_dir))
+
+
+# -- data profiling --------------------------------------------------------
+
+
+def _profile_oracle() -> str:
+    """Mirror of operators/profile.py over ``orders``: one aggregate
+    CTE, one branch per column re-shaped by UNION ALL."""
+    cols = {
+        "o_orderkey": "int",
+        "o_custkey": "int",
+        "o_orderstatus": "str",
+        "o_totalprice": "num",
+        "o_orderdate": "ts",
+        "o_orderpriority": "str",
+    }
+
+    def canon(expr: str, kind: str) -> str:
+        if kind == "num":
+            return f"CAST(CAST({expr} AS DECIMAL(18,2)) AS VARCHAR)"
+        if kind == "ts":
+            return f"strftime({expr}, '%Y-%m-%d %H:%M:%S')"
+        return f"CAST({expr} AS VARCHAR)"
+
+    aggs = ["COUNT(*) AS n"]
+    branches = []
+    for i, (c, kind) in enumerate(cols.items()):
+        aggs += [
+            f"COUNT({c}) AS c{i}",
+            f"COUNT(DISTINCT {c}) AS d{i}",
+            canon(f"MIN({c})", kind) + f" AS mn{i}",
+            canon(f"MAX({c})", kind) + f" AS mx{i}",
+        ]
+        branches.append(
+            f"SELECT '{c}' AS \"column\", n AS n_rows, n - c{i} AS n_nulls,"
+            f" d{i} AS n_distinct, mn{i} AS min_str, mx{i} AS max_str FROM a"
+        )
+    return (
+        "WITH a AS (SELECT "
+        + ", ".join(aggs)
+        + " FROM orders)\n"
+        + "\nUNION ALL ".join(branches)
+    )
+
+
+@query("profile_table", _profile_oracle())
+def q_profile_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-scan per-column profile of ``orders`` (nulls, exact
+    distincts via a shared Expand, canonicalized min/max)."""
+    from ..operators import profile
+
+    return profile.profile_table(load_table(spark, sf_dir, "orders"))
+
+
+# -- embedding feature ops -------------------------------------------------
+
+
+@query(
+    "emb_normalize",
+    """
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+n AS (
+    SELECT vec_id, v,
+           sqrt(list_reduce(list_transform(v, y -> y*y), (a,b) -> a+b))
+               AS nrm
+    FROM e
+)
+SELECT vec_id, i - 1 AS pos, round(v[i] / nrm, 6) AS u
+FROM n, unnest(range(1, 9)) AS t(i)
+""",
+)
+def q_emb_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L2 unit normalization, component-wise (first 8 components;
+    norm folds over the full vector)."""
+    from ..operators import embeddings
+
+    return embeddings.unit_normalize(_emb(spark, sf_dir))
+
+
+@query(
+    "emb_centroid_per_label",
+    """
+WITH e AS (SELECT label, embedding::DOUBLE[] AS v FROM embeddings),
+qv AS (
+    SELECT label,
+           list_transform(v, x -> CAST(floor(
+               x / sqrt(list_reduce(list_transform(v, y -> y*y),
+                                    (a,b) -> a+b)) * 1048576.0 + 0.5
+           ) AS BIGINT)) AS q
+    FROM e
+)
+SELECT label, i - 1 AS pos,
+       CAST(SUM(q[i]) AS DOUBLE) / (1048576.0 * COUNT(*)) AS centroid,
+       COUNT(*) AS n_vecs
+FROM qv, unnest(range(1, 65)) AS t(i)
+GROUP BY label, i
+""",
+)
+def q_emb_centroid_per_label(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Element-wise mean embedding per label via deterministic int64
+    quantization (order-free exact sums)."""
+    from ..operators import embeddings
+
+    return embeddings.centroid_per_label(_emb(spark, sf_dir))
 
 
 # -- text analysis ---------------------------------------------------------

@@ -225,3 +225,29 @@ class TestTpchShapes:
         assert plan.count("BroadcastHashJoin") >= 3
         assert "NestedLoop" not in plan
         assert "CartesianProduct" not in plan
+
+    def test_bloom_runtime_filter_injected(self, spark):
+        """With size thresholds lowered, the optimizer must build a
+        bloom over the selective orders side and inject
+        might_contain into the lineitem branch."""
+        confs = {
+            "spark.sql.autoBroadcastJoinThreshold": "-1",
+            "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+            "spark.sql.optimizer.runtime.bloomFilter."
+            "applicationSideScanSizeThreshold": "0",
+        }
+        old = {k: spark.conf.get(k, None) for k in confs}
+        try:
+            for k, v in confs.items():
+                spark.conf.set(k, v)
+            plan = _plan(
+                registry.QUERIES["join_bloom_filtered"](spark, SF_SMOKE)
+            )
+            assert "bloom_filter_agg" in plan
+            assert "might_contain" in plan
+        finally:
+            for k, v in old.items():
+                if v is None:
+                    spark.conf.unset(k)
+                else:
+                    spark.conf.set(k, v)

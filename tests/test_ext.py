@@ -254,3 +254,88 @@ class TestTextClean:
         assert rows[4].top_bigram_frac == pytest.approx(1.0)
         assert rows[5].keep
         assert rows[5].distinct_ratio == pytest.approx(1.0)
+
+
+class TestSamplingAndIncremental:
+    def test_stratified_sample_rates(self, spark, docs):
+        """Hash-gated sample hits each stratum's rate within binomial
+        noise, and is exactly reproducible."""
+        from data_pipeline_postgres_spark.operators import sampling
+
+        out = sampling.stratified_sample(docs, {"en": 100}, 1000)
+        got = {r.lang: r.cnt for r in
+               out.groupBy("lang").agg(F.count("*").alias("cnt")).collect()}
+        tot = {r.lang: r.cnt for r in
+               docs.groupBy("lang").agg(F.count("*").alias("cnt")).collect()}
+        assert got["en"] < tot["en"]  # en downsampled
+        for lang in tot:
+            if lang != "en":
+                assert got.get(lang, 0) == tot[lang]  # rate 1000 = keep all
+        again = sampling.stratified_sample(docs, {"en": 100}, 1000)
+        assert sorted(r.doc_id for r in out.collect()) == sorted(
+            r.doc_id for r in again.collect()
+        )
+
+    def test_incremental_dedup_model(self, spark):
+        from data_pipeline_postgres_spark.operators import dedup as D
+
+        new = spark.createDataFrame(
+            [(10, "Alpha"), (11, "beta"), (12, " ALPHA  "), (13, "gamma")],
+            "doc_id bigint, text string",
+        )
+        corpus = spark.createDataFrame(
+            [(1, "beta"), (2, "delta")], "doc_id bigint, text string"
+        )
+        out = D.incremental_dedup(new, corpus)
+        # beta exists in corpus → dropped; alpha dedups in-batch to 10
+        assert sorted(r.doc_id for r in out.collect()) == [10, 13]
+
+
+class TestEmbeddingOpsAndProfile:
+    def test_centroid_hand_fixture(self, spark):
+        from data_pipeline_postgres_spark.operators import embeddings
+
+        df = spark.createDataFrame(
+            [(1, [3.0, 4.0], 0), (2, [4.0, 3.0], 0), (3, [0.0, 1.0], 1)],
+            "vec_id bigint, embedding array<float>, label int",
+        )
+        rows = {(r.label, r.pos): r for r in
+                embeddings.centroid_per_label(df).collect()}
+        # label 0: unit vecs (.6,.8) and (.8,.6) → centroid (.7,.7)
+        assert rows[(0, 0)].centroid == pytest.approx(0.7, abs=1e-5)
+        assert rows[(0, 1)].centroid == pytest.approx(0.7, abs=1e-5)
+        assert rows[(0, 0)].n_vecs == 2
+        assert rows[(1, 1)].centroid == pytest.approx(1.0, abs=1e-5)
+
+    def test_unit_normalize_is_unit(self, spark, emb):
+        from data_pipeline_postgres_spark.operators import embeddings
+
+        out = embeddings.unit_normalize(emb, head=64)
+        ss = (
+            out.groupBy("vec_id")
+            .agg(F.sum(F.col("u") * F.col("u")).alias("ss"))
+            .agg(F.min("ss").alias("lo"), F.max("ss").alias("hi"))
+            .first()
+        )
+        assert ss.lo == pytest.approx(1.0, abs=1e-4)
+        assert ss.hi == pytest.approx(1.0, abs=1e-4)
+
+    def test_profile_single_scan_and_nulls(self, spark):
+        from data_pipeline_postgres_spark.operators import profile
+
+        df = spark.createDataFrame(
+            [(1, "a"), (2, None), (None, "a")], "k bigint, s string"
+        )
+        rows = {r.column: r for r in profile.profile_table(df).collect()}
+        assert rows["k"].n_nulls == 1 and rows["k"].n_distinct == 2
+        assert rows["s"].n_nulls == 1 and rows["s"].n_distinct == 1
+        assert rows["k"].min_str == "1" and rows["k"].max_str == "2"
+        # the whole profile must be ONE pass over the table
+        from data_pipeline_postgres_spark.catalog import load_table
+        from .conftest import SF_SMOKE
+
+        plan = (
+            profile.profile_table(load_table(spark, SF_SMOKE, "orders"))
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        assert plan.count("Scan parquet") == 1
