@@ -660,3 +660,63 @@ def minhash_dedup_ml(
         .distinct()
     )
     return jaccard_pairs(sh, pairs, threshold)
+
+
+def dedup_clusters(pairs: DataFrame, max_iter: int = 25) -> DataFrame:
+    """Connected components over near-dup pairs → (doc_id, cluster_id)
+    with cluster_id = min doc_id of the component (the canonical
+    survivor every member collapses to).
+
+    Min-label propagation: label(v) ← min(label(v), labels of v's
+    neighbors), iterated to fixpoint. Each round is one edges⋈labels
+    hash join + a doc-keyed min — both shuffles on the same key — and
+    a ``localCheckpoint`` to truncate the iterative lineage (without
+    it the plan doubles per round). Convergence is detected by the
+    monotone label-sum (strictly decreasing until fixpoint), a
+    single-row action per round. Rounds = component diameter; near-dup
+    graphs are tiny cliques/chains, so a handful. For adversarial
+    long-chain graphs swap in large-star/small-star contraction
+    (Kiveris et al., MapReduce CC) — same join primitives, O(log n)
+    rounds.
+    """
+    e = pairs.select(
+        F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
+    )
+    edges = e.union(
+        e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).localCheckpoint()
+    labels = (
+        edges.select(F.col("src").alias("doc_id"))
+        .distinct()
+        .select("doc_id", F.col("doc_id").alias("label"))
+        .localCheckpoint()
+    )
+
+    def _label_sum(lab: DataFrame):
+        return lab.agg(
+            F.sum(F.col("label").cast("decimal(38,0)"))
+        ).first()[0]
+
+    prev_sum = _label_sum(labels)
+    for _ in range(max_iter):
+        nbr = (
+            edges.join(labels, edges.dst == labels.doc_id)
+            .groupBy("src")
+            .agg(F.min("label").alias("nbr_label"))
+        )
+        labels = (
+            labels.join(nbr, labels.doc_id == nbr.src, "left")
+            .select(
+                "doc_id",
+                F.least(
+                    F.col("label"),
+                    F.coalesce(F.col("nbr_label"), F.col("label")),
+                ).alias("label"),
+            )
+            .localCheckpoint()
+        )
+        cur_sum = _label_sum(labels)
+        if cur_sum == prev_sum:
+            break
+        prev_sum = cur_sum
+    return labels.select("doc_id", F.col("label").alias("cluster_id"))

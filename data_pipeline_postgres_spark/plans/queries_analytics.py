@@ -315,6 +315,102 @@ def q_window_lead_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "window_cumulative",
+    """
+SELECT o_custkey, o_orderkey, o_orderdate,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
+            PARTITION BY o_custkey
+            ORDER BY o_orderdate, o_orderkey
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+       ) AS DOUBLE) AS running_spend
+FROM orders
+""",
+)
+def q_window_cumulative(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running total per key (lifetime customer spend): one shuffle by
+    key, per-partition streaming frame — every prefix sum is an exact
+    decimal, cast once, so engines agree row-for-row."""
+    o = _t(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        "o_orderdate",
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .over(w)
+        .cast("double")
+        .alias("running_spend"),
+    )
+
+
+@query(
+    "scd2_intervals",
+    """
+SELECT o_custkey, o_orderkey, o_totalprice,
+       o_orderdate AS valid_from,
+       lead(o_orderdate) OVER (
+           PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+       ) AS valid_to,
+       (lead(o_orderdate) OVER (
+           PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+       ) IS NULL) AS is_current
+FROM orders
+""",
+)
+def q_scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Slowly-changing-dimension type 2 historization: each change
+    record's validity interval is [its ts, next change's ts) per key,
+    open-ended (is_current) on the latest. One key-shuffled lead
+    window — the standard MERGE-free way to build history tables at
+    scale (reference's MERGE family only keeps latest state,
+    mnt/dags/unused_02retail_stage.py:101-144)."""
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    nxt = F.lead("o_orderdate").over(w)
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        "o_totalprice",
+        F.col("o_orderdate").alias("valid_from"),
+        nxt.alias("valid_to"),
+        nxt.isNull().alias("is_current"),
+    )
+
+
+@query(
+    "window_ntile",
+    """
+SELECT o_orderkey, o_orderpriority,
+       ntile(4) OVER (
+           PARTITION BY o_orderpriority
+           ORDER BY o_totalprice, o_orderkey
+       ) AS price_quartile
+FROM orders
+""",
+)
+def q_window_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group quantile bucketing (price quartile within order
+    priority) — deterministic tiebreak on o_orderkey. NTILE needs the
+    whole group sorted in one partition, so it is only scale-correct
+    PARTITIONed BY a real key (as here); GLOBAL quantile bucketing at
+    100 TB goes through approx-quantile cutoffs + a range join
+    (agg_approx_quantile) instead."""
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        "o_totalprice", "o_orderkey"
+    )
+    return o.select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.ntile(4).over(w).alias("price_quartile"),
+    )
+
+
+@query(
     "agg_percentile",
     """
 SELECT o_orderstatus,

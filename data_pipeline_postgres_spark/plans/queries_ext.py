@@ -220,6 +220,44 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.jaccard_pairs(dedup.doc_shingles(docs), None, 0.8)
 
 
+# Connected components over the exact near-dup pairs. The oracle walks
+# the transitive closure with a recursive CTE (UNION dedups → fixpoint)
+# — label of a doc = min doc id it can reach, i.e. the component min.
+_CLUSTER_ORACLE = f"""
+WITH RECURSIVE {_TOKS.lstrip()}, {_SHINGLES.lstrip()},
+{_JACCARD_TAIL.lstrip()},
+pairs AS (
+    SELECT doc_a, doc_b
+    FROM inter i
+    JOIN sizes sa ON sa.doc_id = i.doc_a
+    JOIN sizes sb ON sb.doc_id = i.doc_b
+    WHERE CAST(n_common AS DOUBLE) / (sa.n + sb.n - n_common) >= 0.8
+),
+edges AS (
+    SELECT doc_a AS src, doc_b AS dst FROM pairs
+    UNION ALL
+    SELECT doc_b AS src, doc_a AS dst FROM pairs
+),
+reach(doc, lab) AS (
+    SELECT DISTINCT src, src FROM edges
+    UNION
+    SELECT e.src, r.lab FROM edges e JOIN reach r ON e.dst = r.doc
+)
+SELECT doc AS doc_id, MIN(lab) AS cluster_id FROM reach GROUP BY doc
+"""
+
+
+@query("dedup_cluster_cc", _CLUSTER_ORACLE)
+def q_dedup_cluster_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup cluster assignment: connected components over the
+    exact-Jaccard pair graph via iterative min-label propagation;
+    every doc maps to its component's min doc_id (the canonical
+    survivor)."""
+    docs = _docs(spark, sf_dir)
+    pairs = dedup.jaccard_pairs(dedup.doc_shingles(docs), None, 0.8)
+    return dedup.dedup_clusters(pairs)
+
+
 _SIMHASH_ORACLE = rf"""
 WITH {_TOKS},
 tok AS (SELECT DISTINCT doc_id, unnest(w) AS tok FROM toks),

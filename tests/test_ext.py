@@ -339,3 +339,38 @@ class TestEmbeddingOpsAndProfile:
             ._jdf.queryExecution().executedPlan().toString()
         )
         assert plan.count("Scan parquet") == 1
+
+
+class TestDedupClusters:
+    def test_chain_and_clique(self, spark):
+        pairs = spark.createDataFrame(
+            [(1, 2), (2, 3), (3, 4), (10, 11), (20, 21), (21, 22), (20, 22)],
+            "doc_a bigint, doc_b bigint",
+        )
+        got = {r.doc_id: r.cluster_id
+               for r in dedup.dedup_clusters(pairs).collect()}
+        assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10,
+                       20: 20, 21: 20, 22: 20}
+
+    def test_matches_union_find_model(self, spark, docs):
+        """Operator output equals a plain union-find over the same
+        pair list (model-based check, SURVEY §5)."""
+        pairs_df = dedup.jaccard_pairs(dedup.doc_shingles(docs), None, 0.8)
+        pairs = [(r.doc_a, r.doc_b) for r in pairs_df.collect()]
+        parent = {}
+
+        def find(x):
+            parent.setdefault(x, x)
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in pairs:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        model = {x: find(x) for x in parent}
+        got = {r.doc_id: r.cluster_id
+               for r in dedup.dedup_clusters(pairs_df).collect()}
+        assert got == model
