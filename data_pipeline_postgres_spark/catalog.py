@@ -33,6 +33,13 @@ TABLES = (
 DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 SMOKE_SF_DIR = "/root/testdata/sf0.001"
 
+# events.parquet physical layout (TESTDATA.md), with the TIMESTAMP(NANOS)
+# ts column read as raw long — see load_table.
+EVENTS_RAW_SCHEMA = (
+    "event_id bigint, ts long, user_id bigint, "
+    "event_type string, value double, props string"
+)
+
 
 def table_path(sf_dir: str, name: str) -> str:
     return os.path.join(sf_dir, f"{name}.parquet")
@@ -44,21 +51,20 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; known: {TABLES}")
     if name == "events":
-        # events.ts is parquet TIMESTAMP(NANOS), which Spark's vectorized
-        # reader rejects (PARQUET_TYPE_ILLEGAL). Read nanos as long and
-        # floor-convert to microseconds — the same truncation DuckDB
-        # applies — so both engines see identical timestamps.
-        # The conf must OUTLIVE this call: the returned DataFrame is
-        # lazy and the scan consults the session conf when an action
-        # finally runs, so a set/restore here would break execution.
-        # It is scoped to TIMESTAMP(NANOS) columns only — parquet with
-        # micro/milli timestamps is unaffected. Bounded streaming runs
-        # do scope it (streaming/jobs._nanos_as_long).
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        df = spark.read.parquet(table_path(sf_dir, name))
-        if dict(df.dtypes).get("ts") == "bigint":
-            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-        return df
+        # events.ts is parquet TIMESTAMP(NANOS), which Spark's
+        # vectorized reader rejects when inferring the schema
+        # (PARQUET_TYPE_ILLEGAL). Supplying the schema explicitly with
+        # ``ts long`` reads the raw nanos without touching the
+        # session-wide ``spark.sql.legacy.parquet.nanosAsLong`` conf
+        # (no leak into other readers); floor-division to microseconds
+        # matches DuckDB's truncation, so both engines see identical
+        # timestamps.
+        df = spark.read.schema(EVENTS_RAW_SCHEMA).parquet(
+            table_path(sf_dir, name)
+        )
+        return df.withColumn(
+            "ts", F.timestamp_micros(F.expr("ts div 1000"))
+        )
     return spark.read.parquet(table_path(sf_dir, name))
 
 

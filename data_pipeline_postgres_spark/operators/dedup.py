@@ -674,10 +674,11 @@ def dedup_clusters(pairs: DataFrame, max_iter: int = 25) -> DataFrame:
     it the plan doubles per round). Convergence is detected by the
     monotone label-sum (strictly decreasing until fixpoint), a
     single-row action per round. Rounds = component diameter; near-dup
-    graphs are tiny cliques/chains, so a handful. For adversarial
-    long-chain graphs swap in large-star/small-star contraction
-    (Kiveris et al., MapReduce CC) — same join primitives, O(log n)
-    rounds.
+    graphs are tiny cliques/chains, so a handful. Raises if the
+    fixpoint is not reached within ``max_iter`` (partially-propagated
+    labels are silently WRONG answers); for graphs whose diameter can
+    exceed the budget use :func:`dedup_clusters_star` — same contract,
+    O(log n) rounds.
     """
     e = pairs.select(
         F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
@@ -698,6 +699,7 @@ def dedup_clusters(pairs: DataFrame, max_iter: int = 25) -> DataFrame:
         ).first()[0]
 
     prev_sum = _label_sum(labels)
+    converged = False
     for _ in range(max_iter):
         nbr = (
             edges.join(labels, edges.dst == labels.doc_id)
@@ -717,6 +719,109 @@ def dedup_clusters(pairs: DataFrame, max_iter: int = 25) -> DataFrame:
         )
         cur_sum = _label_sum(labels)
         if cur_sum == prev_sum:
+            converged = True
             break
         prev_sum = cur_sum
+    if not converged:
+        raise RuntimeError(
+            f"dedup_clusters did not converge in {max_iter} rounds "
+            "(component diameter exceeds the budget); use "
+            "dedup_clusters_star for O(log n)-round convergence"
+        )
     return labels.select("doc_id", F.col("label").alias("cluster_id"))
+
+
+def dedup_clusters_star(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
+    """Connected components via alternating large-star / small-star
+    contraction (Kiveris et al., "Connected Components in MapReduce
+    and Beyond") — same (doc_id, cluster_id = component-min doc_id)
+    contract and oracle as :func:`dedup_clusters`, but the round count
+    is O(log n) in component SIZE instead of linear in DIAMETER, so an
+    adversarial near-dup chain doc0~doc1~…~docN converges in ~log N
+    rounds, not N.
+
+    Each round is two (groupBy-min + edge join) passes over the edge
+    list, every shuffle keyed on a node id; ``localCheckpoint``
+    truncates the iterative lineage. At the fixpoint every component
+    is a star centered at its minimum node, which is VERIFIED
+    structurally (each non-center node has exactly one incident edge,
+    pointing at a center that is never itself a child) — no silent
+    partial answers.
+    """
+    edges = (
+        pairs.select(F.col("doc_a").alias("u"), F.col("doc_b").alias("v"))
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+        .localCheckpoint()
+    )
+
+    def _signature(e: DataFrame):
+        return e.agg(
+            F.count(F.lit(1)),
+            F.sum(F.greatest("u", "v").cast("decimal(38,0)")),
+            F.sum(F.least("u", "v").cast("decimal(38,0)")),
+        ).first()
+
+    prev_sig = _signature(edges)
+    for _ in range(max_iter):
+        # large-star: every neighbor v > u links to m(u) = min(N(u) ∪ {u})
+        sym = edges.union(
+            edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
+        )
+        m_of = sym.groupBy("u").agg(
+            F.least(F.min("v"), F.first("u")).alias("m")
+        )
+        large = (
+            sym.join(m_of, "u")
+            .filter(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .filter(F.col("u") != F.col("v"))
+            .distinct()
+        )
+        # small-star: direct large→small; every small neighbor (and the
+        # node itself) links to the minimum small neighbor
+        d = large.select(
+            F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
+        )
+        mn = d.groupBy("u").agg(F.min("v").alias("m"))
+        small = (
+            d.join(mn, "u")
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .union(mn.select(F.col("u"), F.col("m").alias("v")))
+            .filter(F.col("u") != F.col("v"))
+            .distinct()
+        )
+        edges = small.localCheckpoint()
+        sig = _signature(edges)
+        if sig == prev_sig:
+            break
+        prev_sig = sig
+
+    # star-form validation: canonical child→center edges, one center per
+    # child, and no center is itself a child
+    canon = edges.select(
+        F.greatest("u", "v").alias("child"), F.least("u", "v").alias("center")
+    ).distinct()
+    bad = (
+        canon.groupBy("child").agg(F.countDistinct("center").alias("nc"))
+        .filter(F.col("nc") > 1)
+        .count()
+        + canon.join(
+            canon.select(F.col("center").alias("child")).distinct(),
+            "child",
+            "left_semi",
+        ).count()
+    )
+    if bad:
+        raise RuntimeError(
+            f"dedup_clusters_star did not reach star form in {max_iter} "
+            "rounds"
+        )
+    return canon.select(
+        F.col("child").alias("doc_id"), F.col("center").alias("cluster_id")
+    ).union(
+        canon.select(
+            F.col("center").alias("doc_id"),
+            F.col("center").alias("cluster_id"),
+        ).distinct()
+    )

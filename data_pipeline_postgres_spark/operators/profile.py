@@ -26,16 +26,22 @@ def _canon_str(col: F.Column, dtype: T.DataType) -> F.Column:
     return col.cast("string")
 
 
-def profile_table(df: DataFrame) -> DataFrame:
+def profile_table(df: DataFrame, exact: bool = True) -> DataFrame:
     """Profile every column of ``df``: (column, n_rows, n_nulls,
-    n_distinct, min_str, max_str)."""
+    n_distinct, min_str, max_str).
+
+    ``exact=False`` swaps the N exact ``count_distinct``s (which share
+    one Expand — correct, but ~n_cols× row amplification on the single
+    scan) for HLL ``approx_count_distinct`` — no Expand at all, the
+    profile every 100 TB run should use."""
     fields = df.schema.fields
+    nd = F.count_distinct if exact else F.approx_count_distinct
     aggs = [F.count("*").alias("_n")]
     for f in fields:
         c = F.col(f.name)
         aggs += [
             F.count(c).alias(f"_cnt_{f.name}"),
-            F.count_distinct(c).alias(f"_nd_{f.name}"),
+            nd(c).alias(f"_nd_{f.name}"),
             _canon_str(F.min(c), f.dataType).alias(f"_min_{f.name}"),
             _canon_str(F.max(c), f.dataType).alias(f"_max_{f.name}"),
         ]

@@ -29,7 +29,7 @@ Three tiers, from correctness baseline to 100 TB scale path:
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from ..functions import vectors as V
@@ -178,42 +178,93 @@ def ivf_centroids(emb: DataFrame, nlist: int = 8) -> DataFrame:
     KMeans fit (spark.ml KMeans(seed=…) slots in here unchanged).
 
     The corpus-wide reduction is ``orderBy().limit(nlist)``
-    (TakeOrderedAndProject); the row_number that assigns centroid ids
-    runs AFTER the limit, over an nlist-row relation — a window over
-    ≤nlist rows, not over the corpus."""
+    (TakeOrderedAndProject); centroid ids come from packing the
+    ≤nlist seed rows into one sorted array and posexploding — no
+    Window operator anywhere in the IVF plan."""
     seeds = _vecs(emb).orderBy("vec_id").limit(nlist)
-    w = Window.orderBy("vec_id")
-    return (
-        seeds.withColumn("rn", F.row_number().over(w))
-        .select(
-            (F.col("rn") - 1).alias("centroid_id"),
-            F.col("v").alias("cv"),
-        )
+    packed = seeds.agg(
+        F.array_sort(F.collect_list(F.struct("vec_id", "v"))).alias("a")
+    )
+    return packed.select(
+        F.posexplode("a").alias("centroid_id", "s")
+    ).select("centroid_id", F.col("s.v").alias("cv"))
+
+
+def _centroid_array(centroids: DataFrame) -> DataFrame:
+    """Fold the tiny centroid relation into ONE row holding an
+    id-sorted array of (centroid_id, cn, cv) structs, with each
+    centroid's norm precomputed — so the per-vector argmax lambda never
+    re-evaluates a norm per element (HOF lambdas are interpreted and
+    re-run embedded expression trees per array element)."""
+    return centroids.select(
+        F.struct(
+            F.col("centroid_id"),
+            V.norm(F.col("cv")).alias("cn"),
+            F.col("cv"),
+        ).alias("s")
+    ).agg(F.array_sort(F.collect_list("s")).alias("cents"))
+
+
+def _nearest_centroid(v: Column, cents: Column) -> Column:
+    """Narrow argmax over the broadcast centroid array: the
+    centroid_id maximizing cosine(v, cv), computed as dot(v,cv)/cn —
+    dividing by norm(v) is a constant positive per-row factor, so the
+    argmax (ties included) is unchanged and the corpus norm is never
+    evaluated. Ties break to the lowest centroid_id: the array is
+    id-sorted and the fold keeps the incumbent on equality."""
+    scored = F.transform(
+        cents,
+        lambda s: F.struct(
+            (V.dot(v, s["cv"]) / s["cn"]).alias("score"),
+            s["centroid_id"].alias("centroid_id"),
+        ),
+    )
+    return F.aggregate(
+        scored,
+        F.struct(
+            F.lit(float("-inf")).alias("score"),
+            F.lit(-1).alias("centroid_id"),
+        ),
+        lambda acc, e: F.when(e["score"] > acc["score"], e).otherwise(acc),
+    )["centroid_id"]
+
+
+def ivf_centroids_kmeans(
+    emb: DataFrame, nlist: int = 8, seed: int = 42, max_iter: int = 10
+) -> DataFrame:
+    """Trained coarse quantizer: ``spark.ml`` KMeans centers →
+    (centroid_id, cv), drop-in for :func:`ivf_centroids` (which
+    documents this swap). The model's centers are nlist×dim doubles —
+    tiny by construction — so materializing them through the driver
+    into a broadcast-able relation is not a distributed reduction."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    feats = _vecs(emb).select(array_to_vector("v").alias("features"))
+    model = KMeans(k=nlist, seed=seed, maxIter=max_iter).fit(feats)
+    rows = [
+        (i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())
+    ]
+    return emb.sparkSession.createDataFrame(
+        rows, "centroid_id int, cv array<double>"
     )
 
 
 def ivf_assign(emb: DataFrame, centroids: DataFrame) -> DataFrame:
     """Assign every vector to its nearest centroid by cosine:
-    (vec_id, centroid_id). The centroid relation is tiny → broadcast;
-    assignment is a narrow map over the corpus (argmax via
-    row_number within vec_id), the write-time clustering key at
-    scale."""
-    scored = (
+    (vec_id, centroid_id). The centroid array is a broadcast 1-row
+    relation and the argmax is a per-row array fold, so assignment is
+    a fully narrow map over the corpus — no Exchange at all (the
+    write-time clustering key at scale must not cost a shuffle)."""
+    return (
         _vecs(emb)
-        .crossJoin(F.broadcast(centroids))
+        .crossJoin(F.broadcast(_centroid_array(centroids)))
         .select(
             "vec_id",
-            "centroid_id",
-            V.cosine(F.col("v"), F.col("cv")).alias("cs"),
+            _nearest_centroid(F.col("v"), F.col("cents")).alias(
+                "centroid_id"
+            ),
         )
-    )
-    w = Window.partitionBy("vec_id").orderBy(
-        F.desc("cs"), F.asc("centroid_id")
-    )
-    return (
-        scored.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select("vec_id", "centroid_id")
     )
 
 
@@ -223,12 +274,14 @@ def ivf_topk(
     nlist: int = 8,
     nprobe: int = 2,
     round_digits: int = 6,
+    centroids: DataFrame | None = None,
 ) -> DataFrame:
     """IVF ANN top-k vs the deterministic query vector: probe the
     ``nprobe`` nearest inverted lists, exact rerank within them.
-    (vec_id, cosine)."""
-    cents = ivf_centroids(emb, nlist)
-    assign = ivf_assign(emb, cents)
+    (vec_id, cosine). ``centroids`` swaps in a trained quantizer
+    (:func:`ivf_centroids_kmeans`); default is the deterministic
+    seed-sample one."""
+    cents = centroids if centroids is not None else ivf_centroids(emb, nlist)
     q = query_vector(emb)
     probe = (
         cents.crossJoin(F.broadcast(q))
@@ -240,7 +293,21 @@ def ivf_topk(
         .limit(nprobe)
         .select("centroid_id")
     )
-    shortlist = _vecs(emb).join(assign, "vec_id").join(
+    # Assignment is computed inline on the corpus scan (no self-join
+    # back onto the vectors): one narrow pass tags each row with its
+    # inverted list, then a broadcast semi-join prunes to the probed
+    # lists — the only corpus-wide reduction left is the final
+    # TakeOrderedAndProject.
+    assigned = (
+        _vecs(emb)
+        .crossJoin(F.broadcast(_centroid_array(cents)))
+        .withColumn(
+            "centroid_id",
+            _nearest_centroid(F.col("v"), F.col("cents")),
+        )
+        .drop("cents")
+    )
+    shortlist = assigned.join(
         F.broadcast(probe), "centroid_id", "left_semi"
     )
     scored = shortlist.crossJoin(F.broadcast(q)).select(

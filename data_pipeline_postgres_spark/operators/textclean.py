@@ -104,7 +104,12 @@ def repetition(docs: DataFrame) -> DataFrame:
         .groupBy("doc_id")
         .agg(F.max("count").alias("top_c"), F.sum("count").alias("n_bg"))
     )
-    dr = F.col("nd").cast("double") / F.col("n")
+    # Zero-token guard: non-ANSI Spark yields NULL for 0/0 while
+    # DuckDB yields inf — pin the empty-doc case to 0.0 (and keep=false)
+    # on both sides.
+    dr = F.when(
+        F.col("n") > 0, F.col("nd").cast("double") / F.col("n")
+    ).otherwise(F.lit(0.0))
     tbf = F.coalesce(
         F.col("top_c").cast("double") / F.col("n_bg"), F.lit(0.0)
     )

@@ -100,7 +100,7 @@ old AS (
 )
 SELECT MIN(doc_id) AS doc_id, text_hash
 FROM nh
-WHERE text_hash NOT IN (SELECT text_hash FROM old)
+WHERE NOT EXISTS (SELECT 1 FROM old WHERE old.text_hash = nh.text_hash)
 GROUP BY text_hash
 """,
 )
@@ -256,6 +256,17 @@ def q_dedup_cluster_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _docs(spark, sf_dir)
     pairs = dedup.jaccard_pairs(dedup.doc_shingles(docs), None, 0.8)
     return dedup.dedup_clusters(pairs)
+
+
+@query("dedup_cluster_cc_star", _CLUSTER_ORACLE)
+def q_dedup_cluster_cc_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same component labelling, computed by large-star/small-star
+    contraction (O(log n) rounds vs diameter-bounded min-label
+    propagation) — the variant to use when near-dup chains can be
+    long. Identical recursive-CTE oracle."""
+    docs = _docs(spark, sf_dir)
+    pairs = dedup.jaccard_pairs(dedup.doc_shingles(docs), None, 0.8)
+    return dedup.dedup_clusters_star(pairs)
 
 
 _SIMHASH_ORACLE = rf"""
@@ -430,6 +441,17 @@ def q_sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.ivf_topk(_emb(spark, sf_dir))
 
 
+@query("sim_ann_ivf_kmeans")  # trained quantizer → rows-only check;
+def q_sim_ann_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN with a spark.ml KMeans-trained coarse quantizer
+    (seeded, so reproducible); recall vs the exact top-k asserted in
+    tests/test_ext.py."""
+    emb = _emb(spark, sf_dir)
+    return similarity.ivf_topk(
+        emb, centroids=similarity.ivf_centroids_kmeans(emb)
+    )
+
+
 # -- data profiling --------------------------------------------------------
 
 
@@ -480,6 +502,18 @@ def q_profile_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators import profile
 
     return profile.profile_table(load_table(spark, sf_dir, "orders"))
+
+
+@query("profile_table_approx")  # HLL distincts → rows-only check;
+def q_profile_table_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale-mode profile: approx_count_distinct (no Expand, so no
+    n_cols× row amplification on the scan) — accuracy vs the exact
+    profile asserted in tests/test_ext.py."""
+    from ..operators import profile
+
+    return profile.profile_table(
+        load_table(spark, sf_dir, "orders"), exact=False
+    )
 
 
 # -- embedding feature ops -------------------------------------------------
@@ -700,9 +734,11 @@ cnt AS (SELECT doc_id, bg, COUNT(*) AS c FROM bg GROUP BY 1, 2),
 top AS (SELECT doc_id, MAX(c) AS top_c, SUM(c) AS n_bg FROM cnt GROUP BY 1)
 SELECT b.doc_id,
        CAST(b.n AS BIGINT) AS n_tokens,
-       CAST(b.nd AS DOUBLE) / b.n AS distinct_ratio,
+       CASE WHEN b.n > 0 THEN CAST(b.nd AS DOUBLE) / b.n
+            ELSE 0.0 END AS distinct_ratio,
        COALESCE(CAST(t.top_c AS DOUBLE) / t.n_bg, 0.0) AS top_bigram_frac,
-       (CAST(b.nd AS DOUBLE) / b.n >= {textclean.MIN_DISTINCT_RATIO}
+       (CASE WHEN b.n > 0 THEN CAST(b.nd AS DOUBLE) / b.n
+             ELSE 0.0 END >= {textclean.MIN_DISTINCT_RATIO}
         AND COALESCE(CAST(t.top_c AS DOUBLE) / t.n_bg, 0.0)
             <= {textclean.MAX_TOP_BIGRAM_FRAC}) AS keep
 FROM base b LEFT JOIN top t USING (doc_id)

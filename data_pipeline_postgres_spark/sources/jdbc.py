@@ -92,15 +92,19 @@ def jdbc_write(
 def pg_dsn(jdbc_url: str, properties: dict[str, str] | None = None) -> str:
     """``jdbc:postgresql://host:port/db`` → libpq URI, folding user/
     password properties in (psycopg2 accepts the URI form directly)."""
+    from urllib.parse import quote
+
     if not jdbc_url.startswith("jdbc:"):
         raise ValueError(f"not a JDBC url: {jdbc_url}")
     uri = jdbc_url[len("jdbc:") :]
     props = properties or {}
     creds = ""
     if props.get("user"):
-        creds = props["user"]
+        # Percent-encode: credentials containing '@', ':', '/', '#'
+        # would otherwise produce a malformed libpq URI.
+        creds = quote(props["user"], safe="")
         if props.get("password"):
-            creds += ":" + props["password"]
+            creds += ":" + quote(props["password"], safe="")
         creds += "@"
     scheme, rest = uri.split("://", 1)
     return f"{scheme}://{creds}{rest}"
@@ -116,17 +120,25 @@ def copy_rows(
     """Core of the COPY sink, connection-agnostic so a fake cursor can
     unit-test it: encode ``rows`` (iterable of Row/tuple) as CSV in
     ``chunk_rows`` batches and stream each batch through
-    ``cursor.copy_expert("COPY … FROM STDIN WITH (FORMAT CSV)")`` —
-    the same protocol as the reference's bulk loader (reference:
-    mnt/dags/02datalake_to_datawarehouse.py:136-148). One transaction
+    ``cursor.copy_expert("COPY … FROM STDIN WITH (FORMAT CSV, NULL '\\N')")``
+    — the same protocol as the reference's bulk loader (reference:
+    mnt/dags/02datalake_to_datawarehouse.py:136-148). NULL is the
+    unquoted ``\\N`` marker while every non-null field is force-quoted,
+    so an empty string round-trips as ``""`` instead of silently
+    loading as NULL (Postgres treats an unquoted field matching the
+    null string as NULL, a quoted one as a literal). One transaction
     per partition: all chunks commit together or not at all. Returns
     the row count written."""
-    import csv
     import io
     import itertools
 
+    def enc(v) -> str:
+        if v is None:
+            return "\\N"
+        return '"' + str(v).replace('"', '""') + '"'
+
     collist = ", ".join(columns)
-    sql = f"COPY {table} ({collist}) FROM STDIN WITH (FORMAT CSV)"
+    sql = f"COPY {table} ({collist}) FROM STDIN WITH (FORMAT CSV, NULL '\\N')"
     n = 0
     conn = conn_factory()
     try:
@@ -136,11 +148,9 @@ def copy_rows(
             chunk = list(itertools.islice(it, chunk_rows))
             if not chunk:
                 break
-            buf = io.StringIO()
-            w = csv.writer(buf)
-            for row in chunk:
-                w.writerow(["" if v is None else v for v in row])
-            buf.seek(0)
+            buf = io.StringIO(
+                "".join(",".join(enc(v) for v in row) + "\r\n" for row in chunk)
+            )
             cur.copy_expert(sql, buf)
             n += len(chunk)
         conn.commit()

@@ -141,6 +141,20 @@ class TestSimilarity:
             assert "SinglePartition" not in plan
 
 
+    def test_ivf_assign_is_narrow(self, emb):
+        """Centroid assignment must be a narrow map over the corpus
+        (broadcast centroid array + per-row fold argmax): no
+        hash-partitioned Exchange and no window sort anywhere in the
+        assignment plan."""
+        assign = similarity.ivf_assign(emb, similarity.ivf_centroids(emb))
+        plan = assign._jdf.queryExecution().executedPlan().toString()
+        assert "hashpartitioning" not in plan
+        assert "Window" not in plan
+        # every vector gets exactly one list
+        n = emb.count()
+        assert assign.count() == n
+        assert assign.select("vec_id").distinct().count() == n
+
     def test_lsh_topk_values_subset_of_brute(self, emb):
         brute = {
             r.vec_id: r.cosine for r in similarity.brute_topk(emb, k=500).collect()
@@ -149,6 +163,20 @@ class TestSimilarity:
         assert approx
         for r in approx:
             assert brute[r.vec_id] == r.cosine
+
+    def test_ivf_kmeans_recall(self, emb):
+        """Trained-quantizer IVF: same plan shape, recall vs the exact
+        top-10 at least as demanded of the seed quantizer."""
+        cents = similarity.ivf_centroids_kmeans(emb)
+        assert cents.count() == 8
+        got = similarity.ivf_topk(emb, k=10, centroids=cents)
+        plan = got._jdf.queryExecution().executedPlan().toString()
+        assert "TakeOrderedAndProject" in plan
+        brute = [r.vec_id for r in similarity.brute_topk(emb, k=10).collect()]
+        ivf = [r.vec_id for r in got.collect()]
+        assert len(ivf) == 10
+        assert len(set(brute) & set(ivf)) >= 3
+        assert brute[0] == ivf[0]
 
     def test_ivf_overlaps_brute(self, emb):
         brute = [r.vec_id for r in similarity.brute_topk(emb, k=10).collect()]
@@ -340,6 +368,30 @@ class TestEmbeddingOpsAndProfile:
         )
         assert plan.count("Scan parquet") == 1
 
+    def test_profile_approx_mode(self, spark):
+        """approx mode: same shape, no Expand in the plan (the exact
+        mode's count_distincts amplify the scan n_cols×), distincts
+        within HLL tolerance of exact."""
+        from data_pipeline_postgres_spark.catalog import load_table
+        from data_pipeline_postgres_spark.operators import profile
+        from .conftest import SF_SMOKE
+
+        orders = load_table(spark, SF_SMOKE, "orders")
+        approx = profile.profile_table(orders, exact=False)
+        plan = approx._jdf.queryExecution().executedPlan().toString()
+        assert "Expand" not in plan
+        assert plan.count("Scan parquet") == 1
+        exact = {r.column: r for r in profile.profile_table(orders).collect()}
+        for r in approx.collect():
+            e = exact[r.column]
+            assert (r.n_rows, r.n_nulls, r.min_str, r.max_str) == (
+                e.n_rows, e.n_nulls, e.min_str, e.max_str
+            )
+            # default HLL rsd is 5%
+            assert abs(r.n_distinct - e.n_distinct) <= max(
+                3, 0.1 * e.n_distinct
+            )
+
 
 class TestDedupClusters:
     def test_chain_and_clique(self, spark):
@@ -351,6 +403,31 @@ class TestDedupClusters:
                for r in dedup.dedup_clusters(pairs).collect()}
         assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10,
                        20: 20, 21: 20, 22: 20}
+
+    def test_star_chain_and_clique(self, spark):
+        pairs = spark.createDataFrame(
+            [(1, 2), (2, 3), (3, 4), (10, 11), (20, 21), (21, 22), (20, 22)],
+            "doc_a bigint, doc_b bigint",
+        )
+        got = {r.doc_id: r.cluster_id
+               for r in dedup.dedup_clusters_star(pairs).collect()}
+        assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10,
+                       20: 20, 21: 20, 22: 20}
+
+    def test_star_long_chain_converges(self, spark):
+        """A 200-node chain has diameter 199 — min-label propagation's
+        round budget can't cover it (it must raise, never return a
+        partial answer) while star contraction converges in O(log n)
+        rounds."""
+        n = 200
+        pairs = spark.createDataFrame(
+            [(i, i + 1) for i in range(n)], "doc_a bigint, doc_b bigint"
+        ).coalesce(4)
+        got = {r.doc_id: r.cluster_id
+               for r in dedup.dedup_clusters_star(pairs).collect()}
+        assert got == {i: 0 for i in range(n + 1)}
+        with pytest.raises(RuntimeError, match="did not converge"):
+            dedup.dedup_clusters(pairs, max_iter=5)
 
     def test_matches_union_find_model(self, spark, docs):
         """Operator output equals a plain union-find over the same

@@ -43,15 +43,16 @@ class FakeConn:
 def test_copy_rows_streams_csv_chunks():
     cur = FakeCursor()
     conn = FakeConn(cur)
-    rows = [(1, "a,b", None), (2, 'say "hi"', 3.5), (3, "plain", 0)]
+    rows = [(1, "a,b", None), (2, 'say "hi"', 3.5), (3, "", 0)]
     n = copy_rows(lambda: conn, "wh.t", ["id", "txt", "x"], rows, chunk_rows=2)
     assert n == 3
     assert len(cur.copies) == 2  # 2-row chunk + 1-row chunk
     sql, payload = cur.copies[0]
-    assert sql == "COPY wh.t (id, txt, x) FROM STDIN WITH (FORMAT CSV)"
-    # CSV quoting: embedded comma and quote survive; None → empty field
-    assert payload.splitlines() == ['1,"a,b",', '2,"say ""hi""",3.5']
-    assert cur.copies[1][1].splitlines() == ["3,plain,0"]
+    assert sql == "COPY wh.t (id, txt, x) FROM STDIN WITH (FORMAT CSV, NULL '\\N')"
+    # None → unquoted \N marker; everything else force-quoted so an
+    # empty string survives as "" instead of loading as NULL
+    assert payload.splitlines() == ['"1","a,b",\\N', '"2","say ""hi""","3.5"']
+    assert cur.copies[1][1].splitlines() == ['"3","","0"']
     assert conn.committed and conn.closed and not conn.rolled_back
 
 
@@ -75,6 +76,14 @@ def test_pg_dsn_mapping():
             {"user": "u", "password": "p"},
         )
         == "postgresql://u:p@db:5432/wh"
+    )
+    # credentials with URI metacharacters are percent-encoded
+    assert (
+        pg_dsn(
+            "jdbc:postgresql://db:5432/wh",
+            {"user": "u@corp", "password": "p:a/s#w"},
+        )
+        == "postgresql://u%40corp:p%3Aa%2Fs%23w@db:5432/wh"
     )
     with pytest.raises(ValueError):
         pg_dsn("postgresql://db/wh")

@@ -31,6 +31,22 @@ def test_all_queries_have_impl():
     assert set(registry.ORACLES) <= set(registry.QUERIES)
 
 
+def test_events_load_does_not_leak_session_conf(spark):
+    """The TIMESTAMP(NANOS) events table is read via an explicit
+    schema, never by flipping spark.sql.legacy.parquet.nanosAsLong
+    session-wide (a leaked conf would change how OTHER parquet reads
+    interpret nanos columns)."""
+    from data_pipeline_postgres_spark.catalog import load_table
+
+    df = load_table(spark, SF_SMOKE, "events")
+    assert df.count() > 0
+    assert dict(df.dtypes)["ts"] == "timestamp"
+    # unset ⇒ .get returns the conf's built-in default "false"
+    assert (
+        spark.conf.get("spark.sql.legacy.parquet.nanosAsLong") == "false"
+    )
+
+
 def test_rows_only_queries_run(spark):
     """Queries without an oracle must still run and return a schema."""
     for name, fn in registry.QUERIES.items():
