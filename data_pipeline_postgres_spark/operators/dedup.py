@@ -76,6 +76,12 @@ def incremental_dedup(new: DataFrame, corpus: DataFrame) -> DataFrame:
     With AQE runtime filters on, the new batch's hashes additionally
     bloom-prune the corpus scan — the common case (tiny delta vs huge
     corpus) reads a fraction of the corpus hash index.
+
+    NULL-text docs hash to NULL: they group together WITHIN the batch
+    but are never suppressed by corpus nulls (equality of missing
+    content is unknowable); the SQL oracle mirrors this with NOT
+    EXISTS, whose null equality matches the anti-join's. Property
+    tested in tests/test_dedup_properties.py.
     """
     fresh = _content_hash(new).join(
         _content_hash(corpus).select("text_hash"), "text_hash", "left_anti"

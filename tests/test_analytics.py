@@ -226,6 +226,46 @@ class TestTpchShapes:
         assert "NestedLoop" not in plan
         assert "CartesianProduct" not in plan
 
+    def test_q6_all_predicates_pushed(self, spark):
+        plan = _plan(
+            registry.QUERIES["tpch_q6_forecast_revenue"](spark, SF_SMOKE)
+        )
+        pushed = plan.split("PushedFilters:", 1)[1].splitlines()[0]
+        for col in ("l_shipdate", "l_discount", "l_quantity"):
+            assert col in pushed
+        # only the grouped partial crosses the wire
+        assert plan.index("partial_sum") > plan.rindex("Exchange")
+
+    def test_q4_exists_is_semi_join(self, spark):
+        plan = _plan(
+            registry.QUERIES["tpch_q4_order_priority"](spark, SF_SMOKE)
+        )
+        assert "LeftSemi" in plan
+        assert "CartesianProduct" not in plan
+
+    def test_q18_having_is_semi_join_no_sort(self, spark):
+        plan = _plan(
+            registry.QUERIES["tpch_q18_large_orders"](spark, SF_SMOKE)
+        )
+        assert "LeftSemi" in plan
+        assert "TakeOrderedAndProject" in plan
+        assert "Exchange rangepartitioning" not in plan
+
+    def test_q10_topn_and_broadcast_nation(self, spark):
+        plan = _plan(
+            registry.QUERIES["tpch_q10_returned_items"](spark, SF_SMOKE)
+        )
+        assert "TakeOrderedAndProject" in plan
+        assert "BroadcastHashJoin" in plan
+
+    def test_q22_anti_join_and_scalar_broadcast(self, spark):
+        plan = _plan(
+            registry.QUERIES["tpch_q22_sales_opportunity"](spark, SF_SMOKE)
+        )
+        assert "LeftAnti" in plan
+        # the avg-balance scalar rides a broadcast, not a shuffle
+        assert "BroadcastNestedLoopJoin" in plan
+
     def test_bloom_runtime_filter_injected(self, spark):
         """With size thresholds lowered, the optimizer must build a
         bloom over the selective orders side and inject

@@ -1,0 +1,73 @@
+"""Property-based tests (hypothesis) for incremental dedup: for ANY
+split of a corpus into (already-ingested, new batch) — including docs
+with NULL text, whose content hash is NULL — the incremental result
+must be exactly the full-corpus dedup survivors whose content is new
+to the batch. Exercises the null-semantics seam between the anti-join
+and the NOT EXISTS oracle (ADVICE r2)."""
+
+from __future__ import annotations
+
+import hashlib
+
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from data_pipeline_postgres_spark.operators import dedup
+
+# tiny text alphabet so hash collisions across docs are common
+TEXTS = st.one_of(st.none(), st.sampled_from(["a", "b", " a ", "A", "c d"]))
+DOCS = st.lists(TEXTS, min_size=0, max_size=12)
+SPLIT = st.integers(min_value=0, max_value=12)
+
+
+def _df(spark, rows, id0=0):
+    return spark.createDataFrame(
+        [(id0 + i, t, "s") for i, t in enumerate(rows)],
+        "doc_id bigint, text string, source string",
+    )
+
+
+def _norm_hash(t):
+    if t is None:
+        return None
+    return hashlib.sha256(t.strip().lower().encode()).hexdigest()
+
+
+@pytest.mark.usefixtures("spark")
+@settings(
+    max_examples=20,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(docs=DOCS, split=SPLIT)
+def test_incremental_equals_full_minus_corpus(spark, docs, split):
+    split = min(split, len(docs))
+    corpus_rows, batch_rows = docs[:split], docs[split:]
+    corpus = _df(spark, corpus_rows, id0=0)
+    batch = _df(spark, batch_rows, id0=1000)
+
+    got = sorted(
+        (r.doc_id, r.text_hash)
+        for r in dedup.incremental_dedup(batch, corpus).collect()
+    )
+
+    # model: group batch docs by normalized hash; keep min doc_id of
+    # every hash group not present anywhere in the corpus. NULL-text
+    # docs carry a NULL hash: they group TOGETHER within the batch
+    # (GROUP BY treats nulls equal) but are never suppressed by corpus
+    # nulls (equality of missing content is unknowable — both the
+    # anti-join and the NOT EXISTS oracle agree on this).
+    corpus_hashes = {
+        h for h in (_norm_hash(t) for t in corpus_rows) if h is not None
+    }
+    groups = {}
+    for i, t in enumerate(batch_rows):
+        h = _norm_hash(t)
+        if h not in corpus_hashes:
+            groups.setdefault(h, 1000 + i)
+    want = sorted(
+        ((doc_id, h) for h, doc_id in groups.items()),
+        key=lambda x: (x[0], x[1] or ""),
+    )
+    assert got == want

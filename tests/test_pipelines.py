@@ -82,6 +82,37 @@ def test_incremental_under_static_mode_session(spark):
     assert {t[0].isoformat() for t in got} == set(days)
 
 
+def test_out_of_order_day_replay(spark):
+    """Replaying days in arbitrary order — including re-running a
+    middle day after later days landed — must converge to the same
+    warehouse as the in-order run (per-day dynamic partition overwrite
+    means day N's rerun can never clobber day M)."""
+    work = WORK + "_ooo"
+    if os.path.exists(work):
+        shutil.rmtree(work)
+    days = ["2024-01-10", "2024-01-11", "2024-01-12", "2024-01-13"]
+    shuffled = ["2024-01-12", "2024-01-10", "2024-01-13", "2024-01-11"]
+    try:
+        pipelines.run_incremental(spark, SF_SMOKE, work, shuffled)
+        # late replay of a middle day after its successors are in
+        pipelines.extract_day(spark, SF_SMOKE, work, "2024-01-11")
+        pipelines.transform_day(spark, work, "2024-01-11")
+        got = sorted(
+            map(tuple, pipelines.load_warehouse(spark, work).collect())
+        )
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+    want = sorted(
+        map(
+            tuple,
+            flagship(spark, SF_SMOKE)
+            .filter(F.col("date").cast("string").isin(days))
+            .collect(),
+        )
+    )
+    assert got == want
+
+
 def test_streaming_transform_equals_batch(spark, warehouse):
     ckpt = os.path.join(WORK, "ckpt")
     if os.path.exists(ckpt):
