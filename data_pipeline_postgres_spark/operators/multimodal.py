@@ -89,6 +89,46 @@ def fake_decode_batch(pdf: "pd.DataFrame") -> "pd.DataFrame":
     )
 
 
+def frame_sample(docs: DataFrame, every: int = 4) -> DataFrame:
+    """Frame-sampling plan for video-ish payloads: every ``every``-th
+    frame's (index, byte offset, length) per doc — the addressing a
+    decoder worker needs to fetch ONLY the sampled frames instead of
+    whole payloads (at 100 TB the ranged reads are the point; full
+    payloads never move).
+
+    Frame count/geometry derive deterministically from payload length
+    (mirroring ``fake_decode_batch``'s stub contract: n_frames =
+    1 + n_bytes % 16, fixed-size frames); the sampling itself is pure
+    JVM-side arithmetic — sequence + explode, no Python hop, fully
+    oracle-checkable: (doc_id, frame_idx, byte_offset, frame_bytes).
+    """
+    meta = attach_payload(docs).select(
+        "doc_id", F.col("meta.n_bytes").alias("n_bytes")
+    )
+    geo = meta.select(
+        "doc_id",
+        "n_bytes",
+        (F.lit(1) + F.col("n_bytes") % 16).cast("int").alias("n_frames"),
+    ).withColumn(
+        "frame_bytes",
+        F.floor(F.col("n_bytes") / F.col("n_frames")).cast("bigint"),
+    )
+    return geo.select(
+        "doc_id",
+        F.explode(
+            F.sequence(
+                F.lit(0), F.col("n_frames") - 1, F.lit(every)
+            )
+        ).alias("frame_idx"),
+        "frame_bytes",
+    ).select(
+        "doc_id",
+        F.col("frame_idx").cast("bigint").alias("frame_idx"),
+        (F.col("frame_idx") * F.col("frame_bytes")).alias("byte_offset"),
+        "frame_bytes",
+    )
+
+
 def decode_payloads(docs: DataFrame) -> DataFrame:
     """Decode/feature-extract pass over payload batches via
     ``mapInPandas`` (Arrow-batched — the only sanctioned Python hop):

@@ -29,7 +29,7 @@ Three tiers, from correctness baseline to 100 TB scale path:
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..functions import vectors as V
@@ -79,6 +79,60 @@ def brute_topk(emb: DataFrame, k: int = 10, round_digits: int = 6) -> DataFrame:
         scored.orderBy(F.desc("cosine"), F.asc("vec_id"))
         .limit(k)
         .select("vec_id", "cosine")
+    )
+
+
+def batch_topk(
+    emb: DataFrame, k: int = 10, nq: int = 4, round_digits: int = 6
+) -> DataFrame:
+    """Multi-query exact retrieval: the ``nq`` smallest-vec_id vectors
+    each fetch their cosine top-k over the corpus → (qid, vec_id,
+    cosine) — the realistic batch-retrieval shape (one query vector at
+    a time wastes the corpus scan).
+
+    ONE corpus pass: the query set rides in as a broadcast array of
+    (qid, qn, qv) structs with norms precomputed; each corpus row
+    computes its own norm once, explodes to nq scored rows, and the
+    per-query top-k is a rank-limited window — Spark's
+    WindowGroupLimit rewrites it to a per-partition k-heap BEFORE the
+    qid exchange (plan-asserted), so the shuffle carries ≤ k·nq rows
+    per partition, never the scored corpus."""
+    vs = _vecs(emb)
+    qarr = (
+        vs.orderBy("vec_id")
+        .limit(nq)
+        .select(
+            F.struct(
+                F.col("vec_id").alias("qid"),
+                V.norm(F.col("v")).alias("qn"),
+                F.col("v").alias("qv"),
+            ).alias("s")
+        )
+        .agg(F.array_sort(F.collect_list("s")).alias("qs"))
+    )
+    scored = (
+        vs.crossJoin(F.broadcast(qarr))
+        .select(
+            "vec_id",
+            "v",
+            V.norm(F.col("v")).alias("vn"),
+            F.explode("qs").alias("q"),
+        )
+        .select(
+            F.col("q.qid").alias("qid"),
+            "vec_id",
+            F.round(
+                V.dot(F.col("v"), F.col("q.qv"))
+                / (F.col("vn") * F.col("q.qn")),
+                round_digits,
+            ).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("cosine"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select("qid", "vec_id", "cosine")
     )
 
 

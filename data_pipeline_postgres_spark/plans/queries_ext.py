@@ -391,6 +391,30 @@ def q_sim_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.brute_topk(_emb(spark, sf_dir))
 
 
+_TOPK_BATCH_ORACLE = f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+q AS (SELECT vec_id AS qid, v AS qv FROM e ORDER BY vec_id LIMIT 4)
+SELECT qid, vec_id, cosine FROM (
+    SELECT q.qid, e.vec_id,
+           round({_duck_cos('e.v', 'q.qv')}, 6) AS cosine,
+           row_number() OVER (
+               PARTITION BY q.qid
+               ORDER BY round({_duck_cos('e.v', 'q.qv')}, 6) DESC, e.vec_id
+           ) AS rn
+    FROM e, q
+) WHERE rn <= 10
+"""
+
+
+@query("sim_topk_batch", _TOPK_BATCH_ORACLE)
+def q_sim_topk_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch retrieval: exact cosine top-10 for each of the 4
+    smallest-vec_id query vectors in ONE corpus pass (broadcast query
+    array + rank-limited window → WindowGroupLimit per-partition
+    heaps)."""
+    return similarity.batch_topk(_emb(spark, sf_dir))
+
+
 @query("sim_topk_lsh")  # approximate → rows-only check; recall vs
 def q_sim_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ANN top-10 via sign-LSH bucket probe + exact rerank (recall
@@ -769,6 +793,34 @@ def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     return multimodal.payload_meta(_docs(spark, sf_dir))
 
 
+@query(
+    "multimodal_framesample",
+    """
+WITH geo AS (
+    SELECT doc_id,
+           octet_length(encode(text)) AS n_bytes,
+           1 + octet_length(encode(text)) % 16 AS n_frames
+    FROM documents
+),
+g2 AS (
+    SELECT doc_id, n_frames,
+           CAST(floor(n_bytes / n_frames) AS BIGINT) AS frame_bytes
+    FROM geo
+)
+SELECT doc_id,
+       CAST(f.i AS BIGINT) AS frame_idx,
+       CAST(f.i AS BIGINT) * frame_bytes AS byte_offset,
+       frame_bytes
+FROM g2, unnest(range(0, n_frames, 4)) AS f(i)
+""",
+)
+def q_multimodal_framesample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Every-4th-frame sampling addresses (index/offset/length) per
+    payload — pure JVM arithmetic over metadata, the ranged-read plan
+    a decoder fleet consumes."""
+    return multimodal.frame_sample(_docs(spark, sf_dir))
+
+
 @query("multimodal_decode")  # stubbed decode → rows-only check
 def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Arrow-batched mapInPandas decode pass (decode itself is a
@@ -808,6 +860,39 @@ def q_stream_tumbling_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
     bounded state (windows emitted once when the watermark passes,
     then dropped); compacted sink equals the batch oracle."""
     return stream_jobs.tumbling_daily_watermark(spark, sf_dir)
+
+
+@query(
+    "stream_session_1h",
+    """
+WITH ordered AS (
+    SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, value,
+           CASE WHEN CAST(ts AS TIMESTAMP)
+                     - lag(CAST(ts AS TIMESTAMP)) OVER w
+                     >= INTERVAL '1 hour'
+                OR lag(CAST(ts AS TIMESTAMP)) OVER w IS NULL
+                THEN 1 ELSE 0 END AS new_session
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id)
+),
+sessions AS (
+    SELECT user_id, ts, value,
+           SUM(new_session) OVER (
+               PARTITION BY user_id ORDER BY ts
+               ROWS UNBOUNDED PRECEDING) AS session_id
+    FROM ordered
+)
+SELECT user_id, MIN(ts) AS session_start,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+FROM sessions GROUP BY user_id, session_id
+""",
+)
+def q_stream_session_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming session windows (1 h gap, merging state, append mode
+    + watermark) — must equal the batch gaps-and-islands oracle, the
+    same one window_session_1h checks against."""
+    return stream_jobs.session_1h_watermark(spark, sf_dir)
 
 
 @query(

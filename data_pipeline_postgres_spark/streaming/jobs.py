@@ -44,10 +44,10 @@ from ..operators.aggregate import exact_sum
 if TYPE_CHECKING:
     import pandas as pd
 
-# events.parquet stores ts as TIMESTAMP(NANOS); the streaming reader
-# gets it as long via the same legacy conf the batch loader uses
-# (catalog.load_table), then floor-converts to micros — identical
-# values to what DuckDB sees.
+# events.parquet stores ts as TIMESTAMP(NANOS); declaring the column
+# as long in an explicit schema reads the raw nanos without any
+# session conf (same trick as catalog.load_table), then a
+# floor-conversion to micros yields identical values to DuckDB's.
 EVENTS_STREAM_SCHEMA = T.StructType(
     [
         T.StructField("event_id", T.LongType()),
@@ -70,32 +70,6 @@ def _scratch(name: str) -> str:
         shutil.rmtree(path)
     os.makedirs(path, exist_ok=True)
     return path
-
-
-class _nanos_as_long:
-    """Scope ``spark.sql.legacy.parquet.nanosAsLong`` to one streaming
-    run: events.parquet stores TIMESTAMP(NANOS), which the reader only
-    accepts as long under this conf. A streaming job plans/executes
-    every micro-batch inside ``awaitTermination``, so the conf can be
-    restored afterwards without breaking lazy execution (unlike the
-    batch loader — see catalog.load_table)."""
-
-    def __init__(self, spark: SparkSession):
-        self.spark = spark
-
-    def __enter__(self) -> None:
-        self.prev = self.spark.conf.get(
-            "spark.sql.legacy.parquet.nanosAsLong", None
-        )
-        self.spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-
-    def __exit__(self, *exc: object) -> None:
-        if self.prev is None:
-            self.spark.conf.unset("spark.sql.legacy.parquet.nanosAsLong")
-        else:
-            self.spark.conf.set(
-                "spark.sql.legacy.parquet.nanosAsLong", self.prev
-            )
 
 
 class _shuffle_partitions:
@@ -160,7 +134,7 @@ def tumbling_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n_events"), exact_sum("value", "sum_value"))
         .select(F.col("w.start").cast("date").alias("day"), "n_events", "sum_value")
     )
-    with _nanos_as_long(spark), _shuffle_partitions(spark, 8):
+    with _shuffle_partitions(spark, 8):
         q = (
             agg.writeStream.format("memory")
             .queryName("stream_tumbling_daily")
@@ -240,7 +214,7 @@ def tumbling_daily_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     sink = _scratch("wm_sink")
-    with _nanos_as_long(spark), _shuffle_partitions(spark, 8):
+    with _shuffle_partitions(spark, 8):
         q = (
             agg.writeStream.format("parquet")
             .option("path", sink)
@@ -253,6 +227,49 @@ def tumbling_daily_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(sink).filter(
         F.col("day") < F.lit(SENTINEL_DAY).cast("date")
     )
+
+
+def session_1h_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked APPEND-mode session windows (1 h inactivity gap,
+    keyed by user): the streaming form of ``window_session_1h``.
+    Unlike fixed windows, session state MERGES — a late event can
+    bridge two open sessions — so the store keeps per-key open
+    sessions and emits a session only once the watermark passes its
+    close (start of a gap > 1 h); state is bounded by open sessions,
+    not stream lifetime. The sentinel file pushes the watermark past
+    every real session for the bounded AvailableNow drain; its own
+    session is filtered out of the sink. Result ≡ the batch
+    gaps-and-islands oracle."""
+    src_dir = _wm_source_dir(spark, sf_dir)
+    raw = (
+        spark.readStream.schema(EVENTS_STREAM_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src_dir)
+    )
+    ev = raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    agg = (
+        ev.withWatermark("ts", "0 seconds")
+        .groupBy("user_id", F.session_window("ts", "1 hour").alias("w"))
+        .agg(F.count("*").alias("n_events"), exact_sum("value", "sum_value"))
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            "n_events",
+            "sum_value",
+        )
+    )
+    sink = _scratch("session_sink")
+    with _shuffle_partitions(spark, 8):
+        q = (
+            agg.writeStream.format("parquet")
+            .option("path", sink)
+            .outputMode("append")
+            .option("checkpointLocation", _scratch("session_ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    return spark.read.parquet(sink).filter(F.col("user_id") >= 0)
 
 
 CDC_OUTPUT_SCHEMA = T.StructType(
@@ -332,7 +349,7 @@ def cdc_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
     def sink(batch_df: DataFrame, batch_id: int) -> None:
         batch_df.write.mode("append").parquet(spool)
 
-    with _nanos_as_long(spark), _shuffle_partitions(spark, 8):
+    with _shuffle_partitions(spark, 8):
         q = (
             latest.writeStream.foreachBatch(sink)
             .outputMode("update")
@@ -376,7 +393,7 @@ def static_join_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("c_nationkey")
         .agg(F.count("*").alias("n_events"), exact_sum("value", "sum_value"))
     )
-    with _nanos_as_long(spark), _shuffle_partitions(spark, 8):
+    with _shuffle_partitions(spark, 8):
         q = (
             agg.writeStream.format("memory")
             .queryName("stream_static_join")
@@ -406,7 +423,7 @@ def stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     def sink(batch_df: DataFrame, batch_id: int) -> None:
         batch_df.write.mode("append").parquet(spool)
 
-    with _nanos_as_long(spark), _shuffle_partitions(spark, 8):
+    with _shuffle_partitions(spark, 8):
         q = (
             keys.writeStream.foreachBatch(sink)
             .outputMode("update")
@@ -436,7 +453,7 @@ def sliding_3d1d(spark: SparkSession, sf_dir: str) -> DataFrame:
             "sum_value",
         )
     )
-    with _nanos_as_long(spark), _shuffle_partitions(spark, 8):
+    with _shuffle_partitions(spark, 8):
         q = (
             agg.writeStream.format("memory")
             .queryName("stream_sliding_3d1d")

@@ -141,6 +141,21 @@ class TestSimilarity:
             assert "SinglePartition" not in plan
 
 
+    def test_batch_topk_uses_window_group_limit(self, emb):
+        """Per-query top-k must be rank-limit-pushed (per-partition
+        k-heaps BEFORE the qid exchange), and never a single-partition
+        global sort."""
+        df = similarity.batch_topk(emb)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "WindowGroupLimit" in plan
+        assert "SinglePartition" not in plan
+        rows = df.collect()
+        assert len(rows) == 40  # 4 queries × top-10
+        # every query finds itself at cosine 1.0 first
+        for r in rows:
+            if r.qid == r.vec_id:
+                assert r.cosine == pytest.approx(1.0)
+
     def test_ivf_assign_is_narrow(self, emb):
         """Centroid assignment must be a narrow map over the corpus
         (broadcast centroid array + per-row fold argmax): no
