@@ -33,6 +33,35 @@ def unit_normalize(emb: DataFrame, head: int = 8) -> DataFrame:
     )
 
 
+def int8_quantize(emb: DataFrame) -> DataFrame:
+    """Symmetric int8 quantization per vector — the storage/transport
+    compression an embedding lake runs before ANN indexing (4× smaller
+    than float32, 8× than float64): (vec_id, scale, q array<int>),
+    component q_i = round_half_up(x_i / scale), scale = max|x| / 127
+    (1.0 for the all-zero vector so q stays all-zero instead of NaN).
+
+    Shape note: the per-component lambda must NOT embed the scale
+    expression (HOF lambdas re-evaluate embedded subtrees per
+    element — see functions/text.py:word_shingles). ``array_repeat``
+    evaluates scale ONCE per row, then ``zip_with`` walks two
+    materialized arrays with an element-only lambda. Rounding is
+    floor(x+0.5) — engines disagree on round()'s double ties, never on
+    floor.
+    """
+    v = V.as_double(F.col("embedding"))
+    maxabs = F.array_max(F.transform(v, lambda x: F.abs(x)))
+    scale = F.when(maxabs > 0, maxabs / F.lit(127.0)).otherwise(F.lit(1.0))
+    base = emb.select(
+        "vec_id", v.alias("v"), scale.alias("scale")
+    ).withColumn("scales", F.array_repeat(F.col("scale"), F.size(F.col("v"))))
+    q = F.zip_with(
+        F.col("v"),
+        F.col("scales"),
+        lambda x, s: F.floor(x / s + F.lit(0.5)).cast("int"),
+    )
+    return base.select("vec_id", "scale", q.alias("q"))
+
+
 def centroid_per_label(emb: DataFrame) -> DataFrame:
     """Element-wise mean embedding per label:
     (label, pos, centroid, n_vecs).

@@ -1,0 +1,70 @@
+"""Sequence packing for training-data preparation (SURVEY.md §2.11
+[EXT]): lay the token stream of a document corpus out into fixed-size
+context windows (concatenate-and-chunk packing — every trainer's input
+layout) WITHOUT a global single-partition sort.
+
+The layout is fully determined by an exact global running token count
+in doc_id order. A naive ``Window.orderBy("doc_id")`` computes it in
+ONE partition — the classic scale-killer. Instead the distributed
+prefix-sum idiom:
+
+1. range-bucket the corpus by doc_id (bucket order == id order);
+2. per-bucket running totals — a window PARTITIONED by bucket, so
+   every partition sorts only its slice;
+3. aggregate one total per bucket (tiny relation ≈ n_docs /
+   bucket_width rows), exclusive-prefix-sum THAT with a global window
+   over the tiny relation only, and broadcast-join the offsets back.
+
+cum_before(doc) = bucket_offset + within_bucket_cumsum − n_tokens is
+exact, and each doc's placement follows arithmetically:
+seq_id = cum_before div L, seq_offset = cum_before mod L. Documents
+straddle window boundaries by design (the packed stream is
+contiguous); a reader slices [seq_offset, …] from seq_id onward.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions import text as TX
+
+
+def pack_sequences(
+    docs: DataFrame, context_len: int = 512, bucket_width: int = 1000
+) -> DataFrame:
+    """(doc_id, n_tokens, seq_id, seq_offset): each doc's position in
+    the packed fixed-``context_len`` window stream, doc_id order."""
+    toks = docs.select(
+        "doc_id",
+        F.coalesce(
+            TX.ws_token_count("text").cast("bigint"), F.lit(0)
+        ).alias("n_tokens"),
+    )
+    b = toks.withColumn("bucket", F.expr(f"doc_id div {bucket_width}"))
+    w_in = (
+        Window.partitionBy("bucket")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    within = b.withColumn("cum_in", F.sum("n_tokens").over(w_in))
+    # tiny per-bucket totals; the global window here runs over
+    # ~n_docs/bucket_width rows, never the corpus
+    totals = b.groupBy("bucket").agg(F.sum("n_tokens").alias("btot"))
+    w_b = Window.orderBy("bucket").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    offsets = totals.select(
+        "bucket",
+        F.coalesce(F.sum("btot").over(w_b), F.lit(0)).alias("boff"),
+    )
+    cum_before = F.col("boff") + F.col("cum_in") - F.col("n_tokens")
+    return (
+        within.join(F.broadcast(offsets), "bucket")
+        .select(
+            "doc_id",
+            "n_tokens",
+            (cum_before / context_len).cast("bigint").alias("seq_id"),
+            (cum_before % context_len).alias("seq_offset"),
+        )
+    )

@@ -21,7 +21,14 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..catalog import load_table
-from ..operators import dedup, multimodal, similarity, textclean, textstats
+from ..operators import (
+    dedup,
+    multimodal,
+    sampling,
+    similarity,
+    textclean,
+    textstats,
+)
 from ..streaming import jobs as stream_jobs
 from .registry import query
 
@@ -590,6 +597,138 @@ def q_emb_centroid_per_label(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators import embeddings
 
     return embeddings.centroid_per_label(_emb(spark, sf_dir))
+
+
+@query(
+    "emb_quantize",
+    """
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+s AS (
+    SELECT vec_id, v,
+           CASE WHEN m > 0 THEN m / 127.0 ELSE 1.0 END AS scale
+    FROM (
+        SELECT vec_id, v,
+               list_max(list_transform(v, x -> abs(x))) AS m
+        FROM e
+    )
+)
+SELECT vec_id, scale,
+       list_transform(v, x -> CAST(floor(x / scale + 0.5) AS INT)) AS q
+FROM s
+""",
+)
+def q_emb_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric int8 quantization per vector (scale = max|x|/127,
+    round-half-up components) — the embedding-lake storage compressor."""
+    from ..operators import embeddings
+
+    return embeddings.int8_quantize(_emb(spark, sf_dir))
+
+
+# -- curation composite ----------------------------------------------------
+
+
+@query(
+    "docs_curation_pipeline",
+    rf"""
+WITH t AS (
+    SELECT doc_id, text,
+           regexp_split_to_array(trim(text), '\s+') AS w,
+           length(trim(text)) AS charlen
+    FROM documents
+),
+m AS (
+    SELECT doc_id,
+           len(w) AS n,
+           CAST(charlen - (len(w) - 1) AS DOUBLE) / len(w) AS mean_token_len,
+           CAST(len(list_filter(w,
+                tok -> tok IN ('the','a','and','of','to','in'))) AS DOUBLE)
+               / len(w) AS stopword_ratio
+    FROM t
+),
+q AS (
+    SELECT doc_id, CAST(n AS BIGINT) AS n_tokens FROM m
+    WHERE n >= 10 AND mean_token_len >= 2.0 AND mean_token_len <= 12.0
+      AND stopword_ratio >= 0.01
+),
+surv AS (
+    SELECT MIN(doc_id) AS doc_id FROM documents
+    GROUP BY sha256(lower(trim(text)))
+),
+samp AS (
+    SELECT doc_id, lang FROM documents
+    WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 1000
+          < CASE WHEN lang = 'en' THEN {_SAMPLE_RATES['en']}
+                 WHEN lang = 'zh' THEN {_SAMPLE_RATES['zh']}
+                 ELSE {_SAMPLE_DEFAULT} END
+)
+SELECT d.doc_id, samp.lang, q.n_tokens
+FROM documents d
+JOIN q ON q.doc_id = d.doc_id
+JOIN surv ON surv.doc_id = d.doc_id
+JOIN samp ON samp.doc_id = d.doc_id
+""",
+)
+def q_docs_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end curation composite — quality gate ∧ exact-dedup
+    survivor ∧ stratified-sample gate, composed from the SAME operators
+    registered individually (the realistic pre-training data path:
+    filter → dedup → rebalance in one DAG). Every join is keyed by
+    doc_id, so the composition costs one co-partitioned shuffle chain,
+    and the map-side gates (quality, sample) prune before the dedup
+    exchange."""
+    docs = _docs(spark, sf_dir)
+    quality = (
+        textstats.quality_scores(docs)
+        .filter(F.col("is_quality"))
+        .select("doc_id", "n_tokens")
+    )
+    survivors = dedup.exact_dedup(docs).select("doc_id")
+    sample = sampling.stratified_sample(
+        docs, _SAMPLE_RATES, _SAMPLE_DEFAULT
+    ).select("doc_id", "lang")
+    return (
+        docs.select("doc_id")
+        .join(sample, "doc_id")
+        .join(quality, "doc_id")
+        .join(survivors, "doc_id", "left_semi")
+        .select("doc_id", "lang", "n_tokens")
+    )
+
+
+# -- packing ---------------------------------------------------------------
+
+
+@query(
+    "docs_pack_sequences",
+    r"""
+WITH t AS (
+    SELECT doc_id,
+           COALESCE(CAST(len(regexp_split_to_array(trim(text), '\s+'))
+                    AS BIGINT), 0) AS n_tokens
+    FROM documents
+),
+c AS (
+    SELECT doc_id, n_tokens,
+           SUM(n_tokens) OVER (ORDER BY doc_id
+               ROWS UNBOUNDED PRECEDING) - n_tokens AS cum_before
+    FROM t
+)
+SELECT doc_id, n_tokens,
+       cum_before // 512 AS seq_id,
+       cum_before % 512 AS seq_offset
+FROM c
+""",
+)
+def q_docs_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concatenate-and-chunk sequence packing: each doc's (seq_id,
+    seq_offset) in the fixed-512-token training window stream, via the
+    distributed prefix-sum idiom (bucketed running totals + tiny
+    prefix-summed bucket offsets — never a global single-partition
+    sort)."""
+    from ..operators import packing
+
+    return packing.pack_sequences(_docs(spark, sf_dir))
 
 
 # -- text analysis ---------------------------------------------------------

@@ -408,6 +408,33 @@ class TestEmbeddingOpsAndProfile:
             )
 
 
+class TestPacking:
+    def test_pack_layout_model(self, spark):
+        """Packed layout equals the plain running-total model, and the
+        corpus-wide window is bucket-partitioned (the only global
+        window runs over the tiny bucket-totals relation)."""
+        from data_pipeline_postgres_spark.operators import packing
+
+        rows = [(i, " ".join(["w"] * (3 + i % 5))) for i in range(50)]
+        docs = spark.createDataFrame(rows, "doc_id bigint, text string")
+        got = {
+            r.doc_id: (r.n_tokens, r.seq_id, r.seq_offset)
+            for r in packing.pack_sequences(
+                docs, context_len=16, bucket_width=8
+            ).collect()
+        }
+        cum = 0
+        for i, t in rows:
+            n = len(t.split())
+            assert got[i] == (n, cum // 16, cum % 16)
+            cum += n
+        plan = (
+            packing.pack_sequences(docs, bucket_width=8)
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        assert "windowspecdefinition(bucket" in plan
+
+
 class TestDedupClusters:
     def test_chain_and_clique(self, spark):
         pairs = spark.createDataFrame(
