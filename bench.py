@@ -56,11 +56,17 @@ EXT_HEADLINE = [
     "dedup_embedding_cosine",
     "sim_topk",
     "sim_ann_ivf",
+    "sim_topk_batch",
     "text_stats",
     "token_count",
     "text_quality",
     "stream_tumbling_daily",
     "stream_cdc_latest",
+    "tpch_q6_forecast_revenue",
+    "tpch_q10_returned_items",
+    "tpch_q18_large_orders",
+    "docs_curation_pipeline",
+    "docs_pack_sequences",
 ]
 
 

@@ -1162,3 +1162,78 @@ def q_join_range_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
             exact_sum("value", "sum_value"),
         )
     )
+
+
+@query(
+    "bucket_global_quantile",
+    """
+WITH c AS (
+    SELECT quantile_cont(o_totalprice, 0.25) AS q1,
+           quantile_cont(o_totalprice, 0.50) AS q2,
+           quantile_cont(o_totalprice, 0.75) AS q3
+    FROM orders
+)
+SELECT o_orderkey,
+       CASE WHEN o_totalprice < q1 THEN 1
+            WHEN o_totalprice < q2 THEN 2
+            WHEN o_totalprice < q3 THEN 3
+            ELSE 4 END AS price_quartile
+FROM orders, c
+""",
+)
+def q_bucket_global_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GLOBAL quantile bucketing without a global sort (the
+    scale-correct alternative to an unpartitioned NTILE, which funnels
+    the table through ONE partition): compute the three quartile
+    cutoffs as a broadcast 1-row scalar, then bucket with a narrow
+    CASE over the scan. Spark's exact `percentile` matches DuckDB's
+    `quantile_cont` bit-for-bit (same interpolation); at 100 TB swap
+    in `approx_percentile` — same plan shape, sketch-sized state."""
+    o = _t(spark, sf_dir, "orders")
+    cuts = o.agg(
+        F.percentile("o_totalprice", 0.25).alias("q1"),
+        F.percentile("o_totalprice", 0.50).alias("q2"),
+        F.percentile("o_totalprice", 0.75).alias("q3"),
+    )
+    return o.crossJoin(F.broadcast(cuts)).select(
+        "o_orderkey",
+        F.when(F.col("o_totalprice") < F.col("q1"), 1)
+        .when(F.col("o_totalprice") < F.col("q2"), 2)
+        .when(F.col("o_totalprice") < F.col("q3"), 3)
+        .otherwise(4)
+        .alias("price_quartile"),
+    )
+
+
+@query(
+    "profile_heavy_hitters",
+    """
+WITH tot AS (SELECT COUNT(*) AS n FROM events)
+SELECT user_id,
+       COUNT(*) AS n_events,
+       CAST(COUNT(*) AS DOUBLE) / MAX(n) AS share
+FROM events, tot
+GROUP BY user_id
+ORDER BY n_events DESC, user_id
+LIMIT 20
+""",
+)
+def q_profile_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew diagnostic: the 20 heaviest keys and their share of the
+    table — what you run BEFORE choosing a salting factor for a skewed
+    join. One map-side-combined groupBy + TakeOrderedAndProject; the
+    total is a broadcast scalar, so no second full scan shuffles."""
+    ev = _t(spark, sf_dir, "events")
+    tot = ev.agg(F.count("*").alias("n"))
+    return (
+        ev.groupBy("user_id")
+        .agg(F.count("*").alias("n_events"))
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "user_id",
+            "n_events",
+            (F.col("n_events").cast("double") / F.col("n")).alias("share"),
+        )
+        .orderBy(F.desc("n_events"), "user_id")
+        .limit(20)
+    )
