@@ -300,9 +300,14 @@ def minhash_dedup(
     admitted (a semi-join), i.e. verification cost tracks the
     candidate volume, never corpus².
     """
+    # The candidate list feeds TWO downstream branches (the admitted-doc
+    # semi-join and the intersection join); without a cut, each branch
+    # re-runs the whole shingle→signature→bucket-join pipeline. The
+    # pair list is tiny by construction (what the bands admitted), so
+    # materializing it is the standard cut: signatures compute ONCE.
     cands = minhash_candidates(
         minhash_bands(doc_shingles(docs, n, distinct=False), bands, rows)
-    )
+    ).localCheckpoint()
     cand_ids = (
         cands.select(F.col("doc_a").alias("doc_id"))
         .unionByName(cands.select(F.col("doc_b").alias("doc_id")))

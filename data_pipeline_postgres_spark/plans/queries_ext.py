@@ -1002,6 +1002,25 @@ def q_stream_tumbling_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "stream_stream_funnel",
+    """
+SELECT a.user_id, a.event_id AS click_id, b.event_id AS purchase_id
+FROM events a
+JOIN events b
+  ON a.user_id = b.user_id
+ AND CAST(b.ts AS TIMESTAMP) >= CAST(a.ts AS TIMESTAMP)
+ AND CAST(b.ts AS TIMESTAMP) < CAST(a.ts AS TIMESTAMP) + INTERVAL 1 HOUR
+WHERE a.event_type = 'click' AND b.event_type = 'purchase'
+""",
+)
+def q_stream_stream_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream interval join (click → purchase within 1 h per
+    user), watermark-bounded state on both sides — must equal the
+    batch interval self-join."""
+    return stream_jobs.stream_stream_funnel(spark, sf_dir)
+
+
+@query(
     "stream_session_1h",
     """
 WITH ordered AS (

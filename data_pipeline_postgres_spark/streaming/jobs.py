@@ -229,6 +229,63 @@ def tumbling_daily_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def stream_stream_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream INTERVAL join — the funnel query streamed: each
+    click joined to the same user's purchases within the following
+    hour. Two independent readers over the event stream, filtered to
+    their event type BEFORE the watermark (so the sentinel never
+    enters join state); the time-range condition
+    ``cts ≤ pts < cts + 1h`` plus both watermarks bounds each side's
+    buffered state to the interval width — the canonical
+    stream-stream join state contract. Inner-join matches emit as
+    they pair up (append mode), so the bounded AvailableNow drain
+    needs no horizon flush. Result ≡ the batch interval self-join
+    (the oracle): (user_id, click_id, purchase_id)."""
+    src_dir = _wm_source_dir(spark, sf_dir)
+
+    def side(kind: str, prefix: str) -> DataFrame:
+        raw = (
+            spark.readStream.schema(EVENTS_STREAM_SCHEMA)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src_dir)
+        )
+        return (
+            raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+            .filter(F.col("event_type") == kind)
+            .select(
+                F.col("user_id").alias(f"{prefix}_user"),
+                F.col("event_id").alias(f"{prefix}_id"),
+                F.col("ts").alias(f"{prefix}_ts"),
+            )
+            .withWatermark(f"{prefix}_ts", "0 seconds")
+        )
+
+    clicks = side("click", "c")
+    purchases = side("purchase", "p")
+    joined = clicks.join(
+        purchases,
+        (F.col("c_user") == F.col("p_user"))
+        & (F.col("p_ts") >= F.col("c_ts"))
+        & (F.col("p_ts") < F.col("c_ts") + F.expr("INTERVAL 1 HOUR")),
+    ).select(
+        F.col("c_user").alias("user_id"),
+        F.col("c_id").alias("click_id"),
+        F.col("p_id").alias("purchase_id"),
+    )
+    sink = _scratch("funnel_sink")
+    with _shuffle_partitions(spark, 8):
+        q = (
+            joined.writeStream.format("parquet")
+            .option("path", sink)
+            .outputMode("append")
+            .option("checkpointLocation", _scratch("funnel_ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    return spark.read.parquet(sink)
+
+
 def session_1h_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Watermarked APPEND-mode session windows (1 h inactivity gap,
     keyed by user): the streaming form of ``window_session_1h``.
