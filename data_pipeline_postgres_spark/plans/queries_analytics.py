@@ -1237,3 +1237,106 @@ def q_profile_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n_events"), "user_id")
         .limit(20)
     )
+
+
+@query(
+    "window_rank_suite",
+    """
+SELECT o_orderkey,
+       rank() OVER w AS rnk,
+       dense_rank() OVER w AS drnk,
+       percent_rank() OVER w AS prnk,
+       cume_dist() OVER w AS cdist
+FROM orders
+WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey)
+""",
+)
+def q_window_rank_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The four ranking functions in ONE window pass (rank /
+    dense_rank / percent_rank / cume_dist share a single sort —
+    Catalyst fuses same-spec window functions into one Window node).
+    percent_rank and cume_dist are exact integer ratios, so the
+    doubles hash identically across engines."""
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        "o_totalprice", "o_orderkey"
+    )
+    return o.select(
+        "o_orderkey",
+        F.rank().over(w).alias("rnk"),
+        F.dense_rank().over(w).alias("drnk"),
+        F.percent_rank().over(w).alias("prnk"),
+        F.cume_dist().over(w).alias("cdist"),
+    )
+
+
+@query(
+    "str_funcs_suite",
+    """
+SELECT c_custkey,
+       upper(c_name) AS uname,
+       length(c_name) AS name_len,
+       lpad(CAST(c_custkey AS VARCHAR), 12, '0') AS padded_key,
+       replace(c_name, 'Customer#', 'C-') AS short_name,
+       substr(c_name, 10) AS key_digits,
+       levenshtein(c_name, 'Customer#000000000') AS edit_dist
+FROM customer
+""",
+)
+def q_str_funcs_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar string-function coverage in one narrow map: case, length,
+    pad, replace, substring, and Levenshtein edit distance — all
+    JVM-side codegen'd expressions, no UDFs."""
+    c = _t(spark, sf_dir, "customer")
+    return c.select(
+        "c_custkey",
+        F.upper("c_name").alias("uname"),
+        F.length("c_name").cast("bigint").alias("name_len"),
+        F.lpad(F.col("c_custkey").cast("string"), 12, "0").alias(
+            "padded_key"
+        ),
+        F.regexp_replace(
+            "c_name", F.lit("Customer#"), F.lit("C-")
+        ).alias("short_name"),
+        F.substring("c_name", 10, 2_000_000).alias("key_digits"),
+        F.levenshtein(F.col("c_name"), F.lit("Customer#000000000"))
+        .cast("bigint")
+        .alias("edit_dist"),
+    )
+
+
+@query(
+    "date_funcs_suite",
+    """
+SELECT o_orderkey,
+       CAST(date_trunc('month', o_orderdate) AS DATE) AS month_start,
+       CAST(last_day(o_orderdate) AS DATE) AS month_end,
+       CAST(o_orderdate + INTERVAL 3 MONTH AS DATE) AS plus_3m,
+       date_diff('day', TIMESTAMP '1995-01-01', o_orderdate) AS days_since,
+       CAST(dayofweek(o_orderdate) + 1 AS INT) AS dow,
+       CAST(EXTRACT(quarter FROM o_orderdate) AS INT) AS qtr
+FROM orders
+""",
+)
+def q_date_funcs_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar date-function coverage in one narrow map: truncation,
+    month arithmetic, day differences, day-of-week, quarter — all
+    codegen'd JVM expressions. (Engines number weekdays differently:
+    Spark dayofweek is 1=Sunday, DuckDB's is 0=Sunday — the oracle
+    adds 1.)"""
+    o = _t(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.date_trunc("month", "o_orderdate").cast("date").alias(
+            "month_start"
+        ),
+        F.last_day("o_orderdate").alias("month_end"),
+        F.add_months("o_orderdate", 3).alias("plus_3m"),
+        F.datediff(
+            F.col("o_orderdate"), F.lit("1995-01-01").cast("timestamp")
+        )
+        .cast("bigint")
+        .alias("days_since"),
+        F.dayofweek("o_orderdate").cast("int").alias("dow"),
+        F.quarter("o_orderdate").cast("int").alias("qtr"),
+    )
