@@ -1340,3 +1340,62 @@ def q_date_funcs_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.dayofweek("o_orderdate").cast("int").alias("dow"),
         F.quarter("o_orderdate").cast("int").alias("qtr"),
     )
+
+
+@query(
+    "agg_zscore_exact",
+    """
+WITH g AS (
+    SELECT o_orderkey, o_orderpriority,
+           CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT) AS c
+    FROM orders
+),
+a AS (
+    SELECT o_orderkey, c,
+           SUM(c) OVER w AS s1,
+           SUM(c * c) OVER w AS s2,
+           COUNT(*) OVER w AS n
+    FROM g WINDOW w AS (PARTITION BY o_orderpriority)
+)
+SELECT o_orderkey,
+       (CAST(c AS DOUBLE) - CAST(s1 AS DOUBLE) / n)
+       / sqrt((CAST(s2 AS DOUBLE)
+               - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / n) / (n - 1))
+           AS zscore
+FROM a
+""",
+)
+def q_agg_zscore_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group z-score normalization with DETERMINISTIC moments:
+    stddev_samp's running/merged float accumulation differs across
+    engines and partitionings, so mean and variance derive from exact
+    INT64 power sums over integer cents (Σc, Σc² — order-free, and
+    int64→double is correctly rounded identically everywhere, unlike
+    wide-decimal→double whose rounding path is engine-specific), then
+    lower to double with one fixed expression shape — bit-identical
+    z-scores on any partitioning, any engine (the 100-cent scale
+    cancels out of the ratio). The window is key-partitioned (never
+    global); feature-scaling at 100 TB keeps this exact shape with a
+    groupBy+broadcast join instead of the window if group count is
+    small."""
+    o = _t(spark, sf_dir, "orders")
+    c = (
+        F.col("o_totalprice").cast("decimal(12,2)") * 100
+    ).cast("bigint")
+    w = Window.partitionBy("o_orderpriority")
+    a = o.select(
+        "o_orderkey",
+        c.alias("c"),
+        F.sum(c).over(w).alias("s1"),
+        F.sum(c * c).over(w).alias("s2"),
+        F.count("*").over(w).alias("n"),
+    )
+    mean = F.col("s1").cast("double") / F.col("n")
+    var = (
+        F.col("s2").cast("double")
+        - F.col("s1").cast("double") * F.col("s1").cast("double") / F.col("n")
+    ) / (F.col("n") - 1)
+    return a.select(
+        "o_orderkey",
+        ((F.col("c").cast("double") - mean) / F.sqrt(var)).alias("zscore"),
+    )

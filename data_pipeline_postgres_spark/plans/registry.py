@@ -44,6 +44,16 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 # a driver row (the LLM-pipeline family, TPC-H, streaming, and the
 # I/O+DDL tail) so cumulative driver-verified coverage reaches ~103/112.
 # Queries not listed here keep their registration order after slot 50.
+#
+# NEXT-ROUND ROTATION: once CORRECTNESS_r03 lands, replace this list
+# with the still-unverified remainder — the 4 deferred (ddl_create_schema,
+# ddl_drop_create, set_union_distinct, join_left_outer), the rows-only
+# queries, and every operator added after the r3 freeze (cluster_cc_star,
+# the 9 new TPC-H shapes, stream_session_1h, stream_stream_funnel,
+# sim_topk_batch, multimodal_framesample, emb_quantize,
+# docs_curation_pipeline, docs_pack_sequences, bucket_global_quantile,
+# profile_heavy_hitters, the three *_funcs/rank suites) — so cumulative
+# driver-verified coverage closes on the full registry.
 DRIVER_PRIORITY: tuple[str, ...] = (
     # LLM-data-pipeline: dedup family
     "dedup_exact",
