@@ -1123,3 +1123,56 @@ def q_dedup_minhash_ml(spark: SparkSession, sf_dir: str) -> DataFrame:
     approxSimilarityJoin → exact verify); equivalence with the
     md5-family pipeline asserted in tests."""
     return dedup.minhash_dedup_ml(_docs(spark, sf_dir))
+
+
+@query(
+    "array_funcs_suite",
+    """
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+q AS (
+    SELECT vec_id, v,
+           list_transform(
+               v, x -> CAST(floor(x * 1048576.0 + 0.5) AS BIGINT)
+           ) AS qv
+    FROM e
+)
+SELECT vec_id,
+       CAST(len(list_filter(v, x -> x > 0)) AS INT) AS n_pos,
+       list_max(qv) AS max_q,
+       list_min(qv) AS min_q,
+       list_reduce(list_transform(qv, x -> abs(x)), (a, b) -> a + b) AS l1_q,
+       qv[1:3] AS head3
+FROM q
+""",
+)
+def q_array_funcs_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array higher-order-function coverage over the embedding column
+    (filter / transform / aggregate / min-max / slice), with float
+    outputs carried as int64 quantizations (floor(x·2^20 + 0.5)) per
+    the repo's cross-engine exactness contract — one narrow map, no
+    shuffle."""
+    from ..operators.dedup import QSCALE
+
+    v = F.col("v")
+    qv = F.transform(
+        v, lambda x: F.floor(x * F.lit(QSCALE) + F.lit(0.5)).cast("bigint")
+    )
+    return (
+        _emb(spark, sf_dir)
+        .select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
+        .select("vec_id", v.alias("v"), qv.alias("qv"))
+        .select(
+            "vec_id",
+            F.size(F.filter(F.col("v"), lambda x: x > 0))
+            .cast("int")
+            .alias("n_pos"),
+            F.array_max("qv").alias("max_q"),
+            F.array_min("qv").alias("min_q"),
+            F.aggregate(
+                F.transform(F.col("qv"), lambda x: F.abs(x)),
+                F.lit(0).cast("bigint"),
+                lambda a, b: a + b,
+            ).alias("l1_q"),
+            F.slice("qv", 1, 3).alias("head3"),
+        )
+    )
