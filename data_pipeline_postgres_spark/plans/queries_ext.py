@@ -688,9 +688,7 @@ def q_docs_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs, _SAMPLE_RATES, _SAMPLE_DEFAULT
     ).select("doc_id", "lang")
     return (
-        docs.select("doc_id")
-        .join(sample, "doc_id")
-        .join(quality, "doc_id")
+        sample.join(quality, "doc_id")
         .join(survivors, "doc_id", "left_semi")
         .select("doc_id", "lang", "n_tokens")
     )
