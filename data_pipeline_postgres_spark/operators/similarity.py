@@ -136,6 +136,80 @@ def batch_topk(
     )
 
 
+def ivf_batch_topk(
+    emb: DataFrame,
+    k: int = 10,
+    nq: int = 4,
+    nlist: int = 8,
+    nprobe: int = 2,
+    round_digits: int = 6,
+) -> DataFrame:
+    """Batch IVF ANN: each of the ``nq`` smallest-vec_id query vectors
+    probes its own ``nprobe`` nearest inverted lists and reranks
+    exactly within them → (qid, vec_id, cosine), top-k per query.
+
+    The scale shape composes the two single-purpose plans: corpus rows
+    get their inverted-list id from the narrow broadcast-array argmax
+    (ONE pass, no shuffle), the per-query probe sets come from a
+    window over the tiny nq×nlist relation, and the per-query cut is a
+    rank-limited window (WindowGroupLimit per-partition heaps). The
+    corpus is scanned once for assignment+scoring; only rows in probed
+    lists reach the scoring join."""
+    cents = ivf_centroids(emb, nlist)
+    vs = _vecs(emb)
+    qs = (
+        vs.orderBy("vec_id")
+        .limit(nq)
+        .select(
+            F.col("vec_id").alias("qid"),
+            F.col("v").alias("qv"),
+        )
+    )
+    # per-query probe sets: tiny (nq × nlist) relation, window-ranked
+    probe = (
+        qs.crossJoin(F.broadcast(cents))
+        .select(
+            "qid",
+            "centroid_id",
+            V.cosine(F.col("qv"), F.col("cv")).alias("cs"),
+        )
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("qid").orderBy(
+                    F.desc("cs"), F.asc("centroid_id")
+                )
+            ),
+        )
+        .filter(F.col("rn") <= nprobe)
+        .select("qid", "centroid_id")
+    )
+    assigned = (
+        vs.crossJoin(F.broadcast(_centroid_array(cents)))
+        .withColumn(
+            "centroid_id", _nearest_centroid(F.col("v"), F.col("cents"))
+        )
+        .drop("cents")
+    )
+    scored = (
+        assigned.join(F.broadcast(probe), "centroid_id")
+        .join(F.broadcast(qs), "qid")
+        .select(
+            "qid",
+            "vec_id",
+            F.round(
+                V.cosine(F.col("v"), F.col("qv")), round_digits
+            ).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("cosine"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select("qid", "vec_id", "cosine")
+    )
+
+
 # -- sign LSH --------------------------------------------------------------
 
 

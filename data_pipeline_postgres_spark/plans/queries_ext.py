@@ -472,6 +472,56 @@ def q_sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.ivf_topk(_emb(spark, sf_dir))
 
 
+_IVF_BATCH_ORACLE = f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+cents AS (
+    SELECT row_number() OVER (ORDER BY vec_id) - 1 AS centroid_id, v AS cv
+    FROM e ORDER BY vec_id LIMIT 8
+),
+assign AS (
+    SELECT vec_id, centroid_id FROM (
+        SELECT e.vec_id, c.centroid_id,
+               row_number() OVER (
+                   PARTITION BY e.vec_id
+                   ORDER BY {_duck_cos('e.v', 'c.cv')} DESC, c.centroid_id
+               ) AS rn
+        FROM e, cents c
+    ) WHERE rn = 1
+),
+q AS (SELECT vec_id AS qid, v AS qv FROM e ORDER BY vec_id LIMIT 4),
+probe AS (
+    SELECT qid, centroid_id FROM (
+        SELECT q.qid, c.centroid_id,
+               row_number() OVER (
+                   PARTITION BY q.qid
+                   ORDER BY {_duck_cos('c.cv', 'q.qv')} DESC, c.centroid_id
+               ) AS rn
+        FROM cents c, q
+    ) WHERE rn <= 2
+)
+SELECT qid, vec_id, cosine FROM (
+    SELECT p.qid, e.vec_id,
+           round({_duck_cos('e.v', 'q.qv')}, 6) AS cosine,
+           row_number() OVER (
+               PARTITION BY p.qid
+               ORDER BY round({_duck_cos('e.v', 'q.qv')}, 6) DESC, e.vec_id
+           ) AS rn
+    FROM e
+    JOIN assign USING (vec_id)
+    JOIN probe p USING (centroid_id)
+    JOIN q ON q.qid = p.qid
+) WHERE rn <= 10
+"""
+
+
+@query("sim_ann_ivf_batch", _IVF_BATCH_ORACLE)
+def q_sim_ann_ivf_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch IVF ANN: 4 query vectors, each probing its 2 nearest
+    inverted lists, exact rerank, top-10 per query — ONE corpus pass
+    for assignment, WindowGroupLimit per-query cut."""
+    return similarity.ivf_batch_topk(_emb(spark, sf_dir))
+
+
 @query("sim_ann_ivf_kmeans")  # trained quantizer → rows-only check;
 def q_sim_ann_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF ANN with a spark.ml KMeans-trained coarse quantizer

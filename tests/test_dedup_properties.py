@@ -71,3 +71,50 @@ def test_incremental_equals_full_minus_corpus(spark, docs, split):
         key=lambda x: (x[0], x[1] or ""),
     )
     assert got == want
+
+
+# -- connected components: star contraction vs model ------------------------
+
+EDGES = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=30),
+        st.integers(min_value=0, max_value=30),
+    ),
+    min_size=0,
+    max_size=40,
+)
+
+
+@pytest.mark.usefixtures("spark")
+@settings(
+    max_examples=15,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(edges=EDGES)
+def test_star_contraction_equals_union_find(spark, edges):
+    """dedup_clusters_star must label EVERY random graph exactly like
+    a plain union-find (self-loops and duplicate edges included)."""
+    edges = [(a, b) for a, b in edges if a != b]
+    if not edges:
+        return
+    pairs = spark.createDataFrame(edges, "doc_a bigint, doc_b bigint")
+    got = {
+        r.doc_id: r.cluster_id
+        for r in dedup.dedup_clusters_star(pairs).collect()
+    }
+    parent: dict[int, int] = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    model = {x: find(x) for x in parent}
+    assert got == model
