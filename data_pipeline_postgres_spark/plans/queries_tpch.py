@@ -604,3 +604,242 @@ def q_tpch_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("totacctbal"),
         )
     )
+
+
+_Q8_ORACLE = f"""
+WITH vol AS (
+    SELECT CAST(EXTRACT(year FROM o_orderdate) AS BIGINT) AS o_year,
+           {_REV_SQL} AS volume,
+           n2.n_name AS supp_nation
+    FROM part
+    JOIN lineitem ON p_partkey = l_partkey
+    JOIN orders ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation n1 ON c_nationkey = n1.n_nationkey
+    JOIN region ON n1.n_regionkey = r_regionkey
+    JOIN supplier ON l_suppkey = s_suppkey
+    JOIN nation n2 ON s_nationkey = n2.n_nationkey
+    WHERE r_name = 'AMERICA' AND p_type = 'PROMO'
+      AND o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o_orderdate < TIMESTAMP '1998-01-01'
+)
+SELECT o_year,
+       CAST(SUM(CASE WHEN supp_nation = 'NATION_3' THEN volume
+                     ELSE 0 END) AS DOUBLE)
+       / CAST(SUM(volume) AS DOUBLE) AS mkt_share
+FROM vol GROUP BY o_year
+"""
+
+
+@query("tpch_q8_market_share", _Q8_ORACLE)
+def q_tpch_q8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 shape: one nation's market share of a part type in a
+    region, by year. Nation joins twice (customer-region gate,
+    supplier tag); conditional and total volume share ONE aggregate;
+    the share is a single double division of exact decimal sums."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.to_timestamp(F.lit("1996-01-01")))
+        & (F.col("o_orderdate") < F.to_timestamp(F.lit("1998-01-01")))
+    )
+    c = _t(spark, sf_dir, "customer")
+    p = F.broadcast(
+        _t(spark, sf_dir, "part").filter(F.col("p_type") == "PROMO")
+    )
+    s = F.broadcast(_t(spark, sf_dir, "supplier"))
+    n = _t(spark, sf_dir, "nation")
+    r = F.broadcast(_t(spark, sf_dir, "region"))
+    n1 = F.broadcast(
+        n.join(r, F.col("n_regionkey") == F.col("r_regionkey"))
+        .filter(F.col("r_name") == "AMERICA")
+        .select(F.col("n_nationkey").alias("cn_key"))
+    )
+    n2 = F.broadcast(
+        n.select(
+            F.col("n_nationkey").alias("sn_key"),
+            F.col("n_name").alias("supp_nation"),
+        )
+    )
+    vol = (
+        li.join(p, F.col("p_partkey") == F.col("l_partkey"))
+        .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(c, F.col("o_custkey") == F.col("c_custkey"))
+        .join(n1, F.col("c_nationkey") == F.col("cn_key"), "left_semi")
+        .join(s, F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(n2, F.col("s_nationkey") == F.col("sn_key"))
+        .select(
+            F.year("o_orderdate").cast("bigint").alias("o_year"),
+            _rev().alias("volume"),
+            "supp_nation",
+        )
+    )
+    agg = vol.groupBy("o_year").agg(
+        F.sum(
+            F.when(F.col("supp_nation") == "NATION_3", F.col("volume"))
+            .otherwise(F.lit(0))
+        ).alias("_n"),
+        F.sum("volume").alias("_d"),
+    )
+    return agg.select(
+        "o_year",
+        (F.col("_n").cast("double") / F.col("_d").cast("double")).alias(
+            "mkt_share"
+        ),
+    )
+
+
+_Q15_ORACLE = f"""
+WITH revenue AS (
+    SELECT l_suppkey AS supplier_no,
+           SUM({_REV_SQL}) AS total_rev
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+      AND l_shipdate < TIMESTAMP '1997-04-01'
+    GROUP BY l_suppkey
+)
+SELECT s_suppkey, s_name, CAST(total_rev AS DOUBLE) AS total_revenue
+FROM supplier
+JOIN revenue ON s_suppkey = supplier_no
+WHERE total_rev = (SELECT MAX(total_rev) FROM revenue)
+"""
+
+
+@query("tpch_q15_top_supplier", _Q15_ORACLE)
+def q_tpch_q15(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 shape: supplier(s) with the quarter's maximum
+    revenue. The max is a broadcast scalar compared in EXACT DECIMAL
+    (ties survive identically on both engines); only the final output
+    lowers to double."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.to_timestamp(F.lit("1997-01-01")))
+        & (F.col("l_shipdate") < F.to_timestamp(F.lit("1997-04-01")))
+    )
+    rev = li.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
+        F.sum(_rev()).alias("total_rev")
+    )
+    mx = rev.agg(F.max("total_rev").alias("mx"))
+    s = F.broadcast(_t(spark, sf_dir, "supplier"))
+    return (
+        rev.crossJoin(F.broadcast(mx))
+        .filter(F.col("total_rev") == F.col("mx"))
+        .join(s, F.col("s_suppkey") == F.col("supplier_no"))
+        .select(
+            "s_suppkey",
+            "s_name",
+            F.col("total_rev").cast("double").alias("total_revenue"),
+        )
+    )
+
+
+_Q17_ORACLE = """
+WITH pavg AS (
+    SELECT l_partkey,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE)
+           / COUNT(*) AS avg_qty
+    FROM lineitem GROUP BY l_partkey
+)
+SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE)
+       / 7.0 AS avg_yearly
+FROM lineitem
+JOIN part ON p_partkey = l_partkey
+JOIN pavg ON pavg.l_partkey = part.p_partkey
+WHERE p_brand = 'Brand#23'
+  AND l_quantity < 0.2 * avg_qty
+"""
+
+
+@query("tpch_q17_small_qty_revenue", _Q17_ORACLE)
+def q_tpch_q17(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape: revenue lost to small orders — the correlated
+    per-part average subquery decorrelated into a groupBy + join on
+    partkey (the standard rewrite; both aggs share the partkey
+    shuffle). The average is an exact-decimal-sum / count double, so
+    the 0.2× threshold is bit-identical across engines."""
+    li = _t(spark, sf_dir, "lineitem")
+    pavg = li.groupBy(F.col("l_partkey").alias("pk")).agg(
+        (
+            F.sum(F.col("l_quantity").cast("decimal(12,2)")).cast("double")
+            / F.count("*")
+        ).alias("avg_qty")
+    )
+    p = F.broadcast(
+        _t(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#23")
+    )
+    return (
+        li.join(p, F.col("p_partkey") == F.col("l_partkey"))
+        .join(pavg, F.col("pk") == F.col("l_partkey"))
+        .filter(F.col("l_quantity") < F.lit(0.2) * F.col("avg_qty"))
+        .agg(
+            (
+                F.sum(_dec_price("l_extendedprice")).cast("double")
+                / F.lit(7.0)
+            ).alias("avg_yearly")
+        )
+    )
+
+
+_Q21_ORACLE = """
+WITH lo AS (
+    SELECT l_orderkey, l_suppkey,
+           (l_shipdate > o_orderdate + INTERVAL 90 DAY) AS late
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    WHERE o_orderstatus = 'F'
+),
+stats AS (
+    SELECT l_orderkey,
+           COUNT(DISTINCT l_suppkey) AS n_supp,
+           COUNT(DISTINCT CASE WHEN late THEN l_suppkey END) AS n_late_supp
+    FROM lo GROUP BY l_orderkey
+)
+SELECT s_name, COUNT(*) AS numwait
+FROM lo
+JOIN stats USING (l_orderkey)
+JOIN supplier ON s_suppkey = l_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+WHERE late AND n_supp >= 2 AND n_late_supp = 1 AND n_name = 'NATION_1'
+GROUP BY s_name
+ORDER BY numwait DESC, s_name
+LIMIT 20
+"""
+
+
+@query("tpch_q21_waiting_supplier", _Q21_ORACLE)
+def q_tpch_q21(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape: suppliers who alone held up multi-supplier
+    orders ("late" adapted to shipped >90 days after order date — the
+    testdata has no commit/receipt dates). The EXISTS / NOT EXISTS
+    pair decorrelates into ONE per-order distinct-supplier aggregate
+    (n_supp ≥ 2 ∧ n_late_supp = 1 ⇔ another supplier exists and no
+    OTHER supplier is late, given the probe line is late) — both aggs
+    and the probe share the orderkey shuffle."""
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    li = _t(spark, sf_dir, "lineitem")
+    lo = li.join(o, F.col("l_orderkey") == F.col("o_orderkey")).select(
+        "l_orderkey",
+        "l_suppkey",
+        (
+            F.col("l_shipdate")
+            > F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS")
+        ).alias("late"),
+    )
+    stats = lo.groupBy("l_orderkey").agg(
+        F.countDistinct("l_suppkey").alias("n_supp"),
+        F.countDistinct(
+            F.when(F.col("late"), F.col("l_suppkey"))
+        ).alias("n_late_supp"),
+    )
+    s = F.broadcast(_t(spark, sf_dir, "supplier"))
+    n = F.broadcast(
+        _t(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_1")
+    )
+    return (
+        lo.filter(F.col("late"))
+        .join(stats, "l_orderkey")
+        .filter((F.col("n_supp") >= 2) & (F.col("n_late_supp") == 1))
+        .join(s, F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(n, F.col("s_nationkey") == F.col("n_nationkey"), "left_semi")
+        .groupBy("s_name")
+        .agg(F.count("*").alias("numwait"))
+        .orderBy(F.desc("numwait"), "s_name")
+        .limit(20)
+    )
