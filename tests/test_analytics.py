@@ -266,6 +266,36 @@ class TestTpchShapes:
         # the avg-balance scalar rides a broadcast, not a shuffle
         assert "BroadcastNestedLoopJoin" in plan
 
+    def test_q8_single_aggregate_no_cartesian(self, spark):
+        plan = _plan(
+            registry.QUERIES["tpch_q8_market_share"](spark, SF_SMOKE)
+        )
+        assert "CartesianProduct" not in plan
+        assert plan.count("BroadcastHashJoin") >= 3
+
+    def test_q15_decimal_max_broadcast(self, spark):
+        plan = _plan(
+            registry.QUERIES["tpch_q15_top_supplier"](spark, SF_SMOKE)
+        )
+        # the max-revenue scalar arrives by broadcast, not a shuffle
+        assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+        assert "CartesianProduct" not in plan
+
+    def test_q17_shares_partkey_shuffle(self, spark):
+        plan = _plan(
+            registry.QUERIES["tpch_q17_small_qty_revenue"](spark, SF_SMOKE)
+        )
+        # decorrelated per-part avg joins on the same key it grouped on
+        assert "hashpartitioning(l_partkey" in plan or "hashpartitioning(pk" in plan
+        assert "CartesianProduct" not in plan
+
+    def test_q21_semi_anti_via_aggregate(self, spark):
+        plan = _plan(
+            registry.QUERIES["tpch_q21_waiting_supplier"](spark, SF_SMOKE)
+        )
+        assert "TakeOrderedAndProject" in plan
+        assert "CartesianProduct" not in plan
+
     def test_bloom_runtime_filter_injected(self, spark):
         """With size thresholds lowered, the optimizer must build a
         bloom over the selective orders side and inject
