@@ -1399,3 +1399,51 @@ def q_agg_zscore_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderkey",
         ((F.col("c").cast("double") - mean) / F.sqrt(var)).alias("zscore"),
     )
+
+
+@query(
+    "parquet_schema_merge",
+    """
+WITH v1 AS (
+    SELECT o_orderkey, o_totalprice, NULL AS o_orderpriority
+    FROM orders WHERE o_orderkey % 2 = 0
+),
+v2 AS (
+    SELECT o_orderkey, o_totalprice, o_orderpriority
+    FROM orders WHERE o_orderkey % 2 = 1
+)
+SELECT o_orderkey, o_totalprice, o_orderpriority
+FROM (SELECT * FROM v1 UNION ALL SELECT * FROM v2)
+""",
+)
+def q_parquet_schema_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lake schema evolution: an old writer produced 2-column files, a
+    new writer adds a column; ``mergeSchema`` reconciles the footers
+    and back-fills nulls. At 100 TB pin the superset schema explicitly
+    instead (footer merging is a distributed job over every file) —
+    this query demonstrates the read semantics the pinned schema must
+    reproduce."""
+    import os
+
+    from ..scratch import scratch_dir
+
+    o = _t(spark, sf_dir, "orders")
+    root = scratch_dir(
+        "schema_merge_" + os.path.basename(sf_dir.rstrip("/"))
+    )
+    (
+        o.filter(F.col("o_orderkey") % 2 == 0)
+        .select("o_orderkey", "o_totalprice")
+        .write.mode("overwrite")
+        .parquet(os.path.join(root, "v=1"))
+    )
+    (
+        o.filter(F.col("o_orderkey") % 2 == 1)
+        .select("o_orderkey", "o_totalprice", "o_orderpriority")
+        .write.mode("overwrite")
+        .parquet(os.path.join(root, "v=2"))
+    )
+    back = spark.read.option("mergeSchema", "true").parquet(
+        os.path.join(root, "v=1"), os.path.join(root, "v=2")
+    )
+    return back.select("o_orderkey", "o_totalprice", "o_orderpriority")
