@@ -321,3 +321,23 @@ class TestTpchShapes:
                     spark.conf.unset(k)
                 else:
                     spark.conf.set(k, v)
+
+
+class TestAdaptiveExecution:
+    def test_aqe_coalesces_post_shuffle_partitions(self, spark):
+        """AQE must shrink the static 8-partition shuffle to match the
+        tiny grouped output — the runtime re-planning the session
+        builder promises (one plan surviving 100× scale relies on it)."""
+        df = (
+            registry.QUERIES["agg_group_sum_multi"](spark, SF_SMOKE)
+        )
+        df.collect()
+        assert df.rdd.getNumPartitions() < int(
+            spark.conf.get("spark.sql.shuffle.partitions")
+        )
+
+    def test_aqe_skew_and_coalesce_enabled(self, spark):
+        assert spark.conf.get("spark.sql.adaptive.enabled") == "true"
+        assert (
+            spark.conf.get("spark.sql.adaptive.skewJoin.enabled") == "true"
+        )
