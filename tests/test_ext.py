@@ -493,3 +493,21 @@ class TestDedupClusters:
         got = {r.doc_id: r.cluster_id
                for r in dedup.dedup_clusters(pairs_df).collect()}
         assert got == model
+
+
+class TestPackingInvariance:
+    def test_pack_partitioning_invariant(self, spark):
+        """The packed layout is a function of the DATA (doc_id order),
+        never of the physical partitioning — 1-partition and
+        13-partition inputs must produce identical layouts."""
+        from data_pipeline_postgres_spark.operators import packing
+
+        rows = [(i, " ".join(["tok"] * (1 + (i * 7) % 11))) for i in range(200)]
+        docs = spark.createDataFrame(rows, "doc_id bigint, text string")
+        one = sorted(
+            map(tuple, packing.pack_sequences(docs.coalesce(1)).collect())
+        )
+        many = sorted(
+            map(tuple, packing.pack_sequences(docs.repartition(13)).collect())
+        )
+        assert one == many
