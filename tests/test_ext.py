@@ -298,6 +298,26 @@ class TestTextClean:
         assert rows[5].keep
         assert rows[5].distinct_ratio == pytest.approx(1.0)
 
+    def test_repetition_empty_doc_cross_engine_stable(self, spark):
+        """Empty / whitespace-only docs: BOTH tokenizers (Spark split,
+        DuckDB regexp_split_to_array) yield [''] — ONE empty token —
+        so n_tokens is never 0 and the 0/0 divergence ADVICE r2
+        flagged cannot arise; the n==0 guard in the operator (and its
+        oracle) is defense-in-depth should the tokenizer change. Pin
+        the actual contract: n_tokens=1, finite ratio, non-null keep."""
+        from data_pipeline_postgres_spark.operators import textclean
+
+        df = spark.createDataFrame(
+            [(1, ""), (2, "   "), (3, "real words here again")],
+            "doc_id bigint, text string",
+        )
+        rows = {r.doc_id: r for r in textclean.repetition(df).collect()}
+        for d in (1, 2):
+            assert rows[d].n_tokens == 1
+            assert rows[d].distinct_ratio == 1.0
+            assert rows[d].keep is not None
+        assert rows[3].keep is not None
+
 
 class TestSamplingAndIncremental:
     def test_stratified_sample_rates(self, spark, docs):
