@@ -531,3 +531,50 @@ class TestPackingInvariance:
             map(tuple, packing.pack_sequences(docs.repartition(13)).collect())
         )
         assert one == many
+
+
+class TestStreamingCheckpointRecovery:
+    def test_available_now_resumes_from_checkpoint(self, spark, tmp_path):
+        """Exactly-once incremental file-stream processing: run 1
+        drains file A into the sink; run 2 REUSES the checkpoint, so
+        with file B added it appends only B's rows (A is not
+        reprocessed), and a third run with nothing new appends
+        nothing. This is the recovery contract a daily-ingest
+        production stream relies on after restarts."""
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+        from pyspark.sql import functions as F
+
+        src = tmp_path / "src"
+        src.mkdir()
+        ckpt = str(tmp_path / "ckpt")
+        sink = str(tmp_path / "sink")
+
+        def write_file(name, ids):
+            pq.write_table(
+                pa.table({"event_id": pa.array(ids, pa.int64())}),
+                str(src / name),
+            )
+
+        def drain():
+            df = spark.readStream.schema("event_id bigint").parquet(
+                str(src)
+            )
+            q = (
+                df.writeStream.format("parquet")
+                .option("path", sink)
+                .option("checkpointLocation", ckpt)
+                .outputMode("append")
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+            return sorted(
+                r.event_id for r in spark.read.parquet(sink).collect()
+            )
+
+        write_file("a.parquet", [1, 2, 3])
+        assert drain() == [1, 2, 3]
+        write_file("b.parquet", [4, 5])
+        assert drain() == [1, 2, 3, 4, 5]  # only B appended
+        assert drain() == [1, 2, 3, 4, 5]  # idempotent no-op run
