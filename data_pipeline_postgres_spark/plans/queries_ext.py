@@ -744,6 +744,81 @@ def q_docs_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "docs_curation_incremental",
+    rf"""
+WITH batch AS (SELECT * FROM documents WHERE source = 'src0'),
+inc AS (
+    SELECT MIN(doc_id) AS doc_id
+    FROM batch b
+    WHERE NOT EXISTS (
+        SELECT 1 FROM documents d
+        WHERE d.source <> 'src0'
+          AND sha256(lower(trim(d.text))) = sha256(lower(trim(b.text)))
+    )
+    GROUP BY sha256(lower(trim(text)))
+),
+t AS (
+    SELECT doc_id, text,
+           regexp_split_to_array(trim(text), '\s+') AS w,
+           length(trim(text)) AS charlen
+    FROM batch
+),
+m AS (
+    SELECT doc_id,
+           len(w) AS n,
+           CAST(charlen - (len(w) - 1) AS DOUBLE) / len(w) AS mean_token_len,
+           CAST(len(list_filter(w,
+                tok -> tok IN ('the','a','and','of','to','in'))) AS DOUBLE)
+               / len(w) AS stopword_ratio
+    FROM t
+),
+q AS (
+    SELECT doc_id, CAST(n AS BIGINT) AS n_tokens FROM m
+    WHERE n >= 10 AND mean_token_len >= 2.0 AND mean_token_len <= 12.0
+      AND stopword_ratio >= 0.01
+),
+samp AS (
+    SELECT doc_id, lang FROM batch
+    WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 1000
+          < CASE WHEN lang = 'en' THEN {_SAMPLE_RATES['en']}
+                 WHEN lang = 'zh' THEN {_SAMPLE_RATES['zh']}
+                 ELSE {_SAMPLE_DEFAULT} END
+)
+SELECT samp.doc_id, samp.lang, q.n_tokens
+FROM samp
+JOIN q ON q.doc_id = samp.doc_id
+JOIN inc ON inc.doc_id = samp.doc_id
+""",
+)
+def q_docs_curation_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The daily-ingest curation path: only the NEW batch
+    (source='src0') is gated and deduped — exact content hashes
+    anti-join the standing corpus (which projects to its bare hash
+    column, never rescanning text downstream), then in-batch dedup,
+    quality gate, and the stratified rebalance. The batch-sized side
+    drives every join; corpus cost is one hash projection + the
+    anti-join exchange, the shape that stays cheap when corpus ≫
+    batch."""
+    docs = _docs(spark, sf_dir)
+    batch = docs.filter(F.col("source") == "src0")
+    corpus = docs.filter(F.col("source") != "src0")
+    inc = dedup.incremental_dedup(batch, corpus).select("doc_id")
+    quality = (
+        textstats.quality_scores(batch)
+        .filter(F.col("is_quality"))
+        .select("doc_id", "n_tokens")
+    )
+    sample = sampling.stratified_sample(
+        batch, _SAMPLE_RATES, _SAMPLE_DEFAULT
+    ).select("doc_id", "lang")
+    return (
+        sample.join(quality, "doc_id")
+        .join(inc, "doc_id", "left_semi")
+        .select("doc_id", "lang", "n_tokens")
+    )
+
+
 # -- packing ---------------------------------------------------------------
 
 
