@@ -1447,3 +1447,103 @@ def q_parquet_schema_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         os.path.join(root, "v=1"), os.path.join(root, "v=2")
     )
     return back.select("o_orderkey", "o_totalprice", "o_orderpriority")
+
+
+@query(
+    "window_moving_avg_rows",
+    """
+SELECT event_id, user_id,
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE)
+       / COUNT(*) OVER w AS avg_4
+FROM events
+WINDOW w AS (PARTITION BY user_id
+             ORDER BY CAST(ts AS TIMESTAMP), event_id
+             ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)
+""",
+)
+def q_window_moving_avg_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROWS-frame moving average (last 4 events per user) — the
+    count-based frame complements the time-based RANGE frames
+    (window_rolling_7d). The mean is an explicit exact-decimal frame
+    sum over an explicit frame count — engines' AVG(decimal) return
+    types differ (Spark keeps decimal and truncates, DuckDB promotes
+    to double), so AVG itself is never used."""
+    ev = _t(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-3, 0)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        (
+            F.sum(F.col("value").cast("decimal(18,2)"))
+            .over(w)
+            .cast("double")
+            / F.count("*").over(w)
+        ).alias("avg_4"),
+    )
+
+
+@query(
+    "events_forward_fill",
+    """
+WITH daily AS (
+    SELECT user_id, CAST(date_trunc('day', ts) AS DATE) AS day,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS day_value
+    FROM events GROUP BY 1, 2
+),
+bounds AS (
+    SELECT user_id, MIN(day) AS lo, MAX(day) AS hi FROM daily GROUP BY 1
+),
+spine AS (
+    SELECT user_id, CAST(s.d AS DATE) AS day
+    FROM bounds, unnest(generate_series(lo, hi, INTERVAL 1 DAY)) AS s(d)
+)
+SELECT s.user_id, s.day,
+       LAST_VALUE(d.day_value IGNORE NULLS) OVER (
+           PARTITION BY s.user_id ORDER BY s.day
+           ROWS UNBOUNDED PRECEDING
+       ) AS filled_value,
+       (d.day_value IS NULL) AS was_filled
+FROM spine s LEFT JOIN daily d ON d.user_id = s.user_id AND d.day = s.day
+""",
+)
+def q_events_forward_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap filling: build each user's full day spine
+    (sequence+explode, no driver loop), left-join observed daily sums,
+    forward-fill holes with last_value(ignore nulls) over a key-
+    partitioned running frame — the classic time-series densification,
+    shuffled once by user."""
+    ev = _t(spark, sf_dir, "events")
+    daily = (
+        ev.groupBy(
+            "user_id", F.date_trunc("day", "ts").cast("date").alias("day")
+        )
+        .agg(exact_sum("value", "day_value"))
+    )
+    spine = (
+        daily.groupBy("user_id")
+        .agg(F.min("day").alias("lo"), F.max("day").alias("hi"))
+        .select(
+            "user_id",
+            F.explode(F.sequence("lo", "hi")).alias("day"),
+        )
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        spine.join(daily, ["user_id", "day"], "left")
+        .select(
+            "user_id",
+            "day",
+            F.last("day_value", ignorenulls=True)
+            .over(w)
+            .alias("filled_value"),
+            F.col("day_value").isNull().alias("was_filled"),
+        )
+    )
