@@ -1547,3 +1547,38 @@ def q_events_forward_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("day_value").isNull().alias("was_filled"),
         )
     )
+
+
+@query(
+    "agg_histogram",
+    """
+SELECT CAST(floor(o_totalprice / 50000.0) AS BIGINT) AS bucket,
+       COUNT(*) AS n,
+       CAST(MIN(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS lo,
+       CAST(MAX(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS hi
+FROM orders GROUP BY 1
+""",
+)
+def q_agg_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width histogram (50k buckets of order value): the
+    bucket id is a narrow floor-division, so the whole histogram is
+    one map-side-combined groupBy whose exchange carries only the
+    bucket rows — the profiling primitive that replaces a sort-based
+    percentile sweep when bucket edges are known."""
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.groupBy(
+            F.floor(F.col("o_totalprice") / 50000.0)
+            .cast("bigint")
+            .alias("bucket")
+        )
+        .agg(
+            F.count("*").alias("n"),
+            F.min(F.col("o_totalprice").cast("decimal(12,2)"))
+            .cast("double")
+            .alias("lo"),
+            F.max(F.col("o_totalprice").cast("decimal(12,2)"))
+            .cast("double")
+            .alias("hi"),
+        )
+    )

@@ -1299,3 +1299,50 @@ def q_array_funcs_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.slice("qv", 1, 3).alias("head3"),
         )
     )
+
+
+@query(
+    "text_rarity_score",
+    r"""
+WITH tok AS (
+    SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS tok
+    FROM documents
+),
+freq AS (SELECT tok, COUNT(*) AS cnt FROM tok GROUP BY tok),
+tot AS (SELECT COUNT(*) AS t FROM tok)
+SELECT doc_id,
+       COUNT(*) AS n_tokens,
+       CAST(SUM(cnt) AS DOUBLE) / (COUNT(*) * MAX(t)) AS mean_freq
+FROM tok JOIN freq USING (tok), tot
+GROUP BY doc_id
+""",
+)
+def q_text_rarity_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-frequency rarity score per doc: the mean corpus
+    frequency of a doc's tokens (low = rare vocabulary) — the
+    KenLM-style quality signal without the engine-divergent log().
+    Shape = the wordcount join: explode tokens once, count per token,
+    join counts back on the token key, one doc-keyed aggregate. Every
+    quantity is an exact integer until ONE final double division, so
+    scores hash identically (log() is deliberately avoided — libm vs
+    JVM last-ulp differences would leak into the hash)."""
+    docs = _docs(spark, sf_dir)
+    from ..functions import text as TX
+
+    tok = docs.select(
+        "doc_id", F.explode(TX.tokens("text")).alias("tok")
+    )
+    freq = tok.groupBy("tok").agg(F.count("*").alias("cnt"))
+    tot = tok.agg(F.count("*").alias("t"))
+    return (
+        tok.join(freq, "tok")
+        .crossJoin(F.broadcast(tot))
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_tokens"),
+            (
+                F.sum("cnt").cast("double")
+                / (F.count("*") * F.max("t"))
+            ).alias("mean_freq"),
+        )
+    )
