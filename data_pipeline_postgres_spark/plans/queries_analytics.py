@@ -1353,41 +1353,47 @@ WITH g AS (
 a AS (
     SELECT o_orderkey, c,
            SUM(c) OVER w AS s1,
-           SUM(c * c) OVER w AS s2,
+           SUM(CAST(c AS DECIMAL(19,0)) * CAST(c AS DECIMAL(19,0)))
+               OVER w AS s2,
            COUNT(*) OVER w AS n
     FROM g WINDOW w AS (PARTITION BY o_orderpriority)
+),
+z AS (
+    SELECT o_orderkey,
+           (CAST(c AS DOUBLE) - CAST(s1 AS DOUBLE) / n)
+           / sqrt((CAST(s2 AS DOUBLE)
+                   - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / n)
+                  / (n - 1)) AS zraw
+    FROM a
 )
-SELECT o_orderkey,
-       (CAST(c AS DOUBLE) - CAST(s1 AS DOUBLE) / n)
-       / sqrt((CAST(s2 AS DOUBLE)
-               - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / n) / (n - 1))
-           AS zscore
-FROM a
+SELECT o_orderkey, floor(zraw * 1000000 + 0.5) / 1000000 AS zscore
+FROM z
 """,
 )
 def q_agg_zscore_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-group z-score normalization with DETERMINISTIC moments:
     stddev_samp's running/merged float accumulation differs across
-    engines and partitionings, so mean and variance derive from exact
-    INT64 power sums over integer cents (Σc, Σc² — order-free, and
-    int64→double is correctly rounded identically everywhere, unlike
-    wide-decimal→double whose rounding path is engine-specific), then
-    lower to double with one fixed expression shape — bit-identical
-    z-scores on any partitioning, any engine (the 100-cent scale
-    cancels out of the ratio). The window is key-partitioned (never
-    global); feature-scaling at 100 TB keeps this exact shape with a
-    groupBy+broadcast join instead of the window if group count is
-    small."""
+    engines and partitionings, so mean and variance derive from EXACT
+    power sums over integer cents: Σc stays int64, while Σc² rides
+    DECIMAL(38,0) — at 10× the dev scale Σc² already exceeds int64
+    (caught by an sf0.1 differential; ANSI Spark raises
+    ARITHMETIC_OVERFLOW), and at any scale the decimal sum is exact.
+    Wide-decimal→double lowering can differ by 1 ulp between engines
+    (Spark's BigDecimal path rounds once, DuckDB's int128 path twice),
+    so the final z is snapped to 6 digits with the repo's
+    floor(x·1e6+0.5) contract — same rounded value on both engines on
+    any partitioning. The window is key-partitioned (never global)."""
     o = _t(spark, sf_dir, "orders")
     c = (
         F.col("o_totalprice").cast("decimal(12,2)") * 100
     ).cast("bigint")
+    cd = c.cast("decimal(19,0)")
     w = Window.partitionBy("o_orderpriority")
     a = o.select(
         "o_orderkey",
         c.alias("c"),
         F.sum(c).over(w).alias("s1"),
-        F.sum(c * c).over(w).alias("s2"),
+        F.sum(cd * cd).over(w).alias("s2"),
         F.count("*").over(w).alias("n"),
     )
     mean = F.col("s1").cast("double") / F.col("n")
@@ -1395,9 +1401,10 @@ def q_agg_zscore_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("s2").cast("double")
         - F.col("s1").cast("double") * F.col("s1").cast("double") / F.col("n")
     ) / (F.col("n") - 1)
+    zraw = (F.col("c").cast("double") - mean) / F.sqrt(var)
     return a.select(
         "o_orderkey",
-        ((F.col("c").cast("double") - mean) / F.sqrt(var)).alias("zscore"),
+        (F.floor(zraw * 1000000 + F.lit(0.5)) / 1000000).alias("zscore"),
     )
 
 
