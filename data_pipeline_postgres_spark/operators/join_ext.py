@@ -22,10 +22,14 @@ def asof_join(
     right_ts: str,
     payload: Sequence[str],
     right_key: str | None = None,
+    direction: str = "backward",
 ) -> DataFrame:
     """As-of join: for every left row, attach the payload of the
     newest right row with the same key and ``right_ts <= left_ts``
     (inclusive); nulls when no such row exists.
+    ``direction="forward"`` mirrors it — the EARLIEST right row with
+    ``right_ts >= left_ts`` (the next upcoming quote/order) — by
+    reversing the carry scan's sort; same single shuffle.
 
     Implementation is the scale-correct *merge as-of*: tag both
     inputs, union, and carry the latest right payload forward with
@@ -55,10 +59,17 @@ def asof_join(
         F.lit(None).cast(r.schema["_pay"].dataType).alias("_pay"),
         *lcols,
     )
-    # right sorts before left at equal timestamps → "<=" semantics
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"direction must be backward|forward: {direction}")
+    # right sorts before left at equal timestamps → inclusive bound;
+    # forward scans time DESCENDING so the running last() carries the
+    # smallest right_ts ≥ left_ts instead
+    t_order = (
+        F.col("_t").asc() if direction == "backward" else F.col("_t").desc()
+    )
     w = (
         Window.partitionBy("_k")
-        .orderBy(F.col("_t").asc(), F.col("_is_r").desc())
+        .orderBy(t_order, F.col("_is_r").desc())
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     merged = r.unionByName(l).withColumn(

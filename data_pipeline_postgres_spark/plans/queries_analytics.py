@@ -135,6 +135,45 @@ def q_join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "join_asof_forward",
+    """
+WITH od AS (
+    SELECT o_custkey, o_orderdate, o_orderkey, o_totalprice FROM (
+        SELECT *, row_number() OVER (
+            PARTITION BY o_custkey, o_orderdate
+            ORDER BY o_orderkey DESC) AS rn
+        FROM orders
+    ) WHERE rn = 1
+)
+SELECT e.event_id, e.user_id, CAST(e.ts AS TIMESTAMP) AS ts,
+       o.o_orderkey, o.o_totalprice
+FROM events e
+ASOF LEFT JOIN od o
+  ON e.user_id = o.o_custkey AND e.ts <= o.o_orderdate
+""",
+)
+def q_join_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forward as-of join: each event picks up the EARLIEST order of
+    the same key at-or-after its timestamp (the "next upcoming"
+    lookup) — same merge-asof single-shuffle carry, scanned in
+    reverse. Oracle is DuckDB's native ASOF with the flipped bound."""
+    ev = _t(spark, sf_dir, "events").select("event_id", "user_id", "ts")
+    orders = join_ext.dedup_right_for_asof(
+        _t(spark, sf_dir, "orders"), "o_custkey", "o_orderdate", "o_orderkey"
+    )
+    return join_ext.asof_join(
+        ev,
+        orders,
+        key="user_id",
+        left_ts="ts",
+        right_ts="o_orderdate",
+        payload=["o_orderkey", "o_totalprice"],
+        right_key="o_custkey",
+        direction="forward",
+    )
+
+
 # -- window extensions -----------------------------------------------------
 
 
@@ -1588,4 +1627,45 @@ def q_agg_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("double")
             .alias("hi"),
         )
+    )
+
+
+@query(
+    "window_first_last_nth",
+    """
+SELECT o_orderkey,
+       FIRST_VALUE(o_orderkey) OVER w AS first_key,
+       LAST_VALUE(o_orderkey) OVER (
+           PARTITION BY o_orderpriority
+           ORDER BY o_totalprice, o_orderkey
+           ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING
+       ) AS last_key,
+       NTH_VALUE(o_orderkey, 3) OVER w AS third_key
+FROM orders
+WINDOW w AS (PARTITION BY o_orderpriority
+             ORDER BY o_totalprice, o_orderkey
+             ROWS UNBOUNDED PRECEDING)
+""",
+)
+def q_window_first_last_nth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """first_value / last_value / nth_value coverage with explicit
+    frames — last_value over the running default frame is the classic
+    footgun (it returns the CURRENT row), so the full-partition frame
+    is spelled out; deterministic tiebreak ordering throughout."""
+    o = _t(spark, sf_dir, "orders")
+    running = (
+        Window.partitionBy("o_orderpriority")
+        .orderBy("o_totalprice", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    full = (
+        Window.partitionBy("o_orderpriority")
+        .orderBy("o_totalprice", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    return o.select(
+        "o_orderkey",
+        F.first("o_orderkey").over(running).alias("first_key"),
+        F.last("o_orderkey").over(full).alias("last_key"),
+        F.nth_value("o_orderkey", 3).over(running).alias("third_key"),
     )
