@@ -38,81 +38,70 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 
 
 # The driver's correctness sweep checks exactly the first 50 entries of
-# ``queries()`` in dict-insertion order (verified: CORRECTNESS_r01/r02
-# keys == list(QUERIES)[:50]).  Rounds 1-2 proved 53 queries green; this
-# priority list front-loads the oracle-backed queries that have never had
-# a driver row (the LLM-pipeline family, TPC-H, streaming, and the
-# I/O+DDL tail) so cumulative driver-verified coverage reaches ~103/112.
+# ``queries()`` in dict-insertion order (verified: CORRECTNESS_r01/r02/r03
+# keys == list(QUERIES)[:50]).  Rounds 1-3 proved 102 distinct queries
+# green; this round-4 rotation front-loads the exactly-50 remaining
+# never-driver-verified queries (TPC-H tail, the r3 additions, the
+# deferred DDL/set/join four, and the rows-only family) so cumulative
+# driver-verified coverage closes on the full registry (152/152).
 # Queries not listed here keep their registration order after slot 50.
-#
-# NEXT-ROUND ROTATION: once CORRECTNESS_r03 lands, replace this list
-# with the still-unverified remainder — the 4 deferred (ddl_create_schema,
-# ddl_drop_create, set_union_distinct, join_left_outer), the rows-only
-# queries, and every operator added after the r3 freeze (cluster_cc_star,
-# the 9 new TPC-H shapes, stream_session_1h, stream_stream_funnel,
-# sim_topk_batch, multimodal_framesample, emb_quantize,
-# docs_curation_pipeline, docs_pack_sequences, bucket_global_quantile,
-# profile_heavy_hitters, the three *_funcs/rank suites) — so cumulative
-# driver-verified coverage closes on the full registry.
 DRIVER_PRIORITY: tuple[str, ...] = (
-    # LLM-data-pipeline: dedup family
-    "dedup_exact",
-    "dedup_incremental",
-    "dedup_minhash",
-    "dedup_simhash",
-    "dedup_simhash_pairs",
-    "dedup_ngram_jaccard",
-    "dedup_embedding_cosine",
-    "dedup_cluster_cc",
-    # similarity search
-    "sim_topk",
-    "sim_ann_ivf",
-    # text analysis / cleaning
-    "lang_id",
-    "token_count",
-    "text_quality",
-    "doc_fingerprint",
-    "text_stats",
-    "text_normalize",
-    "pii_redact",
-    "text_repetition_filter",
-    # sampling / profiling / embeddings / multimodal
-    "docs_sample_stratified",
-    "profile_table",
-    "emb_normalize",
-    "emb_centroid_per_label",
-    "multimodal_meta",
-    # TPC-H
-    "tpch_q1_pricing_summary",
-    "tpch_q3_shipping_priority",
-    "tpch_q5_local_supplier",
-    # structured streaming (batch-equivalence oracles)
-    "stream_tumbling_daily",
-    "stream_tumbling_watermark",
-    "stream_sliding_3d1d",
-    "stream_cdc_latest",
-    "stream_static_join",
-    "stream_dedup",
-    # analytical widening, never driver-verified
-    "join_bucketed_colocated",
-    "join_salted_skew",
-    "join_semi",
-    "join_anti",
-    "join_bloom_filtered",
-    "join_range_banded",
-    "json_source_roundtrip",
-    "text_ngram_topk",
-    "sort_limit_topn",
-    "set_intersect",
-    "set_except",
-    "pivot_wide",
-    "agg_cube",
-    "filter_scalar_subquery",
-    # I/O + DDL tail
-    "s3_put",
-    "bulk_load_copy",
-    "ddl_create_table",
-    "ddl_monthly_shard",
+    # TPC-H shapes added in round 3
+    "tpch_q4_order_priority",
+    "tpch_q6_forecast_revenue",
+    "tpch_q7_volume_shipping",
+    "tpch_q8_market_share",
+    "tpch_q10_returned_items",
+    "tpch_q12_priority_class",
+    "tpch_q13_order_counts",
+    "tpch_q14_promo_revenue",
+    "tpch_q15_top_supplier",
+    "tpch_q17_small_qty_revenue",
+    "tpch_q18_large_orders",
+    "tpch_q19_discounted_revenue",
+    "tpch_q21_waiting_supplier",
+    "tpch_q22_sales_opportunity",
+    # LLM-data-pipeline additions
+    "dedup_cluster_cc_star",
+    "sim_topk_batch",
+    "sim_ann_ivf_batch",
+    "emb_quantize",
+    "docs_curation_pipeline",
+    "docs_curation_incremental",
+    "docs_pack_sequences",
+    "multimodal_framesample",
+    "text_rarity_score",
+    "profile_heavy_hitters",
+    "bucket_global_quantile",
+    # streaming additions
+    "stream_session_1h",
+    "stream_stream_funnel",
+    # function-coverage suites and window/date widening
+    "window_rank_suite",
+    "window_first_last_nth",
+    "window_moving_avg_rows",
+    "str_funcs_suite",
+    "date_funcs_suite",
+    "array_funcs_suite",
+    "agg_zscore_exact",
+    "agg_histogram",
+    "events_forward_fill",
+    "join_asof_forward",
+    "parquet_schema_merge",
+    # deferred from the round-3 window
+    "ddl_create_schema",
+    "ddl_drop_create",
+    "set_union_distinct",
+    "join_left_outer",
+    # rows-only family (driver records a weaker rows-only check)
+    "agg_approx_distinct",
+    "agg_approx_quantile",
+    "dedup_embedding_lsh",
+    "dedup_minhash_ml",
+    "sim_topk_lsh",
+    "sim_ann_ivf_kmeans",
+    "profile_table_approx",
+    "multimodal_decode",
 )
 
 
