@@ -1,0 +1,79 @@
+"""Benchmark decontamination for training corpora (SURVEY.md §2.11
+[EXT]): flag training documents that share word n-grams with an
+evaluation/benchmark set — the standard pre-training hygiene step
+(GPT-3 §C / The Pile / Dolma all ship a variant of 13-gram overlap
+decontamination).
+
+Scale shape (the whole point at 100 TB):
+
+- The eval/benchmark side is TINY (thousands of documents — MMLU,
+  GSM8K, …), so its distinct n-gram set is collected into a broadcast
+  hash relation. The training corpus NEVER shuffles: the expensive
+  side is one narrow pass (tokenize → shingle → explode → distinct
+  per doc) followed by a broadcast-hash semi/inner join and a
+  map-side-partial count per doc_id.
+- The per-doc ``distinct`` on (doc_id, ngram) rides the same hash
+  partitioning as the final groupBy(doc_id) count, so Catalyst plans
+  ONE exchange on doc_id for dedup+count combined.
+- n-gram width trades recall vs precision; the default here is 4 so
+  the synthetic fixture (short docs) produces overlap. Production
+  sets use 10-13.
+
+Determinism: tokenization and shingling are pure string ops mirrored
+exactly by the DuckDB oracle (plans/queries_ext.py) — no hashing, no
+floats anywhere.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions import text as TX
+
+
+def doc_ngrams(docs: DataFrame, n: int) -> DataFrame:
+    """(doc_id, ngram) — distinct word n-grams per document."""
+    return (
+        docs.select(
+            "doc_id",
+            F.explode(TX.word_shingles(TX.tokens("text"), n)).alias(
+                "ngram"
+            ),
+        )
+        .distinct()
+    )
+
+
+def flag_contaminated(
+    docs: DataFrame, n: int = 4, eval_mod: int = 97
+) -> DataFrame:
+    """(doc_id, n_hits): training documents sharing ≥1 word ``n``-gram
+    with the eval split, with the count of distinct overlapping
+    n-grams.
+
+    The eval split is carved deterministically (``doc_id % eval_mod
+    == 0``) so the query is self-contained and oracle-checkable; in
+    production the eval side is the benchmark corpus relation.
+    """
+    is_eval = F.col("doc_id") % eval_mod == 0
+    ev = doc_ngrams(docs.filter(is_eval), n).select("ngram").distinct()
+    tr = doc_ngrams(docs.filter(~is_eval), n)
+    return (
+        tr.join(F.broadcast(ev), "ngram")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_hits"))
+    )
+
+
+def decontaminated(
+    docs: DataFrame, n: int = 4, eval_mod: int = 97
+) -> DataFrame:
+    """The surviving training split: docs with NO eval n-gram overlap
+    (left-anti join against the contaminated flag relation)."""
+    bad = flag_contaminated(docs, n, eval_mod).select("doc_id")
+    return (
+        docs.filter(~(F.col("doc_id") % eval_mod == 0))
+        .join(bad, "doc_id", "left_anti")
+        .select("doc_id", "lang", "source", "n_chars")
+    )

@@ -136,6 +136,64 @@ def batch_topk(
     )
 
 
+def range_search(
+    emb: DataFrame,
+    threshold: float = 0.3,
+    nq: int = 4,
+    round_digits: int = 6,
+) -> DataFrame:
+    """Radius (range) search: every corpus vector within cosine ≥
+    ``threshold`` of each of the ``nq`` smallest-vec_id query vectors
+    → (qid, vec_id, cosine), self-matches excluded.
+
+    The third retrieval primitive next to top-k and ANN: "give me
+    EVERYTHING closer than τ" (near-dup mining, semantic dedup
+    candidate generation, recall-first retrieval).
+
+    Strictly better plan than top-k at scale: after the broadcast
+    query explode, admission is a pure FILTER — no window, no heap,
+    no exchange at all. The corpus is scanned once, scored nq× inside
+    whole-stage codegen, and only admitted rows leave the task.
+    Cosines are rounded to ``round_digits`` BEFORE the threshold
+    compare on both engines, so boundary admission is bit-identical.
+    """
+    vs = _vecs(emb)
+    qarr = (
+        vs.orderBy("vec_id")
+        .limit(nq)
+        .select(
+            F.struct(
+                F.col("vec_id").alias("qid"),
+                V.norm(F.col("v")).alias("qn"),
+                F.col("v").alias("qv"),
+            ).alias("s")
+        )
+        .agg(F.array_sort(F.collect_list("s")).alias("qs"))
+    )
+    return (
+        vs.crossJoin(F.broadcast(qarr))
+        .select(
+            "vec_id",
+            V.norm(F.col("v")).alias("vn"),
+            "v",
+            F.explode("qs").alias("q"),
+        )
+        .select(
+            F.col("q.qid").alias("qid"),
+            "vec_id",
+            F.round(
+                V.dot(F.col("v"), F.col("q.qv"))
+                / (F.col("vn") * F.col("q.qn")),
+                round_digits,
+            ).alias("cosine"),
+        )
+        .filter(
+            (F.col("cosine") >= threshold)
+            & (F.col("vec_id") != F.col("qid"))
+        )
+    )
+
+
 def ivf_batch_topk(
     emb: DataFrame,
     k: int = 10,

@@ -813,6 +813,36 @@ def q_json_source_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "orc_roundtrip",
+    """
+SELECT event_type, COUNT(*) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+FROM events GROUP BY event_type
+""",
+)
+def q_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORC source/sink round-trip (the second columnar lake format
+    Spark ships natively): events → .orc write → read → aggregate.
+    ORC readers get the same pushdown/pruning treatment as parquet;
+    the oracle runs on the original rows, so the round-trip must be
+    value-exact."""
+    import os
+
+    from ..scratch import scratch_dir
+
+    ev = _t(spark, sf_dir, "events").select("event_id", "event_type", "value")
+    path = scratch_dir(
+        "events_orc_" + os.path.basename(sf_dir.rstrip("/")),
+    )
+    ev.write.mode("overwrite").orc(path)
+    back = spark.read.orc(path)
+    return back.groupBy("event_type").agg(
+        F.count("*").alias("n_events"),
+        exact_sum("value", "sum_value"),
+    )
+
+
+@query(
     "text_ngram_topk",
     r"""
 WITH toks AS (

@@ -17,7 +17,7 @@ Cross-engine determinism contract (why the oracles hash-match):
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..catalog import load_table
@@ -1345,4 +1345,146 @@ def q_text_rarity_score(spark: SparkSession, sf_dir: str) -> DataFrame:
                 / (F.count("*") * F.max("t"))
             ).alias("mean_freq"),
         )
+    )
+
+
+# -- decontamination / mixing / retrieval widening (round 4) ---------------
+
+
+_DECON_NGRAM = "w[i]||' '||w[i+1]||' '||w[i+2]||' '||w[i+3]"
+
+
+@query(
+    "decontaminate_ngram",
+    rf"""
+WITH w AS (
+    SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w
+    FROM documents
+),
+ng AS (
+    SELECT DISTINCT doc_id, {_DECON_NGRAM} AS ngram
+    FROM w, unnest(range(1, len(w) - 2)) AS t(i)
+),
+ev AS (SELECT DISTINCT ngram FROM ng WHERE doc_id % 97 = 0)
+SELECT doc_id, COUNT(*) AS n_hits
+FROM ng JOIN ev USING (ngram)
+WHERE doc_id % 97 <> 0
+GROUP BY doc_id
+""",
+)
+def q_decontaminate_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: training docs sharing ≥1 word
+    4-gram with the (deterministic doc_id%97) eval split, with the
+    distinct-overlap count. Eval n-gram set is broadcast — the corpus
+    side never shuffles on the n-gram key."""
+    from ..operators import decontaminate
+
+    return decontaminate.flag_contaminated(_docs(spark, sf_dir))
+
+
+_MIX_WEIGHTS = {"src0": 2500, "src1": 1300, "src2": 300}
+_MIX_DEFAULT = 700
+
+
+@query(
+    "dataset_mixture",
+    f"""
+WITH w AS (
+    SELECT doc_id, source,
+           CASE WHEN source = 'src0' THEN {_MIX_WEIGHTS["src0"]}
+                WHEN source = 'src1' THEN {_MIX_WEIGHTS["src1"]}
+                WHEN source = 'src2' THEN {_MIX_WEIGHTS["src2"]}
+                ELSE {_MIX_DEFAULT} END AS wt,
+           ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+               % 1000 AS gate
+    FROM documents
+)
+SELECT doc_id, source, CAST(e AS INTEGER) AS epoch
+FROM w, unnest(range(0, wt // 1000 +
+                        CASE WHEN gate < wt % 1000 THEN 1 ELSE 0 END))
+         AS t(e)
+""",
+)
+def q_dataset_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted multi-epoch dataset mixing (src0×2.5, src1×1.3,
+    src2×0.3, rest ×0.7): floor-epochs explode + md5 permille gate
+    for the fraction — map-only, no shuffle, reproducible."""
+    from ..operators import mixture
+
+    return mixture.mix_sources(
+        _docs(spark, sf_dir), _MIX_WEIGHTS, _MIX_DEFAULT
+    )
+
+
+_RANGE_ORACLE = f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+q AS (SELECT vec_id AS qid, v AS qv FROM e ORDER BY vec_id LIMIT 4)
+SELECT q.qid, e.vec_id,
+       round({_duck_cos('e.v', 'q.qv')}, 6) AS cosine
+FROM e, q
+WHERE round({_duck_cos('e.v', 'q.qv')}, 6) >= 0.3
+  AND e.vec_id <> q.qid
+"""
+
+
+@query("sim_range_search", _RANGE_ORACLE)
+def q_sim_range_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Radius retrieval: all corpus vectors with cosine ≥ 0.3 of each
+    of 4 query vectors — broadcast queries + pure filter, no window,
+    no exchange (round-then-compare keeps boundary admission
+    bit-identical across engines)."""
+    return similarity.range_search(_emb(spark, sf_dir))
+
+
+@query(
+    "text_tfidf_topterms",
+    r"""
+WITH tok AS (
+    SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS tok
+    FROM documents
+),
+tf AS (SELECT doc_id, tok, COUNT(*) AS tf FROM tok GROUP BY 1, 2),
+df AS (SELECT tok, COUNT(*) AS df FROM tf GROUP BY 1),
+nd AS (SELECT COUNT(*) AS nd FROM documents)
+SELECT doc_id, term, score FROM (
+    SELECT tf.doc_id, tf.tok AS term,
+           CAST(tf.tf * nd.nd AS DOUBLE) / df.df AS score,
+           row_number() OVER (
+               PARTITION BY tf.doc_id
+               ORDER BY CAST(tf.tf * nd.nd AS DOUBLE) / df.df DESC,
+                        tf.tok
+           ) AS rn
+    FROM tf JOIN df USING (tok), nd
+) WHERE rn <= 3
+""",
+)
+def q_text_tfidf_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc top-3 distinctive terms by the log-free TF-IDF
+    surrogate ``tf · N / df`` — exact integers until ONE double
+    division, so scores and the rank cut hash identically. Shape:
+    explode once, tf per (doc, term), df per term, join back, rank-
+    limited window (WindowGroupLimit pre-shuffle heaps)."""
+    docs = _docs(spark, sf_dir)
+    from ..functions import text as TX
+
+    tok = docs.select("doc_id", F.explode(TX.tokens("text")).alias("tok"))
+    tf = tok.groupBy("doc_id", "tok").agg(F.count("*").alias("tf"))
+    df_rel = tf.groupBy("tok").agg(F.count("*").alias("df"))
+    nd = docs.agg(F.count("*").alias("nd"))
+    w = Window.partitionBy("doc_id").orderBy(
+        F.desc("score"), F.asc("term")
+    )
+    return (
+        tf.join(df_rel, "tok")
+        .crossJoin(F.broadcast(nd))
+        .select(
+            "doc_id",
+            F.col("tok").alias("term"),
+            (
+                (F.col("tf") * F.col("nd")).cast("double") / F.col("df")
+            ).alias("score"),
+        )
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("doc_id", "term", "score")
     )

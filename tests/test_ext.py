@@ -578,3 +578,106 @@ class TestStreamingCheckpointRecovery:
         write_file("b.parquet", [4, 5])
         assert drain() == [1, 2, 3, 4, 5]  # only B appended
         assert drain() == [1, 2, 3, 4, 5]  # idempotent no-op run
+
+
+class TestDecontaminateAndMixture:
+    def test_flagged_docs_truly_overlap(self, docs):
+        """Every flagged doc shares ≥1 distinct 4-gram with the eval
+        split, and hit counts equal the true distinct-overlap size."""
+        from data_pipeline_postgres_spark.operators import decontaminate
+
+        flagged = {
+            r.doc_id: r.n_hits
+            for r in decontaminate.flag_contaminated(docs).collect()
+        }
+        ng = decontaminate.doc_ngrams(docs, 4).collect()
+        ev = {r.ngram for r in ng if r.doc_id % 97 == 0}
+        truth: dict[int, int] = {}
+        for r in ng:
+            if r.doc_id % 97 != 0 and r.ngram in ev:
+                truth[r.doc_id] = truth.get(r.doc_id, 0) + 1
+        assert flagged == truth
+
+    def test_decontaminated_is_clean_partition(self, docs):
+        """decontaminated + flagged partitions the training split."""
+        from data_pipeline_postgres_spark.operators import decontaminate
+
+        train_n = docs.filter(F.col("doc_id") % 97 != 0).count()
+        clean = decontaminate.decontaminated(docs)
+        bad = decontaminate.flag_contaminated(docs)
+        assert clean.count() + bad.count() == train_n
+        assert (
+            clean.join(bad, "doc_id").count() == 0
+        )
+
+    def test_eval_ngrams_join_is_broadcast(self, docs):
+        """The corpus side must not shuffle on the n-gram key: the
+        eval-set join has to be a BroadcastHashJoin."""
+        from data_pipeline_postgres_spark.operators import decontaminate
+
+        plan = (
+            decontaminate.flag_contaminated(docs)
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        assert "BroadcastHashJoin" in plan
+
+    def test_mixture_copy_counts(self, docs):
+        """n_copies(doc) = floor(w) + hash gate — check per-doc
+        multiplicity and epoch numbering against a python replica."""
+        import hashlib
+
+        from data_pipeline_postgres_spark.operators import mixture
+
+        weights = {"src0": 2500, "src1": 1300, "src2": 300}
+        out = mixture.mix_sources(docs, weights, 700).collect()
+        by_doc: dict[int, list[int]] = {}
+        for r in out:
+            by_doc.setdefault(r.doc_id, []).append(r.epoch)
+        for r in docs.select("doc_id", "source").collect():
+            w = weights.get(r.source, 700)
+            gate = (
+                int(hashlib.md5(str(r.doc_id).encode()).hexdigest()[:8], 16)
+                % 1000
+            )
+            expect = w // 1000 + (1 if gate < w % 1000 else 0)
+            got = sorted(by_doc.get(r.doc_id, []))
+            assert got == list(range(expect)), (r.doc_id, r.source)
+
+    def test_mixture_is_map_only(self, docs):
+        """The mixing plan must not contain any Exchange — it is a
+        pure map (gate + generator), scan-pushable at 100 TB."""
+        from data_pipeline_postgres_spark.operators import mixture
+
+        plan = (
+            mixture.mix_sources(docs, {"src0": 2500}, 700)
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        assert "Exchange" not in plan
+
+
+class TestRangeSearch:
+    def test_range_matches_brute_force(self, emb):
+        """Range admission ≡ brute-force top-N filtered at τ, for each
+        query id (same rounding, same exclusion of self)."""
+        n = emb.count()
+        full = similarity.batch_topk(emb, k=n, nq=4)
+        expect = {
+            (r.qid, r.vec_id, r.cosine)
+            for r in full.collect()
+            if r.cosine >= 0.3 and r.qid != r.vec_id
+        }
+        got = {
+            (r.qid, r.vec_id, r.cosine)
+            for r in similarity.range_search(emb, 0.3, 4).collect()
+        }
+        assert got == expect
+
+    def test_range_search_plan_has_no_exchange(self, emb):
+        """Admission is a pure filter after the broadcast explode: no
+        Exchange, no Window, no sort of the corpus."""
+        plan = (
+            similarity.range_search(emb)
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        assert "Window" not in plan
+        assert "Sort" not in plan.replace("TakeOrderedAndProject", "")
