@@ -67,6 +67,10 @@ EXT_HEADLINE = [
     "tpch_q18_large_orders",
     "docs_curation_pipeline",
     "docs_pack_sequences",
+    "decontaminate_ngram",
+    "dataset_mixture",
+    "sim_range_search",
+    "text_tfidf_topterms",
 ]
 
 
