@@ -8,13 +8,17 @@ Scale shape (the whole point at 100 TB):
 
 - The eval/benchmark side is TINY (thousands of documents — MMLU,
   GSM8K, …), so its distinct n-gram set is collected into a broadcast
-  hash relation. The training corpus NEVER shuffles: the expensive
-  side is one narrow pass (tokenize → shingle → explode → distinct
-  per doc) followed by a broadcast-hash semi/inner join and a
-  map-side-partial count per doc_id.
-- The per-doc ``distinct`` on (doc_id, ngram) rides the same hash
-  partitioning as the final groupBy(doc_id) count, so Catalyst plans
-  ONE exchange on doc_id for dedup+count combined.
+  hash relation.
+- The training corpus is FILTERED BEFORE IT SHUFFLES: the exploded
+  n-gram stream (≈ corpus token count × n-gram width — the single
+  biggest relation in the whole pipeline) is cut down by the
+  broadcast-hash join first, so the only exchange carries admitted
+  (doc_id, ngram) rows — for a hygienic corpus, a sliver of the
+  input. Deduping overlaps per doc is then a two-phase
+  ``count(DISTINCT ngram)`` keyed by doc_id (partial on
+  (doc_id, ngram) inside the task, one exchange on doc_id).
+  Distinct-then-join would shuffle the full exploded relation to
+  dedup it — backwards at 100 TB.
 - n-gram width trades recall vs precision; the default here is 4 so
   the synthetic fixture (short docs) produces overlap. Production
   sets use 10-13.
@@ -33,15 +37,21 @@ from ..functions import text as TX
 
 
 def doc_ngrams(docs: DataFrame, n: int) -> DataFrame:
-    """(doc_id, ngram) — distinct word n-grams per document."""
-    return (
-        docs.select(
-            "doc_id",
-            F.explode(TX.word_shingles(TX.tokens("text"), n)).alias(
-                "ngram"
-            ),
-        )
-        .distinct()
+    """(doc_id, ngram) — distinct word n-grams per document.
+
+    The ``distinct`` shuffles the full exploded relation; use it only
+    on SMALL inputs (the eval split). The training side must stay
+    non-distinct until after the broadcast filter — see
+    ``flag_contaminated``.
+    """
+    return raw_ngrams(docs, n).distinct()
+
+
+def raw_ngrams(docs: DataFrame, n: int) -> DataFrame:
+    """(doc_id, ngram) with per-doc duplicates — a narrow explode."""
+    return docs.select(
+        "doc_id",
+        F.explode(TX.word_shingles(TX.tokens("text"), n)).alias("ngram"),
     )
 
 
@@ -57,12 +67,14 @@ def flag_contaminated(
     production the eval side is the benchmark corpus relation.
     """
     is_eval = F.col("doc_id") % eval_mod == 0
-    ev = doc_ngrams(docs.filter(is_eval), n).select("ngram").distinct()
-    tr = doc_ngrams(docs.filter(~is_eval), n)
+    ev = raw_ngrams(docs.filter(is_eval), n).select("ngram").distinct()
+    # filter first (broadcast hash), THEN dedup per doc: the exchange
+    # carries only eval-overlapping n-grams, never the exploded corpus
     return (
-        tr.join(F.broadcast(ev), "ngram")
+        raw_ngrams(docs.filter(~is_eval), n)
+        .join(F.broadcast(ev), "ngram")
         .groupBy("doc_id")
-        .agg(F.count("*").alias("n_hits"))
+        .agg(F.count_distinct("ngram").alias("n_hits"))
     )
 
 
