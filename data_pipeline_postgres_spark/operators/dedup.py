@@ -628,6 +628,88 @@ def embedding_near_dup_lsh(
     )
 
 
+def semantic_dedup(
+    emb: DataFrame,
+    nlist: int = 8,
+    threshold: float = 0.45,
+    round_digits: int = 6,
+) -> DataFrame:
+    """SemDeDup-style semantic near-dup pairs (Abbas et al. 2023,
+    arXiv:2303.09540): cluster the embedding space with a coarse
+    quantizer, then score pairs ONLY within each cluster →
+    (vec_id_a, vec_id_b, cosine ≥ threshold), a < b.
+
+    This is the 100 TB shape for embedding dedup where LSH recall is
+    not wanted: the quadratic is bounded per cluster (n/nlist)², and
+    ``nlist`` grows with the corpus so cluster population stays
+    constant. The plan is: narrow broadcast-argmax assignment (no
+    shuffle — operators/similarity.ivf_assign), ONE exchange on
+    centroid_id, then an exact int64-quantized matmul per cluster
+    inside ``applyInPandas`` (same kernel contract as
+    :func:`embedding_near_dup`, so results are bit-identical to the
+    DuckDB oracle). Misses only cross-cluster pairs — the documented
+    SemDeDup trade.
+
+    The deterministic seed quantizer stands in for a KMeans fit
+    (``similarity.ivf_centroids_kmeans`` drops in) to keep the
+    operator oracle-checkable.
+    """
+    from . import similarity
+
+    # inline the narrow argmax instead of joining ivf_assign back on
+    # vec_id — the assignment rides the same row as the vector, so
+    # nothing shuffles until the centroid_id exchange
+    cents = similarity._centroid_array(
+        similarity.ivf_centroids(emb, nlist)
+    )
+    src = (
+        emb.select("vec_id", V.as_double(F.col("embedding")).alias("v"))
+        .crossJoin(F.broadcast(cents))
+        .select(
+            "vec_id",
+            "v",
+            similarity._nearest_centroid(
+                F.col("v"), F.col("cents")
+            ).alias("centroid_id"),
+        )
+    )
+
+    out_schema = "vec_id_a bigint, vec_id_b bigint, cosine double"
+    scale = 10.0**round_digits
+
+    def score_cluster(pdf):
+        import numpy as np
+        import pandas as pd
+
+        empty = pd.DataFrame(
+            {
+                "vec_id_a": pd.Series(dtype="int64"),
+                "vec_id_b": pd.Series(dtype="int64"),
+                "cosine": pd.Series(dtype="float64"),
+            }
+        )
+        if len(pdf) < 2:
+            return empty
+        ids = pdf["vec_id"].to_numpy(dtype=np.int64)
+        Q = quantize_np(list(pdf["v"]))
+        nrm = np.sqrt((Q * Q).sum(axis=1).astype(np.float64))
+        cos = (Q @ Q.T).astype(np.float64) / np.outer(nrm, nrm)
+        cos = np.floor(cos * scale + 0.5) / scale  # round half-up
+        keep = (cos >= threshold) & (ids[:, None] < ids[None, :])
+        ai, bi = np.nonzero(keep)
+        return pd.DataFrame(
+            {
+                "vec_id_a": ids[ai],
+                "vec_id_b": ids[bi],
+                "cosine": cos[ai, bi],
+            }
+        )
+
+    return src.groupBy("centroid_id").applyInPandas(
+        score_cluster, out_schema
+    )
+
+
 def minhash_dedup_ml(
     docs: DataFrame, n: int = 3, threshold: float = 0.8
 ) -> DataFrame:

@@ -1488,3 +1488,59 @@ def q_text_tfidf_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= 3)
         .select("doc_id", "term", "score")
     )
+
+
+_SEMDEDUP_ORACLE = f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+cents AS (
+    SELECT row_number() OVER (ORDER BY vec_id) - 1 AS centroid_id, v AS cv
+    FROM e ORDER BY vec_id LIMIT 8
+),
+assign AS (
+    SELECT vec_id, centroid_id FROM (
+        SELECT e.vec_id, c.centroid_id,
+               row_number() OVER (
+                   PARTITION BY e.vec_id
+                   ORDER BY {_duck_cos('e.v', 'c.cv')} DESC, c.centroid_id
+               ) AS rn
+        FROM e, cents c
+    ) WHERE rn = 1
+),
+qv AS (
+    SELECT vec_id,
+           list_transform(v, x -> CAST(floor(
+               x / sqrt(list_reduce(list_transform(v, y -> y*y),
+                                    (a,b) -> a+b)) * 1048576.0 + 0.5
+           ) AS BIGINT)) AS q
+    FROM e
+),
+n AS (
+    SELECT vec_id, q,
+           sqrt(CAST(list_reduce(list_transform(q, x -> x*x),
+                                 (a,b) -> a+b) AS DOUBLE)) AS nrm
+    FROM qv
+),
+scored AS (
+    SELECT a.vec_id AS vec_id_a, b.vec_id AS vec_id_b,
+           floor(
+               CAST(list_reduce(
+                    list_transform(range(64), i -> a.q[i+1] * b.q[i+1]),
+                    (x,y) -> x+y) AS DOUBLE)
+               / (a.nrm * b.nrm) * 1000000.0 + 0.5) / 1000000.0 AS cosine
+    FROM n a
+    JOIN n b ON a.vec_id < b.vec_id
+    JOIN assign sa ON sa.vec_id = a.vec_id
+    JOIN assign sb ON sb.vec_id = b.vec_id
+               AND sa.centroid_id = sb.centroid_id
+)
+SELECT vec_id_a, vec_id_b, cosine FROM scored WHERE cosine >= 0.45
+"""
+
+
+@query("dedup_semantic", _SEMDEDUP_ORACLE)
+def q_dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup: cluster-pruned embedding near-dup pairs — narrow
+    centroid assignment, one exchange on centroid_id, exact quantized
+    matmul per cluster. The bounded-quadratic scale path next to the
+    exact all-pairs baseline and the LSH variant."""
+    return dedup.semantic_dedup(_emb(spark, sf_dir))

@@ -681,3 +681,43 @@ class TestRangeSearch:
         )
         assert "Window" not in plan
         assert "Sort" not in plan.replace("TakeOrderedAndProject", "")
+
+
+class TestSemanticDedup:
+    def test_pairs_subset_of_exact_with_equal_scores(self, emb):
+        """Cluster pruning may only DROP pairs vs the exact all-pairs
+        kernel, never add or rescore them; dropped pairs must truly be
+        cross-cluster."""
+        exact = {
+            (r.vec_id_a, r.vec_id_b): r.cosine
+            for r in dedup.embedding_near_dup(emb).collect()
+        }
+        sem = {
+            (r.vec_id_a, r.vec_id_b): r.cosine
+            for r in dedup.semantic_dedup(emb).collect()
+        }
+        assert set(sem) <= set(exact)
+        for k, v in sem.items():
+            assert exact[k] == v
+        cl = {
+            r.vec_id: r.centroid_id
+            for r in similarity.ivf_assign(
+                emb, similarity.ivf_centroids(emb)
+            ).collect()
+        }
+        for a, b in set(exact) - set(sem):
+            assert cl[a] != cl[b]
+        for a, b in sem:
+            assert cl[a] == cl[b]
+
+    def test_assignment_stays_narrow(self, emb):
+        """The only Exchange in the whole plan is the centroid_id
+        hash partition feeding applyInPandas — assignment itself must
+        not shuffle the corpus."""
+        plan = (
+            dedup.semantic_dedup(emb)
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        import re
+
+        assert len(re.findall(r"Exchange hashpartitioning", plan)) == 1
