@@ -1699,3 +1699,103 @@ def q_window_first_last_nth(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.last("o_orderkey").over(full).alias("last_key"),
         F.nth_value("o_orderkey", 3).over(running).alias("third_key"),
     )
+
+
+@query(
+    "docs_cap_per_source",
+    """
+SELECT doc_id, source FROM (
+    SELECT doc_id, source,
+           row_number() OVER (
+               PARTITION BY source
+               ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+           ) AS rn
+    FROM documents
+) WHERE rn <= 20
+""",
+)
+def q_docs_cap_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain capping: keep at most 20 docs per source, chosen by
+    deterministic md5 order (a reproducible "random" cap — the
+    crawl-curation step that stops one domain from dominating the
+    corpus). Rank-limited window → WindowGroupLimit per-partition
+    heaps before the source exchange; no RNG, no count pass."""
+    d = _t(spark, sf_dir, "documents")
+    w = Window.partitionBy("source").orderBy(
+        F.md5(F.col("doc_id").cast("string")), "doc_id"
+    )
+    return (
+        d.select("doc_id", "source")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 20)
+        .select("doc_id", "source")
+    )
+
+
+@query(
+    "agg_corr_exact",
+    """
+WITH g AS (
+    SELECT l_returnflag,
+           CAST(CAST(l_quantity AS DECIMAL(12,2)) * 100 AS BIGINT) AS x,
+           CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * 100 AS BIGINT) AS y
+    FROM lineitem
+),
+a AS (
+    SELECT l_returnflag, COUNT(*) AS n,
+           SUM(CAST(x AS DECIMAL(19,0))) AS sx,
+           SUM(CAST(y AS DECIMAL(19,0))) AS sy,
+           SUM(CAST(x AS DECIMAL(19,0)) * CAST(x AS DECIMAL(19,0))) AS sxx,
+           SUM(CAST(y AS DECIMAL(19,0)) * CAST(y AS DECIMAL(19,0))) AS syy,
+           SUM(CAST(x AS DECIMAL(19,0)) * CAST(y AS DECIMAL(19,0))) AS sxy
+    FROM g GROUP BY 1
+)
+SELECT l_returnflag, n,
+       floor((n * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+             / (sqrt(n * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                * sqrt(n * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))
+             * 1000000 + 0.5) / 1000000 AS corr_qty_price
+FROM a
+""",
+)
+def q_agg_corr_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group Pearson correlation with DETERMINISTIC moments:
+    ``corr()``'s float accumulation is partitioning-dependent, so all
+    five power sums ride exact integer cents (Σx/Σy as DECIMAL(19,0)
+    sums, Σx²/Σy²/Σxy as DECIMAL(38,0) — int64 would overflow at 10×
+    dev scale, same lesson as agg_zscore_exact), combined in double
+    once and snapped to 6 digits. One partial-agg shuffle on the
+    3-value group key."""
+    li = _t(spark, sf_dir, "lineitem")
+    x = (F.col("l_quantity").cast("decimal(12,2)") * 100).cast("bigint")
+    y = (F.col("l_extendedprice").cast("decimal(12,2)") * 100).cast(
+        "bigint"
+    )
+    xd, yd = x.cast("decimal(19,0)"), y.cast("decimal(19,0)")
+    a = li.select(
+        "l_returnflag", xd.alias("xd"), yd.alias("yd")
+    ).groupBy("l_returnflag").agg(
+        F.count("*").alias("n"),
+        F.sum("xd").alias("sx"),
+        F.sum("yd").alias("sy"),
+        F.sum(F.col("xd") * F.col("xd")).alias("sxx"),
+        F.sum(F.col("yd") * F.col("yd")).alias("syy"),
+        F.sum(F.col("xd") * F.col("yd")).alias("sxy"),
+    )
+    n = F.col("n")
+    sx, sy = F.col("sx").cast("double"), F.col("sy").cast("double")
+    sxx, syy, sxy = (
+        F.col("sxx").cast("double"),
+        F.col("syy").cast("double"),
+        F.col("sxy").cast("double"),
+    )
+    raw = (n * sxy - sx * sy) / (
+        F.sqrt(n * sxx - sx * sx) * F.sqrt(n * syy - sy * sy)
+    )
+    return a.select(
+        "l_returnflag",
+        "n",
+        (F.floor(raw * 1000000 + F.lit(0.5)) / 1000000).alias(
+            "corr_qty_price"
+        ),
+    )

@@ -341,3 +341,43 @@ class TestAdaptiveExecution:
         assert (
             spark.conf.get("spark.sql.adaptive.skewJoin.enabled") == "true"
         )
+
+
+class TestCapAndCorr:
+    def test_cap_per_source_uses_window_group_limit(self, spark):
+        """The per-source cap must be rank-limit-pushed (per-partition
+        heaps before the source exchange), never a global sort."""
+        from data_pipeline_postgres_spark.plans import registry
+
+        registry.load_all()
+        df = registry.QUERIES["docs_cap_per_source"](spark, SF_SMOKE)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "WindowGroupLimit" in plan
+        assert "SinglePartition" not in plan
+
+    def test_corr_matches_spark_corr(self, spark):
+        """The exact-moment Pearson r agrees with Spark's float corr()
+        to float tolerance (the exact path exists for cross-engine
+        determinism, not different math)."""
+        import pytest as _pytest
+        from pyspark.sql import functions as F
+
+        from data_pipeline_postgres_spark.plans import registry
+
+        registry.load_all()
+        got = {
+            r.l_returnflag: r.corr_qty_price
+            for r in registry.QUERIES["agg_corr_exact"](
+                spark, SF_SMOKE
+            ).collect()
+        }
+        ref = {
+            r.l_returnflag: r.c
+            for r in spark.read.parquet(SF_SMOKE + "/lineitem.parquet")
+            .groupBy("l_returnflag")
+            .agg(F.corr("l_quantity", "l_extendedprice").alias("c"))
+            .collect()
+        }
+        assert set(got) == set(ref)
+        for k in got:
+            assert got[k] == _pytest.approx(ref[k], abs=1e-5)
