@@ -40,11 +40,13 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 # The driver's correctness sweep checks exactly the first 50 entries of
 # ``queries()`` in dict-insertion order (verified: CORRECTNESS_r01/r02/r03
 # keys == list(QUERIES)[:50]).  Rounds 1-3 proved 102 distinct queries
-# green; this round-4 rotation front-loads the exactly-50 remaining
-# never-driver-verified queries (TPC-H tail, the r3 additions, the
-# deferred DDL/set/join four, and the rows-only family) so cumulative
-# driver-verified coverage closes on the full registry (152/152).
-# Queries not listed here keep their registration order after slot 50.
+# green; this round-4 rotation front-loads the 42 never-driver-verified
+# oracle-backed queries (TPC-H tail, the r3 additions, the deferred
+# DDL/set/join four) plus the 8 oracle-backed queries added during round
+# 4 itself, so every slot yields a hash-verified row.  The rows-only
+# family (weaker rows-only evidence regardless of window position)
+# rotates into round 5's window.  Queries not listed here keep their
+# registration order after slot 50.
 DRIVER_PRIORITY: tuple[str, ...] = (
     # TPC-H shapes added in round 3
     "tpch_q4_order_priority",
@@ -93,15 +95,15 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "ddl_drop_create",
     "set_union_distinct",
     "join_left_outer",
-    # rows-only family (driver records a weaker rows-only check)
-    "agg_approx_distinct",
-    "agg_approx_quantile",
-    "dedup_embedding_lsh",
-    "dedup_minhash_ml",
-    "sim_topk_lsh",
-    "sim_ann_ivf_kmeans",
-    "profile_table_approx",
-    "multimodal_decode",
+    # oracle-backed queries added during round 4
+    "orc_roundtrip",
+    "decontaminate_ngram",
+    "dataset_mixture",
+    "sim_range_search",
+    "text_tfidf_topterms",
+    "dedup_semantic",
+    "docs_cap_per_source",
+    "agg_corr_exact",
 )
 
 
