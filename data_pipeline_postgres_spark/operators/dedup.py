@@ -918,3 +918,59 @@ def dedup_clusters_star(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
             F.col("center").alias("cluster_id"),
         ).distinct()
     )
+
+
+def paragraph_dedup(docs: DataFrame, block_words: int = 10) -> DataFrame:
+    """C4-style sub-document exact dedup: split every document into
+    fixed-size word blocks (the whitespace-token analog of C4's
+    three-sentence spans), keep only the globally-FIRST occurrence of
+    each block (min ``(doc_id, blk_pos)``), and reassemble each
+    document from its surviving blocks in original order.
+
+    Returns (doc_id, n_blocks_kept, clean_text) for every document
+    that kept at least one block.
+
+    Scale shape: the survivor election shuffles once, keyed by the
+    16-byte md5 of the block (row_number over the hash, so the sort
+    compares fixed-width digests, not long strings; an md5 collision
+    would conflate two blocks — at ~2⁻⁶⁴ for trillions of blocks
+    that is the standard accepted risk, cf. the reference-free
+    dedup literature). Reassembly shuffles once more on doc_id with
+    map-side partial collect. Both stages are linear in corpus size;
+    no pair enumeration anywhere.
+    """
+    toks = F.split(F.trim(F.col("text")), r"\s+")
+    nblk = F.ceil(F.size(toks) / F.lit(block_words)).cast("int")
+    blocks = F.transform(
+        F.sequence(F.lit(0), nblk - 1),
+        lambda i: F.array_join(
+            F.slice(toks, i * block_words + 1, block_words), " "
+        ),
+    )
+    exploded = docs.select(
+        "doc_id", F.posexplode(blocks).alias("blk_pos", "blk")
+    )
+    first = Window.partitionBy(F.md5(F.col("blk"))).orderBy(
+        "doc_id", "blk_pos"
+    )
+    survivors = (
+        exploded.withColumn("rn", F.row_number().over(first))
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+    )
+    return (
+        survivors.groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_blocks_kept"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("blk_pos", "blk"))
+                    ),
+                    lambda s: s["blk"],
+                ),
+                " ",
+            ).alias("clean_text"),
+        )
+        .select("doc_id", "n_blocks_kept", "clean_text")
+    )

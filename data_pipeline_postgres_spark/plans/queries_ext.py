@@ -1544,3 +1544,121 @@ def q_dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     matmul per cluster. The bounded-quadratic scale path next to the
     exact all-pairs baseline and the LSH variant."""
     return dedup.semantic_dedup(_emb(spark, sf_dir))
+
+
+# -- round-4 additions: sub-document dedup, indexing, splits ---------------
+
+
+@query(
+    "dedup_paragraph",
+    r"""
+WITH toks AS (
+    SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w
+    FROM documents
+),
+blk AS (
+    SELECT doc_id, i AS blk_pos,
+           array_to_string(list_slice(w, i*10 + 1, i*10 + 10), ' ') AS blk
+    FROM toks,
+         unnest(range(0, CAST(ceil(len(w) / 10.0) AS BIGINT))) AS t(i)
+),
+surv AS (
+    SELECT doc_id, blk_pos, blk,
+           row_number() OVER (
+               PARTITION BY md5(blk) ORDER BY doc_id, blk_pos
+           ) AS rn
+    FROM blk
+)
+SELECT doc_id, COUNT(*) AS n_blocks_kept,
+       string_agg(blk, ' ' ORDER BY blk_pos) AS clean_text
+FROM surv WHERE rn = 1 GROUP BY 1
+""",
+)
+def q_dedup_paragraph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style block-level exact dedup: 10-word blocks, global
+    first-occurrence survivor, documents reassembled from surviving
+    blocks (operators/dedup.py paragraph_dedup). Linear: one shuffle
+    keyed on the block digest + one on doc_id."""
+    return dedup.paragraph_dedup(_docs(spark, sf_dir), block_words=10)
+
+
+@query(
+    "text_inverted_index",
+    r"""
+WITH t AS (
+    SELECT DISTINCT doc_id,
+           unnest(regexp_split_to_array(trim(text), '\s+')) AS term
+    FROM documents
+)
+SELECT term, COUNT(*) AS df,
+       (list(doc_id ORDER BY doc_id))[1:5] AS postings
+FROM t GROUP BY 1
+""",
+)
+def q_text_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Truncated-posting inverted index (operators/indexing.py):
+    exact df + first-5 postings per term, rank-limit-pushed so
+    stopword terms never materialize full posting lists."""
+    from ..operators import indexing
+
+    return indexing.inverted_index(_docs(spark, sf_dir), k_postings=5)
+
+
+@query(
+    "docs_split_train_val",
+    """
+SELECT doc_id,
+       CASE WHEN ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+                 % 1000 < 900 THEN 'train'
+            WHEN ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+                 % 1000 < 950 THEN 'val'
+            ELSE 'test' END AS split
+FROM documents
+""",
+)
+def q_docs_split_train_val(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 90/5/5 train/val/test assignment by md5 permille
+    (operators/sampling.py) — membership is a pure function of doc_id,
+    stable under corpus growth. Map-only."""
+    return sampling.train_val_test_split(
+        _docs(spark, sf_dir), val_permille=50, test_permille=50
+    )
+
+
+@query(
+    "docs_sample_weighted",
+    """
+SELECT doc_id, source, n_chars FROM documents
+WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 1000
+      < least(n_chars * 2, 1000)
+""",
+)
+def q_docs_sample_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length-weighted deterministic Bernoulli sample
+    (operators/sampling.py weighted_sample): keep probability ∝
+    n_chars via an integer hash gate. Map-only, no RNG."""
+    return sampling.weighted_sample(
+        _docs(spark, sf_dir), scale_permille_per_kchar=2
+    )
+
+
+@query(
+    "docs_shuffle_shard",
+    """
+WITH d AS (
+    SELECT doc_id, md5(CAST(doc_id AS VARCHAR)) AS mkey,
+           ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+           % 16 AS shard
+    FROM documents
+)
+SELECT doc_id, shard,
+       row_number() OVER (PARTITION BY shard ORDER BY mkey, doc_id) AS pos
+FROM d
+""",
+)
+def q_docs_shuffle_shard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic global shuffle into 16 dataloader shards
+    (operators/sampling.py shuffle_shard): md5 is the permutation,
+    per-shard rank is the within-shard order. 16-way parallel windows,
+    no global sort."""
+    return sampling.shuffle_shard(_docs(spark, sf_dir), n_shards=16)

@@ -721,3 +721,85 @@ class TestSemanticDedup:
         import re
 
         assert len(re.findall(r"Exchange hashpartitioning", plan)) == 1
+
+
+class TestCurationRound4:
+    def test_paragraph_dedup_removes_later_copy(self, spark):
+        """A block repeated across docs survives only in the earliest
+        (doc_id, blk_pos); the later doc keeps its unique blocks."""
+        words_a = " ".join(f"a{i}" for i in range(10))
+        words_b = " ".join(f"b{i}" for i in range(10))
+        df = spark.createDataFrame(
+            [(1, words_a), (2, words_a + " " + words_b)],
+            "doc_id long, text string",
+        )
+        out = {
+            r.doc_id: (r.n_blocks_kept, r.clean_text)
+            for r in dedup.paragraph_dedup(df, block_words=10).collect()
+        }
+        assert out[1] == (1, words_a)
+        assert out[2] == (1, words_b)
+
+    def test_paragraph_dedup_within_doc(self, spark):
+        """A block repeated INSIDE one doc is kept once (first pos)."""
+        blk = " ".join(f"w{i}" for i in range(10))
+        df = spark.createDataFrame(
+            [(7, blk + " " + blk)], "doc_id long, text string"
+        )
+        [r] = dedup.paragraph_dedup(df, block_words=10).collect()
+        assert (r.n_blocks_kept, r.clean_text) == (1, blk)
+
+    def test_inverted_index_rank_limit_pushed(self, docs):
+        """Posting-list truncation must plan as WindowGroupLimit
+        (per-partition top-k heaps BEFORE the term exchange) — the
+        stopword-safety property."""
+        from data_pipeline_postgres_spark.operators import indexing
+
+        df = indexing.inverted_index(docs, k_postings=5)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "WindowGroupLimit" in plan
+        assert "SinglePartition" not in plan
+
+    def test_inverted_index_df_exact_postings_truncated(self, docs):
+        from data_pipeline_postgres_spark.operators import indexing
+
+        rows = indexing.inverted_index(docs, k_postings=5).collect()
+        n_docs = docs.count()
+        for r in rows:
+            assert 0 < r.df <= n_docs
+            assert len(r.postings) == min(r.df, 5)
+            assert r.postings == sorted(r.postings)
+
+    def test_split_is_exhaustive_and_disjoint(self, docs):
+        from data_pipeline_postgres_spark.operators import sampling
+
+        out = sampling.train_val_test_split(docs)
+        assert out.count() == docs.count()
+        frac = {
+            r.split: r.n
+            for r in out.groupBy("split").agg(F.count("*").alias("n")).collect()
+        }
+        assert set(frac) == {"train", "val", "test"}
+        assert frac["train"] > frac["val"]
+
+    def test_shuffle_shard_positions_are_dense(self, docs):
+        """Within every shard, pos must be exactly 1..shard_size."""
+        from data_pipeline_postgres_spark.operators import sampling
+
+        out = sampling.shuffle_shard(docs, n_shards=8)
+        bad = (
+            out.groupBy("shard")
+            .agg(
+                F.count("*").alias("n"),
+                F.max("pos").alias("mx"),
+                F.min("pos").alias("mn"),
+                F.count_distinct("pos").alias("nd"),
+            )
+            .filter(
+                (F.col("mx") != F.col("n"))
+                | (F.col("mn") != 1)
+                | (F.col("nd") != F.col("n"))
+            )
+            .count()
+        )
+        assert bad == 0
