@@ -71,6 +71,13 @@ EXT_HEADLINE = [
     "dataset_mixture",
     "sim_range_search",
     "text_tfidf_topterms",
+    "dedup_paragraph",
+    "text_inverted_index",
+    "docs_shuffle_shard",
+    "dedup_semantic",
+    "agg_winsorize",
+    "events_funnel_batch",
+    "layout_zorder",
 ]
 
 

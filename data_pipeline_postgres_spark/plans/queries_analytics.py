@@ -1799,3 +1799,204 @@ def q_agg_corr_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
             "corr_qty_price"
         ),
     )
+
+
+@query(
+    "agg_winsorize",
+    """
+WITH c AS (
+    SELECT l_returnflag,
+           CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * 100 AS BIGINT) AS x
+    FROM lineitem
+),
+p AS (
+    SELECT l_returnflag,
+           quantile_cont(x, 0.05) AS p05,
+           quantile_cont(x, 0.95) AS p95
+    FROM c GROUP BY 1
+),
+w AS (
+    SELECT c.l_returnflag, c.x,
+           CAST(floor(least(greatest(CAST(c.x AS DOUBLE), p.p05), p.p95)
+                      + 0.5) AS BIGINT) AS xw
+    FROM c JOIN p USING (l_returnflag)
+)
+SELECT l_returnflag, COUNT(*) AS n,
+       floor(SUM(CAST(x AS DECIMAL(19,0))) / COUNT(*) / 100.0 * 1000000
+             + 0.5) / 1000000 AS mean_raw,
+       floor(SUM(CAST(xw AS DECIMAL(19,0))) / COUNT(*) / 100.0 * 1000000
+             + 0.5) / 1000000 AS mean_winsorized
+FROM w GROUP BY 1
+""",
+)
+def q_agg_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winsorized mean per group: clamp extended price to the exact
+    interpolated [p05, p95] band (Spark ``percentile`` ≡ DuckDB
+    ``quantile_cont``), snap the clamped value to integer cents, then
+    average via exact DECIMAL sums — the robust-statistics guard
+    against fat-tail outliers. Two passes over the fact: a per-group
+    percentile agg (3 rows, broadcast back) then one clamp+sum agg;
+    the only shuffles hash on the 3-value group key."""
+    li = _t(spark, sf_dir, "lineitem")
+    cents = li.select(
+        "l_returnflag",
+        (F.col("l_extendedprice").cast("decimal(12,2)") * 100)
+        .cast("bigint")
+        .alias("x"),
+    )
+    p = cents.groupBy("l_returnflag").agg(
+        F.expr("percentile(x, 0.05)").alias("p05"),
+        F.expr("percentile(x, 0.95)").alias("p95"),
+    )
+    w = cents.join(F.broadcast(p), "l_returnflag").withColumn(
+        "xw",
+        F.floor(
+            F.least(
+                F.greatest(F.col("x").cast("double"), F.col("p05")),
+                F.col("p95"),
+            )
+            + 0.5
+        ).cast("bigint"),
+    )
+    n = F.count("*")
+    return w.groupBy("l_returnflag").agg(
+        n.alias("n"),
+        (
+            F.floor(
+                F.sum(F.col("x").cast("decimal(19,0)")) / n / 100.0 * 1000000
+                + F.lit(0.5)
+            )
+            / 1000000
+        ).alias("mean_raw"),
+        (
+            F.floor(
+                F.sum(F.col("xw").cast("decimal(19,0)")) / n / 100.0 * 1000000
+                + F.lit(0.5)
+            )
+            / 1000000
+        ).alias("mean_winsorized"),
+    )
+
+
+@query(
+    "events_funnel_batch",
+    """
+WITH v AS (
+    SELECT user_id, MIN(CAST(ts AS TIMESTAMP)) AS t_view
+    FROM events WHERE event_type = 'view' GROUP BY 1
+),
+c AS (
+    SELECT e.user_id, MIN(CAST(e.ts AS TIMESTAMP)) AS t_click
+    FROM events e JOIN v USING (user_id)
+    WHERE e.event_type = 'click' AND CAST(e.ts AS TIMESTAMP) > v.t_view
+    GROUP BY 1
+),
+p AS (
+    SELECT e.user_id, MIN(CAST(e.ts AS TIMESTAMP)) AS t_purchase
+    FROM events e JOIN c USING (user_id)
+    WHERE e.event_type = 'purchase' AND CAST(e.ts AS TIMESTAMP) > c.t_click
+    GROUP BY 1
+)
+SELECT (SELECT COUNT(*) FROM v) AS n_view,
+       (SELECT COUNT(*) FROM c) AS n_view_click,
+       (SELECT COUNT(*) FROM p) AS n_view_click_purchase
+""",
+)
+def q_events_funnel_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered three-stage funnel (view → later click → later
+    purchase): per-stage first-timestamp aggs chained by inner joins
+    on user_id, so every stage stays hash-partitioned on the same key
+    (AQE plans the 3-row-per-user joins without re-exchange); the
+    final stage counts are single-row global aggs. No window over all
+    events, no session state — the batch mirror of
+    stream_stream_funnel."""
+    ev = _t(spark, sf_dir, "events").select("user_id", "event_type", "ts")
+    v = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_view"))
+    )
+    c = (
+        ev.filter(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .filter(F.col("ts") > F.col("t_view"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_click"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter(F.col("ts") > F.col("t_click"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_purchase"))
+    )
+    return (
+        v.agg(F.count("*").alias("n_view"))
+        .crossJoin(c.agg(F.count("*").alias("n_view_click")))
+        .crossJoin(
+            p.agg(F.count("*").alias("n_view_click_purchase"))
+        )
+    )
+
+
+def _morton16(x, y):
+    """Interleave the low 16 bits of two integer columns into a 32-bit
+    Morton (Z-order) key — pure integer Column arithmetic, identical
+    in DuckDB."""
+    z = F.lit(0).cast("bigint")
+    for i in range(16):
+        z = (
+            z
+            + F.shiftleft(F.shiftright(x, i).bitwiseAND(F.lit(1)), 2 * i)
+            + F.shiftleft(
+                F.shiftright(y, i).bitwiseAND(F.lit(1)), 2 * i + 1
+            )
+        )
+    return z
+
+
+def _morton16_sql(x: str, y: str) -> str:
+    terms = []
+    for i in range(16):
+        terms.append(f"((({x} >> {i}) & 1) << {2 * i})")
+        terms.append(f"((({y} >> {i}) & 1) << {2 * i + 1})")
+    return " + ".join(terms)
+
+
+@query(
+    "layout_zorder",
+    f"""
+WITH k AS (
+    SELECT o_orderkey,
+           CAST(o_custkey AS BIGINT) & 65535 AS xk,
+           CAST(date_diff('day', DATE '1970-01-01', o_orderdate) AS BIGINT)
+           & 65535 AS yk
+    FROM orders
+)
+SELECT o_orderkey, {_morton16_sql('xk', 'yk')} AS zkey,
+       ({_morton16_sql('xk', 'yk')}) >> 27 AS file_bucket
+FROM k
+""",
+)
+def q_layout_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order (Morton) clustering key over (customer, order day):
+    interleaving the two dimensions' bits gives a 1-D sort key whose
+    ranges are 2-D-local, so range-partitioned files prune on BOTH
+    predicates (the Delta/Iceberg OPTIMIZE ZORDER idiom, computed
+    with plain integer Column arithmetic). ``file_bucket`` = top 5
+    Morton bits ≈ the 32 files a repartitionByRange write would cut;
+    map-only, no shuffle — the sort happens in the writer."""
+    o = _t(spark, sf_dir, "orders")
+    xk = F.col("o_custkey").cast("bigint").bitwiseAND(F.lit(65535))
+    yk = (
+        F.datediff(F.col("o_orderdate"), F.lit("1970-01-01"))
+        .cast("bigint")
+        .bitwiseAND(F.lit(65535))
+    )
+    k = o.select("o_orderkey", xk.alias("xk"), yk.alias("yk"))
+    z = _morton16(F.col("xk"), F.col("yk"))
+    return k.select(
+        "o_orderkey",
+        z.alias("zkey"),
+        F.shiftright(z, 27).alias("file_bucket"),
+    )

@@ -381,3 +381,69 @@ class TestCapAndCorr:
         assert set(got) == set(ref)
         for k in got:
             assert got[k] == _pytest.approx(ref[k], abs=1e-5)
+
+
+class TestRound4Analytics:
+    def test_winsorize_broadcasts_percentiles(self, spark):
+        """The 3-row per-group percentile table must come back as a
+        broadcast join — no fact re-shuffle for the clamp."""
+        from data_pipeline_postgres_spark.plans import registry
+
+        registry.load_all()
+        df = registry.QUERIES["agg_winsorize"](spark, SF_SMOKE)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastHashJoin" in plan
+
+    def test_winsorized_mean_is_pulled_toward_center(self, spark):
+        from data_pipeline_postgres_spark.plans import registry
+
+        registry.load_all()
+        for r in registry.QUERIES["agg_winsorize"](spark, SF_SMOKE).collect():
+            assert r.mean_winsorized != r.mean_raw or r.n < 40
+
+    def test_funnel_counts_are_monotone(self, spark):
+        from data_pipeline_postgres_spark.plans import registry
+
+        registry.load_all()
+        [r] = registry.QUERIES["events_funnel_batch"](
+            spark, SF_SMOKE
+        ).collect()
+        assert r.n_view >= r.n_view_click >= r.n_view_click_purchase >= 0
+        assert r.n_view > 0
+
+    def test_zorder_is_map_only(self, spark):
+        """Morton-key derivation must not shuffle (pure projection:
+        zero Exchange nodes in the physical plan)."""
+        from data_pipeline_postgres_spark.plans import registry
+
+        registry.load_all()
+        df = registry.QUERIES["layout_zorder"](spark, SF_SMOKE)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan
+
+    def test_zorder_locality_beats_row_order(self, spark):
+        """Sanity on the clustering claim: sorting by zkey, consecutive
+        rows should be closer in (custkey, day) L1 distance on average
+        than sorting by raw o_orderkey."""
+        from data_pipeline_postgres_spark.plans import registry
+
+        registry.load_all()
+        df = registry.QUERIES["layout_zorder"](spark, SF_SMOKE)
+        o = spark.read.parquet(SF_SMOKE + "/orders.parquet").select(
+            "o_orderkey",
+            (F.col("o_custkey").cast("bigint") % 65536).alias("xk"),
+            (
+                F.datediff(F.col("o_orderdate"), F.lit("1970-01-01"))
+                .cast("bigint")
+                % 65536
+            ).alias("yk"),
+        )
+        j = df.join(o, "o_orderkey").toPandas()
+
+        def avg_l1(frame, key):
+            s = frame.sort_values(key)
+            return (
+                (s.xk.diff().abs() + s.yk.diff().abs()).iloc[1:].mean()
+            )
+
+        assert avg_l1(j, "zkey") < avg_l1(j, "o_orderkey")
