@@ -1662,3 +1662,107 @@ def q_docs_shuffle_shard(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-shard rank is the within-shard order. 16-way parallel windows,
     no global sort."""
     return sampling.shuffle_shard(_docs(spark, sf_dir), n_shards=16)
+
+
+@query(
+    "stream_incremental_agg",
+    """
+SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+FROM events GROUP BY 1
+""",
+)
+def q_stream_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """foreachBatch incremental materialized view: per-day aggregate
+    table sum-combined across micro-batches (streaming/jobs.py
+    incremental_agg_foreachbatch) — additive merge ⇒ any batch split
+    yields the batch one-shot answer, which is the oracle."""
+    return stream_jobs.incremental_agg_foreachbatch(spark, sf_dir)
+
+
+_KEEP_BEST_ORACLE = f"""
+WITH RECURSIVE {_TOKS.lstrip()}, {_SHINGLES.lstrip()},
+{_JACCARD_TAIL.lstrip()},
+pairs AS (
+    SELECT doc_a, doc_b
+    FROM inter i
+    JOIN sizes sa ON sa.doc_id = i.doc_a
+    JOIN sizes sb ON sb.doc_id = i.doc_b
+    WHERE CAST(n_common AS DOUBLE) / (sa.n + sb.n - n_common) >= 0.8
+),
+edges AS (
+    SELECT doc_a AS src, doc_b AS dst FROM pairs
+    UNION ALL
+    SELECT doc_b AS src, doc_a AS dst FROM pairs
+),
+reach(doc, lab) AS (
+    SELECT DISTINCT src, src FROM edges
+    UNION
+    SELECT e.src, r.lab FROM edges e JOIN reach r ON e.dst = r.doc
+),
+labels AS (SELECT doc AS doc_id, MIN(lab) AS cluster_id FROM reach GROUP BY doc)
+SELECT cluster_id, n_members, doc_id AS kept_doc_id,
+       n_chars AS kept_n_chars
+FROM (
+    SELECT l.cluster_id, l.doc_id, d.n_chars,
+           COUNT(*) OVER (PARTITION BY l.cluster_id) AS n_members,
+           row_number() OVER (
+               PARTITION BY l.cluster_id
+               ORDER BY d.n_chars DESC, l.doc_id
+           ) AS rn
+    FROM labels l JOIN documents d USING (doc_id)
+) WHERE rn = 1
+"""
+
+
+@query("dedup_cluster_keep_best", _KEEP_BEST_ORACLE)
+def q_dedup_cluster_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical-survivor election per near-dup cluster: keep the
+    highest-quality member (longest text, doc_id tiebreak) instead of
+    the min-id default — the curation policy that retains the best
+    copy. One doc_id join onto the component labels + one cluster-key
+    aggregate (max_by carries the winner through map-side partial
+    merges; no window over members)."""
+    docs = _docs(spark, sf_dir)
+    pairs = dedup.jaccard_pairs(dedup.doc_shingles(docs), None, 0.8)
+    labels = dedup.dedup_clusters(pairs)
+    j = labels.join(docs.select("doc_id", "n_chars"), "doc_id")
+    return j.groupBy("cluster_id").agg(
+        F.count("*").alias("n_members"),
+        F.max_by(
+            "doc_id", F.struct(F.col("n_chars"), (-F.col("doc_id")))
+        ).alias("kept_doc_id"),
+        F.max("n_chars").alias("kept_n_chars"),
+    )
+
+
+def _jl_oracle(in_dim: int = 64, out_dim: int = 16) -> str:
+    from ..operators.embeddings import jl_signs
+
+    signs = jl_signs(in_dim, out_dim)
+    parts = []
+    for j in range(out_dim):
+        lit = "[" + ", ".join(str(s) for s in signs[j]) + "]"
+        fold = (
+            f"list_reduce(list_transform(range({in_dim}), "
+            f"i -> CAST(embedding[i+1] AS DOUBLE)"
+            f" * CAST(({lit})[i+1] AS DOUBLE)), (a,b) -> a+b)"
+        )
+        parts.append(
+            f"SELECT vec_id, {j} AS pos, "
+            f"round({fold} / sqrt({out_dim}), 6) AS y FROM embeddings"
+        )
+    return "\nUNION ALL\n".join(parts)
+
+
+@query("emb_random_projection", _jl_oracle())
+def q_emb_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Johnson-Lindenstrauss ±1 random projection 64-d → 16-d
+    (operators/embeddings.py random_projection): deterministic
+    md5-parity sign matrix as plan literals, ordered double folds
+    (≡ DuckDB list_reduce bit-for-bit), pure narrow map — the
+    project-then-rerank ANN front end."""
+    from ..operators import embeddings as emb_ops
+
+    return emb_ops.random_projection(_emb(spark, sf_dir))

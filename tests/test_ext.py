@@ -803,3 +803,96 @@ class TestCurationRound4:
             .count()
         )
         assert bad == 0
+
+
+class TestIncrementalAggStream:
+    def test_runs_multiple_microbatches_and_matches_batch(self, spark):
+        """The foreachBatch view must be built from ≥2 genuine
+        micro-batches (else the test proves nothing) and equal the
+        one-shot batch daily aggregate."""
+        import os
+
+        from data_pipeline_postgres_spark.streaming import jobs
+
+        got = {
+            r.day: (r.n_events, r.sum_value)
+            for r in jobs.incremental_agg_foreachbatch(
+                spark, SF_SMOKE
+            ).collect()
+        }
+        offsets = os.path.join(
+            jobs._SCRATCH, "incr_ckpt", "offsets"
+        )
+        assert len(os.listdir(offsets)) >= 2
+        ev = load_table(spark, SF_SMOKE, "events")
+        want = {
+            r.day: (r.n_events, r.sum_value)
+            for r in ev.groupBy(
+                F.date_trunc("day", "ts").cast("date").alias("day")
+            )
+            .agg(
+                F.count("*").alias("n_events"),
+                F.sum(F.col("value").cast("decimal(18,2)"))
+                .cast("double")
+                .alias("sum_value"),
+            )
+            .collect()
+        }
+        assert got == want
+
+
+class TestProjectionAndKeepBest:
+    def test_random_projection_is_narrow(self, emb):
+        """JL projection must plan with zero Exchange nodes."""
+        from data_pipeline_postgres_spark.operators import embeddings
+
+        df = embeddings.random_projection(emb)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan
+
+    def test_random_projection_preserves_distances(self, emb):
+        """JL guarantee (loose check): for sampled vector pairs the
+        projected squared distance stays within 3× of the original
+        (E[ratio]=1; 16 dims is noisy, so just bound it)."""
+        import numpy as np
+
+        rows = emb.orderBy("vec_id").limit(12).collect()
+        from data_pipeline_postgres_spark.operators.embeddings import (
+            jl_signs,
+        )
+
+        S = np.array(jl_signs(64, 16), dtype=float)
+        ratios = []
+        for i in range(0, 10, 2):
+            a = np.array(rows[i].embedding, dtype=float)
+            b = np.array(rows[i + 1].embedding, dtype=float)
+            d0 = float(np.sum((a - b) ** 2))
+            pa, pb = S @ a / 4.0, S @ b / 4.0
+            d1 = float(np.sum((pa - pb) ** 2))
+            if d0 > 0:
+                ratios.append(d1 / d0)
+        assert ratios and all(0.2 < r < 3.5 for r in ratios)
+
+    def test_keep_best_winner_is_longest_member(self, spark, docs):
+        from data_pipeline_postgres_spark.operators import dedup
+        from data_pipeline_postgres_spark.plans import registry
+
+        registry.load_all()
+        kept = registry.QUERIES["dedup_cluster_keep_best"](
+            spark, SF_SMOKE
+        ).collect()
+        pairs = dedup.jaccard_pairs(dedup.doc_shingles(docs), None, 0.8)
+        labels = {
+            r.doc_id: r.cluster_id
+            for r in dedup.dedup_clusters(pairs).collect()
+        }
+        lens = {
+            r.doc_id: r.n_chars
+            for r in docs.select("doc_id", "n_chars").collect()
+        }
+        for r in kept:
+            members = [d for d, c in labels.items() if c == r.cluster_id]
+            assert r.kept_doc_id in members
+            assert len(members) == r.n_members
+            best = max(lens[m] for m in members)
+            assert lens[r.kept_doc_id] == best == r.kept_n_chars
