@@ -1766,3 +1766,18 @@ def q_emb_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators import embeddings as emb_ops
 
     return emb_ops.random_projection(_emb(spark, sf_dir))
+
+
+@query(
+    "stream_dedup_watermark",
+    """
+SELECT event_type, COUNT(DISTINCT user_id) AS n_users
+FROM events GROUP BY event_type
+""",
+)
+def q_stream_dedup_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming dedup with WATERMARK-BOUNDED state
+    (dropDuplicatesWithinWatermark) — the unbounded-stream-safe
+    variant of stream_dedup; state per key is released once the
+    watermark passes it."""
+    return stream_jobs.stream_dedup_watermark(spark, sf_dir)

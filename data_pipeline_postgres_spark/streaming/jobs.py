@@ -604,3 +604,41 @@ def incremental_agg_foreachbatch(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_events",
         F.col("sum_dec").cast("double").alias("sum_value"),
     )
+
+
+def stream_dedup_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded-state streaming dedup via
+    ``dropDuplicatesWithinWatermark``: unlike plain ``dropDuplicates``
+    (whose seen-key state grows forever), state for a key is dropped
+    once the watermark passes its event time — the ONLY viable dedup
+    on an unbounded 100 TB/day stream where duplicates arrive close
+    to the original (late-arrival bound = the watermark delay).
+
+    The delay here (40 days) exceeds the test stream's whole span, so
+    the bounded drain dedups everything and the result equals the
+    batch distinct — the oracle. In production the delay is the
+    duplicate-lag SLA (minutes/hours), keeping state tiny.
+    """
+    ev = events_stream(spark, sf_dir).withWatermark("ts", "40 days")
+    keys = ev.select(
+        "user_id", "event_type", "ts"
+    ).dropDuplicatesWithinWatermark(["user_id", "event_type"])
+    spool = _scratch("dedup_wm_spool")
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df.write.mode("append").parquet(spool)
+
+    with _shuffle_partitions(spark, 8):
+        q = (
+            keys.writeStream.foreachBatch(sink)
+            .outputMode("update")
+            .option("checkpointLocation", _scratch("dedup_wm_ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    return (
+        spark.read.parquet(spool)
+        .groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("n_users"))
+    )
