@@ -12,7 +12,9 @@ loader keeps that swap local to one function.
 
 from __future__ import annotations
 
+import glob
 import os
+from functools import lru_cache
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -33,8 +35,8 @@ TABLES = (
 DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 SMOKE_SF_DIR = "/root/testdata/sf0.001"
 
-# events.parquet physical layout (TESTDATA.md), with the TIMESTAMP(NANOS)
-# ts column read as raw long — see load_table.
+# events.parquet physical layout (TESTDATA.md) when the ts column is
+# TIMESTAMP(NANOS): read as raw long — see load_table.
 EVENTS_RAW_SCHEMA = (
     "event_id bigint, ts long, user_id bigint, "
     "event_type string, value double, props string"
@@ -45,27 +47,53 @@ def table_path(sf_dir: str, name: str) -> str:
     return os.path.join(sf_dir, f"{name}.parquet")
 
 
+@lru_cache(maxsize=64)
+def parquet_ts_unit(path: str, column: str = "ts") -> str:
+    """Time unit ('s'|'ms'|'us'|'ns') of a parquet timestamp column,
+    read from the file footer. The testdata has flipped units between
+    driver versions (NANOS in round 1, MICROS by round 5); sniffing
+    the footer instead of hard-coding the unit makes the reader
+    unit-proof. One footer read on the driver per (path, column) —
+    cached, negligible even at 100 TB."""
+    import pyarrow.parquet as pq
+
+    if os.path.isdir(path):
+        inner = sorted(glob.glob(os.path.join(path, "*.parquet")))
+        if not inner:
+            raise FileNotFoundError(f"no parquet files under {path}")
+        path = inner[0]
+    return pq.read_schema(path).field(column).type.unit
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one lake table as a DataFrame (columnar parquet scan —
     column pruning and predicate pushdown reach the file scan)."""
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; known: {TABLES}")
-    if name == "events":
-        # events.ts is parquet TIMESTAMP(NANOS), which Spark's
-        # vectorized reader rejects when inferring the schema
-        # (PARQUET_TYPE_ILLEGAL). Supplying the schema explicitly with
-        # ``ts long`` reads the raw nanos without touching the
-        # session-wide ``spark.sql.legacy.parquet.nanosAsLong`` conf
-        # (no leak into other readers); floor-division to microseconds
-        # matches DuckDB's truncation, so both engines see identical
-        # timestamps.
-        df = spark.read.schema(EVENTS_RAW_SCHEMA).parquet(
-            table_path(sf_dir, name)
-        )
+    path = table_path(sf_dir, name)
+    if name == "events" and parquet_ts_unit(path) == "ns":
+        # TIMESTAMP(NANOS) is rejected by Spark's vectorized reader
+        # when inferring the schema (PARQUET_TYPE_ILLEGAL). Supplying
+        # the schema explicitly with ``ts long`` reads the raw nanos
+        # without touching the session-wide
+        # ``spark.sql.legacy.parquet.nanosAsLong`` conf (no leak into
+        # other readers); floor-division to microseconds matches
+        # DuckDB's truncation, so both engines see identical
+        # timestamps. SECONDS/MILLIS/MICROS need no workaround —
+        # Spark reads them natively as TimestampType.
+        df = spark.read.schema(EVENTS_RAW_SCHEMA).parquet(path)
         return df.withColumn(
             "ts", F.timestamp_micros(F.expr("ts div 1000"))
         )
-    return spark.read.parquet(table_path(sf_dir, name))
+    if name == "events":
+        # MICROS files without isAdjustedToUTC infer as timestamp_ntz;
+        # the session timezone is pinned to UTC (session.py), so the
+        # cast to TIMESTAMP is value-preserving and keeps one ts type
+        # across batch, streaming, and the DuckDB oracle.
+        return spark.read.parquet(path).withColumn(
+            "ts", F.col("ts").cast("timestamp")
+        )
+    return spark.read.parquet(path)
 
 
 def register_views(

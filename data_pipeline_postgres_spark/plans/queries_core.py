@@ -851,8 +851,14 @@ def q_ddl_monthly_shard(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``table_material_demand_{YYYY_MM}`` — README.md:774-787; comment
     mnt/dags/02datalake_to_datawarehouse.py:118-132). Here: ONE
     partitioned dataset; month filters prune directories, no name
-    mangling."""
-    path = _scratch("material_demand_partitioned")
+    mangling.
+
+    The scratch target is wiped first: this query is a one-shot full
+    rebuild, and dynamic partition overwrite (the engine default,
+    right for the incremental pipeline) would otherwise leave behind
+    partitions a previous run wrote for months the current result no
+    longer contains."""
+    path = _scratch("material_demand_partitioned", wipe=True)
     lake.write_partitioned(flagship(spark, sf_dir), path, date_col="date")
     df = lake.read_partitioned(spark, path)
     return df.select(

@@ -662,17 +662,22 @@ s AS (
         FROM e
     )
 )
-SELECT vec_id, scale,
-       list_transform(v, x -> CAST(floor(x / scale + 0.5) AS INT)) AS q
-FROM s
+SELECT vec_id, scale, i - 1 AS pos,
+       CAST(floor(v[i] / scale + 0.5) AS INT) AS qval
+FROM s, unnest(range(1, len(v) + 1)) AS t(i)
 """,
 )
 def q_emb_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Symmetric int8 quantization per vector (scale = max|x|/127,
-    round-half-up components) — the embedding-lake storage compressor."""
+    round-half-up components) — the embedding-lake storage compressor.
+    Output is posexploded to scalar rows (vec_id, scale, pos, qval):
+    the driver's value-hasher cannot hash array cells, and the scalar
+    form is what both engines compare exactly."""
     from ..operators import embeddings
 
-    return embeddings.int8_quantize(_emb(spark, sf_dir))
+    return embeddings.int8_quantize(_emb(spark, sf_dir)).select(
+        "vec_id", "scale", F.posexplode("q").alias("pos", "qval")
+    )
 
 
 # -- curation composite ----------------------------------------------------
@@ -838,8 +843,8 @@ c AS (
     FROM t
 )
 SELECT doc_id, n_tokens,
-       cum_before // 512 AS seq_id,
-       cum_before % 512 AS seq_offset
+       CAST(cum_before // 512 AS BIGINT) AS seq_id,
+       CAST(cum_before % 512 AS BIGINT) AS seq_offset
 FROM c
 """,
 )
@@ -1261,10 +1266,13 @@ q AS (
 )
 SELECT vec_id,
        CAST(len(list_filter(v, x -> x > 0)) AS INT) AS n_pos,
-       list_max(qv) AS max_q,
-       list_min(qv) AS min_q,
-       list_reduce(list_transform(qv, x -> abs(x)), (a, b) -> a + b) AS l1_q,
-       qv[1:3] AS head3
+       CAST(list_max(qv) AS BIGINT) AS max_q,
+       CAST(list_min(qv) AS BIGINT) AS min_q,
+       CAST(list_reduce(list_transform(qv, x -> abs(x)), (a, b) -> a + b)
+            AS BIGINT) AS l1_q,
+       CAST(qv[1] AS BIGINT) AS head1,
+       CAST(qv[2] AS BIGINT) AS head2,
+       CAST(qv[3] AS BIGINT) AS head3
 FROM q
 """,
 )
@@ -1296,7 +1304,11 @@ def q_array_funcs_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.lit(0).cast("bigint"),
                 lambda a, b: a + b,
             ).alias("l1_q"),
-            F.slice("qv", 1, 3).alias("head3"),
+            # scalar columns, not an array slice: the driver's
+            # value-hasher cannot hash array cells
+            F.element_at("qv", 1).alias("head1"),
+            F.element_at("qv", 2).alias("head2"),
+            F.element_at("qv", 3).alias("head3"),
         )
     )
 
@@ -1591,17 +1603,22 @@ WITH t AS (
     FROM documents
 )
 SELECT term, COUNT(*) AS df,
-       (list(doc_id ORDER BY doc_id))[1:5] AS postings
+       array_to_string((list(doc_id ORDER BY doc_id))[1:5], ',') AS postings
 FROM t GROUP BY 1
 """,
 )
 def q_text_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Truncated-posting inverted index (operators/indexing.py):
     exact df + first-5 postings per term, rank-limit-pushed so
-    stopword terms never materialize full posting lists."""
+    stopword terms never materialize full posting lists. Postings are
+    emitted as a comma-joined string — the driver's value-hasher
+    cannot hash array cells."""
     from ..operators import indexing
 
-    return indexing.inverted_index(_docs(spark, sf_dir), k_postings=5)
+    idx = indexing.inverted_index(_docs(spark, sf_dir), k_postings=5)
+    return idx.withColumn(
+        "postings", F.concat_ws(",", F.col("postings"))
+    )
 
 
 @query(

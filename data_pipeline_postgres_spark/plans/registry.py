@@ -38,72 +38,71 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 
 
 # The driver's correctness sweep checks exactly the first 50 entries of
-# ``queries()`` in dict-insertion order (verified: CORRECTNESS_r01/r02/r03
-# keys == list(QUERIES)[:50]).  Rounds 1-3 proved 102 distinct queries
-# green; this round-4 rotation front-loads the 42 never-driver-verified
-# oracle-backed queries (TPC-H tail, the r3 additions, the deferred
-# DDL/set/join four) plus the 8 oracle-backed queries added during round
-# 4 itself, so every slot yields a hash-verified row.  The rows-only
-# family (weaker rows-only evidence regardless of window position)
-# rotates into round 5's window.  Queries not listed here keep their
-# registration order after slot 50.
+# ``queries()`` in dict-insertion order (verified: CORRECTNESS_r01..r05
+# keys == list(QUERIES)[:50]).  Round-6 rotation, per VERDICT r5:
+# (a) the 19 queries with zero driver evidence to date, (b) the 5
+# fixed-this-round fail/error rows (HUGEINT-cast oracles, array-output
+# canonicalization, the r2 approx error), and (c) the events-ts family
+# whose r2/r3 passes went stale when the testdata's timestamp unit
+# flipped to MICROS — re-verified against the round-6 unit-sniffing
+# reader.  Same-mechanism stale rows that didn't fit the 50-slot window
+# (derive_case_when*, agg_group_sum_sql, date_iso_ds, json_extract,
+# ddl_create_table, ddl_monthly_shard — all plain load_table
+# projections represented by material_demand) rotate into round 7.
 DRIVER_PRIORITY: tuple[str, ...] = (
-    # TPC-H shapes added in round 3
-    "tpch_q4_order_priority",
-    "tpch_q6_forecast_revenue",
-    "tpch_q7_volume_shipping",
-    "tpch_q8_market_share",
-    "tpch_q10_returned_items",
+    # (a) never driver-checked
+    "agg_winsorize",
+    "agg_percentile",
+    "agg_approx_quantile",
+    "events_funnel_batch",
+    "layout_zorder",
+    "text_inverted_index",
+    "dedup_paragraph",
+    "docs_shuffle_shard",
+    "docs_split_train_val",
+    "docs_sample_weighted",
+    "emb_random_projection",
+    "dedup_cluster_keep_best",
+    "stream_dedup_watermark",
+    "stream_incremental_agg",
+    "dedup_embedding_lsh",
+    "dedup_minhash_ml",
+    "sim_topk_lsh",
+    "sim_ann_ivf_kmeans",
+    "multimodal_decode",
+    "profile_table_approx",
+    # (b) fixed this round
     "tpch_q12_priority_class",
-    "tpch_q13_order_counts",
-    "tpch_q14_promo_revenue",
-    "tpch_q15_top_supplier",
-    "tpch_q17_small_qty_revenue",
-    "tpch_q18_large_orders",
-    "tpch_q19_discounted_revenue",
-    "tpch_q21_waiting_supplier",
-    "tpch_q22_sales_opportunity",
-    # LLM-data-pipeline additions
-    "dedup_cluster_cc_star",
-    "sim_topk_batch",
-    "sim_ann_ivf_batch",
-    "emb_quantize",
-    "docs_curation_pipeline",
-    "docs_curation_incremental",
     "docs_pack_sequences",
-    "multimodal_framesample",
-    "text_rarity_score",
+    "emb_quantize",
+    "array_funcs_suite",
+    "agg_approx_distinct",
+    # (c) events-ts family re-verification (micros fix)
+    "material_demand",
+    "window_tumbling_daily",
+    "window_rolling_7d",
+    "window_session_1h",
+    "window_sliding_3d1d",
+    "window_lead_lag",
+    "window_moving_avg_rows",
+    "events_forward_fill",
+    "join_asof",
+    "join_asof_forward",
+    "join_range_banded",
+    "join_salted_skew",
+    "json_source_roundtrip",
+    "orc_roundtrip",
+    "partitioned_write_prune",
+    "pipeline_incremental_day",
     "profile_heavy_hitters",
-    "bucket_global_quantile",
-    # streaming additions
+    "stream_tumbling_daily",
+    "stream_tumbling_watermark",
     "stream_session_1h",
     "stream_stream_funnel",
-    # function-coverage suites and window/date widening
-    "window_rank_suite",
-    "window_first_last_nth",
-    "window_moving_avg_rows",
-    "str_funcs_suite",
-    "date_funcs_suite",
-    "array_funcs_suite",
-    "agg_zscore_exact",
-    "agg_histogram",
-    "events_forward_fill",
-    "join_asof_forward",
-    "parquet_schema_merge",
-    # deferred from the round-3 window
-    "ddl_create_schema",
-    "ddl_drop_create",
-    "set_union_distinct",
-    "join_left_outer",
-    # oracle-backed queries added during round 4
-    "orc_roundtrip",
-    "decontaminate_ngram",
-    "dataset_mixture",
-    "sim_range_search",
-    "text_tfidf_topterms",
-    "dedup_semantic",
-    "docs_cap_per_source",
-    "agg_corr_exact",
+    "stream_sliding_3d1d",
+    "stream_static_join",
+    "stream_dedup",
+    "stream_cdc_latest",
 )
 
 

@@ -38,16 +38,19 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
-from ..catalog import table_path
+from ..catalog import load_table, parquet_ts_unit, table_path
 from ..operators.aggregate import exact_sum
 
 if TYPE_CHECKING:
     import pandas as pd
 
-# events.parquet stores ts as TIMESTAMP(NANOS); declaring the column
-# as long in an explicit schema reads the raw nanos without any
-# session conf (same trick as catalog.load_table), then a
-# floor-conversion to micros yields identical values to DuckDB's.
+# When events.parquet stores ts as TIMESTAMP(NANOS) (round-1 driver
+# testdata), declaring the column as long in an explicit schema reads
+# the raw nanos without any session conf (same trick as
+# catalog.load_table), then a floor-conversion to micros yields
+# identical values to DuckDB's. Current testdata is TIMESTAMP(MICROS),
+# which Spark reads natively — the unit is sniffed per-file via
+# catalog.parquet_ts_unit, never hard-coded.
 EVENTS_STREAM_SCHEMA = T.StructType(
     [
         T.StructField("event_id", T.LongType()),
@@ -58,6 +61,37 @@ EVENTS_STREAM_SCHEMA = T.StructType(
         T.StructField("props", T.StringType()),
     ]
 )
+
+# Native schema for SECONDS/MILLIS/MICROS files: Spark's reader
+# handles the unit conversion itself.
+EVENTS_TS_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.TimestampType()),
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("props", T.StringType()),
+    ]
+)
+
+
+def _events_read_schema(sample_path: str) -> tuple[T.StructType, bool]:
+    """(readStream schema, needs-nanos-fix?) for an events parquet —
+    unit sniffed from the footer so the stream reader survives the
+    driver flipping the testdata's timestamp unit."""
+    nanos = parquet_ts_unit(sample_path) == "ns"
+    return (EVENTS_STREAM_SCHEMA if nanos else EVENTS_TS_SCHEMA), nanos
+
+
+def _fix_ts(df: DataFrame, nanos: bool) -> DataFrame:
+    """Floor raw int64 nanos to a proper timestamp; identity when the
+    file unit is already natively readable."""
+    if nanos:
+        return df.withColumn(
+            "ts", F.timestamp_micros(F.expr("ts div 1000"))
+        )
+    return df
 
 from ..scratch import SCRATCH_ROOT
 
@@ -111,11 +145,9 @@ def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """File-source stream over the events parquet (new files under the
     path would be discovered and processed in arrival order — the
     ExternalTaskSensor availability gate, without polling)."""
-    raw = (
-        spark.readStream.schema(EVENTS_STREAM_SCHEMA)
-        .parquet(_stream_dir(sf_dir))
-    )
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    schema, nanos = _events_read_schema(table_path(sf_dir, "events"))
+    raw = spark.readStream.schema(schema).parquet(_stream_dir(sf_dir))
+    return _fix_ts(raw, nanos)
 
 
 def tumbling_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -166,11 +198,16 @@ def _wm_source_dir(spark: SparkSession, sf_dir: str) -> str:
     d = _scratch("wm_src")
     events = os.path.join(d, "000_events.parquet")
     shutil.copyfile(table_path(sf_dir, "events"), events)
-    sentinel_ns = 4_070_908_800 * 1_000_000_000  # 2099-01-01 UTC
+    # The sentinel file must carry the SAME timestamp unit as the real
+    # events file — the stream reader uses one schema for the whole
+    # source directory.
+    unit = parquet_ts_unit(events)
+    per_second = {"s": 1, "ms": 10**3, "us": 10**6, "ns": 10**9}[unit]
+    sentinel_ts = 4_070_908_800 * per_second  # 2099-01-01 UTC
     tbl = pa.table(
         {
             "event_id": pa.array([-1], pa.int64()),
-            "ts": pa.array([sentinel_ns], pa.timestamp("ns")),
+            "ts": pa.array([sentinel_ts], pa.timestamp(unit)),
             "user_id": pa.array([-1], pa.int64()),
             "event_type": pa.array(["__sentinel__"], pa.string()),
             "value": pa.array([0.0], pa.float64()),
@@ -197,12 +234,13 @@ def tumbling_daily_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``window_tumbling_daily`` result — the oracle.
     """
     src_dir = _wm_source_dir(spark, sf_dir)
+    schema, nanos = _events_read_schema(table_path(sf_dir, "events"))
     raw = (
-        spark.readStream.schema(EVENTS_STREAM_SCHEMA)
+        spark.readStream.schema(schema)
         .option("maxFilesPerTrigger", 1)
         .parquet(src_dir)
     )
-    ev = raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    ev = _fix_ts(raw, nanos)
     agg = (
         ev.withWatermark("ts", "0 seconds")
         .groupBy(F.window("ts", "1 day").alias("w"))
@@ -242,15 +280,16 @@ def stream_stream_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     needs no horizon flush. Result ≡ the batch interval self-join
     (the oracle): (user_id, click_id, purchase_id)."""
     src_dir = _wm_source_dir(spark, sf_dir)
+    schema, nanos = _events_read_schema(table_path(sf_dir, "events"))
 
     def side(kind: str, prefix: str) -> DataFrame:
         raw = (
-            spark.readStream.schema(EVENTS_STREAM_SCHEMA)
+            spark.readStream.schema(schema)
             .option("maxFilesPerTrigger", 1)
             .parquet(src_dir)
         )
         return (
-            raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+            _fix_ts(raw, nanos)
             .filter(F.col("event_type") == kind)
             .select(
                 F.col("user_id").alias(f"{prefix}_user"),
@@ -298,12 +337,13 @@ def session_1h_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
     session is filtered out of the sink. Result ≡ the batch
     gaps-and-islands oracle."""
     src_dir = _wm_source_dir(spark, sf_dir)
+    schema, nanos = _events_read_schema(table_path(sf_dir, "events"))
     raw = (
-        spark.readStream.schema(EVENTS_STREAM_SCHEMA)
+        spark.readStream.schema(schema)
         .option("maxFilesPerTrigger", 1)
         .parquet(src_dir)
     )
-    ev = raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    ev = _fix_ts(raw, nanos)
     agg = (
         ev.withWatermark("ts", "0 seconds")
         .groupBy("user_id", F.session_window("ts", "1 hour").alias("w"))
@@ -439,8 +479,6 @@ def static_join_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     until the aggregation. Returns the final aggregate as a batch
     DataFrame (oracle: the same join+agg in SQL).
     """
-    from ..catalog import load_table
-
     ev = events_stream(spark, sf_dir)
     cust = F.broadcast(
         load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
@@ -544,9 +582,9 @@ def incremental_agg_foreachbatch(spark: SparkSession, sf_dir: str) -> DataFrame:
     (``maxFilesPerTrigger=1``) to force a genuinely incremental run.
     """
     src = _scratch("incr_src")
-    raw = spark.read.schema(EVENTS_STREAM_SCHEMA).parquet(
-        table_path(sf_dir, "events")
-    )
+    # Fix the ts unit BEFORE splitting, so the split files always carry
+    # native TimestampType regardless of the source file's unit.
+    raw = load_table(spark, sf_dir, "events")
     for i in range(3):
         raw.filter(F.col("event_id") % 3 == i).coalesce(1).write.mode(
             "append"
@@ -560,9 +598,7 @@ def incremental_agg_foreachbatch(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     def merge_batch(batch_df: DataFrame, batch_id: int) -> None:
         part = (
-            batch_df.withColumn(
-                "ts", F.timestamp_micros(F.expr("ts div 1000"))
-            )
+            batch_df
             .groupBy(F.date_trunc("day", "ts").cast("date").alias("day"))
             .agg(
                 F.count("*").alias("n_events"),
@@ -588,7 +624,7 @@ def incremental_agg_foreachbatch(spark: SparkSession, sf_dir: str) -> DataFrame:
             shutil.rmtree(target)
         os.rename(tmp, target)
 
-    stream = spark.readStream.schema(EVENTS_STREAM_SCHEMA).option(
+    stream = spark.readStream.schema(EVENTS_TS_SCHEMA).option(
         "maxFilesPerTrigger", 1
     ).parquet(src)
     with _shuffle_partitions(spark, 8):

@@ -1,0 +1,104 @@
+"""Regression guards against testdata drift and driver-harness limits.
+
+Round 5 post-mortem: the driver regenerated events.parquet with
+``ts`` as TIMESTAMP(MICROS) where round 1 had TIMESTAMP(NANOS); the
+engine's hard-coded nanos workaround silently collapsed every event
+timestamp to 1970-01-20 and ~35 queries went wrong with zero local
+signal. These tests make both failure classes loud:
+
+- unit drift: for every testdata dir, the engine's min/max(ts) must
+  equal DuckDB's read of the same file (DuckDB resolves the parquet
+  logical type from the footer, so it is unit-proof by construction);
+- array outputs: the driver's value-hasher dies on array cells
+  (``TypeError: unhashable type`` — r5 ERROR rows for emb_quantize /
+  array_funcs_suite), so no oracle-backed query may return
+  array/map/struct columns.
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+
+import duckdb
+import pytest
+
+from tests.conftest import SF_SMOKE
+
+SF_DIRS = sorted(glob.glob("/root/testdata/sf*"))
+
+
+@pytest.mark.parametrize("sf_dir", SF_DIRS, ids=os.path.basename)
+def test_events_ts_unit_matches_duckdb(spark, sf_dir):
+    """Engine-read event timestamps == DuckDB-read, whatever the
+    parquet time unit of the day is."""
+    from data_pipeline_postgres_spark.catalog import load_table, table_path
+
+    path = table_path(sf_dir, "events")
+    if not os.path.exists(path):
+        pytest.skip(f"no events table in {sf_dir}")
+    got = (
+        load_table(spark, sf_dir, "events")
+        .selectExpr(
+            "CAST(min(ts) AS STRING) AS lo", "CAST(max(ts) AS STRING) AS hi"
+        )
+        .collect()[0]
+    )
+    want = duckdb.sql(
+        "SELECT CAST(min(ts) AS VARCHAR) lo, CAST(max(ts) AS VARCHAR) hi "
+        f"FROM read_parquet('{path}')"
+    ).fetchone()
+    assert (got.lo, got.hi) == want
+    # and nothing collapsed to the epoch
+    assert not got.lo.startswith("1970-")
+
+
+def test_events_ts_is_timestamp_type(spark):
+    from data_pipeline_postgres_spark.catalog import load_table
+
+    df = load_table(spark, SF_SMOKE, "events")
+    assert dict(df.dtypes)["ts"] == "timestamp"
+
+
+def test_streaming_schema_matches_file_unit():
+    """The streaming reader must pick the raw-long schema ONLY for
+    nanos files; for everything else the native timestamp schema."""
+    from data_pipeline_postgres_spark.catalog import table_path
+    from data_pipeline_postgres_spark.streaming.jobs import (
+        EVENTS_STREAM_SCHEMA,
+        EVENTS_TS_SCHEMA,
+        _events_read_schema,
+    )
+    from data_pipeline_postgres_spark.catalog import parquet_ts_unit
+
+    path = table_path(SF_SMOKE, "events")
+    schema, nanos = _events_read_schema(path)
+    unit = parquet_ts_unit(path)
+    if unit == "ns":
+        assert nanos and schema == EVENTS_STREAM_SCHEMA
+    else:
+        assert not nanos and schema == EVENTS_TS_SCHEMA
+
+
+def test_no_oracle_query_returns_nested_columns(spark):
+    """Driver hasher contract: every oracle-backed query's schema is
+    scalar-only. Schema inspection is lazy (no job runs), so the whole
+    sweep is cheap."""
+    import __spark_entry__ as entry
+    from pyspark.sql import types as T
+
+    queries = entry.queries()
+    oracles = entry.oracle_sql()
+    offenders = {}
+    for name in oracles:
+        df = queries[name](spark, SF_SMOKE)
+        bad = [
+            f.name
+            for f in df.schema.fields
+            if isinstance(
+                f.dataType, (T.ArrayType, T.MapType, T.StructType)
+            )
+        ]
+        if bad:
+            offenders[name] = bad
+    assert not offenders, f"nested output columns: {offenders}"
