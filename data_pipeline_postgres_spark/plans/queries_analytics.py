@@ -22,7 +22,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..catalog import load_table
-from ..operators import join_ext
+from ..operators import aggregate, join_ext
 from ..operators.aggregate import exact_sum
 from .registry import query
 
@@ -460,13 +460,27 @@ FROM orders GROUP BY o_orderstatus
 """,
 )
 def q_agg_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact interpolated percentiles per group (Spark ``percentile``
-    ≡ DuckDB ``quantile_cont``: same (n-1)·p linear interpolation)."""
+    """Exact interpolated percentiles per group, ≡ DuckDB
+    ``quantile_cont`` ((n-1)·p linear interpolation) — computed via
+    bucket-counts + one refinement pass
+    (operators.aggregate.bucket_refine_quantiles) instead of Spark's
+    ``percentile()``, whose per-group full-value buffer cannot
+    survive a 100 TB group. Prices go through exact cent encoding;
+    interpolation divides back by 100, reconstructing the source
+    doubles bit-for-bit."""
     o = _t(spark, sf_dir, "orders")
-    return o.groupBy("o_orderstatus").agg(
-        F.expr("percentile(o_totalprice, 0.5)").alias("p50"),
-        F.expr("percentile(o_totalprice, 0.9)").alias("p90"),
-        F.expr("percentile(o_totalprice, 0.99)").alias("p99"),
+    cents = o.select(
+        "o_orderstatus",
+        (F.col("o_totalprice").cast("decimal(12,2)") * 100)
+        .cast("bigint")
+        .alias("x"),
+    )
+    return aggregate.bucket_refine_quantiles(
+        cents,
+        ["o_orderstatus"],
+        "x",
+        {"p50": 0.5, "p90": 0.9, "p99": 0.99},
+        value_divisor=100.0,
     )
 
 
@@ -1834,9 +1848,13 @@ def q_agg_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
     interpolated [p05, p95] band (Spark ``percentile`` ≡ DuckDB
     ``quantile_cont``), snap the clamped value to integer cents, then
     average via exact DECIMAL sums — the robust-statistics guard
-    against fat-tail outliers. Two passes over the fact: a per-group
-    percentile agg (3 rows, broadcast back) then one clamp+sum agg;
-    the only shuffles hash on the 3-value group key."""
+    against fat-tail outliers. The quantile band comes from bucket
+    counts + one refinement pass
+    (operators.aggregate.bucket_refine_quantiles): no stage sorts or
+    buffers more than max(|buckets|, bucket_width) rows per group,
+    so the shape survives a billion-row return-flag group; the clamp
+    +mean pass is one map-side-combined 3-group agg with the band
+    broadcast onto the scan."""
     li = _t(spark, sf_dir, "lineitem")
     cents = li.select(
         "l_returnflag",
@@ -1844,9 +1862,8 @@ def q_agg_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("x"),
     )
-    p = cents.groupBy("l_returnflag").agg(
-        F.expr("percentile(x, 0.05)").alias("p05"),
-        F.expr("percentile(x, 0.95)").alias("p95"),
+    p = aggregate.bucket_refine_quantiles(
+        cents, ["l_returnflag"], "x", {"p05": 0.05, "p95": 0.95}
     )
     w = cents.join(F.broadcast(p), "l_returnflag").withColumn(
         "xw",

@@ -221,6 +221,33 @@ def _wm_source_dir(spark: SparkSession, sf_dir: str) -> str:
     return d
 
 
+def _assert_sentinel_sequenced(q) -> None:
+    """The watermark-drain correctness of the ``_wm_source_dir``
+    streams depends on the sentinel file arriving in a LATER
+    micro-batch than the real data (file-source ordering by mtime).
+    If a listing-order or mtime-granularity surprise ever delivers
+    both files in one batch, the watermark never advances past the
+    real windows and append mode silently emits (almost) nothing —
+    so fail loudly instead: the completed query must show at least
+    two data-carrying micro-batches."""
+    import json as _json
+
+    n = 0
+    for p in q.recentProgress:
+        try:
+            d = _json.loads(p.json)
+        except Exception:  # pragma: no cover - defensive
+            continue
+        if d.get("numInputRows", 0) > 0:
+            n += 1
+    if n < 2:
+        raise RuntimeError(
+            "watermark sentinel was not delivered in its own "
+            f"micro-batch ({n} data batches ran); the append-mode "
+            "drain would silently drop every real window"
+        )
+
+
 def tumbling_daily_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Watermarked APPEND-mode tumbling 1-day aggregation — the
     production shape for an unbounded stream: state for a day's
@@ -262,6 +289,7 @@ def tumbling_daily_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
             .start()
         )
         q.awaitTermination()
+    _assert_sentinel_sequenced(q)
     return spark.read.parquet(sink).filter(
         F.col("day") < F.lit(SENTINEL_DAY).cast("date")
     )
@@ -322,6 +350,11 @@ def stream_stream_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
             .start()
         )
         q.awaitTermination()
+    # No _assert_sentinel_sequenced here: inner-join matches emit
+    # eagerly as rows pair up, so the result does not depend on the
+    # sentinel landing in a later micro-batch (the watermark/sentinel
+    # only bound join STATE, and the file source may batch both files
+    # together for multi-source queries).
     return spark.read.parquet(sink)
 
 
@@ -366,6 +399,7 @@ def session_1h_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
             .start()
         )
         q.awaitTermination()
+    _assert_sentinel_sequenced(q)
     return spark.read.parquet(sink).filter(F.col("user_id") >= 0)
 
 
