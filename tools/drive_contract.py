@@ -47,4 +47,14 @@ for name in sorted(os_):
         fails.append(name)
         for a,b in list(zip(srows,drows))[:3]:
             if a!=b: print("   diff:", a, "VS", b)
+# 4. rows-only queries: the driver still runs them and records a
+# rows>=0 check — an exception here becomes a CORRECTNESS error row.
+for name in sorted(set(qs) - set(os_)):
+    t0 = time.time()
+    try:
+        n = qs[name](spark, SF).count()
+        print(f"{name}: rows-only n={n} {time.time()-t0:.1f}s")
+    except Exception as e:  # noqa: BLE001
+        fails.append(name)
+        print(f"{name}: rows-only ERROR {type(e).__name__}: {e}")
 print("FAILURES:", fails if fails else "none")
