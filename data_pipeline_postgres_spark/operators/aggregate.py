@@ -164,7 +164,9 @@ def bucket_refine_quantiles(
     both being correctly-rounded values of the same rational).
 
     Returns one row per group: keys + one double column per
-    ``probs`` entry ({out_name: p}).
+    ``probs`` entry ({out_name: p}). ``keys=[]`` computes GLOBAL
+    quantiles with the same bounded shape (the bucket table is still
+    tiny, so its single-partition windows are safe).
     """
     from pyspark.sql import Window
 
@@ -210,7 +212,7 @@ def bucket_refine_quantiles(
 
     # which bucket holds each rank (tiny × tiny join)
     bt = (
-        targets.join(bh, keys)
+        (targets.join(bh, keys) if keys else targets.crossJoin(bh))
         .filter(
             (F.col("_cumlo") < F.col("_r"))
             & (F.col("_r") <= F.col("_cumlo") + F.col("_cnt"))

@@ -1269,14 +1269,23 @@ def q_bucket_global_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
     scale-correct alternative to an unpartitioned NTILE, which funnels
     the table through ONE partition): compute the three quartile
     cutoffs as a broadcast 1-row scalar, then bucket with a narrow
-    CASE over the scan. Spark's exact `percentile` matches DuckDB's
-    `quantile_cont` bit-for-bit (same interpolation); at 100 TB swap
-    in `approx_percentile` — same plan shape, sketch-sized state."""
+    CASE over the scan. The cutoffs come from bucket counts + one
+    refinement pass (operators.aggregate.bucket_refine_quantiles,
+    keys=[]) — exact ≡ DuckDB ``quantile_cont`` bit-for-bit, with no
+    stage buffering more than max(|buckets|, width) values, unlike
+    ``percentile()``'s whole-table buffer."""
     o = _t(spark, sf_dir, "orders")
-    cuts = o.agg(
-        F.percentile("o_totalprice", 0.25).alias("q1"),
-        F.percentile("o_totalprice", 0.50).alias("q2"),
-        F.percentile("o_totalprice", 0.75).alias("q3"),
+    cents = o.select(
+        (F.col("o_totalprice").cast("decimal(12,2)") * 100)
+        .cast("bigint")
+        .alias("x")
+    )
+    cuts = aggregate.bucket_refine_quantiles(
+        cents,
+        [],
+        "x",
+        {"q1": 0.25, "q2": 0.50, "q3": 0.75},
+        value_divisor=100.0,
     )
     return o.crossJoin(F.broadcast(cuts)).select(
         "o_orderkey",

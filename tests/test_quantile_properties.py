@@ -58,6 +58,16 @@ def test_quantile_matches_reference(spark, fn, vals, p):
     assert got == ref_quantile(vals, p)
 
 
+def test_global_keys_empty(spark):
+    vals = [5, 1, 9, 1, 7, 4096, -3]
+    df = spark.createDataFrame([("r", v) for v in vals], "k string, x bigint")
+    got = aggregate.bucket_refine_quantiles(
+        df.select("x"), [], "x", {"p50": 0.5, "p99": 0.99}
+    ).collect()[0]
+    assert got["p50"] == ref_quantile(vals, 0.5)
+    assert got["p99"] == ref_quantile(vals, 0.99)
+
+
 def test_two_groups_independent(spark):
     rows = [("a", v) for v in (1, 2, 3, 4)] + [("b", v) for v in (10,)]
     df = spark.createDataFrame(rows, "grp string, x bigint")
