@@ -53,6 +53,26 @@ def test_events_ts_unit_matches_duckdb(spark, sf_dir):
     assert not got.lo.startswith("1970-")
 
 
+def test_all_tables_count_matches_duckdb(spark):
+    """Every lake table the engine loads must see the same row count
+    DuckDB sees — a one-scan tripwire for ANY future driver testdata
+    regeneration (schema/type drift usually breaks the read or the
+    count long before subtler value drift)."""
+    from data_pipeline_postgres_spark.catalog import (
+        TABLES,
+        load_table,
+        table_path,
+    )
+
+    for name in TABLES:
+        path = table_path(SF_SMOKE, name)
+        want = duckdb.sql(
+            f"SELECT count(*) FROM read_parquet('{path}')"
+        ).fetchone()[0]
+        got = load_table(spark, SF_SMOKE, name).count()
+        assert got == want, f"{name}: spark={got} duckdb={want}"
+
+
 def test_events_ts_is_timestamp_type(spark):
     from data_pipeline_postgres_spark.catalog import load_table
 
