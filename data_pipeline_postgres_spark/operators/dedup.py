@@ -317,6 +317,66 @@ def minhash_dedup(
     return jaccard_pairs(doc_shingles(cand_docs, n), cands, threshold)
 
 
+def minhash_incremental_dedup(
+    batch: DataFrame,
+    corpus: DataFrame,
+    n: int = 3,
+    bands: int = 4,
+    rows: int = 2,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """Daily-ingest NEAR-dup check: which new-batch docs are near-dups
+    (shingle Jaccard ≥ threshold) of something already in the corpus —
+    the fuzzy sibling of ``incremental_dedup``'s exact-hash anti-join.
+    Returns (doc_id, dup_of, jaccard): one row per duplicated batch
+    doc; dup_of = its smallest matching corpus doc (deterministic).
+
+    Cost shape at 100 TB: band keys are computed for the batch fresh,
+    but the corpus side is exactly the (doc_id, band, band_key)
+    relation ``minhash_bands`` emits — in production that is a STORED
+    index maintained at ingest (append-only, one row per doc·band),
+    so the standing cost per day is one band-key equi-join of
+    |batch|·bands rows against the index, never a corpus rescan.
+    Verification (the only shingle-level work) is driven by the
+    admitted pairs: exact-Jaccard cost tracks candidate volume, and
+    only admitted docs' shingles are re-materialized (semi-join), so
+    nothing scales with corpus×batch.
+    """
+    bb = minhash_bands(doc_shingles(batch, n, distinct=False), bands, rows)
+    cb = minhash_bands(doc_shingles(corpus, n, distinct=False), bands, rows)
+    # pair list is tiny (band-admitted only); cut it so the signature
+    # pipelines run once (same materialization rationale as
+    # minhash_dedup)
+    cands = (
+        bb.select(F.col("doc_id").alias("doc_a"), "band_key")
+        .join(
+            cb.select(F.col("doc_id").alias("doc_b"), "band_key"),
+            "band_key",
+        )
+        .select("doc_a", "doc_b")
+        .distinct()
+        .localCheckpoint()
+    )
+    batch_ids = cands.select(F.col("doc_a").alias("doc_id")).distinct()
+    corpus_ids = cands.select(F.col("doc_b").alias("doc_id")).distinct()
+    admitted = batch.join(batch_ids, "doc_id", "left_semi").unionByName(
+        corpus.join(corpus_ids, "doc_id", "left_semi")
+    )
+    pairs = jaccard_pairs(doc_shingles(admitted, n), cands, threshold)
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("doc_a").orderBy("doc_b")
+    return (
+        pairs.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            F.col("doc_a").alias("doc_id"),
+            F.col("doc_b").alias("dup_of"),
+            "jaccard",
+        )
+    )
+
+
 # -- SimHash ---------------------------------------------------------------
 
 SIMHASH_BITS = 32

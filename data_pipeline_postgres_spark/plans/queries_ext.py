@@ -208,6 +208,88 @@ def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.minhash_dedup(_docs(spark, sf_dir))
 
 
+# Incremental variant: same hash family / band machinery, candidates
+# restricted to (batch=src0) × (corpus=rest); per batch doc keep the
+# smallest verified corpus partner.
+def _minhash_incr_oracle() -> str:
+    from ..operators.dedup import MINHASH_A, MINHASH_B, MINHASH_P
+
+    bands, rows = 4, 2
+    slot_mins = ",\n           ".join(
+        f"MIN(({MINHASH_A[b * rows + r]} * h + {MINHASH_B[b * rows + r]})"
+        f" % {MINHASH_P}) AS mh_{b}_{r}"
+        for b in range(bands)
+        for r in range(rows)
+    )
+    band_keys = "\n    UNION ALL ".join(
+        "SELECT doc_id, concat_ws('|', '"
+        + str(b)
+        + "', "
+        + ", ".join(f"mh_{b}_{r}" for r in range(rows))
+        + ") AS band_key FROM slots"
+        for b in range(bands)
+    )
+    return f"""
+WITH {_TOKS}, {_SHINGLES},
+base AS (
+    SELECT doc_id,
+           ('0x' || substr(md5(shingle), 1, 15))::BIGINT % {MINHASH_P} AS h
+    FROM sh
+),
+slots AS (
+    SELECT doc_id,
+           {slot_mins}
+    FROM base GROUP BY 1
+),
+bk AS (
+    {band_keys}
+),
+cand AS (
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM bk a
+    JOIN documents da ON da.doc_id = a.doc_id AND da.source = 'src0'
+    JOIN bk b ON a.band_key = b.band_key
+    JOIN documents db ON db.doc_id = b.doc_id AND db.source <> 'src0'
+),
+sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
+inter AS (
+    SELECT c.doc_a, c.doc_b, COUNT(*) AS n_common
+    FROM cand c
+    JOIN sh a ON a.doc_id = c.doc_a
+    JOIN sh b ON b.doc_id = c.doc_b AND b.shingle = a.shingle
+    GROUP BY 1, 2
+),
+j AS (
+    SELECT i.doc_a, i.doc_b,
+           CAST(n_common AS DOUBLE) / (sa.n + sb.n - n_common) AS jaccard
+    FROM inter i
+    JOIN sizes sa ON sa.doc_id = i.doc_a
+    JOIN sizes sb ON sb.doc_id = i.doc_b
+    WHERE CAST(n_common AS DOUBLE) / (sa.n + sb.n - n_common) >= 0.8
+)
+SELECT doc_a AS doc_id, doc_b AS dup_of, jaccard
+FROM (
+    SELECT *, row_number() OVER (PARTITION BY doc_a ORDER BY doc_b) AS rn
+    FROM j
+)
+WHERE rn = 1
+"""
+
+
+@query("dedup_minhash_incremental", _minhash_incr_oracle())
+def q_dedup_minhash_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily-ingest near-dup: batch (source='src0') band-joined against
+    the corpus band index, exact-Jaccard verified ≥ 0.8; per batch doc
+    the smallest matching corpus partner (operators/dedup.py:
+    minhash_incremental_dedup — the fuzzy sibling of
+    dedup_incremental's exact-hash anti-join)."""
+    d = _docs(spark, sf_dir)
+    return dedup.minhash_incremental_dedup(
+        d.filter(F.col("source") == "src0"),
+        d.filter(F.col("source") != "src0"),
+    )
+
+
 _NGRAM_ORACLE = f"""
 WITH {_TOKS}, {_SHINGLES}, {_JACCARD_TAIL.lstrip()}
 SELECT doc_a, doc_b,

@@ -45,10 +45,12 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 # canonicalization, the r2 approx error), and (c) the events-ts family
 # whose r2/r3 passes went stale when the testdata's timestamp unit
 # flipped to MICROS — re-verified against the round-6 unit-sniffing
-# reader.  Same-mechanism stale rows that didn't fit the 50-slot window
+# reader, plus the round-6 addition dedup_minhash_incremental.
+# Same-mechanism stale rows that didn't fit the 50-slot window
 # (derive_case_when*, agg_group_sum_sql, date_iso_ds, json_extract,
-# ddl_create_table, ddl_monthly_shard — all plain load_table
-# projections represented by material_demand) rotate into round 7.
+# ddl_create_table, ddl_monthly_shard — plain load_table projections
+# represented by material_demand — and stream_dedup, a stream shape
+# represented by six sibling entries) rotate into round 7.
 DRIVER_PRIORITY: tuple[str, ...] = (
     # (a) never driver-checked
     "agg_winsorize",
@@ -71,12 +73,13 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "sim_ann_ivf_kmeans",
     "multimodal_decode",
     "profile_table_approx",
-    # (b) fixed this round
+    # (b) fixed or added this round
     "tpch_q12_priority_class",
     "docs_pack_sequences",
     "emb_quantize",
     "array_funcs_suite",
     "agg_approx_distinct",
+    "dedup_minhash_incremental",
     # (c) events-ts family re-verification (micros fix)
     "material_demand",
     "window_tumbling_daily",
@@ -101,7 +104,6 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "stream_stream_funnel",
     "stream_sliding_3d1d",
     "stream_static_join",
-    "stream_dedup",
     "stream_cdc_latest",
 )
 
