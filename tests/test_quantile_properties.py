@@ -68,6 +68,25 @@ def test_global_keys_empty(spark):
     assert got["p99"] == ref_quantile(vals, 0.99)
 
 
+class TestQuantilePlanContract:
+    """Scale contract for the quantile rewrites: the exact-percentile
+    aggregate (whose buffer holds every group value) must never
+    reappear in these plans — correctness would survive, 100 TB
+    would not."""
+
+    @pytest.mark.parametrize(
+        "name",
+        ["agg_percentile", "agg_winsorize", "bucket_global_quantile"],
+    )
+    def test_no_full_value_percentile_buffer(self, spark, name):
+        from data_pipeline_postgres_spark.plans import registry
+
+        registry.load_all()
+        df = registry.QUERIES[name](spark, "/root/testdata/sf0.001")
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "percentile(" not in plan
+
+
 def test_two_groups_independent(spark):
     rows = [("a", v) for v in (1, 2, 3, 4)] + [("b", v) for v in (10,)]
     df = spark.createDataFrame(rows, "grp string, x bigint")
