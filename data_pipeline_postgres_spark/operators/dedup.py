@@ -587,6 +587,91 @@ def embedding_near_dup(
     return rep.groupBy("bi", "bj").applyInPandas(score_block, out_schema)
 
 
+def embedding_incremental_near_dup(
+    batch: DataFrame,
+    corpus: DataFrame,
+    threshold: float = 0.45,
+    round_digits: int = 6,
+    n_blocks: int = 4,
+) -> DataFrame:
+    """Daily-ingest embedding near-dup: every (batch vec, corpus vec)
+    pair with quantized cosine ≥ threshold — the embedding-space
+    member of the incremental-dedup family (exact hash:
+    ``incremental_dedup``; shingle Jaccard:
+    ``minhash_incremental_dedup``). Returns
+    (vec_id, dup_of, cosine), batch id first.
+
+    Shape: the asymmetric sibling of ``embedding_near_dup``'s block
+    matmul. The corpus — the big side — is hashed into ``n_blocks``
+    and NEVER replicated; the batch — the small side — is replicated
+    to every block (a broadcast cross-join with the tiny block-id
+    relation), so each ``applyInPandas`` task holds batch + corpus/B
+    rows and scores one exact int64 matmul. Corpus is scanned once;
+    the only corpus-wide exchange is the block groupBy. FLOPs are the
+    inherent |batch|·|corpus| of the exact contract; the LSH band
+    prefilter (``embedding_near_dup_lsh``) is the admitted-pairs
+    scale path when even that is too much.
+    """
+    spark = batch.sparkSession
+    blocks = spark.createDataFrame(
+        [(i,) for i in range(n_blocks)], "blk int"
+    )
+    src_c = (
+        corpus.select(
+            "vec_id", V.as_double(F.col("embedding")).alias("v")
+        )
+        .withColumn(
+            "blk", F.pmod(F.col("vec_id"), F.lit(n_blocks)).cast("int")
+        )
+        .withColumn("side", F.lit("c"))
+    )
+    src_b = (
+        batch.select(
+            "vec_id", V.as_double(F.col("embedding")).alias("v")
+        )
+        .crossJoin(F.broadcast(blocks))
+        .withColumn("side", F.lit("b"))
+    )
+    rep = src_c.unionByName(src_b.select("vec_id", "v", "blk", "side"))
+
+    out_schema = "vec_id bigint, dup_of bigint, cosine double"
+    scale = 10.0**round_digits
+
+    def score_block(pdf):
+        import numpy as np
+        import pandas as pd
+
+        empty = pd.DataFrame(
+            {
+                "vec_id": pd.Series(dtype="int64"),
+                "dup_of": pd.Series(dtype="int64"),
+                "cosine": pd.Series(dtype="float64"),
+            }
+        )
+        b_pdf = pdf[pdf["side"] == "b"]
+        c_pdf = pdf[pdf["side"] == "c"]
+        if b_pdf.empty or c_pdf.empty:
+            return empty
+        A = quantize_np(list(b_pdf["v"]))
+        C = quantize_np(list(c_pdf["v"]))
+        an = np.sqrt((A * A).sum(axis=1).astype(np.float64))
+        cn = np.sqrt((C * C).sum(axis=1).astype(np.float64))
+        cos = (A @ C.T).astype(np.float64) / np.outer(an, cn)
+        cos = np.floor(cos * scale + 0.5) / scale  # round half-up
+        ai, ci = np.nonzero(cos >= threshold)
+        a_ids = b_pdf["vec_id"].to_numpy(dtype=np.int64)
+        c_ids = c_pdf["vec_id"].to_numpy(dtype=np.int64)
+        return pd.DataFrame(
+            {
+                "vec_id": a_ids[ai],
+                "dup_of": c_ids[ci],
+                "cosine": cos[ai, ci],
+            }
+        )
+
+    return rep.groupBy("blk").applyInPandas(score_block, out_schema)
+
+
 def quantize_col(v: Column) -> Column:
     """JVM-side mirror of :func:`quantize_np`: L2-normalize with an
     ordered left fold (≡ numpy cumsum's strict sequential order) then

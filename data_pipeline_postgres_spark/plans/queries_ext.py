@@ -445,6 +445,49 @@ SELECT vec_id_a, vec_id_b, cosine FROM scored WHERE cosine >= 0.45
 """
 
 
+# Incremental variant: batch = label 0 (the "new day's vectors"),
+# corpus = every other label; same quantized-cosine math.
+_EMB_INCR_ORACLE = """
+WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+qv AS (
+    SELECT vec_id, label,
+           list_transform(v, x -> CAST(floor(
+               x / sqrt(list_reduce(list_transform(v, y -> y*y),
+                                    (a,b) -> a+b)) * 1048576.0 + 0.5
+           ) AS BIGINT)) AS q
+    FROM e
+),
+n AS (
+    SELECT vec_id, label, q,
+           sqrt(CAST(list_reduce(list_transform(q, x -> x*x),
+                                 (a,b) -> a+b) AS DOUBLE)) AS nrm
+    FROM qv
+),
+scored AS (
+    SELECT a.vec_id AS vec_id, b.vec_id AS dup_of,
+           floor(
+               CAST(list_reduce(
+                    list_transform(range(64), i -> a.q[i+1] * b.q[i+1]),
+                    (x,y) -> x+y) AS DOUBLE)
+               / (a.nrm * b.nrm) * 1000000.0 + 0.5) / 1000000.0 AS cosine
+    FROM n a JOIN n b ON a.label = 0 AND b.label <> 0
+)
+SELECT vec_id, dup_of, cosine FROM scored WHERE cosine >= 0.45
+"""
+
+
+@query("dedup_embedding_incremental", _EMB_INCR_ORACLE)
+def q_dedup_embedding_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily-ingest embedding near-dup: the new batch (label 0)
+    scored against the standing corpus by exact quantized cosine —
+    corpus blocked and scanned once, batch replicated to each block
+    (operators/dedup.py: embedding_incremental_near_dup)."""
+    e = _emb(spark, sf_dir)
+    return dedup.embedding_incremental_near_dup(
+        e.filter(F.col("label") == 0), e.filter(F.col("label") != 0)
+    )
+
+
 @query("dedup_embedding_cosine", _EMB_NEARDUP_ORACLE)
 def q_dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding near-dup pairs, quantized cosine ≥ 0.45 — EXACT

@@ -45,12 +45,14 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 # canonicalization, the r2 approx error), and (c) the events-ts family
 # whose r2/r3 passes went stale when the testdata's timestamp unit
 # flipped to MICROS — re-verified against the round-6 unit-sniffing
-# reader, plus the round-6 addition dedup_minhash_incremental.
-# Same-mechanism stale rows that didn't fit the 50-slot window
-# (derive_case_when*, agg_group_sum_sql, date_iso_ds, json_extract,
-# ddl_create_table, ddl_monthly_shard — plain load_table projections
-# represented by material_demand — and stream_dedup, a stream shape
-# represented by six sibling entries) rotate into round 7.
+# reader, plus the round-6 additions dedup_minhash_incremental and
+# dedup_embedding_incremental.  Same-mechanism stale rows that didn't
+# fit the 50-slot window (derive_case_when*, agg_group_sum_sql,
+# date_iso_ds, json_extract, ddl_create_table, ddl_monthly_shard —
+# plain load_table projections represented by material_demand —
+# stream_dedup, a stream shape represented by six sibling entries,
+# and json_source_roundtrip, a sink round-trip represented by
+# orc_roundtrip) rotate into round 7.
 DRIVER_PRIORITY: tuple[str, ...] = (
     # (a) never driver-checked
     "agg_winsorize",
@@ -80,6 +82,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "array_funcs_suite",
     "agg_approx_distinct",
     "dedup_minhash_incremental",
+    "dedup_embedding_incremental",
     # (c) events-ts family re-verification (micros fix)
     "material_demand",
     "window_tumbling_daily",
@@ -93,7 +96,6 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "join_asof_forward",
     "join_range_banded",
     "join_salted_skew",
-    "json_source_roundtrip",
     "orc_roundtrip",
     "partitioned_write_prune",
     "pipeline_incremental_day",
