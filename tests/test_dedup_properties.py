@@ -118,3 +118,51 @@ def test_star_contraction_equals_union_find(spark, edges):
             parent[max(ra, rb)] = min(ra, rb)
     model = {x: find(x) for x in parent}
     assert got == model
+
+
+class TestIncrementalNearDupEdges:
+    """Edge cases for the fuzzy incremental family (minhash bands,
+    embedding matmul): empty sides and NULL text must yield empty
+    results, never errors — the daily-ingest job runs unattended."""
+
+    def test_minhash_empty_batch(self, spark):
+        corpus = _df(spark, ["a b c d e", "f g h i j"])
+        batch = _df(spark, [], id0=100)
+        out = dedup.minhash_incremental_dedup(batch, corpus)
+        assert out.count() == 0
+
+    def test_minhash_empty_corpus(self, spark):
+        batch = _df(spark, ["a b c d e"], id0=100)
+        corpus = _df(spark, [])
+        assert dedup.minhash_incremental_dedup(batch, corpus).count() == 0
+
+    def test_minhash_null_text_never_matches(self, spark):
+        corpus = _df(spark, ["w x y z q r s", None])
+        batch = _df(spark, [None, "w x y z q r s"], id0=100)
+        out = dedup.minhash_incremental_dedup(batch, corpus).collect()
+        # identical real text matches; NULLs never appear on either side
+        assert {r["doc_id"] for r in out} == {101}
+        assert all(r["dup_of"] == 0 for r in out)
+        assert all(r["jaccard"] == 1.0 for r in out)
+
+    def _emb_df(self, spark, vecs, id0=0):
+        return spark.createDataFrame(
+            [(id0 + i, [float(x) for x in v], 0) for i, v in enumerate(vecs)],
+            "vec_id bigint, embedding array<float>, label int",
+        )
+
+    def test_embedding_identical_vector_matches(self, spark):
+        v = [1.0, 2.0, 3.0, 4.0]
+        corpus = self._emb_df(spark, [v, [-9.0, 1.0, 0.0, 2.0]])
+        batch = self._emb_df(spark, [v], id0=100)
+        out = dedup.embedding_incremental_near_dup(
+            batch, corpus, threshold=0.99
+        ).collect()
+        assert [(r["vec_id"], r["dup_of"]) for r in out] == [(100, 0)]
+        assert out[0]["cosine"] == 1.0
+
+    def test_embedding_empty_corpus(self, spark):
+        batch = self._emb_df(spark, [[1.0, 0.0]], id0=100)
+        corpus = self._emb_df(spark, [])
+        out = dedup.embedding_incremental_near_dup(batch, corpus)
+        assert out.count() == 0
