@@ -78,6 +78,8 @@ EXT_HEADLINE = [
     "agg_winsorize",
     "events_funnel_batch",
     "layout_zorder",
+    "dedup_minhash_incremental",
+    "dedup_embedding_incremental",
 ]
 
 

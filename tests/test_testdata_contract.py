@@ -122,3 +122,33 @@ def test_no_oracle_query_returns_nested_columns(spark):
         if bad:
             offenders[name] = bad
     assert not offenders, f"nested output columns: {offenders}"
+
+
+def test_sentinel_assertion_raises_on_single_batch():
+    """streaming.jobs._assert_sentinel_sequenced must fail loudly when
+    the drain ran fewer than two data micro-batches (the silent
+    no-windows failure shape of a sentinel-ordering surprise)."""
+    from data_pipeline_postgres_spark.streaming.jobs import (
+        _assert_sentinel_sequenced,
+    )
+
+    class _P:
+        def __init__(self, j):
+            self.json = j
+
+    class _Q:
+        recentProgress = [
+            _P('{"numInputRows": 1000}'),
+            _P('{"numInputRows": 0}'),
+        ]
+
+    with pytest.raises(RuntimeError, match="sentinel"):
+        _assert_sentinel_sequenced(_Q())
+
+    class _QOk:
+        recentProgress = [
+            _P('{"numInputRows": 1000}'),
+            _P('{"numInputRows": 1}'),
+        ]
+
+    _assert_sentinel_sequenced(_QOk())  # no raise
