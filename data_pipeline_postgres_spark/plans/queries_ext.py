@@ -1923,3 +1923,14 @@ def q_stream_dedup_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
     variant of stream_dedup; state per key is released once the
     watermark passes it."""
     return stream_jobs.stream_dedup_watermark(spark, sf_dir)
+
+
+@query("stream_minhash_dedup", _MINHASH_ORACLE)
+def q_stream_minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming MinHash LSH near-dup via incremental band-index
+    maintenance (streaming/jobs.py: minhash_dedup_stream): documents
+    stream in micro-batches, each batch joins its band keys against
+    the standing append-only index and extends it; the drained
+    candidate set + exact-Jaccard verify equals batch dedup_minhash,
+    so the same SQL oracle checks it."""
+    return stream_jobs.minhash_dedup_stream(spark, sf_dir)

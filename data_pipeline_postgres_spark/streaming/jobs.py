@@ -676,6 +676,91 @@ def incremental_agg_foreachbatch(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def minhash_dedup_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming MinHash LSH near-dup — incremental band-index
+    maintenance, the production ingest shape that
+    ``operators.dedup.minhash_incremental_dedup`` assumes as its
+    corpus side:
+
+    Documents arrive as a 3-file stream (one per micro-batch). Each
+    ``foreachBatch`` computes the batch's band keys (a BATCH plan —
+    no streaming-agg state), emits candidate pairs against the
+    standing band index (new×indexed via one band_key equi-join, plus
+    new×new within the batch), appends them to a pair spool, and
+    appends the batch's keys to the index. The index IS the state:
+    append-only parquet, one row per doc·band, queryable mid-stream —
+    nothing is ever recomputed over the whole corpus.
+
+    After the AvailableNow drain, every unordered doc pair sharing a
+    band bucket has been admitted exactly once (same-batch pairs by
+    the within join; cross-batch pairs when the later doc arrived),
+    so verify(candidates) ≡ the batch ``minhash_dedup`` result — and
+    the same SQL oracle applies: (doc_a, doc_b, jaccard ≥ 0.8).
+    """
+    from ..operators import dedup as dedup_ops
+
+    src = _scratch("mh_src")
+    docs = load_table(spark, sf_dir, "documents")
+    for i in range(3):
+        docs.filter(F.col("doc_id") % 3 == i).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+
+    index_dir = os.path.join(_SCRATCH, "mh_index")
+    pairs_dir = os.path.join(_SCRATCH, "mh_pairs")
+    for d in (index_dir, pairs_dir):
+        if os.path.exists(d):
+            shutil.rmtree(d)
+
+    def step(batch_df: DataFrame, batch_id: int) -> None:
+        bk = dedup_ops.minhash_bands(
+            dedup_ops.doc_shingles(batch_df, distinct=False)
+        ).localCheckpoint()  # cut: feeds two joins + the index append
+        a = bk.select(F.col("doc_id").alias("doc_a"), "band_key")
+        b = bk.select(F.col("doc_id").alias("doc_b"), "band_key")
+        pairs = (
+            a.join(b, "band_key")
+            .filter(F.col("doc_a") < F.col("doc_b"))
+            .select("doc_a", "doc_b")
+        )
+        if os.path.exists(index_dir):
+            idx = spark.read.parquet(index_dir).select(
+                F.col("doc_id").alias("doc_b"), "band_key"
+            )
+            cross = a.join(idx, "band_key").select(
+                F.least("doc_a", "doc_b").alias("doc_a"),
+                F.greatest("doc_a", "doc_b").alias("doc_b"),
+            )
+            pairs = pairs.unionByName(cross)
+        pairs.distinct().write.mode("append").parquet(pairs_dir)
+        bk.write.mode("append").parquet(index_dir)
+
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    with _shuffle_partitions(spark, 8):
+        q = (
+            stream.writeStream.foreachBatch(step)
+            .option("checkpointLocation", _scratch("mh_ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    cands = spark.read.parquet(pairs_dir).distinct()
+    admitted = (
+        cands.select(F.col("doc_a").alias("doc_id"))
+        .unionByName(cands.select(F.col("doc_b").alias("doc_id")))
+        .distinct()
+    )
+    cand_docs = docs.join(admitted, "doc_id", "left_semi")
+    return dedup_ops.jaccard_pairs(
+        dedup_ops.doc_shingles(cand_docs), cands, 0.8
+    )
+
+
 def stream_dedup_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bounded-state streaming dedup via
     ``dropDuplicatesWithinWatermark``: unlike plain ``dropDuplicates``
