@@ -13,6 +13,14 @@ Exact-arithmetic policy: monetary/quantity doubles in this engine are
 2-decimal; SUMs cast to DECIMAL(18,2) first so partial-agg ordering can
 never change the result (floating-point sums are order-dependent;
 decimal sums are not), then cast back to double at the boundary.
+
+Exact quantiles: ``bucket_refine_quantiles`` (coarse bucket counts +
+one refinement pass — the scale path, nothing buffers more than
+max(|buckets|, width) rows) and the simpler value-histogram variants
+(``histogram_quantiles`` et al., state = distinct values). Both
+reproduce DuckDB ``quantile_cont`` bit-for-bit; neither ever holds a
+group's full value list in an aggregation buffer the way Spark's
+``percentile()`` does.
 """
 
 from __future__ import annotations
