@@ -109,3 +109,65 @@ def shuffle_shard(docs: DataFrame, n_shards: int = 16) -> DataFrame:
         "shard",
         F.row_number().over(w).alias("pos"),
     )
+
+
+def token_budget_select(
+    docs: DataFrame, budget_tokens: int, n_ranges: int = 32
+) -> DataFrame:
+    """Greedy token-budget selection: walk the corpus in quality order
+    (longest docs first, doc_id tiebreak) and keep every doc that
+    STARTS under the budget — how a training run fills its token
+    quota from a curated pool. Returns
+    (doc_id, n_tokens, cum_before), cum_before = tokens admitted
+    before this doc in the global quality order.
+
+    The global ordered prefix sum uses the classic two-level
+    distributed scan — never a single-partition window:
+    ``repartitionByRange`` on the quality key gives ordered,
+    NON-OVERLAPPING ranges (partition i holds keys strictly before
+    partition i+1's, and ``spark_partition_id`` reflects that order);
+    a within-partition window sums each slice, and the per-partition
+    totals — one row per range — are exclusive-prefix-summed with a
+    window over that tiny relation only, then broadcast back as
+    offsets. Unlike ``packing.pack_sequences``'s id-bucket variant,
+    this needs no dense key domain: the range partitioner learns the
+    quality-key distribution by sampling. cum_before is
+    order-determined, so the result is identical whatever boundaries
+    the sampler picks.
+    """
+    from ..functions import text as TX
+
+    toks = docs.select(
+        "doc_id",
+        F.coalesce(TX.ws_token_count("text").cast("bigint"), F.lit(0)).alias(
+            "n_tokens"
+        ),
+    )
+    order = [F.desc("n_tokens"), F.asc("doc_id")]
+    ranged = (
+        toks.repartitionByRange(n_ranges, *order)
+        .sortWithinPartitions(*order)
+        .withColumn("_pid", F.spark_partition_id())
+    )
+    w_in = (
+        Window.partitionBy("_pid")
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    within = ranged.withColumn("_cum_in", F.sum("n_tokens").over(w_in))
+    totals = ranged.groupBy("_pid").agg(F.sum("n_tokens").alias("_ptot"))
+    w_p = Window.orderBy("_pid").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    offsets = totals.select(
+        "_pid",
+        F.coalesce(F.sum("_ptot").over(w_p), F.lit(0)).alias("_poff"),
+    )
+    cum_before = F.col("_poff") + F.col("_cum_in") - F.col("n_tokens")
+    return (
+        within.join(F.broadcast(offsets), "_pid")
+        .select(
+            "doc_id", "n_tokens", cum_before.alias("cum_before")
+        )
+        .filter(F.col("cum_before") < budget_tokens)
+    )

@@ -1925,6 +1925,37 @@ def q_stream_dedup_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
     return stream_jobs.stream_dedup_watermark(spark, sf_dir)
 
 
+_TOKEN_BUDGET = 5000
+
+
+@query(
+    "docs_token_budget_select",
+    rf"""
+WITH t AS (
+    SELECT doc_id,
+           COALESCE(CAST(len(regexp_split_to_array(trim(text), '\s+'))
+                    AS BIGINT), 0) AS n_tokens
+    FROM documents
+),
+c AS (
+    SELECT doc_id, n_tokens,
+           SUM(n_tokens) OVER (ORDER BY n_tokens DESC, doc_id
+               ROWS UNBOUNDED PRECEDING) - n_tokens AS cum_before
+    FROM t
+)
+SELECT doc_id, n_tokens, CAST(cum_before AS BIGINT) AS cum_before
+FROM c WHERE cum_before < {_TOKEN_BUDGET}
+""",
+)
+def q_docs_token_budget_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy token-budget fill in quality order (longest-first):
+    every doc that starts under the token quota, with its position in
+    the admitted stream (operators/sampling.py: token_budget_select —
+    two-level repartitionByRange prefix scan, never a
+    single-partition window)."""
+    return sampling.token_budget_select(_docs(spark, sf_dir), _TOKEN_BUDGET)
+
+
 @query("stream_minhash_dedup", _MINHASH_ORACLE)
 def q_stream_minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming MinHash LSH near-dup via incremental band-index
