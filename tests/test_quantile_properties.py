@@ -118,3 +118,50 @@ def test_value_divisor_reconstructs_source_doubles(spark):
     frac = pos - k
     want = v[k] * (1 - frac) + v[min(k + 1, n - 1)] * frac
     assert got == want
+
+
+class TestTokenBudgetSelect:
+    """The two-level range-partitioned prefix scan must be
+    boundary-independent: whatever partition count the range sampler
+    gets, cum_before is fixed by the total order, so results are
+    identical — and equal to a directly computed reference."""
+
+    def _docs(self, spark, texts, id0=0):
+        return spark.createDataFrame(
+            [(id0 + i, t, "s", "en") for i, t in enumerate(texts)],
+            "doc_id bigint, text string, source string, lang string",
+        )
+
+    def test_partitioning_invariance_and_reference(self, spark):
+        from data_pipeline_postgres_spark.operators import sampling
+
+        texts = [" ".join(["w"] * n) for n in (7, 3, 12, 5, 12, 1, 9, 4)]
+        docs = self._docs(spark, texts)
+        budget = 30
+
+        def run(n_ranges):
+            return sorted(
+                (r["doc_id"], r["n_tokens"], r["cum_before"])
+                for r in sampling.token_budget_select(
+                    docs, budget, n_ranges=n_ranges
+                ).collect()
+            )
+
+        ref_order = sorted(
+            ((len(t.split()), i) for i, t in enumerate(texts)),
+            key=lambda p: (-p[0], p[1]),
+        )
+        want, cum = [], 0
+        for n, i in ref_order:
+            if cum < budget:
+                want.append((i, n, cum))
+            cum += n
+        want.sort()
+        for n_ranges in (1, 2, 3, 8):
+            assert run(n_ranges) == want, f"n_ranges={n_ranges}"
+
+    def test_zero_budget_empty(self, spark):
+        from data_pipeline_postgres_spark.operators import sampling
+
+        docs = self._docs(spark, ["a b c"])
+        assert sampling.token_budget_select(docs, 0).count() == 0
