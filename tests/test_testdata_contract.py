@@ -152,3 +152,36 @@ def test_sentinel_assertion_raises_on_single_batch():
         ]
 
     _assert_sentinel_sequenced(_QOk())  # no raise
+
+
+def test_nanos_branch_still_works(spark, tmp_path):
+    """The TIMESTAMP(NANOS) reader branch (raw int64 + floor-to-µs)
+    has no live testdata anymore — cover it with a synthetic ns file
+    so a driver flip back to NANOS can't silently break it again."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from data_pipeline_postgres_spark.catalog import load_table
+
+    base_us = 1_705_315_800_000_000  # 2024-01-15 10:50:00 UTC
+    tbl = pa.table(
+        {
+            "event_id": pa.array([1, 2], pa.int64()),
+            "ts": pa.array(
+                [base_us * 1000 + 999, (base_us + 1) * 1000],
+                pa.timestamp("ns"),
+            ),
+            "user_id": pa.array([10, 11], pa.int64()),
+            "event_type": pa.array(["click", "view"], pa.string()),
+            "value": pa.array([1.5, 2.5], pa.float64()),
+            "props": pa.array(["{}", "{}"], pa.string()),
+        }
+    )
+    sf_dir = str(tmp_path)
+    pq.write_table(tbl, f"{sf_dir}/events.parquet")
+    df = load_table(spark, sf_dir, "events")
+    rows = {r["event_id"]: r["ts"].isoformat() for r in df.collect()}
+    # sub-µs nanos floor away; the +1µs row lands one microsecond later
+    assert rows[1] == "2024-01-15T10:50:00"
+    assert rows[2] == "2024-01-15T10:50:00.000001"
+    assert dict(df.dtypes)["ts"] == "timestamp"
