@@ -68,3 +68,37 @@ def pack_sequences(
             (cum_before % context_len).alias("seq_offset"),
         )
     )
+
+
+def pack_manifest(
+    docs: DataFrame, context_len: int = 512, bucket_width: int = 1000
+) -> DataFrame:
+    """Reader-side packing manifest: one row per (sequence, doc slice)
+    — the lookup a trainer's data loader actually consumes to
+    assemble window ``seq_id`` from raw documents:
+    (seq_id, doc_id, doc_offset, seq_offset, len).
+
+    Derived arithmetically from ``pack_sequences``'s placement (a doc
+    starting at global token cb spans sequences cb div L through
+    (cb+n-1) div L; each span's bounds are max/min intersections), so
+    the only work beyond the prefix sum is one explode over a doc's
+    span list — output rows ≈ total_tokens/L + n_docs, never more
+    than one per (doc, window) intersection. Zero-token docs occupy
+    no span and are absent by construction.
+    """
+    L = context_len
+    p = pack_sequences(docs, L, bucket_width).filter(F.col("n_tokens") > 0)
+    cb = F.col("seq_id") * L + F.col("seq_offset")
+    last = F.floor((cb + F.col("n_tokens") - 1) / L).cast("bigint")
+    spans = p.withColumn("_cb", cb).withColumn(
+        "s", F.explode(F.sequence(F.col("seq_id"), last))
+    )
+    start = F.greatest(F.col("s") * L, F.col("_cb"))
+    end = F.least((F.col("s") + 1) * L, F.col("_cb") + F.col("n_tokens"))
+    return spans.select(
+        F.col("s").alias("seq_id"),
+        "doc_id",
+        (start - F.col("_cb")).cast("bigint").alias("doc_offset"),
+        (start - F.col("s") * L).cast("bigint").alias("seq_offset"),
+        (end - start).cast("bigint").alias("len"),
+    )

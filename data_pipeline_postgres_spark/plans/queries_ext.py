@@ -984,6 +984,48 @@ def q_docs_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     return packing.pack_sequences(_docs(spark, sf_dir))
 
 
+@query(
+    "docs_pack_manifest",
+    r"""
+WITH t AS (
+    SELECT doc_id,
+           COALESCE(CAST(len(regexp_split_to_array(trim(text), '\s+'))
+                    AS BIGINT), 0) AS n_tokens
+    FROM documents
+),
+c AS (
+    SELECT doc_id, n_tokens,
+           SUM(n_tokens) OVER (ORDER BY doc_id
+               ROWS UNBOUNDED PRECEDING) - n_tokens AS cum_before
+    FROM t
+),
+spans AS (
+    SELECT doc_id, n_tokens, cum_before,
+           unnest(range(CAST(cum_before // 512 AS BIGINT),
+                        CAST((cum_before + n_tokens - 1) // 512 + 1
+                             AS BIGINT))) AS seq_id
+    FROM c WHERE n_tokens > 0
+)
+SELECT CAST(seq_id AS BIGINT) AS seq_id, doc_id,
+       CAST(greatest(seq_id * 512, cum_before) - cum_before AS BIGINT)
+           AS doc_offset,
+       CAST(greatest(seq_id * 512, cum_before) - seq_id * 512 AS BIGINT)
+           AS seq_offset,
+       CAST(least((seq_id + 1) * 512, cum_before + n_tokens)
+            - greatest(seq_id * 512, cum_before) AS BIGINT) AS len
+FROM spans
+""",
+)
+def q_docs_pack_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reader-side packing manifest: every (sequence window, doc
+    slice) intersection with doc/seq offsets and slice length — what
+    a trainer's loader consumes to assemble window seq_id
+    (operators/packing.py: pack_manifest)."""
+    from ..operators import packing
+
+    return packing.pack_manifest(_docs(spark, sf_dir))
+
+
 # -- text analysis ---------------------------------------------------------
 
 
