@@ -2026,3 +2026,46 @@ def q_layout_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
         z.alias("zkey"),
         F.shiftright(z, 27).alias("file_bucket"),
     )
+
+
+@query(
+    "events_retention_cohorts",
+    """
+WITH f AS (
+    SELECT user_id, CAST(MIN(date_trunc('day', ts)) AS DATE) AS cohort_day
+    FROM events GROUP BY 1
+)
+SELECT f.cohort_day,
+       CAST(date_diff('day', f.cohort_day,
+                      CAST(date_trunc('day', e.ts) AS DATE)) AS BIGINT)
+           AS day_offset,
+       COUNT(DISTINCT e.user_id) AS n_users
+FROM events e JOIN f USING (user_id)
+GROUP BY 1, 2
+""",
+)
+def q_events_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention matrix: users grouped by first-activity day,
+    counted distinct on each (cohort, day-offset) cell — the classic
+    product-analytics rollup. Two aggregations, both hash-keyed on
+    user_id first (the cohort agg and the join stay co-partitioned;
+    AQE plans one exchange), then the small (cohort, offset)-keyed
+    distinct count; no window over the event stream."""
+    ev = _t(spark, sf_dir, "events").select("user_id", "ts")
+    first = ev.groupBy("user_id").agg(
+        F.to_date(F.date_trunc("day", F.min("ts"))).alias("cohort_day")
+    )
+    return (
+        ev.join(first, "user_id")
+        .select(
+            "user_id",
+            "cohort_day",
+            F.datediff(
+                F.to_date(F.date_trunc("day", "ts")), F.col("cohort_day")
+            )
+            .cast("bigint")
+            .alias("day_offset"),
+        )
+        .groupBy("cohort_day", "day_offset")
+        .agg(F.countDistinct("user_id").alias("n_users"))
+    )
