@@ -32,10 +32,11 @@ def test_all_queries_have_impl():
 
 
 def test_events_load_does_not_leak_session_conf(spark):
-    """The TIMESTAMP(NANOS) events table is read via an explicit
-    schema, never by flipping spark.sql.legacy.parquet.nanosAsLong
-    session-wide (a leaked conf would change how OTHER parquet reads
-    interpret nanos columns)."""
+    """Whatever timestamp unit the events table carries (NANOS in the
+    round-1 testdata, MICROS since round 5 — catalog.parquet_ts_unit
+    sniffs it), the reader must never flip
+    spark.sql.legacy.parquet.nanosAsLong session-wide: a leaked conf
+    would change how OTHER parquet reads interpret nanos columns."""
     from data_pipeline_postgres_spark.catalog import load_table
 
     df = load_table(spark, SF_SMOKE, "events")
