@@ -2069,3 +2069,84 @@ def q_events_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("cohort_day", "day_offset")
         .agg(F.countDistinct("user_id").alias("n_users"))
     )
+
+
+@query(
+    "supplier_pareto_share",
+    """
+WITH r AS (
+    SELECT l_suppkey,
+           SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+               * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS revenue
+    FROM lineitem GROUP BY 1
+),
+t AS (SELECT SUM(revenue) AS total FROM r),
+c AS (
+    SELECT l_suppkey, revenue,
+           SUM(revenue) OVER (ORDER BY revenue DESC, l_suppkey
+               ROWS UNBOUNDED PRECEDING) AS cum_rev
+    FROM r
+)
+SELECT l_suppkey, CAST(revenue AS DOUBLE) AS revenue,
+       CAST(cum_rev AS DOUBLE) / CAST(total AS DOUBLE) AS cum_share,
+       CAST(cum_rev - revenue AS DOUBLE) / CAST(total AS DOUBLE)
+           < 0.8 AS in_top80
+FROM c, t
+""",
+)
+def q_supplier_pareto_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pareto (80/20) revenue concentration per supplier: each
+    supplier's cumulative revenue share in descending-revenue order,
+    flagged while the running share BEFORE the supplier is under 80%.
+    The global ordered cumulative sum rides the same two-level
+    repartitionByRange prefix scan as docs_token_budget_select
+    (ordered non-overlapping ranges + prefix-summed per-range totals
+    — never a single-partition window). Revenues are EXACT scale-4
+    decimals end to end (the q1 convention: no intermediate rounding
+    casts), so the cumulative is order-exact; doubles appear only in
+    the final share division."""
+    from pyspark.sql import Window as W
+
+    li = _t(spark, sf_dir, "lineitem")
+    rev = li.groupBy("l_suppkey").agg(
+        F.sum(
+            F.col("l_extendedprice").cast("decimal(12,2)")
+            * (F.lit(1) - F.col("l_discount").cast("decimal(4,2)"))
+        ).alias("revenue")
+    )
+    total = rev.agg(F.sum("revenue").alias("total"))
+    order = [F.desc("revenue"), F.asc("l_suppkey")]
+    ranged = (
+        rev.repartitionByRange(32, *order)
+        .sortWithinPartitions(*order)
+        .withColumn("_pid", F.spark_partition_id())
+    )
+    w_in = (
+        W.partitionBy("_pid")
+        .orderBy(*order)
+        .rowsBetween(W.unboundedPreceding, 0)
+    )
+    within = ranged.withColumn("_cum_in", F.sum("revenue").over(w_in))
+    totals = ranged.groupBy("_pid").agg(F.sum("revenue").alias("_ptot"))
+    w_p = W.orderBy("_pid").rowsBetween(W.unboundedPreceding, -1)
+    offsets = totals.select(
+        "_pid",
+        F.coalesce(F.sum("_ptot").over(w_p), F.lit(0)).alias("_poff"),
+    )
+    cum = F.col("_poff") + F.col("_cum_in")
+    return (
+        within.join(F.broadcast(offsets), "_pid")
+        .crossJoin(F.broadcast(total))
+        .select(
+            "l_suppkey",
+            F.col("revenue").cast("double").alias("revenue"),
+            (cum.cast("double") / F.col("total").cast("double")).alias(
+                "cum_share"
+            ),
+            (
+                (cum - F.col("revenue")).cast("double")
+                / F.col("total").cast("double")
+                < 0.8
+            ).alias("in_top80"),
+        )
+    )
