@@ -80,6 +80,10 @@ EXT_HEADLINE = [
     "layout_zorder",
     "dedup_minhash_incremental",
     "dedup_embedding_incremental",
+    "docs_token_budget_select",
+    "docs_pack_manifest",
+    "events_retention_cohorts",
+    "supplier_pareto_share",
 ]
 
 
