@@ -2150,3 +2150,96 @@ def q_supplier_pareto_share(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("in_top80"),
         )
     )
+
+
+@query(
+    "customer_rfm_segments",
+    """
+WITH m AS (
+    SELECT o_custkey,
+           date_diff('day', CAST(MAX(o_orderdate) AS DATE),
+                     DATE '1998-08-02') AS recency_days,
+           COUNT(*) AS frequency,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) * 100 AS BIGINT)
+               AS monetary_cents
+    FROM orders GROUP BY 1
+),
+q AS (
+    SELECT quantile_cont(recency_days, 0.25) AS r1,
+           quantile_cont(recency_days, 0.50) AS r2,
+           quantile_cont(recency_days, 0.75) AS r3,
+           quantile_cont(frequency, 0.25) AS f1,
+           quantile_cont(frequency, 0.50) AS f2,
+           quantile_cont(frequency, 0.75) AS f3,
+           quantile_cont(monetary_cents, 0.25) AS m1,
+           quantile_cont(monetary_cents, 0.50) AS m2,
+           quantile_cont(monetary_cents, 0.75) AS m3
+    FROM m
+)
+SELECT o_custkey, CAST(recency_days AS BIGINT) AS recency_days,
+       frequency, monetary_cents,
+       CASE WHEN recency_days < r1 THEN 1 WHEN recency_days < r2 THEN 2
+            WHEN recency_days < r3 THEN 3 ELSE 4 END AS r_score,
+       CASE WHEN frequency < f1 THEN 1 WHEN frequency < f2 THEN 2
+            WHEN frequency < f3 THEN 3 ELSE 4 END AS f_score,
+       CASE WHEN monetary_cents < m1 THEN 1 WHEN monetary_cents < m2 THEN 2
+            WHEN monetary_cents < m3 THEN 3 ELSE 4 END AS m_score
+FROM m, q
+""",
+)
+def q_customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM segmentation: per-customer recency/frequency/monetary
+    metrics, each scored 1-4 by its GLOBAL quartile. All three
+    quartile triples come from one bounded-state source
+    (operators.aggregate.bucket_refine_quantiles, keys=[]) and ride
+    back as a broadcast 1-row relation each; the scoring pass is a
+    narrow CASE over the customer-metric aggregate — the
+    bucket_global_quantile idiom applied three-wide."""
+    o = _t(spark, sf_dir, "orders")
+    m = o.groupBy("o_custkey").agg(
+        F.datediff(
+            F.lit("1998-08-02").cast("date"),
+            F.max(F.col("o_orderdate").cast("date")),
+        )
+        .cast("bigint")
+        .alias("recency_days"),
+        F.count("*").alias("frequency"),
+        (F.sum(F.col("o_totalprice").cast("decimal(12,2)")) * 100)
+        .cast("bigint")
+        .alias("monetary_cents"),
+    )
+    cuts = {}
+    for col, pre in (
+        ("recency_days", "r"),
+        ("frequency", "f"),
+        ("monetary_cents", "m"),
+    ):
+        cuts[pre] = aggregate.bucket_refine_quantiles(
+            m.select(col),
+            [],
+            col,
+            {f"{pre}1": 0.25, f"{pre}2": 0.50, f"{pre}3": 0.75},
+        )
+
+    def score(col: str, pre: str) -> F.Column:
+        v = F.col(col).cast("double")
+        return (
+            F.when(v < F.col(f"{pre}1"), 1)
+            .when(v < F.col(f"{pre}2"), 2)
+            .when(v < F.col(f"{pre}3"), 3)
+            .otherwise(4)
+            .alias(f"{pre}_score")
+        )
+
+    out = m
+    for pre in ("r", "f", "m"):
+        out = out.crossJoin(F.broadcast(cuts[pre]))
+    return out.select(
+        "o_custkey",
+        "recency_days",
+        "frequency",
+        "monetary_cents",
+        score("recency_days", "r"),
+        score("frequency", "f"),
+        score("monetary_cents", "m"),
+    )
