@@ -47,21 +47,30 @@ def table_path(sf_dir: str, name: str) -> str:
     return os.path.join(sf_dir, f"{name}.parquet")
 
 
-@lru_cache(maxsize=64)
 def parquet_ts_unit(path: str, column: str = "ts") -> str:
     """Time unit ('s'|'ms'|'us'|'ns') of a parquet timestamp column,
     read from the file footer. The testdata has flipped units between
     driver versions (NANOS in round 1, MICROS by round 5); sniffing
     the footer instead of hard-coding the unit makes the reader
-    unit-proof. One footer read on the driver per (path, column) —
-    cached, negligible even at 100 TB."""
-    import pyarrow.parquet as pq
-
+    unit-proof. One footer read on the driver per (file, mtime,
+    column) — cached, negligible even at 100 TB. The mtime rides in
+    the cache key so a regenerated file (the unit-flip scenario this
+    sniffing exists for) can never serve a stale cached unit within a
+    long-lived session."""
     if os.path.isdir(path):
         inner = sorted(glob.glob(os.path.join(path, "*.parquet")))
         if not inner:
             raise FileNotFoundError(f"no parquet files under {path}")
         path = inner[0]
+    return _parquet_ts_unit_cached(
+        path, os.stat(path).st_mtime_ns, column
+    )
+
+
+@lru_cache(maxsize=64)
+def _parquet_ts_unit_cached(path: str, mtime_ns: int, column: str) -> str:
+    import pyarrow.parquet as pq
+
     return pq.read_schema(path).field(column).type.unit
 
 

@@ -324,6 +324,7 @@ def minhash_incremental_dedup(
     bands: int = 4,
     rows: int = 2,
     threshold: float = 0.8,
+    corpus_bands: DataFrame | None = None,
 ) -> DataFrame:
     """Daily-ingest NEAR-dup check: which new-batch docs are near-dups
     (shingle Jaccard ≥ threshold) of something already in the corpus —
@@ -332,18 +333,35 @@ def minhash_incremental_dedup(
     doc; dup_of = its smallest matching corpus doc (deterministic).
 
     Cost shape at 100 TB: band keys are computed for the batch fresh,
-    but the corpus side is exactly the (doc_id, band, band_key)
-    relation ``minhash_bands`` emits — in production that is a STORED
-    index maintained at ingest (append-only, one row per doc·band),
-    so the standing cost per day is one band-key equi-join of
-    |batch|·bands rows against the index, never a corpus rescan.
+    and the corpus side is the (doc_id, band_key) relation
+    ``minhash_bands`` emits — pass it as ``corpus_bands`` to use a
+    STORED index maintained at ingest (append-only, one row per
+    doc·band; see plans/queries_ext._minhash_corpus_index for the
+    materialized-parquet path and streaming/jobs.stream_minhash_dedup
+    for the append-only streaming variant), so the standing cost per
+    day is one band-key equi-join of |batch|·bands rows against the
+    index, never a corpus re-shingle. With ``corpus_bands=None`` the
+    index is recomputed from ``corpus`` (ground-truth mode).
     Verification (the only shingle-level work) is driven by the
     admitted pairs: exact-Jaccard cost tracks candidate volume, and
     only admitted docs' shingles are re-materialized (semi-join), so
     nothing scales with corpus×batch.
+
+    A doc_id present on BOTH sides is treated as the batch
+    superseding the corpus row: corpus rows sharing a batch doc_id
+    are anti-joined out before candidate generation and
+    verification, so a re-ingested doc can never merge two texts'
+    shingles under one id (which would corrupt every Jaccard
+    involving it).
     """
+    batch_ids = batch.select("doc_id")
+    corpus = corpus.join(batch_ids, "doc_id", "left_anti")
     bb = minhash_bands(doc_shingles(batch, n, distinct=False), bands, rows)
-    cb = minhash_bands(doc_shingles(corpus, n, distinct=False), bands, rows)
+    cb = (
+        corpus_bands.join(batch_ids, "doc_id", "left_anti")
+        if corpus_bands is not None
+        else minhash_bands(doc_shingles(corpus, n, distinct=False), bands, rows)
+    )
     # pair list is tiny (band-admitted only); cut it so the signature
     # pipelines run once (same materialization rationale as
     # minhash_dedup)

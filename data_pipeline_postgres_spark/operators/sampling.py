@@ -144,10 +144,20 @@ def token_budget_select(
         ),
     )
     order = [F.desc("n_tokens"), F.asc("doc_id")]
+    # ``ranged`` feeds TWO branches (the within-partition scan and the
+    # per-range totals) that later join on spark_partition_id, so both
+    # MUST observe the same range boundaries. RangePartitioner learns
+    # boundaries by sampling; if the planner ever compiled two
+    # independent range exchanges (instead of one ReusedExchange) the
+    # two sides could disagree near partition edges. The lineage cut
+    # pins ONE materialized partitioning that both branches provably
+    # share — the relation is a narrow (doc_id, n_tokens, _pid)
+    # projection, so the materialization is tiny relative to the scan.
     ranged = (
         toks.repartitionByRange(n_ranges, *order)
         .sortWithinPartitions(*order)
         .withColumn("_pid", F.spark_partition_id())
+        .localCheckpoint(eager=False)
     )
     w_in = (
         Window.partitionBy("_pid")

@@ -1871,8 +1871,16 @@ def q_agg_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("x"),
     )
+    # ONE pass over lineitem: the narrow (flag, cents) projection is
+    # lineage-cut and shared by all three consumers (bucket counts,
+    # refinement, clamp+mean) — previously each re-scanned the fact.
+    # A value histogram is deliberately NOT the shared relation:
+    # extendedprice is ~97% distinct, so the histogram would be as
+    # big as the fact and its exchange dearer than the rescans.
+    cents = cents.localCheckpoint(eager=False)
     p = aggregate.bucket_refine_quantiles(
-        cents, ["l_returnflag"], "x", {"p05": 0.05, "p95": 0.95}
+        cents, ["l_returnflag"], "x", {"p05": 0.05, "p95": 0.95},
+        materialize=False,
     )
     w = cents.join(F.broadcast(p), "l_returnflag").withColumn(
         "xw",
@@ -2116,10 +2124,14 @@ def q_supplier_pareto_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     total = rev.agg(F.sum("revenue").alias("total"))
     order = [F.desc("revenue"), F.asc("l_suppkey")]
+    # lineage cut: both consumers (within-scan + per-range totals)
+    # must see ONE set of sampled range boundaries — same rationale
+    # as operators/sampling.py token_budget_select
     ranged = (
         rev.repartitionByRange(32, *order)
         .sortWithinPartitions(*order)
         .withColumn("_pid", F.spark_partition_id())
+        .localCheckpoint(eager=False)
     )
     w_in = (
         W.partitionBy("_pid")
@@ -2208,6 +2220,10 @@ def q_customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("monetary_cents"),
     )
+    # the customer-metric aggregate feeds SEVEN consumers (3 × two
+    # quantile branches + the scoring pass) — lineage-cut it so the
+    # orders groupBy runs once, not four times
+    m = m.localCheckpoint(eager=False)
     cuts = {}
     for col, pre in (
         ("recency_days", "r"),
@@ -2219,6 +2235,7 @@ def q_customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
             [],
             col,
             {f"{pre}1": 0.25, f"{pre}2": 0.50, f"{pre}3": 0.75},
+            materialize=False,
         )
 
     def score(col: str, pre: str) -> F.Column:

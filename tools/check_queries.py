@@ -1,0 +1,71 @@
+"""Targeted subset of tools/drive_contract.py: check only the named
+queries against their DuckDB oracles (rows-only queries get a count).
+
+Usage: python tools/check_queries.py [--sf DIR] name [name ...]
+"""
+import sys, time
+sys.path.insert(0, "/root/repo")
+
+args = sys.argv[1:]
+SF = "/root/testdata/sf0.01"
+if args and args[0] == "--sf":
+    SF = args[1]
+    args = args[2:]
+names = args
+
+import __spark_entry__ as E
+from pyspark.sql import SparkSession
+
+spark = (SparkSession.builder.master("local[8]")
+         .appName("check-queries").config("spark.sql.shuffle.partitions", "8")
+         .config("spark.sql.session.timeZone", "UTC")
+         .config("spark.ui.enabled", "false").getOrCreate())
+spark.sparkContext.setLogLevel("ERROR")
+
+qs, os_ = E.queries(), E.oracle_sql()
+
+import duckdb, datetime, decimal, math
+con = duckdb.connect()
+for t in ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]:
+    con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{SF}/{t}.parquet'")
+
+
+def canon(v):
+    if v is None: return "N"
+    if isinstance(v, float): return "nan" if math.isnan(v) else repr(v)
+    if isinstance(v, decimal.Decimal): return repr(float(v))
+    if isinstance(v, (datetime.datetime, datetime.date)): return v.isoformat()
+    return str(v)
+
+
+fails = []
+for name in names:
+    if name not in qs:
+        print(f"{name}: UNKNOWN query")
+        fails.append(name)
+        continue
+    t0 = time.time()
+    if name not in os_:
+        try:
+            n = qs[name](spark, SF).count()
+            print(f"{name}: rows-only n={n} {time.time()-t0:.1f}s")
+        except Exception as e:  # noqa: BLE001
+            fails.append(name)
+            print(f"{name}: rows-only ERROR {type(e).__name__}: {e}")
+        continue
+    sdf = qs[name](spark, SF)
+    scols = sorted(sdf.columns)
+    srows = sorted(tuple(canon(r[c]) for c in scols) for r in sdf.collect())
+    rel = con.sql(os_[name]); dcols = sorted(rel.columns)
+    idx = [rel.columns.index(c) for c in dcols]
+    drows = sorted(tuple(canon(r[i]) for i in idx) for r in rel.fetchall())
+    ok = scols == dcols and srows == drows
+    print(f"{name}: cols={'OK' if scols==dcols else (scols, dcols)} "
+          f"n={len(srows)}/{len(drows)} match={ok} {time.time()-t0:.1f}s")
+    if not ok:
+        fails.append(name)
+        for a, b in list(zip(srows, drows))[:3]:
+            if a != b:
+                print("   diff:", a, "VS", b)
+print("FAILURES:", fails if fails else "none")
