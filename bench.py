@@ -102,16 +102,20 @@ def main() -> None:
         "noop"
     ).mode("overwrite").save()
     timings: dict[str, float] = {}
+    spreads: dict[str, float] = {}
     for name in names:
         df = registry.QUERIES[name](spark, sf_dir)
         df.write.format("noop").mode("overwrite").save()  # warm: JVM/IO caches
-        best = float("inf")
-        for _ in range(2):  # best-of-2: damp host-level CPU noise
+        runs = []
+        for _ in range(3):  # best-of-3 + spread: damp host-level CPU noise
             t0 = time.perf_counter()
             df2 = registry.QUERIES[name](spark, sf_dir)
             df2.write.format("noop").mode("overwrite").save()
-            best = min(best, time.perf_counter() - t0)
-        timings[name] = round(best, 3)
+            runs.append(time.perf_counter() - t0)
+        timings[name] = round(min(runs), 3)
+        # spread = max-min over timed runs; a regression smaller than
+        # the spread is host noise, not a plan change.
+        spreads[name] = round(max(runs) - min(runs), 3)
 
     total = round(sum(timings.values()), 3)
     print(
@@ -121,6 +125,7 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "spread": spreads,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }
         )

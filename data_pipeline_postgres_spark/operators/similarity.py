@@ -322,31 +322,107 @@ def sign_lsh_buckets(
 def lsh_topk(
     emb: DataFrame,
     k: int = 10,
-    planes: int = 4,
+    planes: int = 8,
+    flip: int = 6,
     dim: int = 64,
     round_digits: int = 6,
 ) -> DataFrame:
-    """ANN top-k: score only vectors in the query's LSH bucket, rerank
-    exactly. Approximate — recall measured against brute_topk in
-    tests. (vec_id, cosine)."""
+    """ANN top-k via query-directed multi-probe sign-LSH (Lv et al.,
+    "Multi-Probe LSH", VLDB'07): besides the query's own bucket, probe
+    every bucket reachable by flipping any subset of the ``flip``
+    lowest-|margin| sign bits — the planes the query is least certain
+    about, hence where a true neighbor most likely landed on the other
+    side. Candidates = corpus rows in any of the 2^flip probe buckets;
+    rerank is exact. (vec_id, cosine).
+
+    Scale shape: one narrow corpus pass for buckets, a broadcast join
+    against the 2^flip-row probe relation (never a corpus shuffle),
+    exact cosine on ~2^flip/2^planes of the corpus, TakeOrdered top-k.
+    Recall vs brute_topk is measured in tests and PLANS.md.
+
+    Regime caveat: sign-LSH recall is a function of the neighbors'
+    cosine — near-dup-grade neighbors (cosine ≳ 0.8, ≲1 expected sign
+    disagreement across 8 planes) are recovered with high probability,
+    while weak neighbors (cosine ≈ 0.35, ≈3 expected disagreements)
+    land outside any fixed probe set most of the time. For generic
+    top-k over weakly-similar corpora use ``ivf_topk`` — IVF prunes by
+    partition geometry, not by similarity threshold.
+    """
     buckets = sign_lsh_buckets(emb, planes, dim)
     vs = _vecs(emb).join(buckets, "vec_id")
+
+    # One-row query relation with per-plane signed margins.
+    margins = F.array(
+        *[V.dot(F.col("v"), _hyperplane(p, dim)) for p in range(planes)]
+    )
     q = (
-        vs.orderBy("vec_id")
+        _vecs(emb)
+        .orderBy("vec_id")
         .limit(1)
+        .select(F.col("v").alias("qv"), margins.alias("m"))
+    )
+    base = F.aggregate(
+        F.sequence(F.lit(0), F.lit(planes - 1)),
+        F.lit(0).cast("bigint"),
+        lambda acc, p: acc
+        + F.when(
+            F.element_at(F.col("m"), p + 1) >= 0,
+            F.pow(F.lit(2.0), p).cast("bigint"),
+        ).otherwise(F.lit(0).cast("bigint")),
+    )
+    # Plane indices sorted by |margin| ascending; keep the flip least
+    # confident ones. (array_sort comparator instead of a struct sort:
+    # struct field aliases do not survive inside HOF lambdas.)
+    def _abs_m(p):
+        return F.abs(F.element_at(F.col("m"), p.cast("int") + 1))
+
+    flip_idx = F.slice(
+        F.array_sort(
+            F.sequence(F.lit(0), F.lit(planes - 1)),
+            lambda a, b: F.when(_abs_m(a) < _abs_m(b), F.lit(-1))
+            .when(_abs_m(a) > _abs_m(b), F.lit(1))
+            .otherwise((a - b).cast("int")),
+        ),
+        1,
+        flip,
+    )
+    # 2^flip probe buckets: base XOR each subset of the flip bits.
+    probes = (
+        q.select(
+            "qv",
+            base.alias("base"),
+            flip_idx.alias("fi"),
+            F.explode(
+                F.sequence(F.lit(0), F.lit(2**flip - 1))
+            ).alias("mask"),
+        )
         .select(
-            F.col("v").alias("qv"), F.col("bucket").alias("qbucket")
+            "qv",
+            F.col("base")
+            .bitwiseXOR(
+                F.aggregate(
+                    F.sequence(F.lit(0), F.lit(flip - 1)),
+                    F.lit(0).cast("bigint"),
+                    lambda acc, j: acc
+                    + F.when(
+                        F.col("mask").bitwiseAND(
+                            F.pow(F.lit(2.0), j).cast("bigint")
+                        )
+                        != 0,
+                        F.pow(
+                            F.lit(2.0), F.element_at(F.col("fi"), j + 1)
+                        ).cast("bigint"),
+                    ).otherwise(F.lit(0).cast("bigint")),
+                )
+            )
+            .alias("bucket"),
         )
     )
-    scored = (
-        vs.crossJoin(F.broadcast(q))
-        .filter(F.col("bucket") == F.col("qbucket"))
-        .select(
-            "vec_id",
-            F.round(
-                V.cosine(F.col("v"), F.col("qv")), round_digits
-            ).alias("cosine"),
-        )
+    scored = vs.join(F.broadcast(probes), "bucket").select(
+        "vec_id",
+        F.round(V.cosine(F.col("v"), F.col("qv")), round_digits).alias(
+            "cosine"
+        ),
     )
     return (
         scored.orderBy(F.desc("cosine"), F.asc("vec_id"))

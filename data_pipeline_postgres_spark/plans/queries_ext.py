@@ -1288,7 +1288,31 @@ def q_multimodal_framesample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return multimodal.frame_sample(_docs(spark, sf_dir))
 
 
-@query("multimodal_decode")  # stubbed decode → rows-only check
+@query(
+    "multimodal_decode",
+    # The decode stub is deterministic arithmetic over the payload
+    # bytes (operators/multimodal.py fake_decode_batch): width/height
+    # from the first/last byte, n_frames from the length — so it IS
+    # SQL-expressible.  Byte values come out of the hex dump so the
+    # oracle stays byte-accurate even for non-ASCII text.
+    """
+WITH b AS (
+    SELECT doc_id,
+           hex(encode(text)) AS h,
+           octet_length(encode(text)) AS n
+    FROM documents
+)
+SELECT doc_id,
+       CAST(64 + (CASE WHEN n = 0 THEN 0
+                  ELSE CAST(concat('0x', substr(h, 1, 2)) AS INT) END) % 64
+            AS INT) AS width,
+       CAST(64 + (CASE WHEN n = 0 THEN 0
+                  ELSE CAST(concat('0x', substr(h, 2 * n - 1, 2)) AS INT) END) % 64
+            AS INT) AS height,
+       CAST(1 + n % 16 AS INT) AS n_frames
+FROM b
+""",
+)
 def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Arrow-batched mapInPandas decode pass (decode itself is a
     deterministic stub — see operators/multimodal.py)."""

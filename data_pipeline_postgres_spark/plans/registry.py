@@ -65,7 +65,8 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "ddl_monthly_shard",
     "stream_dedup",
     "json_source_roundtrip",
-    # (c) round-7 additions — spliced here as they land
+    # (c) round-7 additions / upgrades — spliced here as they land
+    "multimodal_decode",  # r7: rows-only → hash-checked oracle
     # (d) refresh filler: oldest driver evidence first (r2 rows)
     "project_star",
     "project_cols",

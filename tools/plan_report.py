@@ -43,6 +43,123 @@ SHOWCASE = [
 ]
 
 
+def accuracy_rows(spark, sf_dir):
+    """Measured recall/accuracy of every approximate (rows-only)
+    operator against its exact in-repo ground truth — the numbers the
+    pytest gates assert, surfaced for audit without running pytest."""
+    from pyspark.sql import functions as F
+
+    from data_pipeline_postgres_spark.catalog import load_table
+    from data_pipeline_postgres_spark.operators import dedup, similarity
+
+    Q = registry.QUERIES
+    rows = []
+
+    # HLL++ distinct vs exact COUNT(DISTINCT) per group
+    o = load_table(spark, sf_dir, "orders")
+    exact = {
+        r[0]: r[1]
+        for r in o.groupBy("o_orderpriority")
+        .agg(F.countDistinct("o_custkey"))
+        .collect()
+    }
+    approx = {r[0]: r[1] for r in Q["agg_approx_distinct"](spark, sf_dir).collect()}
+    err = max(abs(approx[k] - exact[k]) / exact[k] for k in exact)
+    rows.append(
+        ("agg_approx_distinct", "exact COUNT(DISTINCT) per group",
+         f"max rel err {err:.4f} (rsd=0.02)")
+    )
+
+    # GK quantile sketch vs exact percentile
+    ex = {r["o_orderstatus"]: (r["p50"], r["p90"])
+          for r in Q["agg_percentile"](spark, sf_dir).collect()}
+    ap = {r["o_orderstatus"]: (r["p50"], r["p90"])
+          for r in Q["agg_approx_quantile"](spark, sf_dir).collect()}
+    err = max(
+        abs(a - b) / abs(b) for k in ex for a, b in zip(ap[k], ex[k])
+    )
+    rows.append(
+        ("agg_approx_quantile", "exact percentile (agg_percentile)",
+         f"max rel err {err:.4f} on p50/p90 (accuracy=1000)")
+    )
+
+    # approx profile distincts vs exact profile
+    ex = {r["column"]: r["n_distinct"]
+          for r in Q["profile_table"](spark, sf_dir).collect()}
+    ap = {r["column"]: r["n_distinct"]
+          for r in Q["profile_table_approx"](spark, sf_dir).collect()}
+    err = max(abs(ap[k] - ex[k]) / max(ex[k], 1) for k in ex)
+    rows.append(
+        ("profile_table_approx", "profile_table (exact distincts)",
+         f"max n_distinct rel err {err:.4f}")
+    )
+
+    # minhash LSH families vs exact n-gram Jaccard ground truth
+    docs = load_table(spark, sf_dir, "documents").cache()
+    sh = dedup.doc_shingles(docs)
+    p = lambda df: {(r.doc_a, r.doc_b)
+                    for r in df.select("doc_a", "doc_b").collect()}
+    exact08 = p(dedup.jaccard_pairs(sh, None, 0.8))
+    strong = p(dedup.jaccard_pairs(sh, None, 0.95))
+    for name, got in (
+        ("dedup_minhash", p(dedup.minhash_dedup(docs))),
+        ("dedup_minhash_ml", p(dedup.minhash_dedup_ml(docs))),
+    ):
+        prec = len(got & exact08) / max(len(got), 1)
+        rec = len(got & strong) / max(len(strong), 1)
+        rows.append(
+            (name, "exact Jaccard pairs (dedup_ngram_jaccard kernel)",
+             f"precision {prec:.3f} vs j≥0.8; recall {rec:.3f} on "
+             f"j≥0.95 ({len(strong)} planted strong pairs)")
+        )
+
+    # sign-LSH embedding near-dup vs exact blocked all-pairs
+    emb = load_table(spark, sf_dir, "embeddings").cache()
+    ep = lambda df: {(r.vec_id_a, r.vec_id_b)
+                     for r in df.select("vec_id_a", "vec_id_b").collect()}
+    exact_nd = ep(dedup.embedding_near_dup(emb))
+    lsh_nd = ep(dedup.embedding_near_dup_lsh(emb))
+    rows.append(
+        ("dedup_embedding_lsh", "dedup_embedding_cosine (exact all-pairs)",
+         f"recall {len(lsh_nd & exact_nd) / max(len(exact_nd), 1):.3f}, "
+         f"precision {len(lsh_nd & exact_nd) / max(len(lsh_nd), 1):.3f} "
+         f"({len(exact_nd)} true pairs)")
+    )
+
+    # ANN top-k vs brute-force top-k
+    brute = [r.vec_id for r in similarity.brute_topk(emb, k=10).collect()]
+    qtop = (
+        similarity.brute_topk(emb, k=10)
+        .filter(F.col("cosine") < 0.999999)  # drop the query itself
+        .agg(F.min("cosine"), F.max("cosine"))
+        .collect()[0]
+    )
+    for name, df in (
+        ("sim_topk_lsh",
+         similarity.lsh_topk(emb, k=10)),
+        ("sim_ann_ivf", similarity.ivf_topk(emb)),
+        ("sim_ann_ivf_kmeans",
+         similarity.ivf_topk(emb,
+                             centroids=similarity.ivf_centroids_kmeans(emb))),
+    ):
+        got = [r.vec_id for r in df.collect()]
+        note = ""
+        if name == "sim_topk_lsh":
+            note = (f" — multi-probe 64/256 buckets; true top-10 sit at"
+                    f" cosine {qtop[0]:.2f}–{qtop[1]:.2f} (excl. self),"
+                    f" a weak-similarity regime where sign-LSH recall is"
+                    f" inherently bounded; ivf_topk is the top-k scale"
+                    f" path, LSH's regime is near-dup (see"
+                    f" dedup_embedding_lsh recall above)")
+        rows.append(
+            (name, "sim_topk (exact brute-force)",
+             f"recall@10 = {len(set(brute) & set(got)) / 10:.2f}{note}")
+        )
+    docs.unpersist()
+    emb.unpersist()
+    return rows
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     spark = get_spark(app_name="plan-report")
@@ -57,7 +174,18 @@ def main() -> None:
         "`TakeOrderedAndProject`/`WindowGroupLimit`, aggregates are",
         "`partial_*` below their Exchange, and no `CartesianProduct`.",
         "",
+        "## Measured accuracy of the approximate operators",
+        "",
+        f"Computed at `{sf_dir}` against the exact in-repo ground",
+        "truth (same comparisons the pytest gates in `tests/test_ext.py`",
+        "and `tests/test_analytics.py` assert):",
+        "",
+        "| operator | ground truth | measured |",
+        "|---|---|---|",
     ]
+    for name, truth, measured in accuracy_rows(spark, sf_dir):
+        out.append(f"| `{name}` | {truth} | {measured} |")
+    out.append("")
     for name in SHOWCASE:
         if name not in registry.QUERIES:
             continue
