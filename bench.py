@@ -84,6 +84,12 @@ EXT_HEADLINE = [
     "docs_pack_manifest",
     "events_retention_cohorts",
     "supplier_pareto_share",
+    "orders_copurchase_pairs",
+    "dedup_containment",
+    "tokenizer_vocab_coverage",
+    "binary_file_ingest",
+    "agg_hll_sketch_rollup",
+    "agg_kll_quantile_sketch",
 ]
 
 

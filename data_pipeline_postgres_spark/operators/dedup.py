@@ -278,6 +278,69 @@ def jaccard_pairs(
     )
 
 
+def containment_pairs(
+    shingles: DataFrame,
+    candidates: DataFrame | None = None,
+    threshold: float = 0.9,
+) -> DataFrame:
+    """Exact shingle-CONTAINMENT pairs: (doc_a, doc_b, containment)
+    with containment = |A ∩ B| / min(|A|, |B|) ≥ threshold.
+
+    Jaccard misses the boilerplate/quotation shape — a short document
+    wholly embedded in a much longer one scores a tiny |∩|/|∪| but a
+    containment of 1.0. Broder's containment coefficient (the measure
+    resemblance sketches were originally paired with) normalizes by
+    the SMALLER side, so "A is (mostly) inside B" surfaces regardless
+    of the length ratio.
+
+    Same scale shape as ``jaccard_pairs``: intersections come from a
+    shingle equi-join (never a cross join), and when ``candidates``
+    (e.g. from minhash bands) is given it DRIVES the join so the
+    pairwise stage costs O(candidates × shingles-per-doc), not
+    O(shingle-sharing pairs). Exact integer division to double.
+    """
+    sizes = shingles.groupBy("doc_id").agg(F.count("*").alias("n"))
+    if candidates is not None:
+        sh_a = shingles.select(F.col("doc_id").alias("doc_a"), "shingle")
+        sh_b = shingles.select(F.col("doc_id").alias("doc_b"), "shingle")
+        inter = (
+            candidates.join(sh_a, "doc_a")
+            .join(sh_b, ["doc_b", "shingle"])
+            .groupBy("doc_a", "doc_b")
+            .agg(F.count("*").alias("n_common"))
+        )
+    else:
+        a = shingles.alias("sa")
+        b = shingles.alias("sb")
+        inter = (
+            a.join(
+                b,
+                (F.col("sa.shingle") == F.col("sb.shingle"))
+                & (F.col("sa.doc_id") < F.col("sb.doc_id")),
+            )
+            .groupBy(
+                F.col("sa.doc_id").alias("doc_a"),
+                F.col("sb.doc_id").alias("doc_b"),
+            )
+            .agg(F.count("*").alias("n_common"))
+        )
+    na = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("n_a"))
+    nb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("n_b"))
+    return (
+        inter.join(na, "doc_a")
+        .join(nb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            (
+                F.col("n_common").cast("double")
+                / F.least(F.col("n_a"), F.col("n_b"))
+            ).alias("containment"),
+        )
+        .filter(F.col("containment") >= threshold)
+    )
+
+
 def minhash_dedup(
     docs: DataFrame,
     n: int = 3,
@@ -742,6 +805,17 @@ def embedding_near_dup_lsh(
     :func:`embedding_near_dup`; recall vs the exact path is asserted
     in tests (rows-only driver check — the hyperplane fold is not
     reasonably SQL-expressible).
+
+    Measured operating curve at sf0.1 (recall vs candidate fraction of
+    all pairs): (4 planes, 8 bands) → 0.77 @ 0.41; (4,12) → 0.91 @
+    0.54; (4,16) → 0.95 @ 0.64; (6,16) → 0.75 @ 0.24. The curve is
+    flat because at threshold 0.45 the per-plane agreement gap between
+    near (p≈0.65) and random (p≈0.5) pairs is small — sign-LSH prunes
+    HARD only in the high-cosine regime (≥0.85: p≈0.85, where
+    (8,16)-style configs reach ≥0.99 recall on ≲2% of pairs). For
+    mid-threshold corpus dedup prefer :func:`semantic_dedup`
+    (cluster-pruned exact) — this operator is the scale path for true
+    near-duplicates.
     """
     from ..operators import similarity as S
 

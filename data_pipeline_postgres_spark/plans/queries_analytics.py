@@ -2260,3 +2260,84 @@ def q_customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         score("frequency", "f"),
         score("monetary_cents", "m"),
     )
+
+
+@query(
+    "orders_copurchase_pairs",
+    """
+WITH basket AS (
+    SELECT DISTINCT l.l_orderkey, p.p_brand
+    FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+),
+pairs AS (
+    SELECT a.p_brand AS brand_a, b.p_brand AS brand_b
+    FROM basket a JOIN basket b
+      ON a.l_orderkey = b.l_orderkey AND a.p_brand < b.p_brand
+)
+SELECT brand_a, brand_b, COUNT(*) AS n_orders
+FROM pairs GROUP BY brand_a, brand_b
+ORDER BY n_orders DESC, brand_a, brand_b
+LIMIT 20
+""",
+)
+def q_orders_copurchase_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket pair mining: the 20 brand pairs most often bought
+    together in one order. (brand_a, brand_b, n_orders).
+
+    Scale shape: the brand dim is broadcast onto lineitem (no fact
+    shuffle for the enrich), the per-order distinct + pair self-join
+    both key on l_orderkey — ONE hash exchange, reused across the
+    distinct, both join sides, and nothing else; the pair blow-up is
+    O(basket_size²) per order, bounded by the ~7-line basket, never by
+    corpus size. The final count groups on the (brand,brand) key space
+    (|brands|² at most) and the top-20 is TakeOrderedAndProject. At
+    100 TB: same plan, with AQE coalescing the tiny pair-count
+    exchange; no all-pairs term anywhere.
+    """
+    l = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part")
+    basket = (
+        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        .select("l_orderkey", "p_brand")
+        .distinct()
+    )
+    a = basket.alias("a")
+    b = basket.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+        & (F.col("a.p_brand") < F.col("b.p_brand")),
+    ).select(
+        F.col("a.p_brand").alias("brand_a"),
+        F.col("b.p_brand").alias("brand_b"),
+    )
+    return (
+        pairs.groupBy("brand_a", "brand_b")
+        .agg(F.count("*").alias("n_orders"))
+        .orderBy(F.desc("n_orders"), "brand_a", "brand_b")
+        .limit(20)
+    )
+
+
+@query("agg_hll_sketch_rollup")  # DataSketches binary — no DuckDB analog
+def q_agg_hll_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-level mergeable distinct counts: HLL sketch per
+    (event_type, day), merged to monthly estimates without re-scanning
+    raw events (operators/sketches.py). Error vs exact COUNT(DISTINCT)
+    measured in tests + PLANS.md."""
+    from ..operators import sketches
+
+    return sketches.hll_rollup(
+        sketches.hll_daily_sketches(_t(spark, sf_dir, "events"))
+    ).orderBy("event_type", "month")
+
+
+@query("agg_kll_quantile_sketch")  # DataSketches binary — no DuckDB analog
+def q_agg_kll_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-level mergeable quantiles: KLL sketch per (status, month),
+    merged per status, p50/p90/p99 read from the merged sketch — the
+    one-scan bounded-error alternative to the exact bucket-refine
+    quantile path. Error measured in tests + PLANS.md."""
+    from ..operators import sketches
+
+    return sketches.kll_quantile_rollup(_t(spark, sf_dir, "orders"))

@@ -342,6 +342,27 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.jaccard_pairs(dedup.doc_shingles(docs), None, 0.8)
 
 
+_CONTAINMENT_ORACLE = f"""
+WITH {_TOKS}, {_SHINGLES}, {_JACCARD_TAIL.lstrip()}
+SELECT doc_a, doc_b,
+       CAST(n_common AS DOUBLE) / LEAST(sa.n, sb.n) AS containment
+FROM inter i
+JOIN sizes sa ON sa.doc_id = i.doc_a
+JOIN sizes sb ON sb.doc_id = i.doc_b
+WHERE CAST(n_common AS DOUBLE) / LEAST(sa.n, sb.n) >= 0.9
+"""
+
+
+@query("dedup_containment", _CONTAINMENT_ORACLE)
+def q_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Broder containment pairs ≥ 0.9 — |A∩B| / min(|A|,|B|): catches
+    the boilerplate/quotation shape Jaccard misses (a short doc wholly
+    embedded in a long one). Same shingle-equi-join scale shape as
+    dedup_ngram_jaccard, same candidate-driven hook for LSH."""
+    docs = _docs(spark, sf_dir)
+    return dedup.containment_pairs(dedup.doc_shingles(docs), None, 0.9)
+
+
 # Connected components over the exact near-dup pairs. The oracle walks
 # the transitive closure with a recursive CTE (UNION dedups → fixpoint)
 # — label of a doc = min doc id it can reach, i.e. the component min.
@@ -2064,3 +2085,141 @@ def q_stream_minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     candidate set + exact-Jaccard verify equals batch dedup_minhash,
     so the same SQL oracle checks it."""
     return stream_jobs.minhash_dedup_stream(spark, sf_dir)
+
+
+_VOCAB_ORACLE = r"""
+WITH tok AS (
+    SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS tok
+    FROM documents
+),
+freq AS (SELECT tok, COUNT(*) AS cnt FROM tok GROUP BY tok),
+vocab AS (
+    SELECT tok FROM (
+        SELECT tok, row_number() OVER (ORDER BY cnt DESC, tok) AS rn
+        FROM freq
+    ) WHERE rn <= 1000
+)
+SELECT t.doc_id,
+       COUNT(*) AS n_tokens,
+       COUNT(*) - COUNT(v.tok) AS n_oov,
+       CAST(COUNT(*) - COUNT(v.tok) AS DOUBLE) / COUNT(*) AS oov_rate
+FROM tok t LEFT JOIN vocab v ON t.tok = v.tok
+GROUP BY t.doc_id
+"""
+
+
+@query("tokenizer_vocab_coverage", _VOCAB_ORACLE)
+def q_tokenizer_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer-training prep: corpus top-1000 vocabulary (by
+    frequency, deterministic tiebreak) and each document's
+    out-of-vocabulary rate under it. (doc_id, n_tokens, n_oov,
+    oov_rate).
+
+    Scale shape: ONE token-keyed partial-agg shuffle for frequencies;
+    the vocab cut is TakeOrderedAndProject (per-partition top-V heaps,
+    driver merge of V-row candidates — never a global sort); the vocab
+    relation (V rows) broadcasts back onto the token stream, and the
+    per-doc rollup is the only other exchange. OOV rate is an exact
+    integer division → hash-stable double.
+    """
+    from ..functions import text as TX
+
+    docs = _docs(spark, sf_dir)
+    tok = docs.select("doc_id", F.explode(TX.tokens("text")).alias("tok"))
+    freq = tok.groupBy("tok").agg(F.count("*").alias("cnt"))
+    vocab = (
+        freq.orderBy(F.desc("cnt"), "tok")
+        .limit(1000)
+        .select("tok", F.lit(1).alias("in_vocab"))
+    )
+    return (
+        tok.join(F.broadcast(vocab), "tok", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_tokens"),
+            (F.count("*") - F.count("in_vocab")).alias("n_oov"),
+            (
+                (F.count("*") - F.count("in_vocab")).cast("double")
+                / F.count("*")
+            ).alias("oov_rate"),
+        )
+    )
+
+
+@query(
+    "binary_file_ingest",
+    """
+SELECT 'doc_' || doc_id || '.bin' AS file_name,
+       CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+       sha256(text) AS content_sha
+FROM documents
+""",
+)
+def q_binary_file_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Opaque-file ingestion via Spark's ``binaryFile`` source — the
+    entry point a real multimodal corpus (images/audio on a blob
+    store) arrives through: one row per file with (path, length,
+    content binary), ready for the operators/multimodal.py decode
+    plumbing. (file_name, n_bytes, content_sha).
+
+    The fixture materializes each document's payload as a ``.bin``
+    file EXECUTOR-side (foreachPartition — every task writes its own
+    partition's files, the write scales out; no driver loop), then
+    the query proper is the binaryFile scan. The oracle closes the
+    loop against the source table: name, byte length, and sha256 must
+    survive the filesystem round-trip. At 100 TB the same scan
+    partitions by file with ``maxPartitionBytes``, and column pruning
+    keeps ``content`` out of metadata-only plans.
+    """
+    import os
+
+    from ..scratch import SCRATCH_ROOT
+    from ..operators import multimodal
+
+    sf_tag = os.path.basename(sf_dir.rstrip("/"))
+    out_dir = os.path.join(SCRATCH_ROOT, f"binfiles_{sf_tag}")
+    os.makedirs(out_dir, exist_ok=True)
+
+    # Skip the (idempotent) file materialization when a prior run
+    # already wrote this corpus: the marker fingerprints the source
+    # table with one cheap aggregate, so regenerated testdata (changed
+    # text/count) re-triggers the write instead of serving stale files.
+    fp_row = _docs(spark, sf_dir).agg(
+        F.count("*"), F.sum("doc_id"), F.sum(F.length("text"))
+    ).collect()[0]
+    fingerprint = f"{fp_row[0]}:{fp_row[1]}:{fp_row[2]}"
+    marker = os.path.join(out_dir, "_FINGERPRINT")
+    stale = not (
+        os.path.exists(marker) and open(marker).read() == fingerprint
+    )
+    if stale:
+        payloads = multimodal.attach_payload(_docs(spark, sf_dir)).select(
+            "doc_id", "payload"
+        )
+
+        def _write(rows) -> None:
+            for r in rows:
+                tmp = os.path.join(out_dir, f".doc_{r.doc_id}.tmp")
+                with open(tmp, "wb") as f:
+                    f.write(bytes(r.payload))
+                os.replace(
+                    tmp, os.path.join(out_dir, f"doc_{r.doc_id}.bin")
+                )
+
+        payloads.foreachPartition(_write)
+        with open(marker, "w") as f:
+            f.write(fingerprint)
+    # Load the DIRECTORY with a glob filter, not a "*.bin" glob path:
+    # a glob in the path expands to one root per file and Spark then
+    # runs a distributed listing job with one task per root (5k tasks
+    # to list 5k files); a single directory root lists driver-side.
+    bf = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "*.bin")
+        .load(out_dir)
+    )
+    return bf.select(
+        F.element_at(F.split("path", "/"), -1).alias("file_name"),
+        F.col("length").alias("n_bytes"),
+        F.sha2("content", 256).alias("content_sha"),
+    )

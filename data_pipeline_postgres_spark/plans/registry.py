@@ -67,6 +67,12 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "json_source_roundtrip",
     # (c) round-7 additions / upgrades — spliced here as they land
     "multimodal_decode",  # r7: rows-only → hash-checked oracle
+    "orders_copurchase_pairs",
+    "dedup_containment",
+    "tokenizer_vocab_coverage",
+    "binary_file_ingest",
+    "agg_hll_sketch_rollup",
+    "agg_kll_quantile_sketch",
     # (d) refresh filler: oldest driver evidence first (r2 rows)
     "project_star",
     "project_cols",
