@@ -90,6 +90,11 @@ EXT_HEADLINE = [
     "binary_file_ingest",
     "agg_hll_sketch_rollup",
     "agg_kll_quantile_sketch",
+    "table_quality_checks",
+    "emb_pq_encode",
+    "sim_ann_pq_adc",
+    "stream_hll_rollup",
+    "docs_ccnet_buckets",
 ]
 
 

@@ -142,3 +142,84 @@ def random_projection(
     return emb.select(
         "vec_id", F.posexplode(comps).alias("pos", "y")
     )
+
+
+def pq_codebook(emb: DataFrame, m: int = 8, k: int = 16) -> DataFrame:
+    """Product-quantization codebook as ONE broadcast-able row:
+    ``cb[s][c]`` = the 8-dim subvector (subspace s) of seed centroid c
+    — the ``k`` smallest-vec_id vectors, mirroring the IVF seed
+    quantizer (spark.ml KMeans per subspace drops in unchanged).
+    """
+    sub_dim = 64 // m
+    seeds = (
+        emb.select("vec_id", V.as_double(F.col("embedding")).alias("v"))
+        .orderBy("vec_id")
+        .limit(k)
+    )
+    packed = seeds.agg(
+        F.array_sort(F.collect_list(F.struct("vec_id", "v"))).alias("a")
+    )
+    return packed.select(
+        F.transform(
+            F.sequence(F.lit(0), F.lit(m - 1)),
+            lambda s: F.transform(
+                F.col("a"),
+                lambda st: F.slice(st["v"], s * sub_dim + 1, sub_dim),
+            ),
+        ).alias("cb")
+    )
+
+
+def pq_encode(emb: DataFrame, m: int = 8, k: int = 16) -> DataFrame:
+    """Product-quantization encoding: split each 64-dim embedding into
+    ``m`` contiguous subvectors and store, per subspace, the id of the
+    nearest codebook centroid (L2², first-wins tie to the lowest id).
+    (vec_id, c0..c{m-1} int) — 64 floats compressed to m small ints.
+
+    Scale shape: the codebook row (m·k subvectors) broadcasts; the
+    encode is a fully NARROW map — per row, m independent argmin folds
+    over k centroids, all inside JVM higher-order functions; no
+    exchange anywhere. At 100 TB this is the compression pass that
+    turns a petabyte of raw vectors into the few-TB code table that
+    IVFADC search scans; distances are exact double arithmetic with
+    the same left-fold bracketing as the DuckDB oracle, so codes are
+    engine-identical.
+    """
+    sub_dim = 64 // m
+    cb = pq_codebook(emb, m, k)
+    vs = emb.select(
+        "vec_id", V.as_double(F.col("embedding")).alias("v")
+    ).crossJoin(F.broadcast(cb))
+
+    def d2(a, b):
+        return F.aggregate(
+            F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+            F.lit(0.0),
+            lambda s, x: s + x,
+        )
+
+    # fold state as a homogeneous double array [best_d, best_c, idx]
+    # (struct field names do not survive inside HOF lambdas)
+    init = F.array(
+        F.lit(float("inf")), F.lit(-1.0), F.lit(0.0)
+    )
+    def make_step(subv):
+        def step(acc, cv):
+            d = d2(subv, cv)
+            return F.array(
+                F.least(F.element_at(acc, 1), d),
+                F.when(d < F.element_at(acc, 1), F.element_at(acc, 3))
+                .otherwise(F.element_at(acc, 2)),
+                F.element_at(acc, 3) + 1.0,
+            )
+
+        return step
+
+    cols = []
+    for s in range(m):
+        subv = F.slice(F.col("v"), s * sub_dim + 1, sub_dim)
+        fold = F.aggregate(
+            F.element_at(F.col("cb"), s + 1), init, make_step(subv)
+        )
+        cols.append(F.element_at(fold, 2).cast("int").alias(f"c{s}"))
+    return vs.select("vec_id", *cols)

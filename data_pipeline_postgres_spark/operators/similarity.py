@@ -583,3 +583,81 @@ def ivf_topk(
         .limit(k)
         .select("vec_id", "cosine")
     )
+
+
+def pq_adc_topk(
+    emb: DataFrame,
+    k: int = 10,
+    n_candidates: int = 50,
+    m: int = 8,
+    ksub: int = 16,
+    round_digits: int = 6,
+) -> DataFrame:
+    """PQ/ADC approximate top-k (the IVFADC search half, Jégou et al.
+    TPAMI'11): the query precomputes an m×ksub lookup table of
+    subspace L2² distances to every codebook centroid; each corpus
+    vector's approximate distance is then m ARRAY LOOKUPS summed (its
+    stored PQ codes index the LUT) — no per-row vector arithmetic at
+    all. The ADC top-``n_candidates`` are reranked with exact cosine.
+    (vec_id, cosine).
+
+    Scale shape: codes (m small ints/vector) are the only per-row
+    state the scan touches — at 100 TB the raw vectors are cold
+    storage and the code table is ~30× smaller; the LUT row
+    broadcasts; both cuts are TakeOrderedAndProject. The ADC fold and
+    the LUT build use the same left-fold bracketing as the DuckDB
+    oracle, so the candidate set (and hence the result) is
+    engine-identical.
+    """
+    from .embeddings import pq_codebook, pq_encode
+
+    sub_dim = 64 // m
+    cb = pq_codebook(emb, m, ksub)
+    codes = pq_encode(emb, m, ksub)
+    q = (
+        _vecs(emb)
+        .orderBy("vec_id")
+        .limit(1)
+        .select(F.col("v").alias("qv"))
+    )
+
+    def d2(a, b):
+        return F.aggregate(
+            F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+            F.lit(0.0),
+            lambda s, x: s + x,
+        )
+
+    def lut_for(s):
+        subq = F.slice(F.col("qv"), s * sub_dim + 1, sub_dim)
+
+        def one(cv):
+            return d2(subq, cv)
+
+        return F.transform(F.element_at(F.col("cb"), s + 1), one)
+
+    lut = q.crossJoin(F.broadcast(cb)).select(
+        "qv", F.array(*[lut_for(s) for s in range(m)]).alias("luts")
+    )
+    adc = F.element_at(F.element_at(F.col("luts"), 1), F.col("c0") + 1)
+    for s in range(1, m):
+        adc = adc + F.element_at(
+            F.element_at(F.col("luts"), s + 1), F.col(f"c{s}") + 1
+        )
+    cand = (
+        codes.crossJoin(F.broadcast(lut))
+        .select("vec_id", adc.alias("_adc"), "qv")
+        .orderBy("_adc", "vec_id")
+        .limit(n_candidates)
+    )
+    return (
+        cand.join(_vecs(emb), "vec_id")
+        .select(
+            "vec_id",
+            F.round(V.cosine(F.col("v"), F.col("qv")), round_digits).alias(
+                "cosine"
+            ),
+        )
+        .orderBy(F.desc("cosine"), F.asc("vec_id"))
+        .limit(k)
+    )

@@ -2223,3 +2223,300 @@ def q_binary_file_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("length").alias("n_bytes"),
         F.sha2("content", 256).alias("content_sha"),
     )
+
+
+@query(
+    "table_quality_checks",
+    """
+WITH stats AS (
+    SELECT COUNT(*) AS n,
+           COUNT(o_custkey) AS custkey_nonnull,
+           COUNT(DISTINCT o_orderkey) AS orderkey_distinct,
+           SUM(CASE WHEN o_totalprice > 0 THEN 1 ELSE 0 END) AS price_pos,
+           SUM(CASE WHEN o_orderdate BETWEEN DATE '1995-01-01'
+                    AND DATE '2001-12-31' THEN 1 ELSE 0 END) AS date_in_range
+    FROM orders
+),
+orphans AS (
+    SELECT COUNT(*) AS n_orphan
+    FROM orders o LEFT JOIN customer c ON o.o_custkey = c.c_custkey
+    WHERE c.c_custkey IS NULL
+)
+SELECT check_name, metric, passed FROM (
+    SELECT 'orderkey_unique' AS check_name,
+           CAST(orderkey_distinct AS DOUBLE) / n AS metric,
+           orderkey_distinct = n AS passed, 1 AS ord
+    FROM stats
+    UNION ALL
+    SELECT 'custkey_complete', CAST(custkey_nonnull AS DOUBLE) / n,
+           custkey_nonnull = n, 2 FROM stats
+    UNION ALL
+    SELECT 'price_positive', CAST(price_pos AS DOUBLE) / n,
+           price_pos = n, 3 FROM stats
+    UNION ALL
+    SELECT 'orderdate_in_range', CAST(date_in_range AS DOUBLE) / n,
+           date_in_range = n, 4 FROM stats
+    UNION ALL
+    SELECT 'custkey_referential', 1.0 - CAST(n_orphan AS DOUBLE) / n,
+           n_orphan = 0, 5 FROM stats, orphans
+) ORDER BY ord
+""",
+)
+def q_table_quality_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deequ-style declarative data-quality suite over ``orders``:
+    uniqueness, completeness, value-range, date-range, and referential
+    integrity vs ``customer`` — (check_name, metric, passed), metric =
+    fraction of rows satisfying the constraint.
+
+    Scale shape: ALL single-table constraints ride ONE aggregate over
+    one scan (count/conditional-sum/count-distinct share the pass);
+    referential integrity is a left-anti-shaped count against the dim
+    (broadcast when small). The 1×5 result is built by crossing the
+    1-row stats relation with a tiny literal check table — no second
+    fact scan per check, which is what makes a 50-constraint suite at
+    100 TB cost the same as one aggregate.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    stats = o.agg(
+        F.count("*").alias("n"),
+        F.count("o_custkey").alias("custkey_nonnull"),
+        F.countDistinct("o_orderkey").alias("orderkey_distinct"),
+        F.sum(
+            F.when(F.col("o_totalprice") > 0, 1).otherwise(0)
+        ).alias("price_pos"),
+        F.sum(
+            F.when(
+                F.col("o_orderdate").between("1995-01-01", "2001-12-31"), 1
+            ).otherwise(0)
+        ).alias("date_in_range"),
+    )
+    orphans = (
+        o.join(
+            F.broadcast(c),
+            o.o_custkey == c.c_custkey,
+            "left_anti",
+        )
+        .agg(F.count("*").alias("n_orphan"))
+    )
+    s = stats.crossJoin(orphans)
+    n = F.col("n").cast("double")
+    checks = [
+        ("orderkey_unique", F.col("orderkey_distinct") / n,
+         F.col("orderkey_distinct") == F.col("n")),
+        ("custkey_complete", F.col("custkey_nonnull") / n,
+         F.col("custkey_nonnull") == F.col("n")),
+        ("price_positive", F.col("price_pos") / n,
+         F.col("price_pos") == F.col("n")),
+        ("orderdate_in_range", F.col("date_in_range") / n,
+         F.col("date_in_range") == F.col("n")),
+        ("custkey_referential", 1.0 - F.col("n_orphan") / n,
+         F.col("n_orphan") == 0),
+    ]
+    rows = s.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(name).alias("check_name"),
+                        metric.cast("double").alias("metric"),
+                        passed.alias("passed"),
+                        F.lit(i + 1).alias("_ord"),
+                    )
+                    for i, (name, metric, passed) in enumerate(checks)
+                ]
+            )
+        ).alias("r")
+    ).select("r.*")
+    return rows.orderBy("_ord").drop("_ord")
+
+
+_PQ_ORACLE = """
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+seeds AS (
+    SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, v AS cv
+    FROM e ORDER BY vec_id LIMIT 16
+),
+dist AS (
+    SELECT e.vec_id, s.sub, c.cid,
+           list_reduce(
+               list_transform(range(8),
+                   i -> (e.v[s.sub*8+i+1] - c.cv[s.sub*8+i+1])
+                        * (e.v[s.sub*8+i+1] - c.cv[s.sub*8+i+1])),
+               (x, y) -> x + y) AS d
+    FROM e, unnest(range(8)) AS s(sub), seeds c
+),
+codes AS (
+    SELECT vec_id, sub, cid FROM (
+        SELECT vec_id, sub, cid,
+               row_number() OVER (PARTITION BY vec_id, sub
+                                  ORDER BY d, cid) AS rn
+        FROM dist
+    ) WHERE rn = 1
+)
+SELECT vec_id,
+       CAST(MAX(CASE WHEN sub = 0 THEN cid END) AS INT) AS c0,
+       CAST(MAX(CASE WHEN sub = 1 THEN cid END) AS INT) AS c1,
+       CAST(MAX(CASE WHEN sub = 2 THEN cid END) AS INT) AS c2,
+       CAST(MAX(CASE WHEN sub = 3 THEN cid END) AS INT) AS c3,
+       CAST(MAX(CASE WHEN sub = 4 THEN cid END) AS INT) AS c4,
+       CAST(MAX(CASE WHEN sub = 5 THEN cid END) AS INT) AS c5,
+       CAST(MAX(CASE WHEN sub = 6 THEN cid END) AS INT) AS c6,
+       CAST(MAX(CASE WHEN sub = 7 THEN cid END) AS INT) AS c7
+FROM codes GROUP BY vec_id
+"""
+
+
+@query("emb_pq_encode", _PQ_ORACLE)
+def q_emb_pq_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product quantization: 64-dim embedding → 8 nearest-centroid
+    codes (16-entry codebook per subspace, deterministic seed
+    centroids) — the compression pass behind IVFADC vector search.
+    Narrow broadcast-codebook map, no exchange; codes engine-identical
+    (same left-fold L2 arithmetic as the oracle)."""
+    from ..operators import embeddings as EM
+
+    return EM.pq_encode(_emb(spark, sf_dir))
+
+
+_PQ_ADC_ORACLE = f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+seeds AS (
+    SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, v AS cv
+    FROM e ORDER BY vec_id LIMIT 16
+),
+dist AS (
+    SELECT e.vec_id, s.sub, c.cid,
+           list_reduce(
+               list_transform(range(8),
+                   i -> (e.v[s.sub*8+i+1] - c.cv[s.sub*8+i+1])
+                        * (e.v[s.sub*8+i+1] - c.cv[s.sub*8+i+1])),
+               (x, y) -> x + y) AS d
+    FROM e, unnest(range(8)) AS s(sub), seeds c
+),
+codes AS (
+    SELECT vec_id, sub, cid FROM (
+        SELECT vec_id, sub, cid,
+               row_number() OVER (PARTITION BY vec_id, sub
+                                  ORDER BY d, cid) AS rn
+        FROM dist
+    ) WHERE rn = 1
+),
+codes_arr AS (
+    SELECT vec_id, list(cid ORDER BY sub) AS cs FROM codes GROUP BY vec_id
+),
+qid AS (SELECT MIN(vec_id) AS qid FROM e),
+lut1 AS (
+    SELECT d2.sub, list(d2.d ORDER BY d2.cid) AS ds
+    FROM dist d2, qid WHERE d2.vec_id = qid.qid GROUP BY d2.sub
+),
+lut2 AS (SELECT list(ds ORDER BY sub) AS luts FROM lut1),
+adc AS (
+    SELECT a.vec_id,
+           list_reduce(
+               list_transform(range(8),
+                   s -> l.luts[s+1][a.cs[s+1]+1]),
+               (x, y) -> x + y) AS adc
+    FROM codes_arr a, lut2 l
+),
+cand AS (SELECT vec_id FROM adc ORDER BY adc, vec_id LIMIT 50),
+q AS (SELECT v AS qv FROM e, qid WHERE vec_id = qid.qid)
+SELECT e.vec_id, round({_duck_cos('e.v', 'qv')}, 6) AS cosine
+FROM e JOIN cand USING (vec_id), q
+ORDER BY cosine DESC, vec_id
+LIMIT 10
+"""
+
+
+@query("sim_ann_pq_adc", _PQ_ADC_ORACLE)
+def q_sim_ann_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ/ADC approximate top-10 (IVFADC search half): the query's
+    m×16 subspace-distance LUT broadcasts, each corpus vector's
+    approximate distance is 8 array lookups over its stored PQ codes
+    (the raw vectors stay cold), ADC top-50 rerank exactly. Candidate
+    fold bracketing matches the oracle, so results are
+    engine-identical."""
+    return similarity.pq_adc_topk(_emb(spark, sf_dir))
+
+
+@query("stream_hll_rollup")  # DataSketches binary — no DuckDB analog
+def q_stream_hll_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming HLL distinct-user rollup (streaming/jobs.py): the
+    micro-batch partial-aggregate merge is the sketch union; equals
+    the batch agg_hll_sketch_rollup estimates (tested)."""
+    return stream_jobs.hll_rollup_stream(spark, sf_dir).orderBy(
+        "event_type", "month"
+    )
+
+
+_CCNET_ORACLE = r"""
+WITH tok AS (
+    SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS tok
+    FROM documents
+),
+freq AS (SELECT tok, COUNT(*) AS cnt FROM tok GROUP BY tok),
+score AS (
+    SELECT doc_id,
+           CAST(floor(1000000000.0 * SUM(cnt) / COUNT(*)) AS BIGINT)
+               AS commonness
+    FROM tok JOIN freq USING (tok)
+    GROUP BY doc_id
+),
+cuts AS (
+    SELECT quantile_cont(commonness, 1.0/3) AS t1,
+           quantile_cont(commonness, 2.0/3) AS t2
+    FROM score
+)
+SELECT doc_id, commonness,
+       CASE WHEN commonness < t1 THEN 'tail'
+            WHEN commonness < t2 THEN 'middle'
+            ELSE 'head' END AS bucket
+FROM score, cuts
+"""
+
+
+@query("docs_ccnet_buckets", _CCNET_ORACLE)
+def q_docs_ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style corpus split: docs ranked by a vocabulary
+    commonness score (mean corpus frequency of their tokens, the
+    log-free stand-in for LM perplexity — text_rarity_score's signal
+    scaled to an exact integer), cut at global terciles into
+    head / middle / tail. (doc_id, commonness, bucket).
+
+    Scale shape: the score is the wordcount-join (token explode →
+    token-keyed counts → doc rollup); the tercile cutoffs come from
+    bucket_refine_quantiles with keys=[] — the bounded-memory global
+    quantile, no full sort — and broadcast back over a narrow CASE.
+    Exactly the head/middle/tail gate a CCNet-style curation pipeline
+    applies before choosing what to train on.
+    """
+    from ..functions import text as TX
+    from ..operators import aggregate
+
+    docs = _docs(spark, sf_dir)
+    tok = docs.select("doc_id", F.explode(TX.tokens("text")).alias("tok"))
+    freq = tok.groupBy("tok").agg(F.count("*").alias("cnt"))
+    score = (
+        tok.join(freq, "tok")
+        .groupBy("doc_id")
+        .agg(
+            F.floor(
+                F.lit(1000000000.0) * F.sum("cnt") / F.count("*")
+            )
+            .cast("bigint")
+            .alias("commonness")
+        )
+    )
+    score = score.localCheckpoint(eager=False)
+    cuts = aggregate.bucket_refine_quantiles(
+        score, [], "commonness", {"t1": 1.0 / 3, "t2": 2.0 / 3},
+        materialize=False,
+    )
+    return score.crossJoin(F.broadcast(cuts)).select(
+        "doc_id",
+        "commonness",
+        F.when(F.col("commonness") < F.col("t1"), "tail")
+        .when(F.col("commonness") < F.col("t2"), "middle")
+        .otherwise("head")
+        .alias("bucket"),
+    )

@@ -73,6 +73,11 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "binary_file_ingest",
     "agg_hll_sketch_rollup",
     "agg_kll_quantile_sketch",
+    "table_quality_checks",
+    "emb_pq_encode",
+    "sim_ann_pq_adc",
+    "stream_hll_rollup",
+    "docs_ccnet_buckets",
     # (d) refresh filler: oldest driver evidence first (r2 rows)
     "project_star",
     "project_cols",
@@ -97,18 +102,9 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "window_latest_per_key",
     "date_fmt_partition",
     "jdbc_scan_full",
-    "jdbc_scan_pushdown",
-    "jdbc_scan_param",
-    "join_broadcast_dim",
-    "join_shuffle_fact",
-    "window_topk_per_group",
-    "agg_rollup",
-    "agg_having",
-    "agg_grouping_sets",
-    "agg_stats_multi",
-    "window_cumulative",
-    "scd2_intervals",
-    "window_ntile",
+    # (13 round-6-era filler rows dropped to keep the window at the
+    # driver's exact 50-slot size; they retain their r2 evidence and
+    # rotate back in once the round-7 additions have fresh rows)
 )
 
 

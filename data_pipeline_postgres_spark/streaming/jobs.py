@@ -797,3 +797,43 @@ def stream_dedup_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("event_type")
         .agg(F.countDistinct("user_id").alias("n_users"))
     )
+
+
+def hll_rollup_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming mergeable-sketch rollup: distinct users per
+    (event_type, month) estimated with DataSketches HLL *inside* the
+    streaming aggregation — every micro-batch folds its rows into the
+    per-group sketch state and the engine's partial-aggregate merge IS
+    the sketch union, so the estimate equals the batch
+    ``agg_hll_sketch_rollup`` result (asserted in tests; HLL union is
+    order- and split-invariant). AvailableNow + complete mode; on an
+    unbounded stream the sketch (kilobytes/group) is the ONLY state —
+    this is how a 100 TB/day pipeline keeps live distinct counts
+    without a distinct shuffle."""
+    ev = events_stream(spark, sf_dir)
+    agg = (
+        ev.groupBy(
+            "event_type", F.date_format("ts", "yyyy-MM").alias("month")
+        )
+        .agg(
+            F.hll_sketch_agg("user_id", F.lit(14)).alias("sk"),
+            F.count("*").alias("n_events"),
+        )
+        .select(
+            "event_type",
+            "month",
+            F.hll_sketch_estimate("sk").cast("bigint").alias("est_users"),
+            "n_events",
+        )
+    )
+    with _shuffle_partitions(spark, 8):
+        q = (
+            agg.writeStream.format("memory")
+            .queryName("stream_hll_rollup")
+            .outputMode("complete")
+            .option("checkpointLocation", _scratch("hll_rollup_ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    return spark.table("stream_hll_rollup")

@@ -175,6 +175,7 @@ def accuracy_rows(spark, sf_dir):
         ("sim_ann_ivf_kmeans",
          similarity.ivf_topk(emb,
                              centroids=similarity.ivf_centroids_kmeans(emb))),
+        ("sim_ann_pq_adc", similarity.pq_adc_topk(emb)),
     ):
         got = [r.vec_id for r in df.collect()]
         note = ""
