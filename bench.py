@@ -95,6 +95,7 @@ EXT_HEADLINE = [
     "sim_ann_pq_adc",
     "stream_hll_rollup",
     "docs_ccnet_buckets",
+    "sim_ivfpq_index_search",
 ]
 
 

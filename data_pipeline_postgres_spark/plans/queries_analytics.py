@@ -2285,32 +2285,39 @@ def q_orders_copurchase_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     together in one order. (brand_a, brand_b, n_orders).
 
     Scale shape: the brand dim is broadcast onto lineitem (no fact
-    shuffle for the enrich), the per-order distinct + pair self-join
-    both key on l_orderkey — ONE hash exchange, reused across the
-    distinct, both join sides, and nothing else; the pair blow-up is
-    O(basket_size²) per order, bounded by the ~7-line basket, never by
-    corpus size. The final count groups on the (brand,brand) key space
-    (|brands|² at most) and the top-20 is TakeOrderedAndProject. At
-    100 TB: same plan, with AQE coalescing the tiny pair-count
-    exchange; no all-pairs term anywhere.
+    shuffle for the enrich); ONE l_orderkey exchange folds each order
+    into its sorted distinct brand array, and the pairs are generated
+    NARROWLY from that array with higher-order functions — no
+    self-join at all (a naive basket-self-join plans l_orderkey
+    exchanges per subtree; Spark does not reuse them even under AQE —
+    measured 5 shuffles vs these 2). Pair blow-up is O(basket²) per
+    order, bounded by the ~7-line basket. The pair-count exchange is
+    over the |brands|² key space and the top-20 is
+    TakeOrderedAndProject. Plan-asserted: exactly 2 hash exchanges.
     """
     l = _t(spark, sf_dir, "lineitem")
     p = _t(spark, sf_dir, "part")
-    basket = (
-        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
-        .select("l_orderkey", "p_brand")
-        .distinct()
+    basket = l.join(F.broadcast(p), l.l_partkey == p.p_partkey).select(
+        "l_orderkey", "p_brand"
     )
-    a = basket.alias("a")
-    b = basket.alias("b")
-    pairs = a.join(
-        b,
-        (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-        & (F.col("a.p_brand") < F.col("b.p_brand")),
-    ).select(
-        F.col("a.p_brand").alias("brand_a"),
-        F.col("b.p_brand").alias("brand_b"),
+    arrs = basket.groupBy("l_orderkey").agg(
+        F.array_sort(F.collect_set("p_brand")).alias("bs")
     )
+    pairs = arrs.select(
+        F.explode(
+            F.flatten(
+                F.transform(
+                    F.col("bs"),
+                    lambda x, i: F.transform(
+                        F.slice(F.col("bs"), i + 2, F.size("bs")),
+                        lambda y: F.struct(
+                            x.alias("brand_a"), y.alias("brand_b")
+                        ),
+                    ),
+                )
+            )
+        ).alias("pr")
+    ).select("pr.*")
     return (
         pairs.groupBy("brand_a", "brand_b")
         .agg(F.count("*").alias("n_orders"))

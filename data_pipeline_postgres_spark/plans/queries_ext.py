@@ -2520,3 +2520,96 @@ def q_docs_ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("head")
         .alias("bucket"),
     )
+
+
+_IVFPQ_ORACLE = f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+ivf_seeds AS (
+    SELECT row_number() OVER (ORDER BY vec_id) - 1 AS centroid_id, v AS iv
+    FROM e ORDER BY vec_id LIMIT 8
+),
+assign AS (
+    SELECT vec_id, centroid_id FROM (
+        SELECT e.vec_id, s.centroid_id,
+               row_number() OVER (
+                   PARTITION BY e.vec_id
+                   ORDER BY {_duck_cos('e.v', 's.iv')} DESC, s.centroid_id
+               ) AS rn
+        FROM e, ivf_seeds s
+    ) WHERE rn = 1
+),
+qid AS (SELECT MIN(vec_id) AS qid FROM e),
+q AS (SELECT v AS qv FROM e, qid WHERE vec_id = qid.qid),
+probe AS (
+    SELECT centroid_id FROM (
+        SELECT s.centroid_id,
+               row_number() OVER (
+                   ORDER BY {_duck_cos('s.iv', 'qv')} DESC, s.centroid_id
+               ) AS rn
+        FROM ivf_seeds s, q
+    ) WHERE rn <= 2
+),
+pq_seeds AS (
+    SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, v AS cv
+    FROM e ORDER BY vec_id LIMIT 16
+),
+dist AS (
+    SELECT e.vec_id, s.sub, c.cid,
+           list_reduce(
+               list_transform(range(8),
+                   i -> (e.v[s.sub*8+i+1] - c.cv[s.sub*8+i+1])
+                        * (e.v[s.sub*8+i+1] - c.cv[s.sub*8+i+1])),
+               (x, y) -> x + y) AS d
+    FROM e, unnest(range(8)) AS s(sub), pq_seeds c
+),
+codes AS (
+    SELECT vec_id, sub, cid FROM (
+        SELECT vec_id, sub, cid,
+               row_number() OVER (PARTITION BY vec_id, sub
+                                  ORDER BY d, cid) AS rn
+        FROM dist
+    ) WHERE rn = 1
+),
+codes_arr AS (
+    SELECT vec_id, list(cid ORDER BY sub) AS cs FROM codes GROUP BY vec_id
+),
+lut1 AS (
+    SELECT d2.sub, list(d2.d ORDER BY d2.cid) AS ds
+    FROM dist d2, qid WHERE d2.vec_id = qid.qid GROUP BY d2.sub
+),
+lut2 AS (SELECT list(ds ORDER BY sub) AS luts FROM lut1),
+adc AS (
+    SELECT a.vec_id,
+           list_reduce(
+               list_transform(range(8),
+                   s -> l.luts[s+1][a.cs[s+1]+1]),
+               (x, y) -> x + y) AS adc
+    FROM codes_arr a, lut2 l
+    WHERE a.vec_id IN (
+        SELECT vec_id FROM assign JOIN probe USING (centroid_id)
+    )
+),
+cand AS (SELECT vec_id FROM adc ORDER BY adc, vec_id LIMIT 50)
+SELECT e.vec_id, round({_duck_cos('e.v', 'qv')}, 6) AS cosine
+FROM e JOIN cand USING (vec_id), q
+ORDER BY cosine DESC, vec_id
+LIMIT 10
+"""
+
+
+@query("sim_ivfpq_index_search", _IVFPQ_ORACLE)
+def q_sim_ivfpq_index_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end IVF-PQ search against a MATERIALIZED on-disk index
+    (PQ codes partitioned by inverted list — write-time clustering):
+    probe 2 of 8 list partitions, ADC-rank their stored codes, exact
+    rerank. The full 100 TB vector-search architecture, fully
+    oracle-checked."""
+    import os
+
+    from ..scratch import SCRATCH_ROOT
+
+    sf_tag = os.path.basename(sf_dir.rstrip("/"))
+    out_dir = os.path.join(SCRATCH_ROOT, f"ivfpq_index_{sf_tag}")
+    return similarity.ivfpq_index_search(
+        spark, _emb(spark, sf_dir), out_dir
+    )

@@ -78,6 +78,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "sim_ann_pq_adc",
     "stream_hll_rollup",
     "docs_ccnet_buckets",
+    "sim_ivfpq_index_search",
     # (d) refresh filler: oldest driver evidence first (r2 rows)
     "project_star",
     "project_cols",
@@ -101,8 +102,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "delete_all",
     "window_latest_per_key",
     "date_fmt_partition",
-    "jdbc_scan_full",
-    # (13 round-6-era filler rows dropped to keep the window at the
+    # (14 round-6-era filler rows dropped to keep the window at the
     # driver's exact 50-slot size; they retain their r2 evidence and
     # rotate back in once the round-7 additions have fresh rows)
 )

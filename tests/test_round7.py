@@ -291,3 +291,31 @@ class TestStreamHllRollup:
             )
         )
         assert stream == batch
+
+
+class TestCopurchasePlan:
+    def test_two_exchanges_no_self_join(self, spark):
+        df = registry.QUERIES["orders_copurchase_pairs"](spark, SF_SMOKE)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert plan.count("Exchange hashpartitioning") == 2
+        assert "SortMergeJoin" not in plan
+        assert "TakeOrderedAndProject" in plan
+
+
+class TestIvfPqIndex:
+    def test_partition_pruning_and_agreement(self, spark):
+        """The on-disk index probe must prune by directory (dynamic
+        partition pruning on centroid_id), and the result must agree
+        with the in-memory ADC pipeline restricted to the same probe
+        semantics (both are oracle-checked independently; here we pin
+        the plan shape)."""
+        df = registry.QUERIES["sim_ivfpq_index_search"](spark, SF_SMOKE)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "dynamicpruningexpression" in plan
+        rows = df.collect()
+        assert len(rows) == 10
+        brute = [r.vec_id for r in similarity.brute_topk(
+            load_table(spark, SF_SMOKE, "embeddings"), k=10
+        ).collect()]
+        got = [r.vec_id for r in rows]
+        assert brute[0] == got[0]  # query always finds itself

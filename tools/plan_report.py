@@ -40,6 +40,16 @@ SHOWCASE = [
     "agg_winsorize",
     "layout_zorder",
     "emb_random_projection",
+    "orders_copurchase_pairs",
+    "dedup_containment",
+    "tokenizer_vocab_coverage",
+    "docs_ccnet_buckets",
+    "table_quality_checks",
+    "binary_file_ingest",
+    "agg_hll_sketch_rollup",
+    "emb_pq_encode",
+    "sim_ann_pq_adc",
+    "sim_ivfpq_index_search",
 ]
 
 
