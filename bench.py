@@ -96,6 +96,8 @@ EXT_HEADLINE = [
     "stream_hll_rollup",
     "docs_ccnet_buckets",
     "sim_ivfpq_index_search",
+    "tpch_q9_product_profit",
+    "tpch_q11_important_stock",
 ]
 
 

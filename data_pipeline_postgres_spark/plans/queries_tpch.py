@@ -885,3 +885,373 @@ def q_tpch_q12(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.when(~high, 1).otherwise(0)).alias("low_line_count"),
         )
     )
+
+
+
+# ---------------------------------------------------------------------------
+# Q2 / Q9 / Q11 / Q16 / Q20 — the five TPC-H shapes that need PARTSUPP.
+# The testdata has no partsupp table, so all five run against a
+# DETERMINISTICALLY DERIVED part-supplier relation: one map-side-combined
+# groupBy of lineitem on (l_partkey, l_suppkey). To keep every oracle
+# hash-exact, the derived measures live in INTEGER CENT space:
+#   ps_availqty_c   = SUM(FLOOR(l_quantity * 100))        [centi-units]
+#   ps_supplycost_c = MIN(FLOOR(l_extendedprice / l_quantity * 100))
+#                                                         [cents/unit]
+# FLOOR over the same IEEE-double expression is bit-identical on Spark
+# and DuckDB (no engine-specific decimal rounding rule in the loop —
+# cast-double→decimal HALF_UP vs half-even diverges on the binary
+# fractions k/2^n whose decimal expansion ends in 5), and every
+# downstream sum/compare is exact int64/decimal; dollars appear only as
+# ONE final double division per output column. At 100 TB the derivation
+# is one shuffle on the join key the queries themselves need — in
+# production a bucketed materialized view computed once for all five.
+# ---------------------------------------------------------------------------
+
+_PARTSUPP_SQL = """
+    SELECT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey,
+           SUM(CAST(FLOOR(l_quantity * 100.0) AS BIGINT)) AS ps_availqty_c,
+           MIN(CAST(FLOOR(l_extendedprice / l_quantity * 100.0) AS BIGINT))
+               AS ps_supplycost_c
+    FROM lineitem
+    GROUP BY l_partkey, l_suppkey
+"""
+
+
+def _partsupp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Derived partsupp in exact cent space (see block comment)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy(
+        F.col("l_partkey").alias("ps_partkey"),
+        F.col("l_suppkey").alias("ps_suppkey"),
+    ).agg(
+        F.sum(F.floor(F.col("l_quantity") * F.lit(100.0))).alias(
+            "ps_availqty_c"
+        ),
+        F.min(
+            F.floor(
+                F.col("l_extendedprice") / F.col("l_quantity") * F.lit(100.0)
+            )
+        ).alias("ps_supplycost_c"),
+    )
+
+
+_Q2_ORACLE = f"""
+WITH partsupp AS ({_PARTSUPP_SQL}),
+cand AS (
+    SELECT p_partkey, s_name, n_name, s_acctbal, ps_supplycost_c
+    FROM partsupp
+    JOIN part ON p_partkey = ps_partkey
+    JOIN supplier ON s_suppkey = ps_suppkey
+    JOIN nation ON s_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    WHERE p_size IN (5, 15, 25, 45) AND p_type = 'LARGE'
+      AND r_name = 'EUROPE'
+),
+mins AS (
+    SELECT p_partkey AS mk, MIN(ps_supplycost_c) AS min_cost_c
+    FROM cand GROUP BY p_partkey
+)
+SELECT s_acctbal, s_name, n_name, p_partkey,
+       CAST(ps_supplycost_c AS DOUBLE) / 100.0 AS ps_supplycost
+FROM cand JOIN mins ON p_partkey = mk AND ps_supplycost_c = min_cost_c
+ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
+LIMIT 100
+"""
+
+
+@query("tpch_q2_min_cost_supplier", _Q2_ORACLE)
+def q_tpch_q2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape: minimum-cost supplier per part for given sizes
+    and type in a region (derived partsupp — see block comment). The
+    correlated MIN subquery decorrelates into a groupBy over the SAME
+    filtered candidate relation + an equi-join on (partkey, min_cost)
+    — the candidate set is tiny after the broadcast part filter, so
+    the min-join is broadcast too. Min/equality on exact cents; ties
+    keep ALL cheapest suppliers (TPC-H semantics); the 4-column sort
+    is total, so LIMIT 100 cuts deterministically."""
+    ps = _partsupp(spark, sf_dir)
+    p = F.broadcast(
+        _t(spark, sf_dir, "part").filter(
+            F.col("p_size").isin(5, 15, 25, 45)
+            & (F.col("p_type") == "LARGE")
+        )
+    )
+    s = F.broadcast(_t(spark, sf_dir, "supplier"))
+    n = F.broadcast(_t(spark, sf_dir, "nation"))
+    r = F.broadcast(
+        _t(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    )
+    cand = (
+        ps.join(p, F.col("p_partkey") == F.col("ps_partkey"))
+        .join(s, F.col("s_suppkey") == F.col("ps_suppkey"))
+        .join(n, F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(r, F.col("n_regionkey") == F.col("r_regionkey"), "left_semi")
+        .select(
+            "p_partkey", "s_name", "n_name", "s_acctbal", "ps_supplycost_c"
+        )
+    )
+    mins = cand.groupBy(F.col("p_partkey").alias("mk")).agg(
+        F.min("ps_supplycost_c").alias("min_cost_c")
+    )
+    return (
+        cand.join(
+            F.broadcast(mins),
+            (F.col("p_partkey") == F.col("mk"))
+            & (F.col("ps_supplycost_c") == F.col("min_cost_c")),
+        )
+        .select(
+            "s_acctbal",
+            "s_name",
+            "n_name",
+            "p_partkey",
+            (F.col("ps_supplycost_c").cast("double") / F.lit(100.0)).alias(
+                "ps_supplycost"
+            ),
+        )
+        .orderBy(F.desc("s_acctbal"), "n_name", "s_name", "p_partkey")
+        .limit(100)
+    )
+
+
+_Q9_ORACLE = f"""
+WITH partsupp AS ({_PARTSUPP_SQL})
+SELECT n_name AS nation,
+       CAST(EXTRACT(year FROM o_orderdate) AS BIGINT) AS o_year,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+                * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE)
+       - CAST(SUM(CAST(ps_supplycost_c
+                       * CAST(FLOOR(l_quantity * 100.0) AS BIGINT)
+                       AS DECIMAL(28,0))) AS DOUBLE) / 10000.0
+           AS sum_profit
+FROM lineitem
+JOIN part ON p_partkey = l_partkey
+JOIN supplier ON s_suppkey = l_suppkey
+JOIN partsupp ON ps_partkey = l_partkey AND ps_suppkey = l_suppkey
+JOIN orders ON o_orderkey = l_orderkey
+JOIN nation ON s_nationkey = n_nationkey
+WHERE p_name LIKE '%red%'
+GROUP BY n_name, CAST(EXTRACT(year FROM o_orderdate) AS BIGINT)
+ORDER BY nation, o_year DESC
+"""
+
+
+@query("tpch_q9_product_profit", _Q9_ORACLE)
+def q_tpch_q9(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 shape: profit on 'red' product lines by supplier
+    nation and order year. Profit = exact-decimal revenue sum minus an
+    exact cent×centi-unit cost sum (DECIMAL(28,0) so 100 TB totals
+    can't overflow int64); dollars materialize in ONE final double
+    subtraction per group. The part-name filter broadcasts as a
+    semi-join that prunes lineitem before any shuffle; derived
+    partsupp joins on the same (partkey, suppkey) key it was built on;
+    orders joins on the orderkey shuffle; supplier/nation broadcast."""
+    li = _t(spark, sf_dir, "lineitem")
+    p = F.broadcast(
+        _t(spark, sf_dir, "part").filter(F.col("p_name").like("%red%"))
+    )
+    s = F.broadcast(_t(spark, sf_dir, "supplier"))
+    n = F.broadcast(_t(spark, sf_dir, "nation"))
+    ps = _partsupp(spark, sf_dir)
+    o = _t(spark, sf_dir, "orders")
+    rev = _dec_price("l_extendedprice") * (F.lit(1) - _dec_rate("l_discount"))
+    cost_e4 = (
+        F.col("ps_supplycost_c")
+        * F.floor(F.col("l_quantity") * F.lit(100.0))
+    ).cast("decimal(28,0)")
+    return (
+        li.join(p, F.col("p_partkey") == F.col("l_partkey"), "left_semi")
+        .join(
+            ps,
+            (F.col("ps_partkey") == F.col("l_partkey"))
+            & (F.col("ps_suppkey") == F.col("l_suppkey")),
+        )
+        .join(o, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(s, F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(n, F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").cast("bigint").alias("o_year"),
+        )
+        .agg(
+            (
+                F.sum(rev).cast("double")
+                - F.sum(cost_e4).cast("double") / F.lit(10000.0)
+            ).alias("sum_profit")
+        )
+        .orderBy("nation", F.desc("o_year"))
+    )
+
+
+_Q11_ORACLE = f"""
+WITH partsupp AS ({_PARTSUPP_SQL}),
+pv AS (
+    SELECT ps_partkey,
+           SUM(CAST(ps_supplycost_c * ps_availqty_c AS DECIMAL(28,0)))
+               AS stock_e4
+    FROM partsupp
+    JOIN supplier ON s_suppkey = ps_suppkey
+    JOIN nation ON s_nationkey = n_nationkey
+    WHERE n_name = 'NATION_3'
+    GROUP BY ps_partkey
+)
+SELECT ps_partkey, CAST(stock_e4 AS DOUBLE) / 10000.0 AS stock_value
+FROM pv
+WHERE stock_e4 * 1000 > (SELECT SUM(stock_e4) FROM pv)
+ORDER BY stock_value DESC, ps_partkey
+"""
+
+
+@query("tpch_q11_important_stock", _Q11_ORACLE)
+def q_tpch_q11(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape: parts whose stock value in one nation exceeds
+    0.1% of that nation's total. The scalar total is a single-row
+    aggregate of the SAME per-part relation, broadcast back via cross
+    join; the 0.1% gate is the all-integer `1000·part > total` (exact
+    decimal compare — no float threshold at the boundary). Dollars
+    appear only in the output projection."""
+    ps = _partsupp(spark, sf_dir)
+    s = F.broadcast(_t(spark, sf_dir, "supplier"))
+    n = F.broadcast(
+        _t(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_3")
+    )
+    pv = (
+        ps.join(s, F.col("s_suppkey") == F.col("ps_suppkey"))
+        .join(n, F.col("s_nationkey") == F.col("n_nationkey"), "left_semi")
+        .groupBy("ps_partkey")
+        .agg(
+            F.sum(
+                (F.col("ps_supplycost_c") * F.col("ps_availqty_c")).cast(
+                    "decimal(28,0)"
+                )
+            ).alias("stock_e4")
+        )
+    )
+    total = pv.agg(F.sum("stock_e4").alias("total_e4"))
+    return (
+        pv.crossJoin(F.broadcast(total))
+        .filter(F.col("stock_e4") * F.lit(1000) > F.col("total_e4"))
+        .select(
+            "ps_partkey",
+            (F.col("stock_e4").cast("double") / F.lit(10000.0)).alias(
+                "stock_value"
+            ),
+        )
+        .orderBy(F.desc("stock_value"), "ps_partkey")
+    )
+
+
+_Q16_ORACLE = f"""
+WITH partsupp AS ({_PARTSUPP_SQL})
+SELECT p_brand, p_type, p_size,
+       COUNT(DISTINCT ps_suppkey) AS supplier_cnt
+FROM partsupp
+JOIN part ON p_partkey = ps_partkey
+WHERE p_brand <> 'Brand#1' AND p_type <> 'PROMO'
+  AND p_size IN (1, 5, 10, 15, 20, 25, 30, 35)
+  AND ps_suppkey NOT IN (
+      SELECT s_suppkey FROM supplier WHERE s_acctbal < 0
+  )
+GROUP BY p_brand, p_type, p_size
+ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+"""
+
+
+@query("tpch_q16_parts_supplier", _Q16_ORACLE)
+def q_tpch_q16(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape: how many suppliers can provide each qualifying
+    (brand, type, size) combination. The original's complaint-comment
+    exclusion (no s_comment column in the testdata) is adapted to
+    s_acctbal < 0 — same NOT-IN-subquery plan shape, compiled as a
+    broadcast anti-join on a tiny excluded-supplier list. Part filters
+    broadcast; COUNT(DISTINCT) rides the one (brand,type,size) shuffle
+    with a partial distinct."""
+    ps = _partsupp(spark, sf_dir)
+    p = F.broadcast(
+        _t(spark, sf_dir, "part").filter(
+            (F.col("p_brand") != "Brand#1")
+            & (F.col("p_type") != "PROMO")
+            & F.col("p_size").isin(1, 5, 10, 15, 20, 25, 30, 35)
+        )
+    )
+    bad = F.broadcast(
+        _t(spark, sf_dir, "supplier")
+        .filter(F.col("s_acctbal") < 0)
+        .select("s_suppkey")
+    )
+    return (
+        ps.join(bad, F.col("s_suppkey") == F.col("ps_suppkey"), "left_anti")
+        .join(p, F.col("p_partkey") == F.col("ps_partkey"))
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("ps_suppkey").alias("supplier_cnt"))
+        .orderBy(F.desc("supplier_cnt"), "p_brand", "p_type", "p_size")
+    )
+
+
+_Q20_ORACLE = f"""
+WITH partsupp AS ({_PARTSUPP_SQL}),
+shipped AS (
+    SELECT l_partkey, l_suppkey,
+           SUM(CAST(FLOOR(l_quantity * 100.0) AS BIGINT)) AS qty_1997_c
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+      AND l_shipdate < TIMESTAMP '1998-01-01'
+    GROUP BY l_partkey, l_suppkey
+)
+SELECT DISTINCT s_suppkey, s_name
+FROM partsupp
+JOIN shipped ON l_partkey = ps_partkey AND l_suppkey = ps_suppkey
+JOIN supplier ON s_suppkey = ps_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+WHERE ps_partkey IN (
+    SELECT p_partkey FROM part WHERE p_name LIKE 'small%'
+)
+  AND qty_1997_c * 2 > ps_availqty_c
+  AND n_name = 'NATION_5'
+ORDER BY s_name
+"""
+
+
+@query("tpch_q20_potential_promotion", _Q20_ORACLE)
+def q_tpch_q20(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape: suppliers in one nation with concentrated
+    recent flow of 'small*' parts. Adapted threshold: derived
+    ps_availqty is all-time flow (a superset of any year), so the
+    original `availqty > ½·year-shipments` is vacuous here — the
+    flipped predicate (1997 shipments > ½ of all-time flow, compared
+    in exact centi-units with an integer ×2) keeps the exact plan
+    shape: year-filtered per-(part,supplier) aggregate joined to
+    partsupp on its own grouping key, part-name semi-join via
+    broadcast, nation gate."""
+    ps = _partsupp(spark, sf_dir)
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.to_timestamp(F.lit("1997-01-01")))
+        & (F.col("l_shipdate") < F.to_timestamp(F.lit("1998-01-01")))
+    )
+    shipped = li.groupBy("l_partkey", "l_suppkey").agg(
+        F.sum(F.floor(F.col("l_quantity") * F.lit(100.0))).alias(
+            "qty_1997_c"
+        )
+    )
+    small = F.broadcast(
+        _t(spark, sf_dir, "part")
+        .filter(F.col("p_name").like("small%"))
+        .select("p_partkey")
+    )
+    s = F.broadcast(_t(spark, sf_dir, "supplier"))
+    n = F.broadcast(
+        _t(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_5")
+    )
+    return (
+        ps.join(small, F.col("p_partkey") == F.col("ps_partkey"), "left_semi")
+        .join(
+            shipped,
+            (F.col("l_partkey") == F.col("ps_partkey"))
+            & (F.col("l_suppkey") == F.col("ps_suppkey")),
+        )
+        .filter(F.col("qty_1997_c") * F.lit(2) > F.col("ps_availqty_c"))
+        .join(s, F.col("s_suppkey") == F.col("ps_suppkey"))
+        .join(n, F.col("s_nationkey") == F.col("n_nationkey"), "left_semi")
+        .select("s_suppkey", "s_name")
+        .distinct()
+        .orderBy("s_name")
+    )

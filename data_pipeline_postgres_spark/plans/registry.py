@@ -79,6 +79,11 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "stream_hll_rollup",
     "docs_ccnet_buckets",
     "sim_ivfpq_index_search",
+    "tpch_q2_min_cost_supplier",
+    "tpch_q9_product_profit",
+    "tpch_q11_important_stock",
+    "tpch_q16_parts_supplier",
+    "tpch_q20_potential_promotion",
     # (d) refresh filler: oldest driver evidence first (r2 rows)
     "project_star",
     "project_cols",
@@ -97,12 +102,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "order_by_multi",
     "sort_pandas",
     "union_all",
-    "cdc_merge",
-    "upsert_on_conflict",
-    "delete_all",
-    "window_latest_per_key",
-    "date_fmt_partition",
-    # (14 round-6-era filler rows dropped to keep the window at the
+    # (19 round-6-era filler rows dropped to keep the window at the
     # driver's exact 50-slot size; they retain their r2 evidence and
     # rotate back in once the round-7 additions have fresh rows)
 )
