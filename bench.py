@@ -98,6 +98,8 @@ EXT_HEADLINE = [
     "sim_ivfpq_index_search",
     "tpch_q9_product_profit",
     "tpch_q11_important_stock",
+    "docs_gopher_quality",
+    "dedup_substring_windows",
 ]
 
 

@@ -1211,3 +1211,63 @@ def paragraph_dedup(docs: DataFrame, block_words: int = 10) -> DataFrame:
         )
         .select("doc_id", "n_blocks_kept", "clean_text")
     )
+
+
+def substring_dup_stats(
+    docs: DataFrame, window_words: int = 10
+) -> DataFrame:
+    """Exact-substring duplication diagnostic (the sliding-window
+    form of suffix-array training-data dedup): hash every OVERLAPPING
+    ``window_words``-token window, find windows occurring in more
+    than one document, and report per-doc coverage:
+    (doc_id, n_windows, n_dup_windows, dup_frac).
+
+    Complements ``paragraph_dedup`` (non-overlapping blocks,
+    rewrites text): this op scores — dup_frac is the removal
+    criterion a curation pipeline thresholds on.
+
+    Scale shape: two linear shuffles — (1) distinct (doc_id,
+    window-md5) feeds a window-keyed count with map-side combine
+    (fixed-width 16-byte digests, never the raw window string), (2)
+    the >1-doc window set joins back to the per-doc window stream
+    (candidate-driven: bounded by actual duplication, not corpus²)
+    and one doc-keyed aggregate finishes. Short docs (< window)
+    surface with 0 windows / dup_frac 0.0 via left join.
+    """
+    wins = docs.select(
+        "doc_id",
+        F.explode_outer(
+            TX.word_shingles(TX.tokens("text"), window_words)
+        ).alias("win"),
+    ).select("doc_id", F.md5("win").alias("wh"))
+    distinct_wins = wins.filter(F.col("wh").isNotNull()).distinct()
+    dup = (
+        distinct_wins.groupBy("wh")
+        .agg(F.count("*").alias("n_docs"))
+        .filter(F.col("n_docs") > 1)
+        .select("wh")
+    )
+    flagged = distinct_wins.join(dup, "wh", "left_semi")
+    per_doc = distinct_wins.groupBy("doc_id").agg(
+        F.count("*").alias("n_windows")
+    )
+    per_doc_dup = flagged.groupBy("doc_id").agg(
+        F.count("*").alias("n_dup_windows")
+    )
+    return (
+        docs.select("doc_id")
+        .join(per_doc, "doc_id", "left")
+        .join(per_doc_dup, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_windows", F.lit(0)).alias("n_windows"),
+            F.coalesce("n_dup_windows", F.lit(0)).alias("n_dup_windows"),
+            F.when(
+                F.coalesce("n_windows", F.lit(0)) > 0,
+                F.coalesce("n_dup_windows", F.lit(0)).cast("double")
+                / F.col("n_windows"),
+            )
+            .otherwise(F.lit(0.0))
+            .alias("dup_frac"),
+        )
+    )

@@ -122,3 +122,60 @@ def text_stats(docs: DataFrame) -> DataFrame:
             F.sum(TX.ws_token_count("text")).alias("total_tokens"),
         )
     )
+
+
+# The Gopher rule-set stopword list (MassiveText filtering): a doc
+# must contain at least 2 of these to pass the stop-hits rule.
+GOPHER_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
+
+
+def gopher_quality(docs: DataFrame) -> DataFrame:
+    """Full Gopher/MassiveText quality rule table per document, one
+    boolean per published rule plus the conjunction:
+
+    (doc_id, n_words, mean_word_len, symbol_ratio, alpha_word_frac,
+     stop_hits, r_word_count, r_mean_len, r_symbol, r_alpha, r_stop,
+     gopher_pass)
+
+    Rules: 50 ≤ words ≤ 100k; mean word length in [3, 10]; symbol
+    (#/ellipsis) to word ratio ≤ 0.1; ≥ 80% of words contain a
+    letter; ≥ 2 distinct stopwords present. All counts are exact
+    integers; each ratio is ONE double division, so the oracle
+    hashes identically. Narrow map-only pass — zero shuffles; the
+    downstream pipeline filters on ``gopher_pass`` (or inspects the
+    per-rule flags to attribute rejections).
+    """
+    toks = TX.tokens("text")
+    n = F.size(toks)
+    charlen = F.length(F.trim(F.col("text")))
+    mean_len = (charlen - (n - 1)).cast("double") / n
+    symbols = F.regexp_count(
+        F.col("text"), F.lit(r"#|\.\.\.|…")
+    )
+    symbol_ratio = symbols.cast("double") / n
+    alpha_words = F.size(F.filter(toks, lambda t: t.rlike("[a-zA-Z]")))
+    alpha_frac = alpha_words.cast("double") / n
+    stop_hits = sum(
+        F.array_contains(toks, w).cast("int") for w in GOPHER_STOPWORDS
+    )
+    r_word_count = (n >= 50) & (n <= 100_000)
+    r_mean_len = (mean_len >= 3.0) & (mean_len <= 10.0)
+    r_symbol = symbol_ratio <= 0.1
+    r_alpha = alpha_frac >= 0.8
+    r_stop = stop_hits >= 2
+    return docs.select(
+        "doc_id",
+        n.cast("bigint").alias("n_words"),
+        mean_len.alias("mean_word_len"),
+        symbol_ratio.alias("symbol_ratio"),
+        alpha_frac.alias("alpha_word_frac"),
+        stop_hits.cast("bigint").alias("stop_hits"),
+        r_word_count.alias("r_word_count"),
+        r_mean_len.alias("r_mean_len"),
+        r_symbol.alias("r_symbol"),
+        r_alpha.alias("r_alpha"),
+        r_stop.alias("r_stop"),
+        (r_word_count & r_mean_len & r_symbol & r_alpha & r_stop).alias(
+            "gopher_pass"
+        ),
+    )

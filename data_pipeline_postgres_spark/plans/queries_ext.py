@@ -2613,3 +2613,88 @@ def q_sim_ivfpq_index_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.ivfpq_index_search(
         spark, _emb(spark, sf_dir), out_dir
     )
+
+
+@query(
+    "docs_gopher_quality",
+    r"""
+WITH t AS (
+    SELECT doc_id, text,
+           regexp_split_to_array(trim(text), '\s+') AS w,
+           length(trim(text)) AS charlen
+    FROM documents
+),
+m AS (
+    SELECT doc_id,
+           len(w) AS n,
+           CAST(charlen - (len(w) - 1) AS DOUBLE) / len(w) AS mean_word_len,
+           CAST(len(regexp_extract_all(text, '#|\.\.\.|…')) AS DOUBLE)
+               / len(w) AS symbol_ratio,
+           CAST(len(list_filter(w, tok -> regexp_matches(tok, '[a-zA-Z]')))
+                AS DOUBLE) / len(w) AS alpha_word_frac,
+           CAST(list_contains(w, 'the') AS INT)
+           + CAST(list_contains(w, 'be') AS INT)
+           + CAST(list_contains(w, 'to') AS INT)
+           + CAST(list_contains(w, 'of') AS INT)
+           + CAST(list_contains(w, 'and') AS INT)
+           + CAST(list_contains(w, 'that') AS INT)
+           + CAST(list_contains(w, 'have') AS INT)
+           + CAST(list_contains(w, 'with') AS INT) AS stop_hits
+    FROM t
+)
+SELECT doc_id, CAST(n AS BIGINT) AS n_words, mean_word_len, symbol_ratio,
+       alpha_word_frac, CAST(stop_hits AS BIGINT) AS stop_hits,
+       (n >= 50 AND n <= 100000) AS r_word_count,
+       (mean_word_len >= 3.0 AND mean_word_len <= 10.0) AS r_mean_len,
+       (symbol_ratio <= 0.1) AS r_symbol,
+       (alpha_word_frac >= 0.8) AS r_alpha,
+       (stop_hits >= 2) AS r_stop,
+       (n >= 50 AND n <= 100000
+        AND mean_word_len >= 3.0 AND mean_word_len <= 10.0
+        AND symbol_ratio <= 0.1 AND alpha_word_frac >= 0.8
+        AND stop_hits >= 2) AS gopher_pass
+FROM m
+""",
+)
+def q_docs_gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full Gopher/MassiveText rule table (one boolean per published
+    rule + conjunction) — the production big brother of
+    ``text_quality``'s 4-signal summary."""
+    return textstats.gopher_quality(_docs(spark, sf_dir))
+
+
+@query(
+    "dedup_substring_windows",
+    r"""
+WITH toks AS (
+    SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w
+    FROM documents
+),
+wins AS (
+    SELECT DISTINCT doc_id,
+           md5(list_aggregate(w[i:i+9], 'string_agg', ' ')) AS wh
+    FROM toks, unnest(range(1, len(w) - 8)) AS t(i)
+    WHERE len(w) >= 10
+),
+dup AS (SELECT wh FROM wins GROUP BY wh HAVING COUNT(*) > 1),
+per_doc AS (SELECT doc_id, COUNT(*) AS n_windows FROM wins GROUP BY 1),
+per_dup AS (
+    SELECT doc_id, COUNT(*) AS n_dup_windows
+    FROM wins WHERE wh IN (SELECT wh FROM dup) GROUP BY 1
+)
+SELECT d.doc_id,
+       CAST(COALESCE(n_windows, 0) AS BIGINT) AS n_windows,
+       CAST(COALESCE(n_dup_windows, 0) AS BIGINT) AS n_dup_windows,
+       CASE WHEN COALESCE(n_windows, 0) > 0
+            THEN CAST(COALESCE(n_dup_windows, 0) AS DOUBLE) / n_windows
+            ELSE 0.0 END AS dup_frac
+FROM documents d
+LEFT JOIN per_doc USING (doc_id)
+LEFT JOIN per_dup USING (doc_id)
+""",
+)
+def q_dedup_substring_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding 10-token exact-substring duplication coverage per doc
+    (suffix-array-dedup diagnostic; dup_frac is the removal
+    threshold)."""
+    return dedup.substring_dup_stats(_docs(spark, sf_dir), 10)

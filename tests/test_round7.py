@@ -319,3 +319,80 @@ class TestIvfPqIndex:
         ).collect()]
         got = [r.vec_id for r in rows]
         assert brute[0] == got[0]  # query always finds itself
+
+
+class TestGopherQuality:
+    def test_planted_rule_outcomes(self, spark):
+        """One doc passing every rule, one failing the word-count
+        band, one failing the symbol-ratio rule — each flag
+        attributes the rejection."""
+        from data_pipeline_postgres_spark.operators import textstats
+
+        good = "the and of that have with be to " + " ".join(
+            f"word{i} tokens here" for i in range(20)
+        )
+        short = "the and of tiny doc"
+        symbolic = (
+            "the be to of and that have with "
+            + " ".join(f"w{i}" for i in range(50))
+            + " " + "# " * 30
+        )
+        df = spark.createDataFrame(
+            [(1, good), (2, short), (3, symbolic)], ["doc_id", "text"]
+        )
+        rows = {
+            r.doc_id: r for r in textstats.gopher_quality(df).collect()
+        }
+        assert rows[1].gopher_pass
+        assert not rows[2].r_word_count and not rows[2].gopher_pass
+        assert rows[2].r_stop  # rejection attributed to length only
+        assert not rows[3].r_symbol and not rows[3].gopher_pass
+        assert rows[3].r_word_count
+
+    def test_stop_hits_counts_distinct_stopwords(self, spark):
+        from data_pipeline_postgres_spark.operators import textstats
+
+        df = spark.createDataFrame(
+            [(1, "the the the the"), (2, "the and to x")],
+            ["doc_id", "text"],
+        )
+        rows = {
+            r.doc_id: r for r in textstats.gopher_quality(df).collect()
+        }
+        assert rows[1].stop_hits == 1  # repeats don't inflate
+        assert rows[2].stop_hits == 3
+
+
+class TestSubstringWindows:
+    def test_planted_shared_run(self, spark):
+        """Two docs share one verbatim 12-token run; a third is
+        unique. Shared windows = 3 (positions of the 10-window in a
+        12-run), unique doc scores 0."""
+        run = " ".join(f"shared{i}" for i in range(12))
+        a = run + " " + " ".join(f"a{i}" for i in range(10))
+        b = " ".join(f"b{i}" for i in range(10)) + " " + run
+        c = " ".join(f"c{i}" for i in range(30))
+        df = spark.createDataFrame(
+            [(1, a), (2, b), (3, c)], ["doc_id", "text"]
+        )
+        rows = {
+            r.doc_id: r
+            for r in dedup.substring_dup_stats(df, 10).collect()
+        }
+        assert rows[1].n_dup_windows == 3
+        assert rows[2].n_dup_windows == 3
+        assert rows[3].n_dup_windows == 0 and rows[3].dup_frac == 0.0
+        assert 0 < rows[1].dup_frac < 1
+
+    def test_short_doc_zero_windows(self, spark):
+        df = spark.createDataFrame(
+            [(1, "only five words right here"),
+             (2, " ".join(f"x{i}" for i in range(15)))],
+            ["doc_id", "text"],
+        )
+        rows = {
+            r.doc_id: r
+            for r in dedup.substring_dup_stats(df, 10).collect()
+        }
+        assert rows[1].n_windows == 0 and rows[1].dup_frac == 0.0
+        assert rows[2].n_windows == 6
