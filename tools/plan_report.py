@@ -50,6 +50,10 @@ SHOWCASE = [
     "emb_pq_encode",
     "sim_ann_pq_adc",
     "sim_ivfpq_index_search",
+    "tpch_q9_product_profit",
+    "tpch_q11_important_stock",
+    "docs_gopher_quality",
+    "dedup_substring_windows",
 ]
 
 
