@@ -100,6 +100,8 @@ EXT_HEADLINE = [
     "tpch_q11_important_stock",
     "docs_gopher_quality",
     "dedup_substring_windows",
+    "events_anomaly_mad",
+    "graph_pagerank_copurchase",
 ]
 
 

@@ -1,0 +1,106 @@
+"""Iterative graph algorithms over edge relations (SURVEY.md §2.12
+[EXT]). Complements the label-propagation connected components in
+``dedup.py`` (dedup_clusters) with a weighted PageRank — the second
+classic iterative-convergence shape a Spark engine must express
+(synchronous supersteps as self-contained DataFrame rounds).
+
+Scale design: each superstep is ONE contribution join + ONE
+destination-keyed aggregate; the normalized edge relation is
+checkpoint-materialized once and reused by every round, and rank
+lineage is cut every few rounds (localCheckpoint) so the plan never
+deepens past a bounded number of joins. Nothing is collected to the
+driver except the node count (a single scalar, computed once).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def pagerank(
+    edges: DataFrame,
+    damping: float = 0.85,
+    iters: int = 8,
+) -> DataFrame:
+    """Weighted PageRank over a directed edge list (src, dst, weight):
+    returns (node, rank) after ``iters`` synchronous power-iteration
+    rounds of  r' = (1-d)/N + d·Σ_in r_src·w/outw_src.
+
+    Contract: every node must have at least one outgoing edge (true
+    for symmetric graphs such as co-purchase; general graphs add a
+    dangling-mass term — documented, not needed by in-repo callers).
+    Iteration count is fixed (no convergence collect): 8 rounds
+    contract the rank vector by d⁸ ≈ 0.27 of the remaining error,
+    plenty for top-k ranking stability, and a deterministic plan.
+
+    Float caveat: the per-destination Σ is a doubles sum, so exact
+    bit-equality across engines/partitionings is not guaranteed —
+    PageRank is registered rows-only, with a pytest gate comparing
+    against a single-machine power iteration to 1e-9 (tests/
+    test_round7.py).
+    """
+    out_w = edges.groupBy("src").agg(F.sum("weight").alias("outw"))
+    norm = (
+        edges.join(out_w, "src")
+        .select(
+            "src",
+            "dst",
+            (F.col("weight") / F.col("outw")).alias("p"),
+        )
+        .localCheckpoint(eager=True)  # reused every superstep
+    )
+    nodes = norm.select(F.col("src").alias("node")).distinct()
+    n = nodes.count()  # single driver scalar, once
+    base = (1.0 - damping) / n
+    ranks = nodes.select("node", F.lit(1.0 / n).alias("rank"))
+    for i in range(iters):
+        contribs = norm.join(
+            ranks, norm["src"] == ranks["node"]
+        ).select(F.col("dst").alias("node"), (F.col("rank") * F.col("p")).alias("c"))
+        ranks = contribs.groupBy("node").agg(
+            (F.lit(base) + F.lit(damping) * F.sum("c")).alias("rank")
+        )
+        if i % 3 == 2:
+            # cut lineage so the logical plan stays bounded
+            ranks = ranks.localCheckpoint(eager=False)
+    return ranks
+
+
+def copurchase_edges(lineitem: DataFrame, part: DataFrame) -> DataFrame:
+    """Symmetric part co-purchase edge list (src, dst, weight):
+    weight = number of orders containing both parts. Built with the
+    narrow basket-array idiom (one orderkey exchange, pairs generated
+    per-row from the sorted distinct basket — no basket self-join;
+    see orders_copurchase_pairs for the measured-shuffle rationale).
+    Both directions are emitted so every node has out-degree ≥ 1.
+    """
+    basket = lineitem.join(
+        F.broadcast(part),
+        lineitem["l_partkey"] == part["p_partkey"],
+        "left_semi",
+    ).select("l_orderkey", "l_partkey")
+    arrs = basket.groupBy("l_orderkey").agg(
+        F.array_sort(F.collect_set("l_partkey")).alias("ps")
+    )
+    pairs = arrs.select(
+        F.explode(
+            F.flatten(
+                F.transform(
+                    F.col("ps"),
+                    lambda a: F.filter(
+                        F.transform(
+                            F.col("ps"),
+                            lambda b: F.struct(
+                                a.alias("src"), b.alias("dst")
+                            ),
+                        ),
+                        lambda s: s["src"] != s["dst"],
+                    ),
+                )
+            )
+        ).alias("e")
+    ).select("e.src", "e.dst")
+    return pairs.groupBy("src", "dst").agg(
+        F.count("*").cast("double").alias("weight")
+    )

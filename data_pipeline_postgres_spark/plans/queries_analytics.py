@@ -2348,3 +2348,96 @@ def q_agg_kll_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators import sketches
 
     return sketches.kll_quantile_rollup(_t(spark, sf_dir, "orders"))
+
+
+@query(
+    "events_anomaly_mad",
+    """
+WITH daily AS (
+    SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
+           COUNT(*) AS cnt
+    FROM events GROUP BY 1, 2
+),
+med AS (
+    SELECT event_type, quantile_cont(cnt, 0.5) AS med
+    FROM daily GROUP BY 1
+),
+dev AS (
+    SELECT d.event_type, d.day, d.cnt, m.med,
+           abs(d.cnt - m.med) AS dev
+    FROM daily d JOIN med m USING (event_type)
+),
+mad AS (
+    SELECT event_type, quantile_cont(dev, 0.5) AS mad
+    FROM dev GROUP BY 1
+)
+SELECT d.event_type, d.day, CAST(d.cnt AS BIGINT) AS cnt,
+       d.med, m.mad, (d.dev > 3 * m.mad) AS is_anomaly
+FROM dev d JOIN mad m USING (event_type)
+""",
+)
+def q_events_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust volume-anomaly detection: flag (event_type, day) cells
+    whose daily event count deviates from the type's median by more
+    than 3× the median absolute deviation — the outlier-resistant
+    alternative to z-scores (one wild day cannot drag its own
+    threshold).
+
+    Exactness: daily counts are integers, so both medians are dyadic
+    rationals (k or k+0.5 steps) that IEEE doubles represent exactly
+    — the `dev > 3·mad` gate compares identical values on both
+    engines, no rounding rule in play. Scale shape: the only
+    data-sized shuffle is the (event_type, day) count with map-side
+    combine; the two `percentile` aggregates buffer one value per DAY
+    per type (bounded by the calendar, not by event volume — the
+    reason plain exact percentile is the right tool here while
+    lineitem-sized value sets use bucket_refine_quantiles), and both
+    medians broadcast back onto the ~types×days relation."""
+    daily = (
+        _t(spark, sf_dir, "events")
+        .groupBy(
+            "event_type", F.date_trunc("day", "ts").cast("date").alias("day")
+        )
+        .agg(F.count("*").alias("cnt"))
+    )
+    med = daily.groupBy("event_type").agg(
+        F.percentile("cnt", F.lit(0.5)).alias("med")
+    )
+    dev = daily.join(F.broadcast(med), "event_type").withColumn(
+        "dev", F.abs(F.col("cnt") - F.col("med"))
+    )
+    mad = dev.groupBy("event_type").agg(
+        F.percentile("dev", F.lit(0.5)).alias("mad")
+    )
+    return dev.join(F.broadcast(mad), "event_type").select(
+        "event_type",
+        "day",
+        "cnt",
+        "med",
+        "mad",
+        (F.col("dev") > F.lit(3) * F.col("mad")).alias("is_anomaly"),
+    )
+
+
+@query("graph_pagerank_copurchase")  # doubles-sum iteration — rows-only
+def q_graph_pagerank_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank centrality over the part co-purchase graph: the 50
+    most structurally central parts (node, rank, n_orders_degree).
+    Rows-only by design (per-destination double sums are partial-agg
+    order-dependent); the pytest gate checks the distributed ranks
+    against a single-machine power iteration to 1e-9 and the top-k
+    ordering on a planted hub graph (operators/graph.py)."""
+    from ..operators import graph
+
+    edges = graph.copurchase_edges(
+        _t(spark, sf_dir, "lineitem"), _t(spark, sf_dir, "part")
+    )
+    degree = edges.groupBy(F.col("src").alias("node")).agg(
+        F.count("*").alias("n_neighbors")
+    )
+    return (
+        graph.pagerank(edges)
+        .join(degree, "node")
+        .orderBy(F.desc("rank"), "node")
+        .limit(50)
+    )

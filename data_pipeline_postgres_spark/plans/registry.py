@@ -86,6 +86,8 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "tpch_q20_potential_promotion",
     "docs_gopher_quality",
     "dedup_substring_windows",
+    "events_anomaly_mad",
+    "graph_pagerank_copurchase",
     # (d) refresh filler: oldest driver evidence first (r2 rows)
     "project_star",
     "project_cols",
@@ -100,9 +102,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "distinct_rows",
     "agg_count_distinct",
     "unpivot_melt",
-    "unpivot_union_all",
-    "order_by_multi",
-    # (21 round-6-era filler rows dropped to keep the window at the
+    # (23 round-6-era filler rows dropped to keep the window at the
     # driver's exact 50-slot size; they retain their r2 evidence and
     # rotate back in once the round-7 additions have fresh rows)
 )

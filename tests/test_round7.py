@@ -396,3 +396,53 @@ class TestSubstringWindows:
         }
         assert rows[1].n_windows == 0 and rows[1].dup_frac == 0.0
         assert rows[2].n_windows == 6
+
+
+class TestPageRank:
+    def test_matches_single_machine_power_iteration(self, spark):
+        """Distributed ranks == numpy power iteration (same rounds,
+        same damping) to 1e-9 on a planted hub-and-spoke graph, and
+        the hub outranks every leaf."""
+        import numpy as np
+
+        from data_pipeline_postgres_spark.operators import graph
+
+        # hub 0 <-> leaves 1..6, plus a 5-6 side link
+        und = [(0, i) for i in range(1, 7)] + [(5, 6)]
+        edges = spark.createDataFrame(
+            [(a, b, 1.0) for a, b in und] + [(b, a, 1.0) for a, b in und],
+            ["src", "dst", "weight"],
+        )
+        got = {r.node: r.rank for r in graph.pagerank(edges).collect()}
+
+        n, d = 7, 0.85
+        w = np.zeros((n, n))
+        for a, b in und:
+            w[a, b] = w[b, a] = 1.0
+        p = w / w.sum(axis=1, keepdims=True)
+        r = np.full(n, 1.0 / n)
+        for _ in range(8):
+            r = (1 - d) / n + d * (p.T @ r)
+        for i in range(n):
+            assert got[i] == pytest.approx(r[i], abs=1e-9)
+        assert got[0] == max(got.values())
+
+    def test_copurchase_edges_symmetric(self, spark):
+        from data_pipeline_postgres_spark.catalog import load_table
+        from data_pipeline_postgres_spark.operators import graph
+
+        e = graph.copurchase_edges(
+            load_table(spark, SF_SMOKE, "lineitem"),
+            load_table(spark, SF_SMOKE, "part"),
+        )
+        asym = (
+            e.alias("a")
+            .join(
+                e.alias("b"),
+                (F.col("a.src") == F.col("b.dst"))
+                & (F.col("a.dst") == F.col("b.src")),
+                "left_anti",
+            )
+            .count()
+        )
+        assert asym == 0 and e.count() > 0
