@@ -102,6 +102,8 @@ EXT_HEADLINE = [
     "dedup_substring_windows",
     "events_anomaly_mad",
     "graph_pagerank_copurchase",
+    "events_trend_ols",
+    "events_changepoint_cusum",
 ]
 
 

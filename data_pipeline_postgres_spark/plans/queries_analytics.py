@@ -2441,3 +2441,159 @@ def q_graph_pagerank_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("rank"), "node")
         .limit(50)
     )
+
+
+@query(
+    "events_trend_ols",
+    """
+WITH daily AS (
+    SELECT event_type,
+           datediff('day', DATE '1995-01-01',
+                    CAST(date_trunc('day', ts) AS DATE)) AS x,
+           COUNT(*) AS y
+    FROM events GROUP BY 1, 2
+),
+m AS (
+    SELECT event_type,
+           COUNT(*) AS n,
+           SUM(CAST(x AS BIGINT)) AS sx,
+           SUM(CAST(y AS BIGINT)) AS sy,
+           SUM(CAST(x * x AS BIGINT)) AS sxx,
+           SUM(CAST(x * y AS BIGINT)) AS sxy
+    FROM daily GROUP BY 1
+)
+SELECT event_type, CAST(n AS BIGINT) AS n_days,
+       CAST(sy AS BIGINT) AS total_events,
+       CAST(n * sxy - sx * sy AS DOUBLE)
+           / CAST(n * sxx - sx * sx AS DOUBLE) AS slope,
+       (CAST(sy AS DOUBLE)
+        - (CAST(n * sxy - sx * sy AS DOUBLE)
+           / CAST(n * sxx - sx * sx AS DOUBLE)) * CAST(sx AS DOUBLE))
+           / n AS intercept
+FROM m
+""",
+)
+def q_events_trend_ols(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type volume trend: exact least-squares slope/intercept of
+    daily event count vs day offset (days since 1995-01-01) — the
+    capacity-planning "is this stream growing" primitive.
+
+    Exactness: all four moments are exact int64 sums over ~calendar
+    rows, and the normal-equation polynomial stays in exactly-
+    representable double range while n·Σxy < 2^53 (holds through
+    ~10^14 daily events; beyond that widen the moments to DECIMAL as
+    agg_corr_exact does). Identical op order on both engines → the
+    two final divisions are bit-identical. One map-side-combined
+    (type, day) count shuffle + one tiny per-type aggregate."""
+    daily = (
+        _t(spark, sf_dir, "events")
+        .groupBy(
+            "event_type",
+            F.datediff(
+                F.date_trunc("day", "ts").cast("date"),
+                F.lit("1995-01-01").cast("date"),
+            ).alias("x"),
+        )
+        .agg(F.count("*").alias("y"))
+    )
+    m = daily.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum(F.col("x").cast("bigint")).alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum((F.col("x") * F.col("x")).cast("bigint")).alias("sxx"),
+        F.sum((F.col("x") * F.col("y")).cast("bigint")).alias("sxy"),
+    )
+    num = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast(
+        "double"
+    )
+    den = (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast(
+        "double"
+    )
+    slope = num / den
+    return m.select(
+        "event_type",
+        F.col("n").alias("n_days"),
+        F.col("sy").alias("total_events"),
+        slope.alias("slope"),
+        (
+            (F.col("sy").cast("double") - slope * F.col("sx").cast("double"))
+            / F.col("n")
+        ).alias("intercept"),
+    )
+
+
+@query(
+    "events_changepoint_cusum",
+    """
+WITH daily AS (
+    SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
+           COUNT(*) AS cnt
+    FROM events GROUP BY 1, 2
+),
+st AS (
+    SELECT event_type, CAST(SUM(cnt) AS DOUBLE) / COUNT(*) AS mean_daily
+    FROM daily GROUP BY 1
+),
+cs AS (
+    SELECT d.event_type, d.day, d.cnt, st.mean_daily,
+           SUM(d.cnt - st.mean_daily) OVER (
+               PARTITION BY d.event_type ORDER BY d.day
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS cusum
+    FROM daily d JOIN st USING (event_type)
+),
+rk AS (
+    SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY event_type ORDER BY abs(cusum) DESC, day
+    ) AS rn
+    FROM cs
+)
+SELECT event_type, day AS cp_day, CAST(cnt AS BIGINT) AS cnt,
+       mean_daily, cusum AS cusum_peak
+FROM rk WHERE rn = 1
+""",
+)
+def q_events_changepoint_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM changepoint estimate per event type: the day where the
+    running sum of (daily count − overall mean) peaks in magnitude —
+    the classic single-changepoint location statistic for "when did
+    this stream's level shift".
+
+    Exactness: the running sum folds int-minus-double terms in
+    day order (identical sequential order on both engines →
+    bit-identical doubles); the peak pick tiebreaks on day. Scale
+    shape: one (type, day) count shuffle; the windows run over
+    calendar-bounded per-type partitions (~days rows each), and the
+    per-type mean broadcasts back."""
+    daily = (
+        _t(spark, sf_dir, "events")
+        .groupBy(
+            "event_type", F.date_trunc("day", "ts").cast("date").alias("day")
+        )
+        .agg(F.count("*").alias("cnt"))
+    )
+    st = daily.groupBy("event_type").agg(
+        (F.sum("cnt").cast("double") / F.count("*")).alias("mean_daily")
+    )
+    w_cs = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cs = daily.join(F.broadcast(st), "event_type").withColumn(
+        "cusum", F.sum(F.col("cnt") - F.col("mean_daily")).over(w_cs)
+    )
+    w_rk = Window.partitionBy("event_type").orderBy(
+        F.abs(F.col("cusum")).desc(), "day"
+    )
+    return (
+        cs.withColumn("rn", F.row_number().over(w_rk))
+        .filter(F.col("rn") == 1)
+        .select(
+            "event_type",
+            F.col("day").alias("cp_day"),
+            "cnt",
+            "mean_daily",
+            F.col("cusum").alias("cusum_peak"),
+        )
+    )

@@ -88,6 +88,8 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "dedup_substring_windows",
     "events_anomaly_mad",
     "graph_pagerank_copurchase",
+    "events_trend_ols",
+    "events_changepoint_cusum",
     # (d) refresh filler: oldest driver evidence first (r2 rows)
     "project_star",
     "project_cols",
@@ -100,9 +102,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "str_lit_tag",
     "agg_group_sum_multi",
     "distinct_rows",
-    "agg_count_distinct",
-    "unpivot_melt",
-    # (23 round-6-era filler rows dropped to keep the window at the
+    # (25 round-6-era filler rows dropped to keep the window at the
     # driver's exact 50-slot size; they retain their r2 evidence and
     # rotate back in once the round-7 additions have fresh rows)
 )
