@@ -104,6 +104,7 @@ EXT_HEADLINE = [
     "graph_pagerank_copurchase",
     "events_trend_ols",
     "events_changepoint_cusum",
+    "emb_knn_classify",
 ]
 
 

@@ -792,3 +792,87 @@ def ivfpq_index_search(
         .orderBy(F.desc("cosine"), F.asc("vec_id"))
         .limit(k)
     )
+
+
+def knn_classify(
+    emb: DataFrame, k: int = 5, nq: int = 16, round_digits: int = 6
+) -> DataFrame:
+    """Semi-supervised kNN label propagation: the ``nq`` smallest-
+    vec_id vectors play an unlabeled probe batch; each is classified
+    by majority vote of its ``k`` exact-cosine nearest neighbors in
+    the remaining labeled corpus → (qid, true_label, pred_label,
+    votes). The curation use: propagate human quality/topic labels
+    from a seed set to the whole corpus.
+
+    Ties: neighbor cut tiebreaks on vec_id (after 6-digit cosine
+    rounding, mirrored by the oracle), vote tiebreaks on the smaller
+    label — fully deterministic, so the op is hash-checked end to
+    end. Scale shape: same ONE-corpus-pass contract as ``batch_topk``
+    (probes ride in as a broadcast struct array; per-probe top-k is a
+    rank-limited window → WindowGroupLimit per-partition heaps before
+    the qid exchange); the vote aggregate then touches ≤ k·nq rows.
+    At corpus-scale probe sets, swap the brute scorer for the IVF
+    path (ivf_batch_topk) — the vote stage is unchanged.
+    """
+    vs = emb.select(
+        "vec_id", V.as_double(F.col("embedding")).alias("v"), "label"
+    )
+    qarr = (
+        vs.orderBy("vec_id")
+        .limit(nq)
+        .select(
+            F.struct(
+                F.col("vec_id").alias("qid"),
+                F.col("label").alias("qlabel"),
+                V.norm(F.col("v")).alias("qn"),
+                F.col("v").alias("qv"),
+            ).alias("s")
+        )
+        .agg(F.array_sort(F.collect_list("s")).alias("qs"))
+    )
+    scored = (
+        vs.crossJoin(F.broadcast(qarr))
+        .filter(
+            ~F.array_contains(
+                F.transform("qs", lambda s: s["qid"]), F.col("vec_id")
+            )
+        )
+        .select(
+            "vec_id",
+            "label",
+            V.norm(F.col("v")).alias("vn"),
+            "v",
+            F.explode("qs").alias("q"),
+        )
+        .select(
+            F.col("q.qid").alias("qid"),
+            F.col("q.qlabel").alias("qlabel"),
+            "vec_id",
+            "label",
+            F.round(
+                V.dot(F.col("v"), F.col("q.qv"))
+                / (F.col("vn") * F.col("q.qn")),
+                round_digits,
+            ).alias("cosine"),
+        )
+    )
+    w_nn = Window.partitionBy("qid").orderBy(
+        F.desc("cosine"), F.asc("vec_id")
+    )
+    nn = scored.withColumn("rn", F.row_number().over(w_nn)).filter(
+        F.col("rn") <= k
+    )
+    votes = nn.groupBy("qid", "qlabel", "label").agg(
+        F.count("*").alias("votes")
+    )
+    w_v = Window.partitionBy("qid").orderBy(F.desc("votes"), F.asc("label"))
+    return (
+        votes.withColumn("r", F.row_number().over(w_v))
+        .filter(F.col("r") == 1)
+        .select(
+            "qid",
+            F.col("qlabel").alias("true_label"),
+            F.col("label").alias("pred_label"),
+            "votes",
+        )
+    )

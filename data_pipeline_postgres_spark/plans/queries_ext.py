@@ -2698,3 +2698,46 @@ def q_dedup_substring_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     (suffix-array-dedup diagnostic; dup_frac is the removal
     threshold)."""
     return dedup.substring_dup_stats(_docs(spark, sf_dir), 10)
+
+
+_KNN_CLASSIFY_ORACLE = f"""
+WITH e AS (
+    SELECT vec_id, embedding::DOUBLE[] AS v, label FROM embeddings
+),
+q AS (
+    SELECT vec_id AS qid, label AS qlabel, v AS qv
+    FROM e ORDER BY vec_id LIMIT 16
+),
+nn AS (
+    SELECT qid, qlabel, label FROM (
+        SELECT q.qid, q.qlabel, e.vec_id, e.label,
+               row_number() OVER (
+                   PARTITION BY q.qid
+                   ORDER BY round({_duck_cos('e.v', 'q.qv')}, 6) DESC,
+                            e.vec_id
+               ) AS rn
+        FROM e, q
+        WHERE e.vec_id NOT IN (SELECT qid FROM q)
+    ) WHERE rn <= 5
+),
+v AS (
+    SELECT qid, qlabel, label, COUNT(*) AS votes
+    FROM nn GROUP BY 1, 2, 3
+)
+SELECT qid, qlabel AS true_label, label AS pred_label,
+       CAST(votes AS BIGINT) AS votes
+FROM (
+    SELECT *, row_number() OVER (
+        PARTITION BY qid ORDER BY votes DESC, label
+    ) AS r FROM v
+) WHERE r = 1
+"""
+
+
+@query("emb_knn_classify", _KNN_CLASSIFY_ORACLE)
+def q_emb_knn_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-supervised label propagation: 16 probe vectors classified
+    by majority vote of their 5 exact-cosine nearest labeled
+    neighbors (deterministic tiebreaks → hash-checked; see
+    operators/similarity.knn_classify)."""
+    return similarity.knn_classify(_emb(spark, sf_dir))

@@ -90,6 +90,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "graph_pagerank_copurchase",
     "events_trend_ols",
     "events_changepoint_cusum",
+    "emb_knn_classify",
     # (d) refresh filler: oldest driver evidence first (r2 rows)
     "project_star",
     "project_cols",
@@ -101,8 +102,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "in_list_pred",
     "str_lit_tag",
     "agg_group_sum_multi",
-    "distinct_rows",
-    # (25 round-6-era filler rows dropped to keep the window at the
+    # (26 round-6-era filler rows dropped to keep the window at the
     # driver's exact 50-slot size; they retain their r2 evidence and
     # rotate back in once the round-7 additions have fresh rows)
 )
