@@ -105,6 +105,7 @@ EXT_HEADLINE = [
     "events_trend_ols",
     "events_changepoint_cusum",
     "emb_knn_classify",
+    "graph_communities_lpa",
 ]
 
 

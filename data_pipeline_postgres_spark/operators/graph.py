@@ -1,8 +1,9 @@
 """Iterative graph algorithms over edge relations (SURVEY.md §2.12
-[EXT]). Complements the label-propagation connected components in
-``dedup.py`` (dedup_clusters) with a weighted PageRank — the second
-classic iterative-convergence shape a Spark engine must express
-(synchronous supersteps as self-contained DataFrame rounds).
+[EXT]). Complements the min-label connected components in
+``dedup.py`` (dedup_clusters) with weighted PageRank and synchronous
+label-propagation communities — the classic iterative-convergence
+shapes a Spark engine must express (synchronous supersteps as
+self-contained DataFrame rounds).
 
 Scale design: each superstep is ONE contribution join + ONE
 destination-keyed aggregate; the normalized edge relation is
@@ -14,7 +15,7 @@ driver except the node count (a single scalar, computed once).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -128,3 +129,46 @@ def copurchase_edges(lineitem: DataFrame, part: DataFrame) -> DataFrame:
     return pairs.groupBy("src", "dst").agg(
         F.count("*").cast("double").alias("weight")
     )
+
+
+def label_propagation(
+    edges: DataFrame,
+    iters: int = 5,
+    broadcast_labels: bool = True,
+) -> DataFrame:
+    """Synchronous label-propagation community detection over a
+    directed edge list (src, dst, weight): every node starts as its
+    own community (label = node id); each superstep a node adopts the
+    label with the greatest incoming weight sum, tiebreaking on the
+    SMALLER label — all-integer labels and exact integer-valued
+    weight sums make every round fully deterministic (pytest gate:
+    planted two-clique graph converges to exactly two communities,
+    tests/test_round7.py). Returns (node, label).
+
+    Scale shape mirrors ``pagerank``: per round, the label vector
+    (one row per node) broadcasts onto the stationary edge relation,
+    ONE (dst, label) aggregate + ONE per-dst argmax window run, and
+    label lineage is cut every few rounds. Symmetric-graph callers
+    guarantee every node has in-degree ≥ 1 so no node drops out.
+    """
+    labels = (
+        edges.select(F.col("src").alias("node"))
+        .distinct()
+        .withColumn("label", F.col("node"))
+    )
+    for i in range(iters):
+        lab = F.broadcast(labels) if broadcast_labels else labels
+        w_in = (
+            edges.join(lab, edges["src"] == lab["node"])
+            .groupBy(F.col("dst").alias("n2"), "label")
+            .agg(F.sum("weight").alias("w"))
+        )
+        pick = Window.partitionBy("n2").orderBy(F.desc("w"), F.asc("label"))
+        labels = (
+            w_in.withColumn("_r", F.row_number().over(pick))
+            .filter(F.col("_r") == 1)
+            .select(F.col("n2").alias("node"), "label")
+        )
+        if i % 3 == 2:
+            labels = labels.localCheckpoint(eager=False)
+    return labels

@@ -2630,3 +2630,28 @@ def q_events_changepoint_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("cusum").alias("cusum_peak"),
         )
     )
+
+
+@query("graph_communities_lpa")  # iterative label propagation — rows-only
+def q_graph_communities_lpa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Community detection on the STORED co-purchase edge index via
+    synchronous label propagation: the 20 largest communities
+    (label, n_members) among parts co-purchased at least TWICE (the
+    weight≥2 filter prunes the all-connecting single-co-occurrence
+    haze that would collapse the dense graph into one giant
+    community — and cuts the superstep input ~10×). Deterministic
+    integer rounds (exact integer-valued weight sums + min-label
+    tiebreak), but the fixpoint is not SQL-expressible — rows-only
+    with a planted-graph pytest gate (operators/graph.py)."""
+    from ..operators import graph
+
+    edges = _copurchase_edge_index(spark, sf_dir).filter(
+        F.col("weight") >= 2
+    )
+    return (
+        graph.label_propagation(edges)
+        .groupBy("label")
+        .agg(F.count("*").alias("n_members"))
+        .orderBy(F.desc("n_members"), "label")
+        .limit(20)
+    )

@@ -91,6 +91,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "events_trend_ols",
     "events_changepoint_cusum",
     "emb_knn_classify",
+    "graph_communities_lpa",
     # (d) refresh filler: oldest driver evidence first (r2 rows)
     "project_star",
     "project_cols",
@@ -101,8 +102,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "drop_col",
     "in_list_pred",
     "str_lit_tag",
-    "agg_group_sum_multi",
-    # (26 round-6-era filler rows dropped to keep the window at the
+    # (27 round-6-era filler rows dropped to keep the window at the
     # driver's exact 50-slot size; they retain their r2 evidence and
     # rotate back in once the round-7 additions have fresh rows)
 )

@@ -446,3 +446,33 @@ class TestPageRank:
             .count()
         )
         assert asym == 0 and e.count() > 0
+
+
+class TestLabelPropagation:
+    def test_two_planted_cliques(self, spark):
+        """Two 4-cliques joined by a single weak bridge collapse to
+        exactly two communities, each labelled by its min node id."""
+        from data_pipeline_postgres_spark.operators import graph
+
+        c1, c2 = [0, 1, 2, 3], [10, 11, 12, 13]
+        und = [(a, b) for c in (c1, c2) for a in c for b in c if a < b]
+        und.append((3, 10))  # bridge
+        edges = spark.createDataFrame(
+            [(a, b, 1.0) for a, b in und] + [(b, a, 1.0) for a, b in und],
+            ["src", "dst", "weight"],
+        )
+        got = {r.node: r.label for r in graph.label_propagation(edges).collect()}
+        assert {got[n] for n in c1} == {0}
+        assert {got[n] for n in c2} == {10}
+
+    def test_deterministic_across_runs(self, spark):
+        from data_pipeline_postgres_spark.operators import graph
+
+        und = [(i, (i + 1) % 6) for i in range(6)] + [(0, 3)]
+        edges = spark.createDataFrame(
+            [(a, b, 1.0) for a, b in und] + [(b, a, 1.0) for a, b in und],
+            ["src", "dst", "weight"],
+        )
+        a = sorted(map(tuple, graph.label_propagation(edges).collect()))
+        b = sorted(map(tuple, graph.label_propagation(edges).collect()))
+        assert a == b
