@@ -106,6 +106,7 @@ EXT_HEADLINE = [
     "events_changepoint_cusum",
     "emb_knn_classify",
     "graph_communities_lpa",
+    "graph_triangle_stats",
 ]
 
 

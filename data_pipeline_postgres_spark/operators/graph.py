@@ -172,3 +172,67 @@ def label_propagation(
         if i % 3 == 2:
             labels = labels.localCheckpoint(eager=False)
     return labels
+
+
+def triangle_stats(edges: DataFrame, min_weight: float = 2.0) -> DataFrame:
+    """Global triangle census of the undirected strong subgraph
+    (edges with weight ≥ ``min_weight``, deduped to src < dst):
+    one row (n_edges, n_triangles, n_wedges, global_clustering) where
+    global_clustering = 3·triangles / wedges (0.0 on a wedge-free
+    graph). All-integer counting until the ONE final division —
+    oracle-checked exactly, unlike the iterative graph ops.
+
+    Scale shape: the classic ordered-triangle join — every triangle
+    (a<b<c) is counted once via E(a,b)⋈E(b,c)⋈E(a,c), so join fan-out
+    is bounded by actual wedge counts (the min_weight filter is what
+    keeps dense co-occurrence graphs tractable); wedges come from ONE
+    degree aggregate. On big graphs all three legs hash-join on edge
+    keys; AQE broadcasts when the strong subgraph is small.
+    """
+    und = edges.filter(
+        (F.col("weight") >= min_weight) & (F.col("src") < F.col("dst"))
+    ).select("src", "dst")
+    e1 = und.select(F.col("src").alias("a"), F.col("dst").alias("b"))
+    e2 = und.select(F.col("src").alias("b2"), F.col("dst").alias("c"))
+    e3 = und.select(F.col("src").alias("a3"), F.col("dst").alias("c3"))
+    tri = (
+        e1.join(e2, F.col("b") == F.col("b2"))
+        .join(
+            e3,
+            (F.col("a") == F.col("a3")) & (F.col("c") == F.col("c3")),
+            "left_semi",
+        )
+        .agg(F.count("*").alias("n_triangles"))
+    )
+    deg = (
+        und.select(F.col("src").alias("node"))
+        .unionAll(und.select(F.col("dst").alias("node")))
+        .groupBy("node")
+        .agg(F.count("*").alias("d"))
+    )
+    wedges = deg.agg(
+        F.sum(F.col("d") * (F.col("d") - 1) / 2)
+        .cast("bigint")
+        .alias("n_wedges"),
+        F.lit(1).alias("_k"),
+    )
+    n_edges = und.agg(
+        F.count("*").alias("n_edges"), F.lit(1).alias("_k2")
+    )
+    return (
+        tri.withColumn("_k", F.lit(1))
+        .join(wedges, "_k")
+        .join(n_edges, F.col("_k") == F.col("_k2"))
+        .select(
+            "n_edges",
+            "n_triangles",
+            "n_wedges",
+            F.when(
+                F.col("n_wedges") > 0,
+                F.lit(3) * F.col("n_triangles").cast("double")
+                / F.col("n_wedges"),
+            )
+            .otherwise(F.lit(0.0))
+            .alias("global_clustering"),
+        )
+    )

@@ -2655,3 +2655,48 @@ def q_graph_communities_lpa(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n_members"), "label")
         .limit(20)
     )
+
+
+@query(
+    "graph_triangle_stats",
+    """
+WITH basket AS (
+    SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+),
+e AS (
+    SELECT a.l_partkey AS src, b.l_partkey AS dst
+    FROM basket a JOIN basket b
+      ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    GROUP BY 1, 2 HAVING COUNT(*) >= 2
+),
+tri AS (
+    SELECT COUNT(*) AS n_triangles
+    FROM e e1
+    JOIN e e2 ON e1.dst = e2.src
+    WHERE EXISTS (
+        SELECT 1 FROM e e3 WHERE e3.src = e1.src AND e3.dst = e2.dst
+    )
+),
+deg AS (
+    SELECT node, COUNT(*) AS d FROM (
+        SELECT src AS node FROM e UNION ALL SELECT dst FROM e
+    ) GROUP BY 1
+),
+w AS (SELECT CAST(SUM(d * (d - 1) / 2) AS BIGINT) AS n_wedges FROM deg),
+ne AS (SELECT COUNT(*) AS n_edges FROM e)
+SELECT ne.n_edges, tri.n_triangles, w.n_wedges,
+       CASE WHEN w.n_wedges > 0
+            THEN 3 * CAST(tri.n_triangles AS DOUBLE) / w.n_wedges
+            ELSE 0.0 END AS global_clustering
+FROM tri, w, ne
+""",
+)
+def q_graph_triangle_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle census + global clustering coefficient of the strong
+    (weight ≥ 2) co-purchase subgraph, computed off the STORED edge
+    index via the ordered-triangle join — the one graph op whose
+    whole computation is SQL-expressible, so it is hash-checked
+    (operators/graph.triangle_stats)."""
+    from ..operators import graph
+
+    return graph.triangle_stats(_copurchase_edge_index(spark, sf_dir))
