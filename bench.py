@@ -107,6 +107,7 @@ EXT_HEADLINE = [
     "emb_knn_classify",
     "graph_communities_lpa",
     "graph_triangle_stats",
+    "join_asof_nearest",
 ]
 
 

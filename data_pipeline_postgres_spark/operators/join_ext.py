@@ -94,3 +94,80 @@ def dedup_right_for_asof(
         .filter(F.col("_rn") == 1)
         .drop("_rn")
     )
+
+
+def asof_join_nearest(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    left_ts: str,
+    right_ts: str,
+    payload: Sequence[str],
+    right_key: str | None = None,
+) -> DataFrame:
+    """Nearest-in-time as-of join: every left row takes the payload of
+    the right row (same key) whose timestamp is CLOSEST in absolute
+    time — the sensor-alignment variant of backward/forward as-of.
+    Ties (equidistant matches) and one-sided cases resolve to the
+    backward match; nulls when the key has no right rows at all.
+
+    Cost shape: the SAME single key-shuffle as ``asof_join`` — both
+    the backward and the forward carry are windows over one merged,
+    key-partitioned relation (opposite time orders → Spark reuses the
+    one Exchange and sorts twice), so "nearest" is NOT two joins.
+    Right rows must be unique per (key, right_ts) — see
+    ``dedup_right_for_asof``.
+    """
+    lcols = left.columns
+    pay = F.struct(
+        F.col(right_ts).alias("_rts"),
+        *[F.col(c) for c in payload],
+    )
+    r = right.select(
+        F.col(right_key or key).alias("_k"),
+        F.col(right_ts).alias("_t"),
+        F.lit(1).alias("_is_r"),
+        pay.alias("_pay"),
+        *[F.lit(None).cast(dict(left.dtypes)[c]).alias(c) for c in lcols],
+    )
+    l = left.select(
+        F.col(key).alias("_k"),
+        F.col(left_ts).alias("_t"),
+        F.lit(0).alias("_is_r"),
+        F.lit(None).cast(r.schema["_pay"].dataType).alias("_pay"),
+        *lcols,
+    )
+    w_b = (
+        Window.partitionBy("_k")
+        .orderBy(F.col("_t").asc(), F.col("_is_r").desc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_f = (
+        Window.partitionBy("_k")
+        .orderBy(F.col("_t").desc(), F.col("_is_r").desc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    merged = (
+        r.unionByName(l)
+        .withColumn("_b", F.last("_pay", ignorenulls=True).over(w_b))
+        .withColumn("_f", F.last("_pay", ignorenulls=True).over(w_f))
+    )
+    # NTZ-safe epoch: cast through TIMESTAMP (differences cancel the
+    # session-zone offset, so only the deterministic deltas matter)
+    t_us = F.unix_micros(F.col("_t").cast("timestamp"))
+    d_b = t_us - F.unix_micros(F.col("_b._rts").cast("timestamp"))
+    d_f = F.unix_micros(F.col("_f._rts").cast("timestamp")) - t_us
+    best = (
+        F.when(F.col("_b").isNull(), F.col("_f"))
+        .when(F.col("_f").isNull(), F.col("_b"))
+        .when(d_b <= d_f, F.col("_b"))
+        .otherwise(F.col("_f"))
+    )
+    return (
+        merged.filter(F.col("_is_r") == 0)
+        .withColumn("_best", best)
+        .select(
+            *lcols,
+            *[F.col("_best").getField(c).alias(c) for c in payload],
+        )
+    )

@@ -2700,3 +2700,66 @@ def q_graph_triangle_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators import graph
 
     return graph.triangle_stats(_copurchase_edge_index(spark, sf_dir))
+
+
+@query(
+    "join_asof_nearest",
+    """
+WITH od AS (
+    SELECT o_custkey, o_orderdate, o_orderkey, o_totalprice FROM (
+        SELECT *, row_number() OVER (
+            PARTITION BY o_custkey, o_orderdate
+            ORDER BY o_orderkey DESC) AS rn
+        FROM orders
+    ) WHERE rn = 1
+),
+b AS (
+    SELECT e.event_id, o.o_orderdate AS bt, o.o_orderkey AS bk,
+           o.o_totalprice AS bp
+    FROM events e
+    ASOF LEFT JOIN od o
+      ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate
+),
+f AS (
+    SELECT e.event_id, o.o_orderdate AS ft, o.o_orderkey AS fk,
+           o.o_totalprice AS fp
+    FROM events e
+    ASOF LEFT JOIN od o
+      ON e.user_id = o.o_custkey AND e.ts <= o.o_orderdate
+)
+SELECT e.event_id, e.user_id, CAST(e.ts AS TIMESTAMP) AS ts,
+       CASE WHEN bt IS NULL THEN fk
+            WHEN ft IS NULL THEN bk
+            WHEN epoch_us(e.ts) - epoch_us(bt)
+                 <= epoch_us(ft) - epoch_us(e.ts) THEN bk
+            ELSE fk END AS o_orderkey,
+       CASE WHEN bt IS NULL THEN fp
+            WHEN ft IS NULL THEN bp
+            WHEN epoch_us(e.ts) - epoch_us(bt)
+                 <= epoch_us(ft) - epoch_us(e.ts) THEN bp
+            ELSE fp END AS o_totalprice
+FROM events e
+LEFT JOIN b USING (event_id)
+LEFT JOIN f USING (event_id)
+""",
+)
+def q_join_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest-in-time as-of: each event takes the order of the same
+    key CLOSEST in absolute time (ties → backward) — the
+    sensor-alignment variant. ONE key shuffle: both directional
+    carries are windows over the same merged relation
+    (operators/join_ext.asof_join_nearest); the oracle composes two
+    native DuckDB ASOF joins and picks per-row."""
+    ev = _t(spark, sf_dir, "events").select("event_id", "user_id", "ts")
+    orders = join_ext.dedup_right_for_asof(
+        _t(spark, sf_dir, "orders"), "o_custkey", "o_orderdate", "o_orderkey"
+    )
+    return join_ext.asof_join_nearest(
+        ev,
+        orders,
+        key="user_id",
+        left_ts="ts",
+        right_ts="o_orderdate",
+        payload=["o_orderkey", "o_totalprice"],
+        right_key="o_custkey",
+    )

@@ -93,6 +93,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "emb_knn_classify",
     "graph_communities_lpa",
     "graph_triangle_stats",
+    "join_asof_nearest",
     # (d) refresh filler: oldest driver evidence first (r2 rows)
     "project_star",
     "project_cols",
@@ -101,8 +102,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "arith_mul",
     "arith_div",
     "drop_col",
-    "in_list_pred",
-    # (28 round-6-era filler rows dropped to keep the window at the
+    # (29 round-6-era filler rows dropped to keep the window at the
     # driver's exact 50-slot size; they retain their r2 evidence and
     # rotate back in once the round-7 additions have fresh rows)
 )

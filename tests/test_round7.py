@@ -476,3 +476,57 @@ class TestLabelPropagation:
         a = sorted(map(tuple, graph.label_propagation(edges).collect()))
         b = sorted(map(tuple, graph.label_propagation(edges).collect()))
         assert a == b
+
+
+class TestAsofNearest:
+    def test_picks_closer_side_with_backward_ties(self, spark):
+        from datetime import datetime as dt
+
+        from data_pipeline_postgres_spark.operators import join_ext
+
+        left = spark.createDataFrame(
+            [
+                (1, 7, dt(2000, 1, 10)),   # back@1/1 (9d), fwd@1/12 (2d) → fwd
+                (2, 7, dt(2000, 1, 6, 12)),  # equidistant 5.5d → backward
+                (3, 8, dt(2000, 1, 10)),   # no right rows → nulls
+                (4, 7, dt(1999, 12, 1)),   # before first → forward-only,
+                                           # next upcoming = 1/1 row
+            ],
+            ["eid", "k", "ts"],
+        )
+        right = spark.createDataFrame(
+            [(7, dt(2000, 1, 1), 100), (7, dt(2000, 1, 12), 200)],
+            ["k", "rts", "val"],
+        )
+        out = {
+            r.eid: r.val
+            for r in join_ext.asof_join_nearest(
+                left, right, key="k", left_ts="ts", right_ts="rts",
+                payload=["val"],
+            ).collect()
+        }
+        assert out[1] == 200
+        assert out[2] == 100  # tie → backward
+        assert out[3] is None
+        assert out[4] == 100
+
+    def test_single_exchange(self, spark):
+        """'nearest' must not cost a second shuffle vs plain as-of."""
+        from data_pipeline_postgres_spark.catalog import load_table
+        from data_pipeline_postgres_spark.operators import join_ext
+
+        ev = load_table(spark, SF_SMOKE, "events").select(
+            "event_id", "user_id", "ts"
+        )
+        orders = join_ext.dedup_right_for_asof(
+            load_table(spark, SF_SMOKE, "orders"),
+            "o_custkey", "o_orderdate", "o_orderkey",
+        )
+        df = join_ext.asof_join_nearest(
+            ev, orders, key="user_id", left_ts="ts",
+            right_ts="o_orderdate", payload=["o_orderkey"],
+            right_key="o_custkey",
+        )
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        n_hash_exchanges = plan.count("Exchange hashpartitioning(_k")
+        assert n_hash_exchanges == 1, plan[:2000]

@@ -54,6 +54,13 @@ SHOWCASE = [
     "tpch_q11_important_stock",
     "docs_gopher_quality",
     "dedup_substring_windows",
+    "events_anomaly_mad",
+    "events_trend_ols",
+    "events_changepoint_cusum",
+    "graph_pagerank_copurchase",
+    "graph_communities_lpa",
+    "graph_triangle_stats",
+    "emb_knn_classify",
 ]
 
 
