@@ -108,6 +108,8 @@ EXT_HEADLINE = [
     "graph_communities_lpa",
     "graph_triangle_stats",
     "join_asof_nearest",
+    "orders_assoc_rules",
+    "events_activity_streaks",
 ]
 
 

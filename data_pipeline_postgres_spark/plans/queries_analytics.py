@@ -2763,3 +2763,172 @@ def q_join_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
         payload=["o_orderkey", "o_totalprice"],
         right_key="o_custkey",
     )
+
+
+@query(
+    "orders_assoc_rules",
+    """
+WITH basket AS (
+    SELECT DISTINCT l.l_orderkey, p.p_brand
+    FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+),
+n AS (SELECT COUNT(DISTINCT l_orderkey) AS n_orders FROM basket),
+na AS (SELECT p_brand, COUNT(*) AS n_a FROM basket GROUP BY 1),
+nab AS (
+    SELECT a.p_brand AS brand_a, b.p_brand AS brand_b, COUNT(*) AS n_ab
+    FROM basket a JOIN basket b
+      ON a.l_orderkey = b.l_orderkey AND a.p_brand <> b.p_brand
+    GROUP BY 1, 2
+)
+SELECT brand_a, brand_b, CAST(n_ab AS BIGINT) AS n_ab,
+       CAST(n_ab AS DOUBLE) / n.n_orders AS support,
+       CAST(n_ab AS DOUBLE) / x.n_a AS confidence,
+       CAST(n_ab AS DOUBLE) * n.n_orders / x.n_a / y.n_a AS lift
+FROM nab
+JOIN na x ON x.p_brand = brand_a
+JOIN na y ON y.p_brand = brand_b, n
+ORDER BY lift DESC, brand_a, brand_b
+LIMIT 20
+""",
+)
+def q_orders_assoc_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Association-rule mining over brand baskets: the 20 directed
+    rules a→b with the highest lift, with support and confidence —
+    the market-basket trio (extends orders_copurchase_pairs' raw
+    counts into the actual recommendation metrics).
+
+    Exactness: every count is an exact integer; support/confidence
+    are ONE division each, lift is the identical left-associated
+    double chain (n_ab·N)/n_a/n_b on both engines (products stay
+    under 2^53). Scale shape: the same narrow basket-array idiom
+    (no basket self-join — pairs explode per-row from the sorted
+    basket, both directions for directed rules); per-brand counts
+    broadcast back onto the |brands|²-bounded pair relation; top-20
+    is TakeOrderedAndProject."""
+    l = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part")
+    basket = (
+        l.join(F.broadcast(p), l["l_partkey"] == p["p_partkey"])
+        .select("l_orderkey", "p_brand")
+        .distinct()
+    )
+    n = basket.agg(F.countDistinct("l_orderkey").alias("n_orders"))
+    na = basket.groupBy(F.col("p_brand")).agg(F.count("*").alias("n_a"))
+    arrs = basket.groupBy("l_orderkey").agg(
+        F.array_sort(F.collect_set("p_brand")).alias("bs")
+    )
+    nab = (
+        arrs.select(
+            F.explode(
+                F.flatten(
+                    F.transform(
+                        F.col("bs"),
+                        lambda a: F.filter(
+                            F.transform(
+                                F.col("bs"),
+                                lambda b: F.struct(
+                                    a.alias("brand_a"), b.alias("brand_b")
+                                ),
+                            ),
+                            lambda s: s["brand_a"] != s["brand_b"],
+                        ),
+                    )
+                )
+            ).alias("e")
+        )
+        .select("e.brand_a", "e.brand_b")
+        .groupBy("brand_a", "brand_b")
+        .agg(F.count("*").alias("n_ab"))
+    )
+    na_a = na.select(
+        F.col("p_brand").alias("_ba"), F.col("n_a").alias("n_a_a")
+    )
+    na_b = na.select(
+        F.col("p_brand").alias("_bb"), F.col("n_a").alias("n_a_b")
+    )
+    return (
+        nab.join(F.broadcast(na_a), F.col("brand_a") == F.col("_ba"))
+        .join(F.broadcast(na_b), F.col("brand_b") == F.col("_bb"))
+        .crossJoin(F.broadcast(n))
+        .select(
+            "brand_a",
+            "brand_b",
+            "n_ab",
+            (F.col("n_ab").cast("double") / F.col("n_orders")).alias(
+                "support"
+            ),
+            (F.col("n_ab").cast("double") / F.col("n_a_a")).alias(
+                "confidence"
+            ),
+            (
+                F.col("n_ab").cast("double")
+                * F.col("n_orders")
+                / F.col("n_a_a")
+                / F.col("n_a_b")
+            ).alias("lift"),
+        )
+        .orderBy(F.desc("lift"), "brand_a", "brand_b")
+        .limit(20)
+    )
+
+
+@query(
+    "events_activity_streaks",
+    """
+WITH daily AS (
+    SELECT DISTINCT user_id, CAST(date_trunc('day', ts) AS DATE) AS day
+    FROM events
+),
+grp AS (
+    SELECT user_id, day,
+           datediff('day', DATE '1995-01-01', day)
+           - row_number() OVER (PARTITION BY user_id ORDER BY day) AS g
+    FROM daily
+),
+streak AS (
+    SELECT user_id, g, COUNT(*) AS len, MIN(day) AS streak_start
+    FROM grp GROUP BY 1, 2
+)
+SELECT user_id, CAST(len AS BIGINT) AS longest_streak, streak_start
+FROM (
+    SELECT *, row_number() OVER (
+        PARTITION BY user_id ORDER BY len DESC, streak_start
+    ) AS rn FROM streak
+) WHERE rn = 1
+""",
+)
+def q_events_activity_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gaps-and-islands: each user's longest run of consecutive active
+    days and when it started (tiebreak: earliest). The classic
+    day-index-minus-row-number island key — all integers/dates, fully
+    hash-checked. Scale shape: one (user, day) distinct shuffle, then
+    every window/aggregate rides the same user_id partitioning (one
+    Exchange; calendar-bounded per-user partitions)."""
+    daily = (
+        _t(spark, sf_dir, "events")
+        .select(
+            "user_id", F.date_trunc("day", "ts").cast("date").alias("day")
+        )
+        .distinct()
+    )
+    w = Window.partitionBy("user_id").orderBy("day")
+    grp = daily.withColumn(
+        "g",
+        F.datediff(F.col("day"), F.lit("1995-01-01").cast("date"))
+        - F.row_number().over(w),
+    )
+    streak = grp.groupBy("user_id", "g").agg(
+        F.count("*").alias("len"), F.min("day").alias("streak_start")
+    )
+    pick = Window.partitionBy("user_id").orderBy(
+        F.desc("len"), F.asc("streak_start")
+    )
+    return (
+        streak.withColumn("rn", F.row_number().over(pick))
+        .filter(F.col("rn") == 1)
+        .select(
+            "user_id",
+            F.col("len").alias("longest_streak"),
+            "streak_start",
+        )
+    )

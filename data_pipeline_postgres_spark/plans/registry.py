@@ -94,15 +94,15 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "graph_communities_lpa",
     "graph_triangle_stats",
     "join_asof_nearest",
+    "orders_assoc_rules",
+    "events_activity_streaks",
     # (d) refresh filler: oldest driver evidence first (r2 rows)
     "project_star",
     "project_cols",
     "filter_date_range",
     "cast_numeric",
     "arith_mul",
-    "arith_div",
-    "drop_col",
-    # (29 round-6-era filler rows dropped to keep the window at the
+    # (31 round-6-era filler rows dropped to keep the window at the
     # driver's exact 50-slot size; they retain their r2 evidence and
     # rotate back in once the round-7 additions have fresh rows)
 )
