@@ -110,6 +110,7 @@ EXT_HEADLINE = [
     "join_asof_nearest",
     "orders_assoc_rules",
     "events_activity_streaks",
+    "events_markov_transitions",
 ]
 
 

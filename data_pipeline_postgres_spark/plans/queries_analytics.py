@@ -2932,3 +2932,62 @@ def q_events_activity_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
             "streak_start",
         )
     )
+
+
+@query(
+    "events_markov_transitions",
+    """
+WITH seq AS (
+    SELECT user_id, event_type,
+           lead(event_type) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+           ) AS next_type
+    FROM events
+),
+n AS (
+    SELECT event_type AS from_type, next_type AS to_type, COUNT(*) AS n
+    FROM seq WHERE next_type IS NOT NULL GROUP BY 1, 2
+),
+tot AS (SELECT from_type, SUM(n) AS t FROM n GROUP BY 1)
+SELECT n.from_type, n.to_type, CAST(n.n AS BIGINT) AS n,
+       CAST(n.n AS DOUBLE) / CAST(t AS DOUBLE) AS prob
+FROM n JOIN tot USING (from_type)
+ORDER BY from_type, to_type
+""",
+)
+def q_events_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over per-user event
+    sequences: P(next event type | current), the session-flow /
+    next-action-prediction primitive. The (ts, event_id) sort key is
+    unique so every lead() is deterministic; counts are exact ints
+    with ONE division. Scale shape: one user_id window shuffle (the
+    same Exchange the session/funnel family uses), then a
+    |types|²-bounded aggregate; row totals broadcast back."""
+    seq = _t(spark, sf_dir, "events").select(
+        "user_id",
+        "event_type",
+        F.lead("event_type")
+        .over(Window.partitionBy("user_id").orderBy("ts", "event_id"))
+        .alias("next_type"),
+    )
+    n = (
+        seq.filter(F.col("next_type").isNotNull())
+        .groupBy(
+            F.col("event_type").alias("from_type"),
+            F.col("next_type").alias("to_type"),
+        )
+        .agg(F.count("*").alias("n"))
+    )
+    tot = n.groupBy("from_type").agg(F.sum("n").alias("t"))
+    return (
+        n.join(F.broadcast(tot), "from_type")
+        .select(
+            "from_type",
+            "to_type",
+            "n",
+            (F.col("n").cast("double") / F.col("t").cast("double")).alias(
+                "prob"
+            ),
+        )
+        .orderBy("from_type", "to_type")
+    )
