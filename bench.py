@@ -111,6 +111,7 @@ EXT_HEADLINE = [
     "orders_assoc_rules",
     "events_activity_streaks",
     "events_markov_transitions",
+    "docs_chunk_overlap",
 ]
 
 

@@ -2741,3 +2741,58 @@ def q_emb_knn_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
     neighbors (deterministic tiebreaks → hash-checked; see
     operators/similarity.knn_classify)."""
     return similarity.knn_classify(_emb(spark, sf_dir))
+
+
+@query(
+    "docs_chunk_overlap",
+    r"""
+WITH toks AS (
+    SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w
+    FROM documents
+)
+SELECT doc_id, CAST((i - 1) / 25 AS BIGINT) AS chunk_id,
+       list_aggregate(w[i:least(i + 49, len(w))], 'string_agg', ' ')
+           AS chunk_text,
+       CAST(least(i + 49, len(w)) - i + 1 AS BIGINT) AS n_tokens
+FROM toks, unnest(range(1, len(w) + 1, 25)) AS t(i)
+WHERE i = 1 OR i + 49 <= len(w) + 24
+""",
+)
+def q_docs_chunk_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAG-prep chunking: split every document into 50-token windows
+    with 25-token stride (50% overlap) → (doc_id, chunk_id,
+    chunk_text, n_tokens). Map-only: the token array slices per-row
+    with higher-order functions (zero Exchange — the chunk stream
+    partitions exactly like its source, ready for partitioned
+    parquet or an embedding pass downstream). Stride math is all
+    integer, so the oracle hashes identically."""
+    from ..functions import text as TX
+
+    stride, size = 25, 50
+    toks = TX.tokens("text")
+    n = F.size(toks)
+    starts = F.sequence(F.lit(1), n, F.lit(stride))
+    chunks = F.transform(
+        starts,
+        lambda i: F.struct(
+            i.alias("start"),
+            ((i - 1) / stride).cast("bigint").alias("chunk_id"),
+            F.array_join(
+                F.slice(toks, i, F.least(i + size - 1, n) - i + 1), " "
+            ).alias("chunk_text"),
+            (F.least(i + size - 1, n) - i + 1)
+            .cast("bigint")
+            .alias("n_tokens"),
+        ),
+    )
+    # drop tail starts already fully covered by the previous chunk:
+    # keep i==1 or i + size-1 <= n + (stride-1)  (mirrors the oracle)
+    return (
+        _docs(spark, sf_dir)
+        .select("doc_id", F.size(toks).alias("_n"), F.explode(chunks).alias("c"))
+        .filter(
+            (F.col("c.start") == 1)
+            | (F.col("c.start") + (size - 1) <= F.col("_n") + (stride - 1))
+        )
+        .select("doc_id", "c.chunk_id", "c.chunk_text", "c.n_tokens")
+    )

@@ -61,6 +61,11 @@ SHOWCASE = [
     "graph_communities_lpa",
     "graph_triangle_stats",
     "emb_knn_classify",
+    "join_asof_nearest",
+    "orders_assoc_rules",
+    "events_activity_streaks",
+    "events_markov_transitions",
+    "docs_chunk_overlap",
 ]
 
 
