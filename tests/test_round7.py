@@ -530,3 +530,29 @@ class TestAsofNearest:
         plan = df._jdf.queryExecution().executedPlan().toString()
         n_hash_exchanges = plan.count("Exchange hashpartitioning(_k")
         assert n_hash_exchanges == 1, plan[:2000]
+
+
+class TestRound7PlanShapes:
+    """Physical-plan contracts behind the docstring claims."""
+
+    def _plan(self, spark, name):
+        df = registry.QUERIES[name](spark, SF_SMOKE)
+        return df._jdf.queryExecution().executedPlan().toString()
+
+    def test_map_only_ops_have_zero_exchange(self, spark):
+        for name in ("docs_gopher_quality", "docs_chunk_overlap"):
+            plan = self._plan(spark, name)
+            assert "Exchange" not in plan, f"{name}: {plan[:1500]}"
+
+    def test_tpch_q9_broadcasts_part_semi_join(self, spark):
+        plan = self._plan(spark, "tpch_q9_product_profit")
+        assert "LeftSemi, BuildRight" in plan, plan[:1500]
+        assert "CartesianProduct" not in plan
+
+    def test_triangle_join_no_cartesian(self, spark):
+        plan = self._plan(spark, "graph_triangle_stats")
+        assert "CartesianProduct" not in plan
+
+    def test_knn_classify_windowgrouplimit(self, spark):
+        plan = self._plan(spark, "emb_knn_classify")
+        assert "WindowGroupLimit" in plan, plan[:1500]
