@@ -112,6 +112,8 @@ EXT_HEADLINE = [
     "events_activity_streaks",
     "events_markov_transitions",
     "docs_chunk_overlap",
+    "stream_gopher_filter",
+    "orders_cohort_ltv",
 ]
 
 

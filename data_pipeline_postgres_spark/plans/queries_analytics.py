@@ -2991,3 +2991,54 @@ def q_events_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("from_type", "to_type")
     )
+
+
+@query(
+    "orders_cohort_ltv",
+    """
+WITH first_order AS (
+    SELECT o_custkey, MIN(o_orderdate) AS fd FROM orders GROUP BY 1
+),
+aged AS (
+    SELECT CAST(date_trunc('month', f.fd) AS DATE) AS cohort_month,
+           (EXTRACT(year FROM o.o_orderdate) - EXTRACT(year FROM f.fd)) * 12
+           + (EXTRACT(month FROM o.o_orderdate) - EXTRACT(month FROM f.fd))
+               AS age_months,
+           o.o_totalprice, o.o_custkey
+    FROM orders o JOIN first_order f USING (o_custkey)
+)
+SELECT cohort_month, CAST(age_months AS BIGINT) AS age_months,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+       COUNT(DISTINCT o_custkey) AS n_active_customers
+FROM aged
+GROUP BY 1, 2
+""",
+)
+def q_orders_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort lifetime-value matrix: customers grouped by first-order
+    month, revenue and active-customer counts accumulated per
+    integer month-age — the LTV companion of the retention matrix
+    (events_retention_cohorts). Month arithmetic is all-integer
+    (year·12+month differences) and revenue is an exact decimal sum,
+    so the matrix hashes identically. Scale shape: the first-order
+    aggregate and the enrich join share the o_custkey shuffle (AQE
+    co-partitions); the final aggregate is calendar²-bounded."""
+    o = _t(spark, sf_dir, "orders")
+    first = o.groupBy("o_custkey").agg(F.min("o_orderdate").alias("fd"))
+    aged = o.join(first, "o_custkey").select(
+        F.date_trunc("month", "fd").cast("date").alias("cohort_month"),
+        (
+            (F.year("o_orderdate") - F.year("fd")) * 12
+            + (F.month("o_orderdate") - F.month("fd"))
+        ).alias("age_months"),
+        "o_totalprice",
+        "o_custkey",
+    )
+    return aged.groupBy(
+        "cohort_month", F.col("age_months").cast("bigint").alias("age_months")
+    ).agg(
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("revenue"),
+        F.countDistinct("o_custkey").alias("n_active_customers"),
+    )

@@ -2633,12 +2633,12 @@ m AS (
            CAST(len(list_filter(w, tok -> regexp_matches(tok, '[a-zA-Z]')))
                 AS DOUBLE) / len(w) AS alpha_word_frac,
            CAST(list_contains(w, 'the') AS INT)
-           + CAST(list_contains(w, 'be') AS INT)
+           + CAST(list_contains(w, 'a') AS INT)
            + CAST(list_contains(w, 'to') AS INT)
            + CAST(list_contains(w, 'of') AS INT)
            + CAST(list_contains(w, 'and') AS INT)
            + CAST(list_contains(w, 'that') AS INT)
-           + CAST(list_contains(w, 'have') AS INT)
+           + CAST(list_contains(w, 'in') AS INT)
            + CAST(list_contains(w, 'with') AS INT) AS stop_hits
     FROM t
 )
@@ -2796,3 +2796,45 @@ def q_docs_chunk_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("doc_id", "c.chunk_id", "c.chunk_text", "c.n_tokens")
     )
+
+
+@query(
+    "stream_gopher_filter",
+    r"""
+WITH t AS (
+    SELECT doc_id, text,
+           regexp_split_to_array(trim(text), '\s+') AS w,
+           length(trim(text)) AS charlen
+    FROM documents
+),
+m AS (
+    SELECT doc_id,
+           len(w) AS n,
+           CAST(charlen - (len(w) - 1) AS DOUBLE) / len(w) AS mwl,
+           CAST(len(regexp_extract_all(text, '#|\.\.\.|…')) AS DOUBLE)
+               / len(w) AS sr,
+           CAST(len(list_filter(w, tok -> regexp_matches(tok, '[a-zA-Z]')))
+                AS DOUBLE) / len(w) AS awf,
+           CAST(list_contains(w, 'the') AS INT)
+           + CAST(list_contains(w, 'a') AS INT)
+           + CAST(list_contains(w, 'to') AS INT)
+           + CAST(list_contains(w, 'of') AS INT)
+           + CAST(list_contains(w, 'and') AS INT)
+           + CAST(list_contains(w, 'that') AS INT)
+           + CAST(list_contains(w, 'in') AS INT)
+           + CAST(list_contains(w, 'with') AS INT) AS stop_hits
+    FROM t
+)
+SELECT doc_id, CAST(n AS BIGINT) AS n_words,
+       CAST(stop_hits AS BIGINT) AS stop_hits
+FROM m
+WHERE n >= 50 AND n <= 100000 AND mwl >= 3.0 AND mwl <= 10.0
+  AND sr <= 0.1 AND awf >= 0.8 AND stop_hits >= 2
+""",
+)
+def q_stream_gopher_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming ingest-time quality gate: micro-batched documents
+    flow through the stateless Gopher rule filter (no state store, no
+    shuffle) and survivors spool out — equals the batch filter, which
+    is the oracle (streaming/jobs.gopher_filter_stream)."""
+    return stream_jobs.gopher_filter_stream(spark, sf_dir)

@@ -98,11 +98,11 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "events_activity_streaks",
     "events_markov_transitions",
     "docs_chunk_overlap",
+    "stream_gopher_filter",
+    "orders_cohort_ltv",
     # (d) refresh filler: oldest driver evidence first (r2 rows)
     "project_star",
-    "project_cols",
-    "filter_date_range",
-    # (33 round-6-era filler rows dropped to keep the window at the
+    # (35 round-6-era filler rows dropped to keep the window at the
     # driver's exact 50-slot size; they retain their r2 evidence and
     # rotate back in once the round-7 additions have fresh rows)
 )

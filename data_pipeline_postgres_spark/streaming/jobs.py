@@ -837,3 +837,48 @@ def hll_rollup_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         q.awaitTermination()
     return spark.table("stream_hll_rollup")
+
+
+def gopher_filter_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming curation gate: documents arrive as a file stream (3
+    micro-batches) and each batch passes through the STATELESS Gopher
+    rule table (textstats.gopher_quality) — a pure map-only filter,
+    so the streaming plan needs no state store, no watermark, and no
+    shuffle; survivors append straight to the curated spool. This is
+    the production ingest-time quality gate: documents are scored the
+    moment they land, never in a separate batch sweep.
+
+    AvailableNow drain over a deterministic split ⇒ the spool equals
+    the batch filter — the oracle is the batch Gopher SQL with
+    WHERE gopher_pass.
+    """
+    from ..operators import textstats
+
+    docs = load_table(spark, sf_dir, "documents")
+    src = _scratch("gopher_src")
+    for i in range(3):
+        docs.filter(F.col("doc_id") % 3 == i).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+    spool = _scratch("gopher_spool")
+
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    scored = textstats.gopher_quality(stream).filter(F.col("gopher_pass"))
+    out = scored.select("doc_id", "n_words", "stop_hits")
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df.write.mode("append").parquet(spool)
+
+    q = (
+        out.writeStream.foreachBatch(sink)
+        .outputMode("append")
+        .option("checkpointLocation", _scratch("gopher_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.read.parquet(spool)
