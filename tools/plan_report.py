@@ -66,6 +66,7 @@ SHOWCASE = [
     "events_activity_streaks",
     "events_markov_transitions",
     "docs_chunk_overlap",
+    "orders_cohort_ltv",
 ]
 
 
