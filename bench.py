@@ -114,6 +114,9 @@ EXT_HEADLINE = [
     "docs_chunk_overlap",
     "stream_gopher_filter",
     "orders_cohort_ltv",
+    "graph_degree_stats",
+    "events_hourly_seasonality",
+    "customer_churn_inactive",
 ]
 
 

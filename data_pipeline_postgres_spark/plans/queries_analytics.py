@@ -3042,3 +3042,142 @@ def q_orders_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("revenue"),
         F.countDistinct("o_custkey").alias("n_active_customers"),
     )
+
+
+@query(
+    "graph_degree_stats",
+    """
+WITH basket AS (
+    SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+),
+e AS (
+    SELECT a.l_partkey AS src, b.l_partkey AS dst
+    FROM basket a JOIN basket b
+      ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    GROUP BY 1, 2 HAVING COUNT(*) >= 2
+),
+deg AS (
+    SELECT node, COUNT(*) AS d FROM (
+        SELECT src AS node FROM e UNION ALL SELECT dst FROM e
+    ) GROUP BY 1
+)
+SELECT CAST(d AS BIGINT) AS degree, COUNT(*) AS n_nodes
+FROM deg GROUP BY 1 ORDER BY degree
+""",
+)
+def q_graph_degree_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree distribution of the strong co-purchase subgraph (how
+    connectivity is spread — the skew/hub diagnostic read before
+    choosing broadcast vs shuffle for graph supersteps). Reads the
+    STORED edge index; all-integer counting, hash-checked."""
+    edges = _copurchase_edge_index(spark, sf_dir).filter(
+        (F.col("weight") >= 2) & (F.col("src") < F.col("dst"))
+    )
+    deg = (
+        edges.select(F.col("src").alias("node"))
+        .unionAll(edges.select(F.col("dst").alias("node")))
+        .groupBy("node")
+        .agg(F.count("*").alias("degree"))
+    )
+    return (
+        deg.groupBy("degree")
+        .agg(F.count("*").alias("n_nodes"))
+        .orderBy("degree")
+    )
+
+
+@query(
+    "events_hourly_seasonality",
+    """
+WITH h AS (
+    SELECT event_type,
+           CAST(EXTRACT(hour FROM ts) AS BIGINT) AS hour_of_day,
+           COUNT(*) AS n
+    FROM events GROUP BY 1, 2
+),
+tot AS (SELECT event_type, SUM(n) AS t FROM h GROUP BY 1)
+SELECT h.event_type, h.hour_of_day, CAST(h.n AS BIGINT) AS n,
+       CAST(h.n AS DOUBLE) / CAST(t AS DOUBLE) AS share
+FROM h JOIN tot USING (event_type)
+ORDER BY event_type, hour_of_day
+""",
+)
+def q_events_hourly_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hour-of-day activity profile per event type (the capacity /
+    traffic-shaping seasonality curve): count and within-type share
+    for each of the 24 hours. One map-side-combined count shuffle to
+    a 24·|types| relation; totals broadcast back. Exact ints, one
+    division — hash-checked."""
+    h = (
+        _t(spark, sf_dir, "events")
+        .groupBy(
+            "event_type",
+            F.hour("ts").cast("bigint").alias("hour_of_day"),
+        )
+        .agg(F.count("*").alias("n"))
+    )
+    tot = h.groupBy("event_type").agg(F.sum("n").alias("t"))
+    return (
+        h.join(F.broadcast(tot), "event_type")
+        .select(
+            "event_type",
+            "hour_of_day",
+            "n",
+            (F.col("n").cast("double") / F.col("t").cast("double")).alias(
+                "share"
+            ),
+        )
+        .orderBy("event_type", "hour_of_day")
+    )
+
+
+@query(
+    "customer_churn_inactive",
+    """
+WITH cutoff AS (
+    SELECT MAX(o_orderdate) - INTERVAL 90 DAY AS c FROM orders
+),
+active AS (
+    SELECT DISTINCT o_custkey FROM orders, cutoff WHERE o_orderdate > c
+)
+SELECT o.o_custkey AS custkey,
+       COUNT(*) AS n_orders,
+       CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+           AS lifetime_value,
+       MAX(o.o_orderdate) AS last_order
+FROM orders o
+WHERE NOT EXISTS (
+    SELECT 1 FROM active a WHERE a.o_custkey = o.o_custkey
+)
+GROUP BY 1
+""",
+)
+def q_customer_churn_inactive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Churn candidates: customers with NO order in the 90 days
+    before the dataset's last order date, with order count, exact-
+    decimal lifetime value, and last-order date — the win-back
+    campaign feed. Plan shape: the cutoff is a 1-row broadcast
+    scalar; the recently-active key set prunes via a broadcast
+    anti-join (it is far smaller than the customer dimension); one
+    custkey aggregate. Hash-checked."""
+    o = _t(spark, sf_dir, "orders")
+    cutoff = o.agg(
+        F.date_sub(F.max("o_orderdate").cast("date"), 90).alias("c")
+    )
+    active = (
+        o.crossJoin(F.broadcast(cutoff))
+        .filter(F.col("o_orderdate").cast("date") > F.col("c"))
+        .select("o_custkey")
+        .distinct()
+    )
+    return (
+        o.join(F.broadcast(active), "o_custkey", "left_anti")
+        .groupBy(F.col("o_custkey").alias("custkey"))
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("lifetime_value"),
+            F.max("o_orderdate").alias("last_order"),
+        )
+    )
