@@ -117,6 +117,8 @@ EXT_HEADLINE = [
     "graph_degree_stats",
     "events_hourly_seasonality",
     "customer_churn_inactive",
+    "events_user_diversity",
+    "orders_interarrival_stats",
 ]
 
 

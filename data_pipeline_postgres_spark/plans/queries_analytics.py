@@ -3181,3 +3181,104 @@ def q_customer_churn_inactive(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("o_orderdate").alias("last_order"),
         )
     )
+
+
+@query(
+    "events_user_diversity",
+    """
+WITH pt AS (
+    SELECT user_id, event_type, COUNT(*) AS n
+    FROM events GROUP BY 1, 2
+),
+agg AS (
+    SELECT user_id, SUM(n) AS total, SUM(n * n) AS sum_sq,
+           COUNT(*) AS n_types
+    FROM pt GROUP BY 1
+)
+SELECT user_id, CAST(total AS BIGINT) AS n_events,
+       CAST(n_types AS BIGINT) AS n_types,
+       1.0 - CAST(sum_sq AS DOUBLE) / (CAST(total AS DOUBLE) * total)
+           AS simpson_diversity
+FROM agg
+""",
+)
+def q_events_user_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user behavioral diversity via the Gini-Simpson index
+    1 − Σpᵢ² (probability two random events differ in type) — the
+    entropy-style engagement-breadth metric WITHOUT log(), whose
+    last-ulp libm differences would break cross-engine hashing
+    (same determinism rationale as text_rarity_score). All-integer
+    sums, one double expression. Two map-side-combined shuffles that
+    both key on user_id — AQE reuses the partitioning."""
+    pt = (
+        _t(spark, sf_dir, "events")
+        .groupBy("user_id", "event_type")
+        .agg(F.count("*").alias("n"))
+    )
+    agg = pt.groupBy("user_id").agg(
+        F.sum("n").alias("total"),
+        F.sum(F.col("n") * F.col("n")).alias("sum_sq"),
+        F.count("*").alias("n_types"),
+    )
+    return agg.select(
+        "user_id",
+        F.col("total").alias("n_events"),
+        F.col("n_types"),
+        (
+            F.lit(1.0)
+            - F.col("sum_sq").cast("double")
+            / (F.col("total").cast("double") * F.col("total"))
+        ).alias("simpson_diversity"),
+    )
+
+
+@query(
+    "orders_interarrival_stats",
+    """
+WITH gaps AS (
+    SELECT o_custkey,
+           datediff('day',
+               lag(o_orderdate) OVER (
+                   PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+               ),
+               o_orderdate) AS gap
+    FROM orders
+)
+SELECT o_custkey AS custkey,
+       COUNT(*) AS n_gaps,
+       CAST(SUM(gap) AS DOUBLE) / COUNT(*) AS mean_gap_days,
+       quantile_cont(gap, 0.5) AS median_gap_days
+FROM gaps WHERE gap IS NOT NULL
+GROUP BY 1 HAVING COUNT(*) >= 2
+""",
+)
+def q_orders_interarrival_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Purchase-rhythm profile: mean and exact median days between a
+    customer's consecutive orders (≥ 2 gaps) — the reorder-cadence
+    input to replenishment forecasting. Integer day gaps make the
+    median a dyadic rational (hash-exact, same rationale as
+    events_anomaly_mad) and the mean one double division; the lag
+    window and the aggregate share the custkey shuffle. Per-group
+    percentile state is bounded by orders-per-customer."""
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    gaps = (
+        _t(spark, sf_dir, "orders")
+        .select(
+            "o_custkey",
+            F.datediff(
+                F.col("o_orderdate"), F.lag("o_orderdate").over(w)
+            ).alias("gap"),
+        )
+        .filter(F.col("gap").isNotNull())
+    )
+    return (
+        gaps.groupBy(F.col("o_custkey").alias("custkey"))
+        .agg(
+            F.count("*").alias("n_gaps"),
+            (F.sum("gap").cast("double") / F.count("*")).alias(
+                "mean_gap_days"
+            ),
+            F.percentile("gap", F.lit(0.5)).alias("median_gap_days"),
+        )
+        .filter(F.col("n_gaps") >= 2)
+    )
