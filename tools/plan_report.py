@@ -67,6 +67,9 @@ SHOWCASE = [
     "events_markov_transitions",
     "docs_chunk_overlap",
     "orders_cohort_ltv",
+    "customer_churn_inactive",
+    "events_user_diversity",
+    "orders_interarrival_stats",
 ]
 
 
