@@ -119,6 +119,8 @@ EXT_HEADLINE = [
     "customer_churn_inactive",
     "events_user_diversity",
     "orders_interarrival_stats",
+    "events_attribution_first_touch",
+    "docs_curation_funnel",
 ]
 
 

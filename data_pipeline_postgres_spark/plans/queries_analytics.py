@@ -3282,3 +3282,67 @@ def q_orders_interarrival_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("n_gaps") >= 2)
     )
+
+
+@query(
+    "events_attribution_first_touch",
+    """
+WITH conv AS (
+    SELECT event_id AS conv_id, user_id, ts AS conv_ts
+    FROM events WHERE event_type = 'purchase'
+),
+touch AS (
+    SELECT user_id, ts, event_id, event_type
+    FROM events WHERE event_type <> 'purchase'
+),
+attributed AS (
+    SELECT conv_id, event_type FROM (
+        SELECT c.conv_id, t.event_type,
+               row_number() OVER (
+                   PARTITION BY c.conv_id ORDER BY t.ts, t.event_id
+               ) AS rn
+        FROM conv c JOIN touch t
+          ON t.user_id = c.user_id
+         AND t.ts < c.conv_ts
+         AND t.ts >= c.conv_ts - INTERVAL 7 DAY
+    ) WHERE rn = 1
+)
+SELECT event_type AS channel, COUNT(*) AS n_conversions
+FROM attributed GROUP BY 1 ORDER BY n_conversions DESC, channel
+""",
+)
+def q_events_attribution_first_touch(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """First-touch attribution: each purchase credits the FIRST
+    non-purchase event of the same user in the preceding 7 days; the
+    report counts conversions per channel. The (ts, event_id)
+    ordering makes the credited touch deterministic. Scale shape:
+    the touch↔conversion band join is co-keyed on user_id (one
+    shuffle each side) and its fan-out is bounded by
+    events-per-user-week, not events² — the same banded-interval
+    discipline as join_range_banded; the per-conversion argmin is a
+    rank-limited window on the conversion key."""
+    ev = _t(spark, sf_dir, "events")
+    conv = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("conv_id"),
+        F.col("user_id").alias("cu"),
+        F.col("ts").alias("conv_ts"),
+    )
+    touch = ev.filter(F.col("event_type") != "purchase").select(
+        "user_id", "ts", "event_id", "event_type"
+    )
+    j = conv.join(
+        touch,
+        (F.col("user_id") == F.col("cu"))
+        & (F.col("ts") < F.col("conv_ts"))
+        & (F.col("ts") >= F.col("conv_ts") - F.expr("INTERVAL 7 DAYS")),
+    )
+    w = Window.partitionBy("conv_id").orderBy("ts", "event_id")
+    return (
+        j.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .groupBy(F.col("event_type").alias("channel"))
+        .agg(F.count("*").alias("n_conversions"))
+        .orderBy(F.desc("n_conversions"), "channel")
+    )

@@ -2838,3 +2838,101 @@ def q_stream_gopher_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffle) and survivors spool out — equals the batch filter, which
     is the oracle (streaming/jobs.gopher_filter_stream)."""
     return stream_jobs.gopher_filter_stream(spark, sf_dir)
+
+
+@query(
+    "docs_curation_funnel",
+    r"""
+WITH t AS (
+    SELECT doc_id, text,
+           regexp_split_to_array(trim(text), '\s+') AS w,
+           length(trim(text)) AS charlen
+    FROM documents
+),
+g AS (
+    SELECT doc_id FROM (
+        SELECT doc_id,
+               len(w) AS n,
+               CAST(charlen - (len(w) - 1) AS DOUBLE) / len(w) AS mwl,
+               CAST(len(regexp_extract_all(text, '#|\.\.\.|…')) AS DOUBLE)
+                   / len(w) AS sr,
+               CAST(len(list_filter(w,
+                    tok -> regexp_matches(tok, '[a-zA-Z]'))) AS DOUBLE)
+                   / len(w) AS awf,
+               CAST(list_contains(w, 'the') AS INT)
+               + CAST(list_contains(w, 'a') AS INT)
+               + CAST(list_contains(w, 'to') AS INT)
+               + CAST(list_contains(w, 'of') AS INT)
+               + CAST(list_contains(w, 'and') AS INT)
+               + CAST(list_contains(w, 'that') AS INT)
+               + CAST(list_contains(w, 'in') AS INT)
+               + CAST(list_contains(w, 'with') AS INT) AS sh
+        FROM t
+    ) WHERE n >= 50 AND n <= 100000 AND mwl >= 3.0 AND mwl <= 10.0
+        AND sr <= 0.1 AND awf >= 0.8 AND sh >= 2
+),
+wins AS (
+    SELECT DISTINCT doc_id,
+           md5(list_aggregate(w[i:i+9], 'string_agg', ' ')) AS wh
+    FROM t, unnest(range(1, len(w) - 8)) AS u(i)
+    WHERE len(w) >= 10
+),
+dup AS (SELECT wh FROM wins GROUP BY wh HAVING COUNT(*) > 1),
+frac AS (
+    SELECT doc_id,
+           CAST(SUM(CASE WHEN wh IN (SELECT wh FROM dup)
+                         THEN 1 ELSE 0 END) AS DOUBLE)
+           / COUNT(*) AS dup_frac
+    FROM wins GROUP BY 1
+),
+clean AS (
+    SELECT g.doc_id FROM g LEFT JOIN frac USING (doc_id)
+    WHERE COALESCE(dup_frac, 0.0) < 0.5
+)
+SELECT (SELECT COUNT(*) FROM documents) AS n_total,
+       (SELECT COUNT(*) FROM g) AS n_quality,
+       (SELECT COUNT(*) FROM clean) AS n_clean,
+       CAST((SELECT COUNT(*) FROM clean) AS DOUBLE)
+           / (SELECT COUNT(*) FROM documents) AS retention_rate
+""",
+)
+def q_docs_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The curation funnel in one row: corpus size → Gopher-quality
+    survivors → survivors whose duplicated-substring coverage is
+    under 50% — the attrition report every dataset build publishes
+    beside its final corpus (composes docs_gopher_quality and
+    dedup_substring_windows; hash-checked). Scale: each stage is the
+    underlying operator's linear shape; the three counts are 1-row
+    aggregates joined by literal keys."""
+    from ..operators import dedup as D
+    from ..operators import textstats as TS
+
+    docs = _docs(spark, sf_dir)
+    quality = (
+        TS.gopher_quality(docs).filter(F.col("gopher_pass")).select("doc_id")
+    )
+    frac = D.substring_dup_stats(docs, 10).select("doc_id", "dup_frac")
+    clean = quality.join(frac, "doc_id", "left").filter(
+        F.coalesce("dup_frac", F.lit(0.0)) < 0.5
+    )
+    n_total = docs.agg(F.count("*").alias("n_total")).withColumn(
+        "_k", F.lit(1)
+    )
+    n_quality = quality.agg(F.count("*").alias("n_quality")).withColumn(
+        "_k", F.lit(1)
+    )
+    n_clean = clean.agg(F.count("*").alias("n_clean")).withColumn(
+        "_k", F.lit(1)
+    )
+    return (
+        n_total.join(n_quality, "_k")
+        .join(n_clean, "_k")
+        .select(
+            "n_total",
+            "n_quality",
+            "n_clean",
+            (
+                F.col("n_clean").cast("double") / F.col("n_total")
+            ).alias("retention_rate"),
+        )
+    )
