@@ -121,6 +121,7 @@ EXT_HEADLINE = [
     "orders_interarrival_stats",
     "events_attribution_first_touch",
     "docs_curation_funnel",
+    "profile_corr_matrix",
 ]
 
 

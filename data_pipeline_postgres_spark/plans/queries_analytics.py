@@ -3346,3 +3346,96 @@ def q_events_attribution_first_touch(
         .agg(F.count("*").alias("n_conversions"))
         .orderBy(F.desc("n_conversions"), "channel")
     )
+
+
+def _corr_sql(a: str, b: str) -> str:
+    """Snap-6 Pearson from the named moment columns (oracle side)."""
+    return (
+        f"floor((n * CAST(s{a}{b} AS DOUBLE)"
+        f" - CAST(s{a} AS DOUBLE) * CAST(s{b} AS DOUBLE))"
+        f" / (sqrt(n * CAST(s{a}{a} AS DOUBLE)"
+        f" - CAST(s{a} AS DOUBLE) * CAST(s{a} AS DOUBLE))"
+        f" * sqrt(n * CAST(s{b}{b} AS DOUBLE)"
+        f" - CAST(s{b} AS DOUBLE) * CAST(s{b} AS DOUBLE)))"
+        f" * 1000000 + 0.5) / 1000000 AS corr_{a}{b}"
+    )
+
+
+_CORR_MATRIX_ORACLE = f"""
+WITH g AS (
+    SELECT CAST(CAST(l_quantity AS DECIMAL(12,2)) * 100 AS BIGINT) AS q,
+           CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * 100 AS BIGINT) AS p,
+           CAST(CAST(l_discount AS DECIMAL(12,2)) * 100 AS BIGINT) AS d,
+           CAST(CAST(l_tax AS DECIMAL(12,2)) * 100 AS BIGINT) AS t
+    FROM lineitem
+),
+a AS (
+    SELECT COUNT(*) AS n,
+           SUM(CAST(q AS DECIMAL(19,0))) AS sq,
+           SUM(CAST(p AS DECIMAL(19,0))) AS sp,
+           SUM(CAST(d AS DECIMAL(19,0))) AS sd,
+           SUM(CAST(t AS DECIMAL(19,0))) AS st,
+           SUM(CAST(q AS DECIMAL(19,0)) * CAST(q AS DECIMAL(19,0))) AS sqq,
+           SUM(CAST(p AS DECIMAL(19,0)) * CAST(p AS DECIMAL(19,0))) AS spp,
+           SUM(CAST(d AS DECIMAL(19,0)) * CAST(d AS DECIMAL(19,0))) AS sdd,
+           SUM(CAST(t AS DECIMAL(19,0)) * CAST(t AS DECIMAL(19,0))) AS stt,
+           SUM(CAST(q AS DECIMAL(19,0)) * CAST(p AS DECIMAL(19,0))) AS sqp,
+           SUM(CAST(q AS DECIMAL(19,0)) * CAST(d AS DECIMAL(19,0))) AS sqd,
+           SUM(CAST(q AS DECIMAL(19,0)) * CAST(t AS DECIMAL(19,0))) AS sqt,
+           SUM(CAST(p AS DECIMAL(19,0)) * CAST(d AS DECIMAL(19,0))) AS spd,
+           SUM(CAST(p AS DECIMAL(19,0)) * CAST(t AS DECIMAL(19,0))) AS spt,
+           SUM(CAST(d AS DECIMAL(19,0)) * CAST(t AS DECIMAL(19,0))) AS sdt
+    FROM g
+)
+SELECT n,
+       {_corr_sql('q', 'p')}, {_corr_sql('q', 'd')}, {_corr_sql('q', 't')},
+       {_corr_sql('p', 'd')}, {_corr_sql('p', 't')}, {_corr_sql('d', 't')}
+FROM a
+"""
+
+
+@query("profile_corr_matrix", _CORR_MATRIX_ORACLE)
+def q_profile_corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full pairwise Pearson matrix over lineitem's four numeric
+    measures (quantity, price, discount, tax) in ONE scan: all 15
+    power sums ride a single map-side-combined global aggregate as
+    exact integer-cent DECIMALs (agg_corr_exact's determinism
+    discipline, widened to a matrix), then the 6 correlations
+    combine in double once and snap to 6 digits. The one-pass
+    many-statistics shape a profiler wants at 100 TB — the scan cost
+    is paid once however many cells the matrix has."""
+    li = _t(spark, sf_dir, "lineitem")
+
+    def cents(col: str) -> F.Column:
+        return (F.col(col).cast("decimal(12,2)") * 100).cast("bigint")
+
+    cols = {
+        "q": "l_quantity",
+        "p": "l_extendedprice",
+        "d": "l_discount",
+        "t": "l_tax",
+    }
+    g = li.select(
+        *[cents(src).cast("decimal(19,0)").alias(k) for k, src in cols.items()]
+    )
+    pairs = [("q", "p"), ("q", "d"), ("q", "t"), ("p", "d"), ("p", "t"), ("d", "t")]
+    aggs = [F.count("*").alias("n")]
+    aggs += [F.sum(k).alias(f"s{k}") for k in cols]
+    aggs += [F.sum(F.col(k) * F.col(k)).alias(f"s{k}{k}") for k in cols]
+    aggs += [F.sum(F.col(a) * F.col(b)).alias(f"s{a}{b}") for a, b in pairs]
+    m = g.agg(*aggs)
+
+    def corr(a: str, b: str) -> F.Column:
+        n = F.col("n")
+        sa, sb = F.col(f"s{a}").cast("double"), F.col(f"s{b}").cast("double")
+        saa = F.col(f"s{a}{a}").cast("double")
+        sbb = F.col(f"s{b}{b}").cast("double")
+        sab = F.col(f"s{a}{b}").cast("double")
+        raw = (n * sab - sa * sb) / (
+            F.sqrt(n * saa - sa * sa) * F.sqrt(n * sbb - sb * sb)
+        )
+        return (F.floor(raw * 1000000 + F.lit(0.5)) / 1000000).alias(
+            f"corr_{a}{b}"
+        )
+
+    return m.select("n", *[corr(a, b) for a, b in pairs])
