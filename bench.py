@@ -122,6 +122,8 @@ EXT_HEADLINE = [
     "events_attribution_first_touch",
     "docs_curation_funnel",
     "profile_corr_matrix",
+    "events_attribution_last_touch",
+    "graph_link_prediction",
 ]
 
 

@@ -3439,3 +3439,147 @@ def q_profile_corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     return m.select("n", *[corr(a, b) for a, b in pairs])
+
+
+@query(
+    "events_attribution_last_touch",
+    """
+WITH conv AS (
+    SELECT event_id AS conv_id, user_id, ts AS conv_ts
+    FROM events WHERE event_type = 'purchase'
+),
+touch AS (
+    SELECT user_id, ts, event_id, event_type
+    FROM events WHERE event_type <> 'purchase'
+),
+attributed AS (
+    SELECT conv_id, event_type FROM (
+        SELECT c.conv_id, t.event_type,
+               row_number() OVER (
+                   PARTITION BY c.conv_id ORDER BY t.ts DESC, t.event_id DESC
+               ) AS rn
+        FROM conv c JOIN touch t
+          ON t.user_id = c.user_id
+         AND t.ts < c.conv_ts
+         AND t.ts >= c.conv_ts - INTERVAL 7 DAY
+    ) WHERE rn = 1
+)
+SELECT event_type AS channel, COUNT(*) AS n_conversions
+FROM attributed GROUP BY 1 ORDER BY n_conversions DESC, channel
+""",
+)
+def q_events_attribution_last_touch(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Last-touch attribution — the closing-channel complement of
+    events_attribution_first_touch (same user-co-keyed banded join,
+    argmax instead of argmin); marketers read the two side by side to
+    see opener vs closer channels."""
+    ev = _t(spark, sf_dir, "events")
+    conv = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("conv_id"),
+        F.col("user_id").alias("cu"),
+        F.col("ts").alias("conv_ts"),
+    )
+    touch = ev.filter(F.col("event_type") != "purchase").select(
+        "user_id", "ts", "event_id", "event_type"
+    )
+    j = conv.join(
+        touch,
+        (F.col("user_id") == F.col("cu"))
+        & (F.col("ts") < F.col("conv_ts"))
+        & (F.col("ts") >= F.col("conv_ts") - F.expr("INTERVAL 7 DAYS")),
+    )
+    w = Window.partitionBy("conv_id").orderBy(
+        F.desc("ts"), F.desc("event_id")
+    )
+    return (
+        j.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .groupBy(F.col("event_type").alias("channel"))
+        .agg(F.count("*").alias("n_conversions"))
+        .orderBy(F.desc("n_conversions"), "channel")
+    )
+
+
+@query(
+    "graph_link_prediction",
+    """
+WITH basket AS (
+    SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+),
+e AS (
+    SELECT a.l_partkey AS src, b.l_partkey AS dst
+    FROM basket a JOIN basket b
+      ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    GROUP BY 1, 2 HAVING COUNT(*) >= 2
+),
+und AS (
+    SELECT src AS u, dst AS v FROM e
+    UNION ALL SELECT dst, src FROM e
+),
+deg AS (SELECT u, COUNT(*) AS d FROM und GROUP BY 1),
+common AS (
+    SELECT a.u AS node_a, b.u AS node_b, COUNT(*) AS n_common
+    FROM und a JOIN und b ON a.v = b.v AND a.u < b.u
+    WHERE NOT EXISTS (
+        SELECT 1 FROM e WHERE e.src = a.u AND e.dst = b.u
+    )
+    GROUP BY 1, 2
+)
+SELECT node_a, node_b, CAST(n_common AS BIGINT) AS n_common,
+       CAST(n_common AS DOUBLE)
+           / (da.d + db.d - n_common) AS neighbor_jaccard
+FROM common
+JOIN deg da ON da.u = node_a
+JOIN deg db ON db.u = node_b
+ORDER BY neighbor_jaccard DESC, node_a, node_b
+LIMIT 20
+""",
+)
+def q_graph_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Link prediction on the strong co-purchase subgraph: the 20
+    NON-adjacent part pairs with the highest neighbor-overlap Jaccard
+    (|N(a)∩N(b)| / |N(a)∪N(b)|) — "these two parts are never bought
+    together, but share most of their co-purchase company", the
+    recommender candidate-generation primitive. All-integer counts
+    with one division → hash-checked. Scale shape: the wedge join
+    (shared-neighbor pairing) is the bounded-fan-out triangle-join
+    idiom; existing edges are removed by a broadcast anti-join before
+    degrees attach."""
+    edges = _copurchase_edge_index(spark, sf_dir).filter(
+        (F.col("weight") >= 2) & (F.col("src") < F.col("dst"))
+    ).select("src", "dst")
+    und = edges.select(
+        F.col("src").alias("u"), F.col("dst").alias("v")
+    ).unionAll(edges.select(F.col("dst").alias("u"), F.col("src").alias("v")))
+    deg = und.groupBy("u").agg(F.count("*").alias("d"))
+    a = und.select(F.col("u").alias("node_a"), "v")
+    b = und.select(F.col("u").alias("node_b"), F.col("v").alias("v2"))
+    common = (
+        a.join(b, (F.col("v") == F.col("v2")) & (F.col("node_a") < F.col("node_b")))
+        .join(
+            F.broadcast(edges),
+            (F.col("src") == F.col("node_a")) & (F.col("dst") == F.col("node_b")),
+            "left_anti",
+        )
+        .groupBy("node_a", "node_b")
+        .agg(F.count("*").alias("n_common"))
+    )
+    da = deg.select(F.col("u").alias("_a"), F.col("d").alias("da"))
+    db = deg.select(F.col("u").alias("_b"), F.col("d").alias("db"))
+    return (
+        common.join(F.broadcast(da), F.col("node_a") == F.col("_a"))
+        .join(F.broadcast(db), F.col("node_b") == F.col("_b"))
+        .select(
+            "node_a",
+            "node_b",
+            "n_common",
+            (
+                F.col("n_common").cast("double")
+                / (F.col("da") + F.col("db") - F.col("n_common"))
+            ).alias("neighbor_jaccard"),
+        )
+        .orderBy(F.desc("neighbor_jaccard"), "node_a", "node_b")
+        .limit(20)
+    )
