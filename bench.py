@@ -124,6 +124,7 @@ EXT_HEADLINE = [
     "profile_corr_matrix",
     "events_attribution_last_touch",
     "graph_link_prediction",
+    "referential_integrity_sweep",
 ]
 
 

@@ -3583,3 +3583,71 @@ def q_graph_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("neighbor_jaccard"), "node_a", "node_b")
         .limit(20)
     )
+
+
+_RI_EDGES = (
+    # (child table, child key, parent table, parent key)
+    ("lineitem", "l_orderkey", "orders", "o_orderkey"),
+    ("lineitem", "l_partkey", "part", "p_partkey"),
+    ("lineitem", "l_suppkey", "supplier", "s_suppkey"),
+    ("orders", "o_custkey", "customer", "c_custkey"),
+    ("customer", "c_nationkey", "nation", "n_nationkey"),
+    ("supplier", "s_nationkey", "nation", "n_nationkey"),
+    ("nation", "n_regionkey", "region", "r_regionkey"),
+)
+
+
+def _ri_oracle() -> str:
+    parts = []
+    for child, ck, parent, pk in _RI_EDGES:
+        parts.append(
+            f"""SELECT '{child}.{ck}->{parent}.{pk}' AS relation,
+       (SELECT COUNT(*) FROM {child}) AS n_rows,
+       (SELECT COUNT(*) FROM {child} c
+        WHERE NOT EXISTS (
+            SELECT 1 FROM {parent} p WHERE p.{pk} = c.{ck}
+        )) AS n_orphans,
+       (SELECT COUNT(*) FROM {child} c
+        WHERE NOT EXISTS (
+            SELECT 1 FROM {parent} p WHERE p.{pk} = c.{ck}
+        )) = 0 AS ok"""
+        )
+    return "\nUNION ALL\n".join(parts) + "\nORDER BY relation"
+
+
+@query("referential_integrity_sweep", _ri_oracle())
+def q_referential_integrity_sweep(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Whole-warehouse foreign-key conformance in one report: every
+    FK edge of the star schema checked for orphaned child keys →
+    (relation, n_rows, n_orphans, ok). The cross-table companion of
+    table_quality_checks' single-table suite — the first thing a
+    migration/backfill validation runs.
+
+    Scale shape: each edge is a projected child keyset anti-joined
+    against its (broadcast where dim-sized) parent keyset — child
+    scans read ONE column; the per-edge counts are 1-row aggregates
+    unioned into the report, so the whole sweep is a handful of
+    column-pruned scans, never a wide join."""
+    out = None
+    for child, ck, parent, pk in _RI_EDGES:
+        c = _t(spark, sf_dir, child).select(F.col(ck).alias("k"))
+        p = _t(spark, sf_dir, parent).select(F.col(pk).alias("k")).distinct()
+        orphans = c.join(F.broadcast(p), "k", "left_anti").agg(
+            F.count("*").alias("n_orphans")
+        )
+        total = c.agg(F.count("*").alias("n_rows")).withColumn(
+            "_j", F.lit(1)
+        )
+        row = (
+            total.join(orphans.withColumn("_j", F.lit(1)), "_j")
+            .select(
+                F.lit(f"{child}.{ck}->{parent}.{pk}").alias("relation"),
+                "n_rows",
+                "n_orphans",
+                (F.col("n_orphans") == 0).alias("ok"),
+            )
+        )
+        out = row if out is None else out.unionByName(row)
+    return out.orderBy("relation")
