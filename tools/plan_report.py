@@ -70,6 +70,11 @@ SHOWCASE = [
     "customer_churn_inactive",
     "events_user_diversity",
     "orders_interarrival_stats",
+    "events_attribution_first_touch",
+    "docs_curation_funnel",
+    "profile_corr_matrix",
+    "graph_link_prediction",
+    "referential_integrity_sweep",
 ]
 
 
