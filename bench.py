@@ -125,6 +125,7 @@ EXT_HEADLINE = [
     "events_attribution_last_touch",
     "graph_link_prediction",
     "referential_integrity_sweep",
+    "events_dau_wau_mau",
 ]
 
 

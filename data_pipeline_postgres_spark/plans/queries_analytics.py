@@ -3651,3 +3651,83 @@ def q_referential_integrity_sweep(
         )
         out = row if out is None else out.unionByName(row)
     return out.orderBy("relation")
+
+
+@query(
+    "events_dau_wau_mau",
+    """
+WITH ud AS (
+    SELECT DISTINCT user_id, CAST(date_trunc('day', ts) AS DATE) AS day
+    FROM events
+),
+days AS (SELECT DISTINCT day FROM ud),
+dau AS (SELECT day, COUNT(*) AS dau FROM ud GROUP BY 1),
+wau AS (
+    SELECT d.day, COUNT(DISTINCT u.user_id) AS wau
+    FROM days d JOIN ud u
+      ON u.day <= d.day AND u.day >= d.day - INTERVAL 6 DAY
+    GROUP BY 1
+),
+mau AS (
+    SELECT d.day, COUNT(DISTINCT u.user_id) AS mau
+    FROM days d JOIN ud u
+      ON u.day <= d.day AND u.day >= d.day - INTERVAL 29 DAY
+    GROUP BY 1
+)
+SELECT day, CAST(dau AS BIGINT) AS dau, CAST(wau AS BIGINT) AS wau,
+       CAST(mau AS BIGINT) AS mau,
+       CAST(dau AS DOUBLE) / mau AS stickiness
+FROM dau JOIN wau USING (day) JOIN mau USING (day)
+ORDER BY day
+""",
+)
+def q_events_dau_wau_mau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The engagement dashboard trio — daily / trailing-7-day /
+    trailing-30-day active users per day, plus DAU/MAU stickiness.
+
+    Scale shape: the trailing distinct counts do NOT range-join the
+    activity relation against the calendar (that is |ud|·|days| at
+    100 TB) — each (user, day) activity row EXPLODES into its ≤30
+    forward day-contributions (linear, bounded blow-up), is clipped
+    to observed days by a broadcast semi-join, and one
+    (day, user)-keyed partial-distinct aggregate finishes. Counts are
+    exact ints; stickiness is one division — hash-checked."""
+    ud = (
+        _t(spark, sf_dir, "events")
+        .select(
+            "user_id", F.date_trunc("day", "ts").cast("date").alias("day")
+        )
+        .distinct()
+    )
+    days = ud.select("day").distinct()
+    dau = ud.groupBy("day").agg(F.count("*").alias("dau"))
+
+    def trailing(n_days: int, name: str) -> DataFrame:
+        contrib = ud.select(
+            "user_id",
+            F.explode(
+                F.sequence(
+                    F.col("day"),
+                    F.date_add(F.col("day"), n_days - 1),
+                    F.expr("INTERVAL 1 DAY"),
+                )
+            ).alias("day"),
+        )
+        return (
+            contrib.join(F.broadcast(days), "day", "left_semi")
+            .groupBy("day")
+            .agg(F.countDistinct("user_id").alias(name))
+        )
+
+    return (
+        dau.join(trailing(7, "wau"), "day")
+        .join(trailing(30, "mau"), "day")
+        .select(
+            "day",
+            "dau",
+            "wau",
+            "mau",
+            (F.col("dau").cast("double") / F.col("mau")).alias("stickiness"),
+        )
+        .orderBy("day")
+    )
