@@ -126,6 +126,7 @@ EXT_HEADLINE = [
     "graph_link_prediction",
     "referential_integrity_sweep",
     "events_dau_wau_mau",
+    "docs_source_quality",
 ]
 
 

@@ -2936,3 +2936,73 @@ def q_docs_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("retention_rate"),
         )
     )
+
+
+@query(
+    "docs_source_quality",
+    r"""
+WITH t AS (
+    SELECT doc_id, source, text,
+           regexp_split_to_array(trim(text), '\s+') AS w,
+           length(trim(text)) AS charlen
+    FROM documents
+),
+m AS (
+    SELECT source,
+           len(w) AS n,
+           CAST(charlen - (len(w) - 1) AS DOUBLE) / len(w) AS mwl,
+           CAST(len(regexp_extract_all(text, '#|\.\.\.|…')) AS DOUBLE)
+               / len(w) AS sr,
+           CAST(len(list_filter(w, tok -> regexp_matches(tok, '[a-zA-Z]')))
+                AS DOUBLE) / len(w) AS awf,
+           CAST(list_contains(w, 'the') AS INT)
+           + CAST(list_contains(w, 'a') AS INT)
+           + CAST(list_contains(w, 'to') AS INT)
+           + CAST(list_contains(w, 'of') AS INT)
+           + CAST(list_contains(w, 'and') AS INT)
+           + CAST(list_contains(w, 'that') AS INT)
+           + CAST(list_contains(w, 'in') AS INT)
+           + CAST(list_contains(w, 'with') AS INT) AS sh
+    FROM t
+)
+SELECT source, COUNT(*) AS n_docs,
+       CAST(SUM(CASE WHEN n >= 50 AND n <= 100000
+                      AND mwl >= 3.0 AND mwl <= 10.0
+                      AND sr <= 0.1 AND awf >= 0.8 AND sh >= 2
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_pass,
+       CAST(SUM(CASE WHEN n >= 50 AND n <= 100000
+                      AND mwl >= 3.0 AND mwl <= 10.0
+                      AND sr <= 0.1 AND awf >= 0.8 AND sh >= 2
+                     THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*) AS pass_rate
+FROM m GROUP BY 1 ORDER BY source
+""",
+)
+def q_docs_source_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher pass-rate per source — the signal that drives
+    per-source sampling caps (docs_cap_per_source) and mixture
+    weights: a source whose pass rate collapses gets down-weighted
+    before training. One map-only scoring pass + one source-keyed
+    aggregate; exact counts, one division. Hash-checked."""
+    from ..operators import textstats as TS
+
+    docs = _docs(spark, sf_dir)
+    scored = TS.gopher_quality(docs).select("doc_id", "gopher_pass")
+    per = docs.select("doc_id", "source").join(scored, "doc_id")
+    return (
+        per.groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(F.col("gopher_pass").cast("int"))
+            .cast("bigint")
+            .alias("n_pass"),
+        )
+        .select(
+            "source",
+            "n_docs",
+            "n_pass",
+            (F.col("n_pass").cast("double") / F.col("n_docs")).alias(
+                "pass_rate"
+            ),
+        )
+        .orderBy("source")
+    )
