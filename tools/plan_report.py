@@ -75,6 +75,8 @@ SHOWCASE = [
     "profile_corr_matrix",
     "graph_link_prediction",
     "referential_integrity_sweep",
+    "events_dau_wau_mau",
+    "docs_source_quality",
 ]
 
 
