@@ -127,6 +127,7 @@ EXT_HEADLINE = [
     "referential_integrity_sweep",
     "events_dau_wau_mau",
     "docs_source_quality",
+    "docs_length_percentiles_by_source",
 ]
 
 

@@ -3006,3 +3006,45 @@ def q_docs_source_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+@query(
+    "docs_length_percentiles_by_source",
+    r"""
+WITH n AS (
+    SELECT source,
+           len(regexp_split_to_array(trim(text), '\s+')) AS n_words
+    FROM documents
+)
+SELECT source, COUNT(*) AS n_docs,
+       quantile_cont(n_words, 0.25) AS p25,
+       quantile_cont(n_words, 0.5) AS p50,
+       quantile_cont(n_words, 0.75) AS p75
+FROM n GROUP BY 1 ORDER BY source
+""",
+)
+def q_docs_length_percentiles_by_source(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Per-source document-length quartiles (the curation profiling
+    read before setting length filters or packing windows — a source
+    whose p50 shifts signals a scrape change). Integer word counts
+    make all three quantiles dyadic rationals → hash-exact; the
+    exact `percentile` buffers one value per DOC per source, fine
+    for per-source profiling (corpus-wide exact quantiles at 100 TB
+    use bucket_refine_quantiles instead — both paths are in-repo)."""
+    from ..functions import text as TX
+
+    n = _docs(spark, sf_dir).select(
+        "source", F.size(TX.tokens("text")).alias("n_words")
+    )
+    return (
+        n.groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.percentile("n_words", F.lit(0.25)).alias("p25"),
+            F.percentile("n_words", F.lit(0.5)).alias("p50"),
+            F.percentile("n_words", F.lit(0.75)).alias("p75"),
+        )
+        .orderBy("source")
+    )
