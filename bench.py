@@ -128,6 +128,7 @@ EXT_HEADLINE = [
     "events_dau_wau_mau",
     "docs_source_quality",
     "docs_length_percentiles_by_source",
+    "orders_monthly_revenue_yoy",
 ]
 
 

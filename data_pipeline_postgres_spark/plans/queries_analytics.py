@@ -3731,3 +3731,52 @@ def q_events_dau_wau_mau(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("day")
     )
+
+
+@query(
+    "orders_monthly_revenue_yoy",
+    """
+WITH m AS (
+    SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+               AS revenue
+    FROM orders GROUP BY 1
+)
+SELECT month, revenue,
+       lag(revenue, 12) OVER (ORDER BY month) AS revenue_prior_year,
+       CASE WHEN lag(revenue, 12) OVER (ORDER BY month) IS NOT NULL
+            THEN revenue / lag(revenue, 12) OVER (ORDER BY month) - 1.0
+            END AS yoy_growth
+FROM m ORDER BY month
+""",
+)
+def q_orders_monthly_revenue_yoy(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Monthly revenue with year-over-year growth — the board-deck
+    reporting staple. Exact-decimal monthly sums (so the lag-12
+    comparison is bit-stable), one division for the growth rate.
+    The unpartitioned lag window runs over the ~months relation
+    (calendar-bounded — the same deliberately-tiny-window rationale
+    as the per-range-totals scans), never over the fact."""
+    m = (
+        _t(spark, sf_dir, "orders")
+        .groupBy(
+            F.date_trunc("month", "o_orderdate").cast("date").alias("month")
+        )
+        .agg(
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("revenue")
+        )
+    )
+    w = Window.orderBy("month")
+    prior = F.lag("revenue", 12).over(w)
+    return m.select(
+        "month",
+        "revenue",
+        prior.alias("revenue_prior_year"),
+        F.when(prior.isNotNull(), F.col("revenue") / prior - 1.0).alias(
+            "yoy_growth"
+        ),
+    ).orderBy("month")
