@@ -129,6 +129,7 @@ EXT_HEADLINE = [
     "docs_source_quality",
     "docs_length_percentiles_by_source",
     "orders_monthly_revenue_yoy",
+    "text_lines_roundtrip",
 ]
 
 

@@ -3048,3 +3048,47 @@ def q_docs_length_percentiles_by_source(
         )
         .orderBy("source")
     )
+
+
+@query(
+    "text_lines_roundtrip",
+    r"""
+SELECT doc_id, length(text) AS n_chars_line
+FROM documents
+WHERE text NOT LIKE '%' || chr(10) || '%'
+""",
+)
+def q_text_lines_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Plain-text line-file sink + source round-trip — the last
+    Spark-native format in the matrix (csv/json/parquet/orc/
+    binaryFile are covered elsewhere): newline-free documents write
+    as `<doc_id>\\t<text>` lines via the ``text`` format and read
+    back with ``spark.read.text`` + one split, proving the
+    line-oriented lake interchange path (the jsonl-adjacent format
+    raw scrapes arrive in). Output (doc_id, n_chars_line) must be
+    value-exact vs the source rows, which is the oracle. Line files
+    shard per-partition exactly like any other format — no driver
+    funnel."""
+    import os
+
+    from ..scratch import scratch_dir
+
+    docs = _docs(spark, sf_dir).filter(~F.col("text").contains("\n"))
+    sf_tag = os.path.basename(sf_dir.rstrip("/"))
+    path = scratch_dir("text_lines", sf_tag, "docs.txt")
+    docs.select(
+        F.concat_ws("\t", F.col("doc_id").cast("string"), F.col("text")).alias(
+            "value"
+        )
+    ).write.mode("overwrite").format("text").save(path)
+    raw = spark.read.text(path)
+    parsed = raw.select(
+        F.split_part(F.col("value"), F.lit("\t"), F.lit(1))
+        .cast("bigint")
+        .alias("doc_id"),
+        # everything after the FIRST tab (text may itself contain tabs)
+        F.expr("substring(value, instr(value, '\t') + 1)").alias("text"),
+    )
+    return parsed.select(
+        "doc_id", F.length("text").cast("bigint").alias("n_chars_line")
+    )
