@@ -164,14 +164,40 @@ def main() -> None:
         spreads[name] = round(max(runs) - min(runs), 3)
 
     total = round(sum(timings.values()), 3)
-    print(
-        json.dumps(
+    # Per-query timings/spreads go to a sidecar file: with 100+
+    # queries the full dict exceeds the driver's stdout tail buffer
+    # and the final JSON line gets truncated mid-object (this lost the
+    # official round-7 bench record).  stdout carries ONLY a compact
+    # line (<1 KB) as the LAST line; the worst-3 queries ride along so
+    # the headline record still names the hotspots.
+    detail_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"
+    )
+    with open(detail_path, "w") as f:
+        json.dump(
             {
                 "metric": "headline_queries_total_wall",
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
                 "spread": spreads,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            },
+            f,
+            indent=1,
+        )
+    worst3 = dict(
+        sorted(timings.items(), key=lambda kv: kv[1], reverse=True)[:3]
+    )
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_wall",
+                "value": total,
+                "unit": "sec",
+                "queries": worst3,
+                "n_queries": len(timings),
+                "detail": "BENCH_DETAIL.json",
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }
         )

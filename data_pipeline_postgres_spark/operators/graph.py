@@ -210,10 +210,14 @@ def triangle_stats(edges: DataFrame, min_weight: float = 2.0) -> DataFrame:
         .groupBy("node")
         .agg(F.count("*").alias("d"))
     )
+    # Sum d·(d−1) in pure int64 and halve the single TOTAL with an
+    # integer shift (the sum is always even): a per-node double
+    # division would round once the aggregate crosses 2^53 and could
+    # diverge from the integer-exact oracle.
     wedges = deg.agg(
-        F.sum(F.col("d") * (F.col("d") - 1) / 2)
-        .cast("bigint")
-        .alias("n_wedges"),
+        F.shiftright(F.sum(F.col("d") * (F.col("d") - 1)), 1).alias(
+            "n_wedges"
+        ),
         F.lit(1).alias("_k"),
     )
     n_edges = und.agg(

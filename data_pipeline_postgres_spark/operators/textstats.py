@@ -74,8 +74,14 @@ def quality_scores(docs: DataFrame) -> DataFrame:
     n = F.size(toks)
     charlen = F.length(F.trim(F.col("text")))
     mean_len = (
-        # total token chars = trimmed length minus the n-1 separators
-        (charlen - (n - 1)).cast("double") / n
+        # mean token length from the token lengths THEMSELVES — a
+        # "trimmed length minus n−1 separators" shortcut assumes
+        # exactly one separator char between tokens and inflates the
+        # mean on runs of spaces/tabs.
+        F.aggregate(toks, F.lit(0), lambda a, t: a + F.length(t)).cast(
+            "double"
+        )
+        / n
     )
     stop_ratio = TX.stopword_count(toks).cast("double") / n
     punct_ratio = TX.punct_count("text").cast("double") / F.greatest(
@@ -152,8 +158,14 @@ def gopher_quality(docs: DataFrame) -> DataFrame:
     """
     toks = TX.tokens("text")
     n = F.size(toks)
-    charlen = F.length(F.trim(F.col("text")))
-    mean_len = (charlen - (n - 1)).cast("double") / n
+    # Mean word length from token lengths directly (NOT trimmed-len
+    # minus n−1 separators, which over-counts on multi-space runs).
+    mean_len = (
+        F.aggregate(toks, F.lit(0), lambda a, t: a + F.length(t)).cast(
+            "double"
+        )
+        / n
+    )
     symbols = F.regexp_count(
         F.col("text"), F.lit(r"#|\.\.\.|…")
     )

@@ -2682,7 +2682,7 @@ deg AS (
         SELECT src AS node FROM e UNION ALL SELECT dst FROM e
     ) GROUP BY 1
 ),
-w AS (SELECT CAST(SUM(d * (d - 1) / 2) AS BIGINT) AS n_wedges FROM deg),
+w AS (SELECT CAST(SUM(d * (d - 1)) // 2 AS BIGINT) AS n_wedges FROM deg),
 ne AS (SELECT COUNT(*) AS n_edges FROM e)
 SELECT ne.n_edges, tri.n_triangles, w.n_wedges,
        CASE WHEN w.n_wedges > 0
@@ -3161,12 +3161,15 @@ def q_customer_churn_inactive(spark: SparkSession, sf_dir: str) -> DataFrame:
     anti-join (it is far smaller than the customer dimension); one
     custkey aggregate. Hash-checked."""
     o = _t(spark, sf_dir, "orders")
+    # Cutoff stays in TIMESTAMP space (max − 90 days, no date casts)
+    # so rows with a time-of-day component land on the same side of
+    # the boundary as the oracle's raw-timestamp compare.
     cutoff = o.agg(
-        F.date_sub(F.max("o_orderdate").cast("date"), 90).alias("c")
+        (F.max("o_orderdate") - F.expr("INTERVAL 90 DAYS")).alias("c")
     )
     active = (
         o.crossJoin(F.broadcast(cutoff))
-        .filter(F.col("o_orderdate").cast("date") > F.col("c"))
+        .filter(F.col("o_orderdate") > F.col("c"))
         .select("o_custkey")
         .distinct()
     )

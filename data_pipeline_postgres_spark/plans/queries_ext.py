@@ -874,7 +874,8 @@ WITH t AS (
 m AS (
     SELECT doc_id,
            len(w) AS n,
-           CAST(charlen - (len(w) - 1) AS DOUBLE) / len(w) AS mean_token_len,
+           CAST(list_sum(list_transform(w, tok -> length(tok))) AS DOUBLE)
+               / len(w) AS mean_token_len,
            CAST(len(list_filter(w,
                 tok -> tok IN ('the','a','and','of','to','in'))) AS DOUBLE)
                / len(w) AS stopword_ratio
@@ -951,7 +952,8 @@ t AS (
 m AS (
     SELECT doc_id,
            len(w) AS n,
-           CAST(charlen - (len(w) - 1) AS DOUBLE) / len(w) AS mean_token_len,
+           CAST(list_sum(list_transform(w, tok -> length(tok))) AS DOUBLE)
+               / len(w) AS mean_token_len,
            CAST(len(list_filter(w,
                 tok -> tok IN ('the','a','and','of','to','in'))) AS DOUBLE)
                / len(w) AS stopword_ratio
@@ -1152,7 +1154,8 @@ WITH t AS (
 m AS (
     SELECT doc_id,
            len(w) AS n,
-           CAST(charlen - (len(w) - 1) AS DOUBLE) / len(w) AS mean_token_len,
+           CAST(list_sum(list_transform(w, tok -> length(tok))) AS DOUBLE)
+               / len(w) AS mean_token_len,
            CAST(len(list_filter(w,
                 tok -> tok IN ('the','a','and','of','to','in'))) AS DOUBLE)
                / len(w) AS stopword_ratio,
@@ -2627,7 +2630,8 @@ WITH t AS (
 m AS (
     SELECT doc_id,
            len(w) AS n,
-           CAST(charlen - (len(w) - 1) AS DOUBLE) / len(w) AS mean_word_len,
+           CAST(list_sum(list_transform(w, tok -> length(tok))) AS DOUBLE)
+               / len(w) AS mean_word_len,
            CAST(len(regexp_extract_all(text, '#|\.\.\.|…')) AS DOUBLE)
                / len(w) AS symbol_ratio,
            CAST(len(list_filter(w, tok -> regexp_matches(tok, '[a-zA-Z]')))
@@ -2810,7 +2814,8 @@ WITH t AS (
 m AS (
     SELECT doc_id,
            len(w) AS n,
-           CAST(charlen - (len(w) - 1) AS DOUBLE) / len(w) AS mwl,
+           CAST(list_sum(list_transform(w, tok -> length(tok))) AS DOUBLE)
+               / len(w) AS mwl,
            CAST(len(regexp_extract_all(text, '#|\.\.\.|…')) AS DOUBLE)
                / len(w) AS sr,
            CAST(len(list_filter(w, tok -> regexp_matches(tok, '[a-zA-Z]')))
@@ -2853,7 +2858,8 @@ g AS (
     SELECT doc_id FROM (
         SELECT doc_id,
                len(w) AS n,
-               CAST(charlen - (len(w) - 1) AS DOUBLE) / len(w) AS mwl,
+               CAST(list_sum(list_transform(w, tok -> length(tok))) AS DOUBLE)
+               / len(w) AS mwl,
                CAST(len(regexp_extract_all(text, '#|\.\.\.|…')) AS DOUBLE)
                    / len(w) AS sr,
                CAST(len(list_filter(w,
@@ -2950,7 +2956,8 @@ WITH t AS (
 m AS (
     SELECT source,
            len(w) AS n,
-           CAST(charlen - (len(w) - 1) AS DOUBLE) / len(w) AS mwl,
+           CAST(list_sum(list_transform(w, tok -> length(tok))) AS DOUBLE)
+               / len(w) AS mwl,
            CAST(len(regexp_extract_all(text, '#|\.\.\.|…')) AS DOUBLE)
                / len(w) AS sr,
            CAST(len(list_filter(w, tok -> regexp_matches(tok, '[a-zA-Z]')))
@@ -3056,6 +3063,7 @@ def q_docs_length_percentiles_by_source(
 SELECT doc_id, length(text) AS n_chars_line
 FROM documents
 WHERE text NOT LIKE '%' || chr(10) || '%'
+  AND text NOT LIKE '%' || chr(13) || '%'
 """,
 )
 def q_text_lines_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3073,7 +3081,12 @@ def q_text_lines_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from ..scratch import scratch_dir
 
-    docs = _docs(spark, sf_dir).filter(~F.col("text").contains("\n"))
+    # Exclude BOTH terminators the text source honors on read: '\n'
+    # and a lone '\r' each split a line, so either would break the
+    # round-trip row count.
+    docs = _docs(spark, sf_dir).filter(
+        ~F.col("text").contains("\n") & ~F.col("text").contains("\r")
+    )
     sf_tag = os.path.basename(sf_dir.rstrip("/"))
     path = scratch_dir("text_lines", sf_tag, "docs.txt")
     docs.select(

@@ -1019,9 +1019,9 @@ SELECT n_name AS nation,
        CAST(EXTRACT(year FROM o_orderdate) AS BIGINT) AS o_year,
        CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
                 * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE)
-       - CAST(SUM(CAST(ps_supplycost_c
-                       * CAST(FLOOR(l_quantity * 100.0) AS BIGINT)
-                       AS DECIMAL(28,0))) AS DOUBLE) / 10000.0
+       - CAST(SUM(CAST(ps_supplycost_c AS DECIMAL(18,0))
+                  * CAST(FLOOR(l_quantity * 100.0) AS DECIMAL(10,0)))
+              AS DOUBLE) / 10000.0
            AS sum_profit
 FROM lineitem
 JOIN part ON p_partkey = l_partkey
@@ -1039,9 +1039,9 @@ ORDER BY nation, o_year DESC
 def q_tpch_q9(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q9 shape: profit on 'red' product lines by supplier
     nation and order year. Profit = exact-decimal revenue sum minus an
-    exact cent×centi-unit cost sum (DECIMAL(28,0) so 100 TB totals
-    can't overflow int64); dollars materialize in ONE final double
-    subtraction per group. The part-name filter broadcasts as a
+    exact cent×centi-unit cost sum (both the per-row product AND the
+    total stay decimal, so neither can wrap int64 at 100 TB); dollars
+    materialize in ONE final double subtraction per group. The part-name filter broadcasts as a
     semi-join that prunes lineitem before any shuffle; derived
     partsupp joins on the same (partkey, suppkey) key it was built on;
     orders joins on the orderkey shuffle; supplier/nation broadcast."""
@@ -1054,10 +1054,13 @@ def q_tpch_q9(spark: SparkSession, sf_dir: str) -> DataFrame:
     ps = _partsupp(spark, sf_dir)
     o = _t(spark, sf_dir, "orders")
     rev = _dec_price("l_extendedprice") * (F.lit(1) - _dec_rate("l_discount"))
-    cost_e4 = (
-        F.col("ps_supplycost_c")
-        * F.floor(F.col("l_quantity") * F.lit(100.0))
-    ).cast("decimal(28,0)")
+    # Cast BOTH operands to decimal BEFORE the multiply: an int64
+    # product would wrap silently (ANSI off) once cents × centi-units
+    # cross 2^63 at extreme scale; decimal(18,0)×decimal(10,0) widens
+    # to an exact decimal(29,0) per row, and the sum stays decimal.
+    cost_e4 = F.col("ps_supplycost_c").cast("decimal(18,0)") * F.floor(
+        F.col("l_quantity") * F.lit(100.0)
+    ).cast("decimal(10,0)")
     return (
         li.join(p, F.col("p_partkey") == F.col("l_partkey"), "left_semi")
         .join(
@@ -1086,8 +1089,8 @@ _Q11_ORACLE = f"""
 WITH partsupp AS ({_PARTSUPP_SQL}),
 pv AS (
     SELECT ps_partkey,
-           SUM(CAST(ps_supplycost_c * ps_availqty_c AS DECIMAL(28,0)))
-               AS stock_e4
+           SUM(CAST(ps_supplycost_c AS DECIMAL(18,0))
+               * CAST(ps_availqty_c AS DECIMAL(18,0))) AS stock_e4
     FROM partsupp
     JOIN supplier ON s_suppkey = ps_suppkey
     JOIN nation ON s_nationkey = n_nationkey
@@ -1119,10 +1122,12 @@ def q_tpch_q11(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(n, F.col("s_nationkey") == F.col("n_nationkey"), "left_semi")
         .groupBy("ps_partkey")
         .agg(
+            # decimal×decimal BEFORE the product (not a post-hoc cast
+            # of an int64 result): the per-row product is exact even
+            # where cents × centi-units would overflow int64.
             F.sum(
-                (F.col("ps_supplycost_c") * F.col("ps_availqty_c")).cast(
-                    "decimal(28,0)"
-                )
+                F.col("ps_supplycost_c").cast("decimal(18,0)")
+                * F.col("ps_availqty_c").cast("decimal(18,0)")
             ).alias("stock_e4")
         )
     )

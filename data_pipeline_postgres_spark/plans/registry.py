@@ -38,73 +38,70 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 
 
 # The driver's correctness sweep checks exactly the first 50 entries of
-# ``queries()`` in dict-insertion order (verified: CORRECTNESS_r01..r06
-# keys == list(QUERIES)[:50]).  Round-7 rotation, per VERDICT r6:
-# (a) the 6 round-6 additions with no driver row yet, (b) the 9
-# pre-ts-flip stale rows (passed r2/r3 under NANOS testdata; the r6
-# unit-sniffing reader restores them and the local 174-query parity
-# suite is green, but they await fresh driver evidence), (c) round-7
-# additions (spliced in as they land), and (d) refresh filler drawn
-# from the rows whose latest driver evidence is oldest (r2), so every
-# query's most recent check keeps rolling forward.
+# ``queries()`` in dict-insertion order (verified: CORRECTNESS_r01..r07
+# keys == list(QUERIES)[:50]).  Round-8 rotation, per VERDICT r7:
+# (a) the 16 late-round-7 additions that have never been in a driver
+# window (all oracle-backed, green in the local 217-query parity
+# suite), (b) the two iterative graph queries upgraded this round from
+# rows-only to hash-checked DuckDB oracles (VERDICT r7 item 4), and
+# (c) refresh filler drawn from the rows whose latest driver evidence
+# is oldest (r1/r2), so every query's most recent check keeps rolling
+# forward.  The 4 r2 rows that don't fit (agg_grouping_sets,
+# agg_having, agg_count_distinct, agg_stats_multi) head the r9 filler.
 DRIVER_PRIORITY: tuple[str, ...] = (
-    # (a) round-6 additions, never driver-checked
-    "docs_token_budget_select",
-    "docs_pack_manifest",
-    "events_retention_cohorts",
-    "supplier_pareto_share",
-    "customer_rfm_segments",
-    "stream_minhash_dedup",
-    # (b) pre-ts-flip stale rows (last driver pass r2/r3 under NANOS)
-    "derive_case_when",
-    "derive_case_when_sql",
-    "agg_group_sum_sql",
-    "date_iso_ds",
-    "json_extract",
-    "ddl_create_table",
-    "ddl_monthly_shard",
-    "stream_dedup",
-    "json_source_roundtrip",
-    # (c) round-7 additions / upgrades — spliced here as they land
-    "multimodal_decode",  # r7: rows-only → hash-checked oracle
-    "orders_copurchase_pairs",
-    "dedup_containment",
-    "tokenizer_vocab_coverage",
-    "binary_file_ingest",
-    "agg_hll_sketch_rollup",
-    "agg_kll_quantile_sketch",
-    "table_quality_checks",
-    "emb_pq_encode",
-    "sim_ann_pq_adc",
-    "stream_hll_rollup",
-    "docs_ccnet_buckets",
-    "sim_ivfpq_index_search",
-    "tpch_q2_min_cost_supplier",
-    "tpch_q9_product_profit",
-    "tpch_q11_important_stock",
-    "tpch_q16_parts_supplier",
-    "tpch_q20_potential_promotion",
-    "docs_gopher_quality",
-    "dedup_substring_windows",
-    "events_anomaly_mad",
+    # (a) round-7 additions, never driver-checked
+    "docs_curation_funnel",
+    "docs_source_quality",
+    "docs_length_percentiles_by_source",
+    "text_lines_roundtrip",
+    "graph_degree_stats",
+    "events_hourly_seasonality",
+    "customer_churn_inactive",
+    "events_user_diversity",
+    "orders_interarrival_stats",
+    "events_attribution_first_touch",
+    "profile_corr_matrix",
+    "events_attribution_last_touch",
+    "graph_link_prediction",
+    "referential_integrity_sweep",
+    "events_dau_wau_mau",
+    "orders_monthly_revenue_yoy",
+    # (b) round-8 upgrades: rows-only -> hash-checked oracle
     "graph_pagerank_copurchase",
-    "events_trend_ols",
-    "events_changepoint_cusum",
-    "emb_knn_classify",
     "graph_communities_lpa",
-    "graph_triangle_stats",
-    "join_asof_nearest",
-    "orders_assoc_rules",
-    "events_activity_streaks",
-    "events_markov_transitions",
-    "docs_chunk_overlap",
-    "stream_gopher_filter",
-    "orders_cohort_ltv",
-    # (d) refresh filler: oldest driver evidence first (r2 rows)
-    "project_star",
-    # (35 round-6-era filler rows dropped to keep the window at the
-    # driver's exact 50-slot size; they retain their r2 evidence and
-    # rotate back in once the round-7 additions have fresh rows)
+    # (c) refresh filler: oldest driver evidence first (r1 then r2)
+    "csv_read",
+    "csv_write",
+    "jdbc_scan_param",
+    "jdbc_scan_full",
+    "jdbc_scan_pushdown",
+    "project_cols",
+    "filter_date_range",
+    "cast_numeric",
+    "arith_mul",
+    "arith_div",
+    "drop_col",
+    "in_list_pred",
+    "str_lit_tag",
+    "agg_group_sum_multi",
+    "distinct_rows",
+    "unpivot_melt",
+    "unpivot_union_all",
+    "order_by_multi",
+    "sort_pandas",
+    "union_all",
+    "cdc_merge",
+    "upsert_on_conflict",
+    "delete_all",
+    "window_latest_per_key",
+    "date_fmt_partition",
+    "join_broadcast_dim",
+    "join_shuffle_fact",
+    "window_topk_per_group",
+    "window_cumulative",
+    "scd2_intervals",
+    "window_ntile",
+    "agg_rollup",
 )
 
 
