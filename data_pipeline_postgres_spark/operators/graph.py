@@ -25,6 +25,7 @@ def pagerank(
     iters: int = 8,
     broadcast_ranks: bool = True,
     prenormalized: bool = False,
+    quantize_bits: int | None = None,
 ) -> DataFrame:
     """Weighted PageRank over a directed edge list (src, dst, weight):
     returns (node, rank) after ``iters`` synchronous power-iteration
@@ -37,11 +38,21 @@ def pagerank(
     contract the rank vector by d⁸ ≈ 0.27 of the remaining error,
     plenty for top-k ranking stability, and a deterministic plan.
 
-    Float caveat: the per-destination Σ is a doubles sum, so exact
-    bit-equality across engines/partitionings is not guaranteed —
-    PageRank is registered rows-only, with a pytest gate comparing
-    against a single-machine power iteration to 1e-9 (tests/
-    test_round7.py).
+    Float caveat: with ``quantize_bits=None`` the per-destination Σ
+    is a free-order doubles sum, so exact bit-equality across
+    engines/partitionings is not guaranteed — that path is gated by a
+    pytest comparison against a single-machine power iteration to
+    1e-9 (tests/test_round7.py). Setting ``quantize_bits=b`` floors
+    every contribution rank·p to a multiple of 2^-b BEFORE the sum:
+    binary-fixed-point terms whose total stays under 2^(53-b) add
+    EXACTLY in any order, so the whole iteration becomes bit-exact
+    across engines and partitionings (each remaining op — the IEEE
+    multiply producing the term, floor, the final base + d·Σ — is
+    order-free and deterministic). b=30 keeps per-term error ≤ 2^-30
+    (≈1e-9, far below ranking resolution) and allows Σ up to 2^23,
+    vastly above any rank mass. This is what lets the co-purchase
+    centrality query carry a DuckDB oracle instead of a rows-only
+    check.
 
     ``broadcast_ranks=True`` ships the rank vector (one row per NODE
     — orders of magnitude smaller than the edge list) to every
@@ -78,11 +89,15 @@ def pagerank(
     n = nodes.count()  # single driver scalar, once
     base = (1.0 - damping) / n
     ranks = nodes.select("node", F.lit(1.0 / n).alias("rank"))
+    scale = float(2**quantize_bits) if quantize_bits else None
     for i in range(iters):
         r = F.broadcast(ranks) if broadcast_ranks else ranks
-        contribs = norm.join(
-            r, norm["src"] == r["node"]
-        ).select(F.col("dst").alias("node"), (F.col("rank") * F.col("p")).alias("c"))
+        c = F.col("rank") * F.col("p")
+        if scale:
+            c = F.floor(c * F.lit(scale)) / F.lit(scale)
+        contribs = norm.join(r, norm["src"] == r["node"]).select(
+            F.col("dst").alias("node"), c.alias("c")
+        )
         ranks = contribs.groupBy("node").agg(
             (F.lit(base) + F.lit(damping) * F.sum("c")).alias("rank")
         )

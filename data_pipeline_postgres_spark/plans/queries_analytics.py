@@ -2453,15 +2453,65 @@ def _copurchase_edge_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(path)
 
 
-@query("graph_pagerank_copurchase")  # doubles-sum iteration — rows-only
+# PageRank oracle: the SAME 8 synchronous supersteps as chained CTEs.
+# Bit-exactness across engines comes from binary-fixed-point
+# contributions (operators/graph.pagerank quantize_bits=30): every
+# term is FLOOR(rank·p·2^30)/2^30, a multiple of 2^-30, so the
+# per-destination sums are EXACT in any order on any engine; all
+# remaining ops (IEEE multiplies, the final base + d·Σ) are
+# order-free. Literals use e-notation so DuckDB parses them as DOUBLE
+# (a bare 0.85 would be DECIMAL and change the arithmetic).
+_PR_Q = "1073741824e0"  # 2^30
+_PR_STEP = """
+r{next} AS (
+    SELECT e.dst AS node,
+           (1e0 - 0.85e0) / CAST(nn.n AS DOUBLE)
+           + 0.85e0 * SUM(FLOOR(r{cur}.rank * e.p * {q}) / {q}) AS rank
+    FROM e JOIN r{cur} ON e.src = r{cur}.node, nn
+    GROUP BY e.dst, nn.n
+)"""
+_PAGERANK_ORACLE = (
+    """
+WITH basket AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+pw AS (
+    SELECT a.l_partkey AS src, b.l_partkey AS dst,
+           CAST(COUNT(*) AS DOUBLE) AS w
+    FROM basket a JOIN basket b
+      ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey
+    GROUP BY 1, 2
+),
+e AS (SELECT src, dst, w / SUM(w) OVER (PARTITION BY src) AS p FROM pw),
+nn AS (SELECT COUNT(DISTINCT src) AS n FROM e),
+deg AS (
+    SELECT src AS node, CAST(COUNT(*) AS BIGINT) AS n_neighbors
+    FROM e GROUP BY 1
+),
+r0 AS (
+    SELECT src AS node, 1e0 / CAST(nn.n AS DOUBLE) AS rank
+    FROM (SELECT DISTINCT src FROM e), nn
+),"""
+    + ",".join(
+        _PR_STEP.format(cur=i, next=i + 1, q=_PR_Q) for i in range(8)
+    )
+    + """
+SELECT r8.node, r8.rank, deg.n_neighbors
+FROM r8 JOIN deg USING (node)
+ORDER BY rank DESC, node LIMIT 50
+"""
+)
+
+
+@query("graph_pagerank_copurchase", _PAGERANK_ORACLE)
 def q_graph_pagerank_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PageRank centrality over the STORED part co-purchase edge
     index: the 50 most structurally central parts (node, rank,
-    n_neighbors). Rows-only by design (per-destination double sums
-    are partial-agg order-dependent); the pytest gate checks the
-    distributed ranks against a single-machine power iteration to
-    1e-9 and the top-k ordering on a planted hub graph
-    (operators/graph.py)."""
+    n_neighbors). Hash-checked since round 8: contributions are
+    floored to binary fixed point (quantize_bits=30 — multiples of
+    2^-30 sum exactly in any order), which makes all 8 supersteps
+    bit-identical to the oracle's chained CTEs regardless of
+    partitioning; the pytest gate additionally checks the
+    full-precision path against a single-machine power iteration to
+    1e-9 (operators/graph.py)."""
     from ..operators import graph
 
     edges = _copurchase_edge_index(spark, sf_dir)
@@ -2469,7 +2519,7 @@ def q_graph_pagerank_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_neighbors")
     )
     return (
-        graph.pagerank(edges, prenormalized=True)
+        graph.pagerank(edges, prenormalized=True, quantize_bits=30)
         .join(degree, "node")
         .orderBy(F.desc("rank"), "node")
         .limit(50)
@@ -2632,17 +2682,55 @@ def q_events_changepoint_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("graph_communities_lpa")  # iterative label propagation — rows-only
+# LPA oracle: the SAME 5 synchronous supersteps as chained CTEs. Every
+# round is exact — integer labels, integer-valued weight sums, and a
+# total-order argmax (weight DESC, label ASC) — so no quantization is
+# needed; the iteration was only ever "not SQL-expressible" until
+# written as a fixed CTE chain.
+_LPA_STEP = """
+w{next} AS (
+    SELECT e.dst AS n2, l.label, SUM(e.w) AS w
+    FROM e JOIN l{cur} l ON e.src = l.node GROUP BY 1, 2
+),
+l{next} AS (
+    SELECT n2 AS node, label FROM (
+        SELECT n2, label,
+               ROW_NUMBER() OVER (
+                   PARTITION BY n2 ORDER BY w DESC, label) AS rn
+        FROM w{next}) WHERE rn = 1
+)"""
+_LPA_ORACLE = (
+    """
+WITH basket AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+pw AS (
+    SELECT a.l_partkey AS src, b.l_partkey AS dst,
+           CAST(COUNT(*) AS DOUBLE) AS w
+    FROM basket a JOIN basket b
+      ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey
+    GROUP BY 1, 2
+),
+e AS (SELECT src, dst, w FROM pw WHERE w >= 2),
+l0 AS (SELECT DISTINCT src AS node, src AS label FROM e),"""
+    + ",".join(_LPA_STEP.format(cur=i, next=i + 1) for i in range(5))
+    + """
+SELECT label, CAST(COUNT(*) AS BIGINT) AS n_members
+FROM l5 GROUP BY 1 ORDER BY n_members DESC, label LIMIT 20
+"""
+)
+
+
+@query("graph_communities_lpa", _LPA_ORACLE)
 def q_graph_communities_lpa(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Community detection on the STORED co-purchase edge index via
     synchronous label propagation: the 20 largest communities
     (label, n_members) among parts co-purchased at least TWICE (the
     weight≥2 filter prunes the all-connecting single-co-occurrence
     haze that would collapse the dense graph into one giant
-    community — and cuts the superstep input ~10×). Deterministic
-    integer rounds (exact integer-valued weight sums + min-label
-    tiebreak), but the fixpoint is not SQL-expressible — rows-only
-    with a planted-graph pytest gate (operators/graph.py)."""
+    community — and cuts the superstep input ~10×). Hash-checked
+    since round 8: every round is exact (integer labels,
+    integer-valued weight sums, min-label tiebreak), so the 5-round
+    fixpoint is mirrored verbatim as chained CTEs in the oracle; the
+    planted-graph pytest gate remains (operators/graph.py)."""
     from ..operators import graph
 
     edges = _copurchase_edge_index(spark, sf_dir).filter(
