@@ -588,9 +588,9 @@ def ivf_topk(
 def pq_adc_topk(
     emb: DataFrame,
     k: int = 10,
-    n_candidates: int = 50,
+    n_candidates: int = 400,
     m: int = 8,
-    ksub: int = 16,
+    ksub: int = 64,
     round_digits: int = 6,
 ) -> DataFrame:
     """PQ/ADC approximate top-k (the IVFADC search half, Jégou et al.
@@ -608,6 +608,12 @@ def pq_adc_topk(
     the LUT build use the same left-fold bracketing as the DuckDB
     oracle, so the candidate set (and hence the result) is
     engine-identical.
+
+    Defaults (shortlist 400, 64-entry sub-codebooks) are sized from
+    the measured recall curve at sf0.1 (PLANS.md): 50/16 gave
+    recall@10 = 0.50, 200/64 → 0.90, 400/64 → 1.00. Both knobs stay
+    O(1) per corpus row — the LUT is m×ksub doubles broadcast once,
+    and the rerank touches n_candidates raw vectors total.
     """
     from .embeddings import pq_codebook, pq_encode
 

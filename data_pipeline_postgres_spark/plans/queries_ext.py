@@ -705,10 +705,15 @@ def q_sim_ann_ivf_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_sim_ann_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF ANN with a spark.ml KMeans-trained coarse quantizer
     (seeded, so reproducible); recall vs the exact top-k asserted in
-    tests/test_ext.py."""
+    tests/test_ext.py. nprobe=4 of 8 lists per the measured curve at
+    sf0.1 (PLANS.md): 2 probes → 0.60, 4 → 0.80, where recall
+    plateaus — the corpus' true top-10 sit in the weak-similarity
+    regime (cosine ≈0.3–0.4) and scatter across clusters, so the
+    exact IVF path (recall 1.00) remains the documented scale
+    default."""
     emb = _emb(spark, sf_dir)
     return similarity.ivf_topk(
-        emb, centroids=similarity.ivf_centroids_kmeans(emb)
+        emb, nprobe=4, centroids=similarity.ivf_centroids_kmeans(emb)
     )
 
 
@@ -2386,7 +2391,7 @@ _PQ_ADC_ORACLE = f"""
 WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
 seeds AS (
     SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, v AS cv
-    FROM e ORDER BY vec_id LIMIT 16
+    FROM e ORDER BY vec_id LIMIT 64
 ),
 dist AS (
     SELECT e.vec_id, s.sub, c.cid,
@@ -2422,7 +2427,7 @@ adc AS (
                (x, y) -> x + y) AS adc
     FROM codes_arr a, lut2 l
 ),
-cand AS (SELECT vec_id FROM adc ORDER BY adc, vec_id LIMIT 50),
+cand AS (SELECT vec_id FROM adc ORDER BY adc, vec_id LIMIT 400),
 q AS (SELECT v AS qv FROM e, qid WHERE vec_id = qid.qid)
 SELECT e.vec_id, round({_duck_cos('e.v', 'qv')}, 6) AS cosine
 FROM e JOIN cand USING (vec_id), q
@@ -2434,11 +2439,12 @@ LIMIT 10
 @query("sim_ann_pq_adc", _PQ_ADC_ORACLE)
 def q_sim_ann_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PQ/ADC approximate top-10 (IVFADC search half): the query's
-    m×16 subspace-distance LUT broadcasts, each corpus vector's
+    m×64 subspace-distance LUT broadcasts, each corpus vector's
     approximate distance is 8 array lookups over its stored PQ codes
-    (the raw vectors stay cold), ADC top-50 rerank exactly. Candidate
-    fold bracketing matches the oracle, so results are
-    engine-identical."""
+    (the raw vectors stay cold), ADC top-400 rerank exactly
+    (shortlist/codebook sized for recall@10 = 1.00 at sf0.1 — see
+    PLANS.md; 50/16 measured 0.50 in r7). Candidate fold bracketing
+    matches the oracle, so results are engine-identical."""
     return similarity.pq_adc_topk(_emb(spark, sf_dir))
 
 
