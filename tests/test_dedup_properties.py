@@ -136,6 +136,54 @@ class TestIncrementalNearDupEdges:
         corpus = _df(spark, [])
         assert dedup.minhash_incremental_dedup(batch, corpus).count() == 0
 
+    def test_minhash_reingest_batch_text_wins(self, spark):
+        """Re-ingest guard (operators/dedup.py): a doc_id on BOTH
+        sides means the batch supersedes the corpus row. The batch
+        text must be compared ONLY against other-corpus docs — never
+        against the stale same-id corpus text — and the two texts'
+        shingles must never merge under one id (which would corrupt
+        every Jaccard involving it)."""
+        stale = "aa bb cc dd ee ff gg"
+        fresh = "pp qq rr ss tt uu vv"
+        # corpus: id 0 carries the stale text; id 1 is an exact copy
+        # of the fresh text the batch will bring for id 0.
+        corpus = _df(spark, [stale, fresh])
+        batch = _df(spark, [fresh])  # same doc_id 0, different text
+        out = dedup.minhash_incremental_dedup(batch, corpus).collect()
+        # batch doc 0 matches corpus doc 1 (identical fresh text) and
+        # must NOT match its own superseded id-0 row (jaccard vs the
+        # stale text is 0 — any match would be cross-text leakage).
+        assert [(r["doc_id"], r["dup_of"], r["jaccard"]) for r in out] == [
+            (0, 1, 1.0)
+        ]
+
+    def test_minhash_reingest_guard_on_stored_band_index(self, spark):
+        """Same supersede semantics when the corpus side is the
+        STORED (doc_id, band_key) index: stale index rows for a
+        re-ingested id are anti-joined out, so band keys from the old
+        text can't admit candidates against it."""
+        stale = "aa bb cc dd ee ff gg"
+        fresh = "pp qq rr ss tt uu vv"
+        corpus = _df(spark, [stale, fresh])
+        cb = dedup.minhash_bands(
+            dedup.doc_shingles(corpus, distinct=False)
+        )
+        batch = _df(spark, [stale])  # re-ingest id 0 with... its old
+        # text, while the INDEX also holds id 0's old bands: the only
+        # admissible partner is other-doc id 1 (no self-pair), and
+        # stale-vs-stale gives no match since id 1 holds fresh text.
+        out = dedup.minhash_incremental_dedup(
+            batch, corpus, corpus_bands=cb
+        ).collect()
+        assert out == []
+        # and a fresh-text re-ingest of id 0 matches ONLY id 1
+        out2 = dedup.minhash_incremental_dedup(
+            _df(spark, [fresh]), corpus, corpus_bands=cb
+        ).collect()
+        assert [(r["doc_id"], r["dup_of"], r["jaccard"]) for r in out2] == [
+            (0, 1, 1.0)
+        ]
+
     def test_minhash_null_text_never_matches(self, spark):
         corpus = _df(spark, ["w x y z q r s", None])
         batch = _df(spark, [None, "w x y z q r s"], id0=100)
