@@ -130,6 +130,9 @@ EXT_HEADLINE = [
     "docs_length_percentiles_by_source",
     "orders_monthly_revenue_yoy",
     "text_lines_roundtrip",
+    "events_user_gini",
+    "orders_ship_backlog_daily",
+    "events_rolling_slope_7d",
 ]
 
 

@@ -3871,3 +3871,222 @@ def q_orders_monthly_revenue_yoy(
             "yoy_growth"
         ),
     ).orderBy("month")
+
+
+@query(
+    "events_user_gini",
+    """
+WITH ux AS (
+    SELECT event_type, user_id, COUNT(*) AS x
+    FROM events GROUP BY 1, 2
+),
+rk AS (
+    SELECT event_type, x,
+           ROW_NUMBER() OVER (
+               PARTITION BY event_type ORDER BY x, user_id) AS i
+    FROM ux
+),
+s AS (
+    SELECT event_type,
+           COUNT(*) AS n,
+           SUM(CAST(x AS BIGINT)) AS sx,
+           SUM(CAST(i * x AS BIGINT)) AS six
+    FROM rk GROUP BY 1
+)
+SELECT event_type, CAST(n AS BIGINT) AS n_users,
+       CAST(sx AS BIGINT) AS total_events,
+       CAST(2 * six - (n + 1) * sx AS DOUBLE)
+           / CAST(n * sx AS DOUBLE) AS gini
+FROM s
+""",
+)
+def q_events_user_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini coefficient of event volume across users, per event type —
+    the concentration ("do 1% of users generate 90% of traffic")
+    metric behind rate-limit and capacity policy. G = (2·Σi·x_i −
+    (n+1)·Σx) / (n·Σx) over users sorted ascending by volume.
+
+    Exactness: every moment is an exact int64 sum (per-row i·x ≤
+    n·max_count keeps products far under 2^63; widen to DECIMAL as
+    agg_corr_exact does beyond ~10^9 heavy users), tie-stable rank
+    (x, user_id), ONE double division per type. Scale shape: one
+    (type, user) count shuffle, then the rank window sorts only the
+    per-type USER relation (cardinality |users|, not |events|) — the
+    same per-key ordering cost Gini inherently requires — and the
+    moments fold map-side into one row per type."""
+    ux = (
+        _t(spark, sf_dir, "events")
+        .groupBy("event_type", "user_id")
+        .agg(F.count("*").alias("x"))
+    )
+    w = Window.partitionBy("event_type").orderBy("x", "user_id")
+    rk = ux.select(
+        "event_type", "x", F.row_number().over(w).alias("i")
+    )
+    s = rk.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum(F.col("x").cast("bigint")).alias("sx"),
+        F.sum((F.col("i") * F.col("x")).cast("bigint")).alias("six"),
+    )
+    return s.select(
+        "event_type",
+        F.col("n").alias("n_users"),
+        F.col("sx").alias("total_events"),
+        (
+            (F.lit(2) * F.col("six") - (F.col("n") + 1) * F.col("sx")).cast(
+                "double"
+            )
+            / (F.col("n") * F.col("sx")).cast("double")
+        ).alias("gini"),
+    )
+
+
+@query(
+    "orders_ship_backlog_daily",
+    """
+WITH iv AS (
+    SELECT CAST(o_orderdate AS DATE) AS opened_day,
+           CAST(l_shipdate AS DATE) AS shipped_day
+    FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+),
+delta AS (
+    SELECT day, SUM(opened) AS opened, SUM(shipped) AS shipped
+    FROM (
+        SELECT opened_day AS day, 1 AS opened, 0 AS shipped FROM iv
+        UNION ALL
+        SELECT shipped_day AS day, 0 AS opened, 1 AS shipped FROM iv
+    ) GROUP BY 1
+)
+SELECT day, CAST(opened AS BIGINT) AS opened,
+       CAST(shipped AS BIGINT) AS shipped,
+       CAST(SUM(opened - shipped) OVER (
+           ORDER BY day
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+       ) AS BIGINT) AS open_backlog
+FROM delta
+""",
+)
+def q_orders_ship_backlog_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily fulfillment backlog: how many order lines are placed but
+    not yet shipped at each day's close — the warehouse-operations
+    point-in-time series. Classic interval-stabbing done as a SWEEP:
+    each line emits +1 at its order date and −1 at its ship date, the
+    deltas aggregate per day, and one running sum rebuilds the open
+    count — total cost two linear passes, versus the
+    calendar×interval join (days × open lines, quadratic in horizon)
+    the naive phrasing costs at 100 TB. The running-sum window spans
+    the ~calendar-days relation only (bounded, single partition by
+    construction); all counts stay int64-exact."""
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    iv = li.join(o, F.col("o_orderkey") == F.col("l_orderkey")).select(
+        F.col("o_orderdate").cast("date").alias("opened_day"),
+        F.col("l_shipdate").cast("date").alias("shipped_day"),
+    )
+    delta = (
+        iv.select(
+            F.col("opened_day").alias("day"),
+            F.lit(1).alias("opened"),
+            F.lit(0).alias("shipped"),
+        )
+        .unionAll(
+            iv.select(
+                F.col("shipped_day").alias("day"),
+                F.lit(0).alias("opened"),
+                F.lit(1).alias("shipped"),
+            )
+        )
+        .groupBy("day")
+        .agg(
+            F.sum("opened").alias("opened"),
+            F.sum("shipped").alias("shipped"),
+        )
+    )
+    w = Window.orderBy("day").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return delta.select(
+        "day",
+        "opened",
+        "shipped",
+        F.sum(F.col("opened") - F.col("shipped")).over(w).alias(
+            "open_backlog"
+        ),
+    )
+
+
+@query(
+    "events_rolling_slope_7d",
+    """
+WITH daily AS (
+    SELECT event_type,
+           datediff('day', DATE '1995-01-01',
+                    CAST(date_trunc('day', ts) AS DATE)) AS x,
+           COUNT(*) AS y
+    FROM events GROUP BY 1, 2
+),
+w AS (
+    SELECT event_type, x,
+           COUNT(*) OVER win AS n,
+           SUM(CAST(x AS BIGINT)) OVER win AS sx,
+           SUM(CAST(y AS BIGINT)) OVER win AS sy,
+           SUM(CAST(x * x AS BIGINT)) OVER win AS sxx,
+           SUM(CAST(x * y AS BIGINT)) OVER win AS sxy
+    FROM daily
+    WINDOW win AS (PARTITION BY event_type ORDER BY x
+                   ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+)
+SELECT event_type,
+       CAST(x AS BIGINT) AS day_offset,
+       CAST(n AS BIGINT) AS n_win,
+       CASE WHEN n * sxx - sx * sx > 0
+            THEN CAST(n * sxy - sx * sy AS DOUBLE)
+                 / CAST(n * sxx - sx * sx AS DOUBLE) END AS slope
+FROM w
+""",
+)
+def q_events_rolling_slope_7d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling 7-day OLS slope of daily event volume per type — the
+    windowed sibling of events_trend_ols (global fit): a per-day
+    "how fast is this stream growing right now" signal for alerting.
+
+    Exactness: the four rolling moments are exact int64 window sums
+    and the normal-equation polynomial stays in exactly-representable
+    double range (see events_trend_ols); slope is ONE double division
+    per row, NULL while the window is degenerate (n·Σxx = (Σx)² when
+    every x is equal — including n=1). Scale shape: one (type, day)
+    count shuffle; the rolling windows run over calendar-bounded
+    per-type partitions, never over raw events."""
+    daily = (
+        _t(spark, sf_dir, "events")
+        .groupBy(
+            "event_type",
+            F.datediff(
+                F.date_trunc("day", "ts").cast("date"),
+                F.lit("1995-01-01").cast("date"),
+            ).alias("x"),
+        )
+        .agg(F.count("*").alias("y"))
+    )
+    win = (
+        Window.partitionBy("event_type").orderBy("x").rowsBetween(-6, 0)
+    )
+    w = daily.select(
+        "event_type",
+        "x",
+        F.count("*").over(win).alias("n"),
+        F.sum(F.col("x").cast("bigint")).over(win).alias("sx"),
+        F.sum(F.col("y").cast("bigint")).over(win).alias("sy"),
+        F.sum((F.col("x") * F.col("x")).cast("bigint")).over(win).alias("sxx"),
+        F.sum((F.col("x") * F.col("y")).cast("bigint")).over(win).alias("sxy"),
+    )
+    den = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    return w.select(
+        "event_type",
+        F.col("x").cast("bigint").alias("day_offset"),
+        F.col("n").alias("n_win"),
+        F.when(den > 0, num.cast("double") / den.cast("double")).alias(
+            "slope"
+        ),
+    )
