@@ -133,6 +133,9 @@ EXT_HEADLINE = [
     "events_user_gini",
     "orders_ship_backlog_daily",
     "events_rolling_slope_7d",
+    "emb_label_drift",
+    "emb_outlier_topk",
+    "docs_boilerplate_ngrams",
 ]
 
 

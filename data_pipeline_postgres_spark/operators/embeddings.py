@@ -223,3 +223,113 @@ def pq_encode(emb: DataFrame, m: int = 8, k: int = 16) -> DataFrame:
         )
         cols.append(F.element_at(fold, 2).cast("int").alias(f"c{s}"))
     return vs.select("vec_id", *cols)
+
+
+def centroid_drift(emb: DataFrame) -> DataFrame:
+    """Per-label embedding drift between the corpus' even-id half
+    (reference snapshot) and odd-id half (current snapshot): the L2
+    distance between the two unit-space centroids —
+    (label, n_ref, n_cur, l2_shift). The train/serve-skew and
+    re-embedding monitor: a centroid that moves means the upstream
+    encoder (or the data mix) changed for that label.
+
+    Exactness contract: both centroids stay RATIONAL until the end —
+    per-(label, pos, half) sums of the deterministic int64
+    quantization (quantize_col), so the component difference
+    qr·n_cur − qc·n_ref is exact integer math; its square widens
+    through DECIMAL(19,0)→(38,0) (per-component |num| ≤
+    2·n_ref·n_cur·2^20 — int64-safe through ~10^6 vectors per label,
+    widen the product operands beyond that), the 64-term sum is an
+    exact decimal, and the ONE final sqrt + division are
+    deterministic IEEE ops (the 2^20·n_ref·n_cur denominator is a
+    power-of-two-scaled exact double). Scale shape: one posexplode +
+    one (label, pos) hash aggregate — map-side partials collapse the
+    exchange to |labels|·64 rows; everything after is tiny.
+    """
+    q = quantize_col(V.as_double(F.col("embedding")))
+    ex = emb.select(
+        "label",
+        (F.col("vec_id") % 2 == 0).alias("is_ref"),
+        F.posexplode(q).alias("pos", "qv"),
+    )
+    m = ex.groupBy("label", "pos").agg(
+        F.sum(F.when(F.col("is_ref"), F.col("qv"))).alias("qr"),
+        F.sum(F.when(~F.col("is_ref"), F.col("qv"))).alias("qc"),
+        F.count(F.when(F.col("is_ref"), F.lit(1))).alias("nr"),
+        F.count(F.when(~F.col("is_ref"), F.lit(1))).alias("nc"),
+    )
+    num = (
+        F.col("qr") * F.col("nc") - F.col("qc") * F.col("nr")
+    ).cast("decimal(19,0)")
+    s = (
+        m.filter((F.col("nr") > 0) & (F.col("nc") > 0))
+        .groupBy("label", "nr", "nc")
+        .agg(F.sum(num * num).alias("s2"))
+    )
+    return s.select(
+        "label",
+        F.col("nr").alias("n_ref"),
+        F.col("nc").alias("n_cur"),
+        (
+            F.sqrt(F.col("s2").cast("double"))
+            / (F.lit(QSCALE) * (F.col("nr") * F.col("nc")).cast("double"))
+        ).alias("l2_shift"),
+    )
+
+
+def outlier_distance(emb: DataFrame, k: int = 20) -> DataFrame:
+    """Embedding QA: the ``k`` vectors FARTHEST from their own label
+    centroid, per label — (label, vec_id, d2, rank). Mislabeled or
+    corrupt embeddings surface at the top; the triage feed a corpus
+    re-labeling pass consumes.
+
+    Exactness: the centroid is the quantized-int rational (one
+    deterministic division per component); each vector's squared
+    distance folds over components IN ARRAY ORDER
+    (zip_with + ordered aggregate ≡ DuckDB's list_reduce — the
+    left-fold bracketing differs only by the exact +0.0 seed), so d2
+    is bit-identical cross-engine and the (d2 DESC, vec_id) cut is
+    stable. Scale shape: centroids aggregate to |labels|·64 rows and
+    broadcast back; the distance pass is narrow; the per-label top-k
+    runs as a WindowGroupLimit (rank pushed below the shuffle).
+    """
+    q = quantize_col(V.as_double(F.col("embedding")))
+    m = (
+        emb.select("label", F.posexplode(q).alias("pos", "qv"))
+        .groupBy("label", "pos")
+        .agg(F.sum("qv").alias("qs"), F.count("*").alias("n"))
+    )
+    cent = (
+        m.select(
+            "label",
+            F.struct(
+                "pos",
+                (
+                    F.col("qs").cast("double")
+                    / (F.lit(QSCALE) * F.col("n").cast("double"))
+                ).alias("c"),
+            ).alias("s"),
+        )
+        .groupBy("label")
+        .agg(F.array_sort(F.collect_list("s")).alias("ss"))
+        .select(
+            "label", F.transform("ss", lambda s: s["c"]).alias("carr")
+        )
+    )
+    v = V.as_double(F.col("embedding"))
+    d2 = F.aggregate(
+        F.zip_with(v, F.col("carr"), lambda x, c: (x - c) * (x - c)),
+        F.lit(0.0),
+        lambda a, x: a + x,
+    )
+    scored = emb.join(F.broadcast(cent), "label").select(
+        "label", "vec_id", d2.alias("d2")
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("label").orderBy(F.desc("d2"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("label", "vec_id", "d2", "rank")
+    )

@@ -590,7 +590,7 @@ def pq_adc_topk(
     k: int = 10,
     n_candidates: int = 400,
     m: int = 8,
-    ksub: int = 64,
+    ksub: int = 16,
     round_digits: int = 6,
 ) -> DataFrame:
     """PQ/ADC approximate top-k (the IVFADC search half, Jégou et al.
@@ -609,11 +609,15 @@ def pq_adc_topk(
     oracle, so the candidate set (and hence the result) is
     engine-identical.
 
-    Defaults (shortlist 400, 64-entry sub-codebooks) are sized from
-    the measured recall curve at sf0.1 (PLANS.md): 50/16 gave
-    recall@10 = 0.50, 200/64 → 0.90, 400/64 → 1.00. Both knobs stay
-    O(1) per corpus row — the LUT is m×ksub doubles broadcast once,
-    and the rerank touches n_candidates raw vectors total.
+    Defaults (shortlist 400, 16-entry sub-codebooks) are sized from
+    the measured recall/cost curve at sf0.1 (PLANS.md): 50/16 gave
+    recall@10 = 0.50, 400/16 → 0.90; 400/64 reaches 1.00 but
+    quadruples ENCODE cost (argmin over 4× the centroids per
+    subspace), which this operator pays inline per run — larger
+    codebooks belong on the materialized index path
+    (build_ivfpq_index), where encode is a one-time write-side cost.
+    Both knobs stay O(1) per corpus row — the LUT is m×ksub doubles
+    broadcast once, and the rerank touches n_candidates raw vectors.
     """
     from .embeddings import pq_codebook, pq_encode
 

@@ -2391,7 +2391,7 @@ _PQ_ADC_ORACLE = f"""
 WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
 seeds AS (
     SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, v AS cv
-    FROM e ORDER BY vec_id LIMIT 64
+    FROM e ORDER BY vec_id LIMIT 16
 ),
 dist AS (
     SELECT e.vec_id, s.sub, c.cid,
@@ -2439,12 +2439,14 @@ LIMIT 10
 @query("sim_ann_pq_adc", _PQ_ADC_ORACLE)
 def q_sim_ann_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PQ/ADC approximate top-10 (IVFADC search half): the query's
-    m×64 subspace-distance LUT broadcasts, each corpus vector's
+    m×16 subspace-distance LUT broadcasts, each corpus vector's
     approximate distance is 8 array lookups over its stored PQ codes
     (the raw vectors stay cold), ADC top-400 rerank exactly
-    (shortlist/codebook sized for recall@10 = 1.00 at sf0.1 — see
-    PLANS.md; 50/16 measured 0.50 in r7). Candidate fold bracketing
-    matches the oracle, so results are engine-identical."""
+    (shortlist sized for recall@10 = 0.90 at sf0.1 — see PLANS.md;
+    50/16 measured 0.50 in r7; bigger codebooks reach 1.00 but belong
+    on the materialized-index path where encode is write-time).
+    Candidate fold bracketing matches the oracle, so results are
+    engine-identical."""
     return similarity.pq_adc_topk(_emb(spark, sf_dir))
 
 
@@ -3110,4 +3112,164 @@ def q_text_lines_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return parsed.select(
         "doc_id", F.length("text").cast("bigint").alias("n_chars_line")
+    )
+
+
+_EMB_DRIFT_ORACLE = """
+WITH e AS (
+    SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings
+),
+qv AS (
+    SELECT label, vec_id % 2 = 0 AS is_ref,
+           list_transform(v, x -> CAST(floor(
+               x / sqrt(list_reduce(list_transform(v, y -> y*y),
+                                    (a,b) -> a+b)) * 1048576e0 + 0.5
+           ) AS BIGINT)) AS q
+    FROM e
+),
+m AS (
+    SELECT label, i - 1 AS pos,
+           SUM(CASE WHEN is_ref THEN q[i] END) AS qr,
+           SUM(CASE WHEN NOT is_ref THEN q[i] END) AS qc,
+           COUNT(CASE WHEN is_ref THEN 1 END) AS nr,
+           COUNT(CASE WHEN NOT is_ref THEN 1 END) AS nc
+    FROM qv, unnest(range(1, 65)) AS t(i)
+    GROUP BY 1, 2
+),
+s AS (
+    SELECT label, nr, nc,
+           SUM(CAST(qr * nc - qc * nr AS DECIMAL(19,0))
+               * CAST(qr * nc - qc * nr AS DECIMAL(19,0))) AS s2
+    FROM m WHERE nr > 0 AND nc > 0
+    GROUP BY 1, 2, 3
+)
+SELECT label, CAST(nr AS BIGINT) AS n_ref, CAST(nc AS BIGINT) AS n_cur,
+       sqrt(CAST(s2 AS DOUBLE))
+           / (1048576e0 * CAST(nr * nc AS DOUBLE)) AS l2_shift
+FROM s
+"""
+
+
+@query("emb_label_drift", _EMB_DRIFT_ORACLE)
+def q_emb_label_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label centroid drift between the even-id (reference) and
+    odd-id (current) corpus halves — the encoder/data-mix skew
+    monitor. Rational-centroid integer math end-to-end; ONE sqrt +
+    division per label (operators/embeddings.centroid_drift)."""
+    from ..operators import embeddings
+
+    return embeddings.centroid_drift(_emb(spark, sf_dir))
+
+
+_EMB_OUTLIER_ORACLE = """
+WITH e AS (
+    SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings
+),
+qv AS (
+    SELECT vec_id, label,
+           list_transform(v, x -> CAST(floor(
+               x / sqrt(list_reduce(list_transform(v, y -> y*y),
+                                    (a,b) -> a+b)) * 1048576e0 + 0.5
+           ) AS BIGINT)) AS q
+    FROM e
+),
+m AS (
+    SELECT label, i AS pos, SUM(q[i]) AS qs, COUNT(*) AS n
+    FROM qv, unnest(range(1, 65)) AS t(i)
+    GROUP BY 1, 2
+),
+c AS (
+    SELECT label,
+           list(CAST(qs AS DOUBLE) / (1048576e0 * CAST(n AS DOUBLE))
+                ORDER BY pos) AS carr
+    FROM m GROUP BY 1
+),
+d AS (
+    SELECT e.vec_id, e.label,
+           list_reduce(
+               list_transform(range(64),
+                   i -> (e.v[i+1] - c.carr[i+1])
+                        * (e.v[i+1] - c.carr[i+1])),
+               (a, b) -> a + b) AS d2
+    FROM e JOIN c USING (label)
+)
+SELECT label, vec_id, d2, CAST(rn AS INT) AS rank FROM (
+    SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY label ORDER BY d2 DESC, vec_id) AS rn
+    FROM d
+) WHERE rn <= 20
+"""
+
+
+@query("emb_outlier_topk", _EMB_OUTLIER_ORACLE)
+def q_emb_outlier_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding QA: the 20 vectors farthest from their own label
+    centroid, per label — mislabel/corruption triage. Quantized
+    rational centroid + ordered-fold distance (bit-identical
+    cross-engine); per-label cut is a WindowGroupLimit
+    (operators/embeddings.outlier_distance)."""
+    from ..operators import embeddings
+
+    return embeddings.outlier_distance(_emb(spark, sf_dir))
+
+
+_BOILERPLATE_ORACLE = r"""
+WITH toks AS (
+    SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w
+    FROM documents
+),
+sh AS (
+    SELECT DISTINCT doc_id,
+           w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3]
+                || ' ' || w[i+4] AS ngram
+    FROM toks, unnest(range(1, len(w) - 3)) AS t(i)
+),
+df AS (SELECT ngram, COUNT(*) AS df FROM sh GROUP BY 1),
+nd AS (SELECT COUNT(*) AS n_docs FROM documents)
+SELECT ngram, CAST(df AS BIGINT) AS df,
+       CAST(df AS DOUBLE) / CAST(n_docs AS DOUBLE) AS doc_frac
+FROM (
+    SELECT ngram, df, ROW_NUMBER() OVER (ORDER BY df DESC, ngram) AS rn
+    FROM df WHERE df >= 3
+), nd
+WHERE rn <= 100
+"""
+
+
+@query("docs_boilerplate_ngrams", _BOILERPLATE_ORACLE)
+def q_docs_boilerplate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document boilerplate detection: word 5-grams appearing in
+    ≥3 DISTINCT documents, top-100 by document frequency — the
+    removal feed for template headers/footers/disclaimers (the n-gram
+    analog of C4's line-level cross-doc rule; line splitting is
+    degenerate on single-line corpora).
+
+    Scale shape: per-doc DISTINCT shingles (array_distinct before the
+    explode — in-doc repetition never inflates df), ONE count shuffle
+    on the shingle key, and a TakeOrderedAndProject top-100; the
+    corpus size rides in as a broadcast 1-row scalar. Exact integer
+    df; doc_frac is one double division."""
+    from ..functions import text as TX
+
+    docs = _docs(spark, sf_dir)
+    sh = docs.select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(TX.word_shingles(TX.tokens("text"), 5))
+        ).alias("ngram"),
+    ).distinct()
+    df = sh.groupBy("ngram").agg(F.count("*").alias("df"))
+    nd = docs.agg(F.count("*").alias("n_docs"))
+    return (
+        df.filter(F.col("df") >= 3)
+        .orderBy(F.desc("df"), F.asc("ngram"))
+        .limit(100)
+        .crossJoin(F.broadcast(nd))
+        .select(
+            "ngram",
+            "df",
+            (
+                F.col("df").cast("double") / F.col("n_docs").cast("double")
+            ).alias("doc_frac"),
+        )
     )

@@ -234,8 +234,10 @@ def accuracy_rows(spark, sf_dir):
                     " clusters — exact-assignment IVF is the scale"
                     " default at 1.00)")
         if name == "sim_ann_pq_adc":
-            note = (" — shortlist 400 / ksub 64 (r8 retune; 50/16"
-                    " measured 0.50, 200/64 → 0.90)")
+            note = (" — shortlist 400 / ksub 16 (r8 retune; 50/16"
+                    " measured 0.50; 400/64 reaches 1.00 but 4×'s the"
+                    " inline encode cost — bigger codebooks belong on"
+                    " the materialized IVF-PQ index path)")
         if name == "sim_topk_lsh":
             note = (f" — multi-probe 64/256 buckets; true top-10 sit at"
                     f" cosine {qtop[0]:.2f}–{qtop[1]:.2f} (excl. self),"
