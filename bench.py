@@ -136,6 +136,9 @@ EXT_HEADLINE = [
     "emb_label_drift",
     "emb_outlier_topk",
     "docs_boilerplate_ngrams",
+    "docs_near_dup_rate_by_source",
+    "docs_vocab_growth",
+    "docs_length_histogram_pow2",
 ]
 
 

@@ -3273,3 +3273,175 @@ def q_docs_boilerplate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("doc_frac"),
         )
     )
+
+
+_ND_BY_SOURCE_ORACLE = f"""
+WITH pairs AS (
+{_MINHASH_ORACLE}
+),
+lab AS (
+    SELECT least(da.source, db.source) AS source_x,
+           greatest(da.source, db.source) AS source_y
+    FROM pairs p
+    JOIN documents da ON da.doc_id = p.doc_a
+    JOIN documents db ON db.doc_id = p.doc_b
+)
+SELECT source_x, source_y, CAST(COUNT(*) AS BIGINT) AS n_pairs
+FROM lab GROUP BY 1, 2
+"""
+
+
+@query("docs_near_dup_rate_by_source", _ND_BY_SOURCE_ORACLE)
+def q_docs_near_dup_rate_by_source(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Cross-source near-dup contamination matrix: verified MinHash
+    pairs (Jaccard ≥ 0.8) rolled up by UNORDERED source pair —
+    (source_x, source_y, n_pairs). The provenance diagnostic behind
+    "is src3 re-scraping src1": a hot off-diagonal cell means two
+    feeds ship the same content and one should be dropped before
+    training. Scale shape: the pair list is already candidate-bounded
+    (band-admitted and verified — see minhash_dedup); the two
+    doc→source lookups join the TINY pair relation against the
+    pruned 2-column doc projection, and the matrix aggregate is
+    |sources|² rows."""
+    docs = _docs(spark, sf_dir)
+    pairs = dedup.minhash_dedup(docs)
+    src = docs.select("doc_id", "source")
+    lab = (
+        pairs.join(
+            src.select(
+                F.col("doc_id").alias("doc_a"),
+                F.col("source").alias("sa"),
+            ),
+            "doc_a",
+        )
+        .join(
+            src.select(
+                F.col("doc_id").alias("doc_b"),
+                F.col("source").alias("sb"),
+            ),
+            "doc_b",
+        )
+        .select(
+            F.least("sa", "sb").alias("source_x"),
+            F.greatest("sa", "sb").alias("source_y"),
+        )
+    )
+    return lab.groupBy("source_x", "source_y").agg(
+        F.count("*").alias("n_pairs")
+    )
+
+
+_VOCAB_GROWTH_ORACLE = r"""
+WITH nd AS (SELECT MAX(doc_id) + 1 AS n FROM documents),
+tok AS (
+    SELECT unnest(regexp_split_to_array(trim(text), '\s+')) AS tok,
+           doc_id
+    FROM documents
+),
+first_seen AS (SELECT tok, MIN(doc_id) AS fid FROM tok GROUP BY 1),
+dec AS (
+    SELECT CAST(fid * 10 // n AS BIGINT) AS decile,
+           COUNT(*) AS n_new
+    FROM first_seen, nd GROUP BY 1
+)
+SELECT decile, CAST(n_new AS BIGINT) AS n_new_tokens,
+       CAST(SUM(n_new) OVER (
+           ORDER BY decile
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+       ) AS BIGINT) AS vocab_cum
+FROM dec
+"""
+
+
+@query("docs_vocab_growth", _VOCAB_GROWTH_ORACLE)
+def q_docs_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heaps-law vocabulary growth curve: distinct-token vocabulary
+    size after each decile of the corpus (by ingestion order =
+    doc_id), via FIRST OCCURRENCE — each token contributes to the
+    decile of its min doc_id, and one 10-row running sum rebuilds the
+    cumulative curve. The "is this crawl still finding new language"
+    saturation signal mix planners watch.
+
+    Scale shape: ONE token explode + min-aggregate (map-side combine
+    collapses to |vocab| rows) — NOT ten distinct-counts over ten
+    prefixes (which would scan the corpus ten times); the decile
+    bucketing is exact integer math (fid·10 // n) and the window runs
+    over exactly 10 rows."""
+    from ..functions import text as TX
+
+    docs = _docs(spark, sf_dir)
+    nd = docs.agg((F.max("doc_id") + 1).alias("n"))
+    first_seen = (
+        docs.select("doc_id", F.explode(TX.tokens("text")).alias("tok"))
+        .groupBy("tok")
+        .agg(F.min("doc_id").alias("fid"))
+    )
+    dec = (
+        first_seen.crossJoin(F.broadcast(nd))
+        .select(
+            ((F.col("fid") * 10).cast("bigint") / F.col("n"))
+            .cast("bigint")
+            .alias("decile")
+        )
+        .groupBy("decile")
+        .agg(F.count("*").alias("n_new_tokens"))
+    )
+    w = Window.orderBy("decile").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return dec.select(
+        "decile",
+        "n_new_tokens",
+        F.sum("n_new_tokens").over(w).alias("vocab_cum"),
+    )
+
+
+_LEN_HISTO_ORACLE = r"""
+WITH n AS (
+    SELECT source,
+           len(regexp_split_to_array(trim(text), '\s+')) AS n_words
+    FROM documents
+),
+b AS (
+    SELECT source, length(bin(n_words)) - 1 AS k FROM n WHERE n_words >= 1
+)
+SELECT source,
+       CAST(1 << k AS BIGINT) AS bucket_lo,
+       CAST((1 << (k + 1)) - 1 AS BIGINT) AS bucket_hi,
+       CAST(COUNT(*) AS BIGINT) AS n_docs
+FROM b GROUP BY source, k
+"""
+
+
+@query("docs_length_histogram_pow2", _LEN_HISTO_ORACLE)
+def q_docs_length_histogram_pow2(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Per-source document-length histogram on power-of-two buckets
+    ([2^k, 2^(k+1))) — the standard long-tail length profile for
+    context-window planning and truncation-loss estimates. The bucket
+    index is floor(log2) computed as BIT LENGTH (length(bin(n)) − 1):
+    pure integer math, immune to the log2(2^k) ≈ k−ε boundary
+    misbucketing a float log risks on either engine. One narrow map +
+    one |sources|·~20-row aggregate."""
+    from ..functions import text as TX
+
+    n = _docs(spark, sf_dir).select(
+        "source", F.size(TX.tokens("text")).alias("n_words")
+    )
+    b = n.filter(F.col("n_words") >= 1).select(
+        "source",
+        (F.length(F.expr("bin(n_words)")) - 1).alias("k"),
+    )
+    return b.groupBy("source", "k").agg(
+        F.count("*").alias("n_docs")
+    ).select(
+        "source",
+        F.expr("cast(shiftleft(1, k) as bigint)").alias("bucket_lo"),
+        F.expr("cast(shiftleft(1, k + 1) - 1 as bigint)").alias(
+            "bucket_hi"
+        ),
+        "n_docs",
+    )
