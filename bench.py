@@ -139,6 +139,9 @@ EXT_HEADLINE = [
     "docs_near_dup_rate_by_source",
     "docs_vocab_growth",
     "docs_length_histogram_pow2",
+    "docs_quality_dup_crosstab",
+    "dedup_simhash_hamming_hist",
+    "events_anomaly_zscore_rolling",
 ]
 
 

@@ -3445,3 +3445,198 @@ def q_docs_length_histogram_pow2(
         ),
         "n_docs",
     )
+
+
+_QUALITY_DUP_ORACLE = rf"""
+WITH pairs AS (
+{_MINHASH_ORACLE}
+),
+dup AS (
+    SELECT DISTINCT doc_id FROM (
+        SELECT doc_a AS doc_id FROM pairs
+        UNION ALL SELECT doc_b FROM pairs
+    )
+),
+t AS (
+    SELECT doc_id, text,
+           regexp_split_to_array(trim(text), '\s+') AS w
+    FROM documents
+),
+g AS (
+    SELECT doc_id,
+           (len(w) >= 50 AND len(w) <= 100000
+            AND CAST(list_sum(list_transform(w, tok -> length(tok)))
+                     AS DOUBLE) / len(w) >= 3.0
+            AND CAST(list_sum(list_transform(w, tok -> length(tok)))
+                     AS DOUBLE) / len(w) <= 10.0
+            AND CAST(len(regexp_extract_all(text, '#|\.\.\.|…'))
+                     AS DOUBLE) / len(w) <= 0.1
+            AND CAST(len(list_filter(w, tok ->
+                         regexp_matches(tok, '[a-zA-Z]')))
+                     AS DOUBLE) / len(w) >= 0.8
+            AND CAST(list_contains(w, 'the') AS INT)
+                + CAST(list_contains(w, 'a') AS INT)
+                + CAST(list_contains(w, 'to') AS INT)
+                + CAST(list_contains(w, 'of') AS INT)
+                + CAST(list_contains(w, 'and') AS INT)
+                + CAST(list_contains(w, 'that') AS INT)
+                + CAST(list_contains(w, 'in') AS INT)
+                + CAST(list_contains(w, 'with') AS INT) >= 2
+           ) AS gopher_pass
+    FROM t
+)
+SELECT g.gopher_pass, dup.doc_id IS NOT NULL AS is_near_dup,
+       CAST(COUNT(*) AS BIGINT) AS n_docs
+FROM g LEFT JOIN dup ON dup.doc_id = g.doc_id
+GROUP BY 1, 2
+"""
+
+
+@query("docs_quality_dup_crosstab", _QUALITY_DUP_ORACLE)
+def q_docs_quality_dup_crosstab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality × duplication contingency table: every document
+    bucketed by (gopher_pass, is_near_dup), where is_near_dup = the
+    doc appears in any verified MinHash pair — the one-look answer to
+    "are our duplicates disproportionately low-quality?", which
+    decides whether dedup should run before or after the quality
+    gate at 100 TB (filter the cheaper predicate first).
+
+    Scale shape: the Gopher rule table is map-only; the dup-id set is
+    candidate-bounded (band-admitted, verified) and joins as a tiny
+    broadcast; output is ≤4 rows."""
+    from ..operators import textstats
+
+    docs = _docs(spark, sf_dir)
+    g = textstats.gopher_quality(docs).select("doc_id", "gopher_pass")
+    pairs = dedup.minhash_dedup(docs)
+    dup = (
+        pairs.select(F.col("doc_a").alias("doc_id"))
+        .unionAll(pairs.select(F.col("doc_b").alias("doc_id")))
+        .distinct()
+        .withColumn("_d", F.lit(1))
+    )
+    return (
+        g.join(F.broadcast(dup), "doc_id", "left")
+        .select(
+            "gopher_pass", F.col("_d").isNotNull().alias("is_near_dup")
+        )
+        .groupBy("gopher_pass", "is_near_dup")
+        .agg(F.count("*").alias("n_docs"))
+    )
+
+
+_SIMHASH_HIST_ORACLE = f"""
+WITH fps AS ({_SIMHASH_ORACLE}),
+bands AS (
+    SELECT doc_id, simhash, b AS band, (simhash >> (8 * b)) & 255 AS bv
+    FROM fps, (SELECT unnest(range(4)) AS b)
+),
+pairs AS (
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+    FROM bands a
+    JOIN bands b ON a.band = b.band AND a.bv = b.bv AND a.doc_id < b.doc_id
+)
+SELECT hamming, CAST(COUNT(*) AS BIGINT) AS n_pairs
+FROM pairs GROUP BY 1
+"""
+
+
+@query("dedup_simhash_hamming_hist", _SIMHASH_HIST_ORACLE)
+def q_dedup_simhash_hamming_hist(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Hamming-distance histogram over ALL band-admitted SimHash
+    candidate pairs (no radius cut) — the threshold-tuning curve for
+    the simhash dedup family: where the near-dup mass ends and the
+    random-collision haze begins tells you the radius to run
+    dedup_simhash_pairs at. Same banded candidate generation (never
+    all-pairs); one |distinct-hamming|-row aggregate on top."""
+    return (
+        dedup.simhash_pairs(_docs(spark, sf_dir), max_hamming=32)
+        .groupBy("hamming")
+        .agg(F.count("*").alias("n_pairs"))
+    )
+
+
+_ZSCORE_ROLLING_ORACLE = """
+WITH daily AS (
+    SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
+           COUNT(*) AS cnt
+    FROM events GROUP BY 1, 2
+),
+w AS (
+    SELECT event_type, day, cnt,
+           COUNT(*) OVER win AS n,
+           SUM(CAST(cnt AS BIGINT)) OVER win AS sx,
+           SUM(CAST(cnt * cnt AS BIGINT)) OVER win AS sxx
+    FROM daily
+    WINDOW win AS (PARTITION BY event_type ORDER BY day
+                   ROWS BETWEEN 28 PRECEDING AND 1 PRECEDING)
+)
+SELECT event_type, day, CAST(cnt AS BIGINT) AS cnt,
+       CASE WHEN n >= 7 AND n * sxx - sx * sx > 0 THEN
+           (CAST(cnt AS DOUBLE) - CAST(sx AS DOUBLE) / CAST(n AS DOUBLE))
+           / sqrt(CAST(n * sxx - sx * sx AS DOUBLE)
+                  / CAST(n * (n - 1) AS DOUBLE))
+       END AS z,
+       CASE WHEN n >= 7 AND n * sxx - sx * sx > 0 THEN
+           abs((CAST(cnt AS DOUBLE)
+                - CAST(sx AS DOUBLE) / CAST(n AS DOUBLE))
+               / sqrt(CAST(n * sxx - sx * sx AS DOUBLE)
+                      / CAST(n * (n - 1) AS DOUBLE))) > 3.0
+       END AS is_anomaly
+FROM w
+"""
+
+
+@query("events_anomaly_zscore_rolling", _ZSCORE_ROLLING_ORACLE)
+def q_events_anomaly_zscore_rolling(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Rolling z-score anomaly detection per event type: each day's
+    count scored against the TRAILING 28 days (current day excluded —
+    an outlier must not feed its own baseline), z = (cnt − mean)/std
+    with the sample std; flagged at |z| > 3, NULL until 7 days of
+    history exist. The windowed complement of events_anomaly_mad
+    (global, median-based): z-score reacts to recent level shifts
+    MAD's corpus-wide baseline absorbs.
+
+    Exactness: rolling n/Σx/Σx² are exact int64 window sums; mean,
+    variance, sqrt, and the final division are the identical IEEE op
+    sequence on both engines. Scale: one (type, day) count shuffle;
+    windows span calendar-bounded per-type partitions."""
+    daily = (
+        load_table(spark, sf_dir, "events")
+        .groupBy(
+            "event_type", F.date_trunc("day", "ts").cast("date").alias("day")
+        )
+        .agg(F.count("*").alias("cnt"))
+    )
+    win = (
+        Window.partitionBy("event_type").orderBy("day").rowsBetween(-28, -1)
+    )
+    w = daily.select(
+        "event_type",
+        "day",
+        "cnt",
+        F.count("*").over(win).alias("n"),
+        F.sum(F.col("cnt").cast("bigint")).over(win).alias("sx"),
+        F.sum((F.col("cnt") * F.col("cnt")).cast("bigint"))
+        .over(win)
+        .alias("sxx"),
+    )
+    n, sx, sxx = F.col("n"), F.col("sx"), F.col("sxx")
+    ok = (n >= 7) & (n * sxx - sx * sx > 0)
+    mean = sx.cast("double") / n.cast("double")
+    std = F.sqrt(
+        (n * sxx - sx * sx).cast("double") / (n * (n - 1)).cast("double")
+    )
+    z = (F.col("cnt").cast("double") - mean) / std
+    return w.select(
+        "event_type",
+        "day",
+        "cnt",
+        F.when(ok, z).alias("z"),
+        F.when(ok, F.abs(z) > 3.0).alias("is_anomaly"),
+    )
