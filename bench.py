@@ -142,6 +142,7 @@ EXT_HEADLINE = [
     "docs_quality_dup_crosstab",
     "dedup_simhash_hamming_hist",
     "events_anomaly_zscore_rolling",
+    "docs_mix_temperature_alloc",
 ]
 
 

@@ -3640,3 +3640,78 @@ def q_events_anomaly_zscore_rolling(
         F.when(ok, z).alias("z"),
         F.when(ok, F.abs(z) > 3.0).alias("is_anomaly"),
     )
+
+
+_MIX_TEMP_ORACLE = r"""
+WITH n AS (
+    SELECT source,
+           SUM(len(regexp_split_to_array(trim(text), '\s+'))) AS n_tokens
+    FROM documents GROUP BY 1
+),
+wts AS (SELECT source, sqrt(CAST(n_tokens AS DOUBLE)) AS w FROM n),
+tot AS (
+    SELECT list_reduce(list(w ORDER BY source), (a, b) -> a + b) AS wsum
+    FROM wts
+)
+SELECT n.source, CAST(n.n_tokens AS BIGINT) AS n_tokens,
+       w / wsum AS mix_frac,
+       CAST(FLOOR(1000000e0 * w / wsum) AS BIGINT) AS alloc_tokens,
+       CAST(FLOOR(1000000e0 * w / wsum) AS DOUBLE)
+           / CAST(n.n_tokens AS DOUBLE) AS upsample
+FROM n JOIN wts USING (source), tot
+"""
+
+
+@query("docs_mix_temperature_alloc", _MIX_TEMP_ORACLE)
+def q_docs_mix_temperature_alloc(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Temperature-scaled source mixing (τ = 1/2): per-source token
+    budget allocation w_s ∝ n_s^(1/2), the standard upsampling rule
+    that keeps small high-quality sources from drowning under a raw
+    proportional mix (the Pile / LLaMA-style α-sampling, at the one
+    exponent whose power is an exact IEEE sqrt — general τ needs
+    pow(), whose cross-engine rounding is NOT pinned).
+    (source, n_tokens, mix_frac, alloc_tokens, upsample) against a
+    1M-token budget.
+
+    Exactness: exact int64 token counts → sqrt (correctly-rounded
+    IEEE) → the |sources|-term weight total folds IN SOURCE ORDER
+    (sorted-list fold ≡ DuckDB list_reduce), then per-source one
+    division / one floor. Scale shape: one map-side-combined count
+    shuffle to |sources| rows; everything after is tiny."""
+    from ..functions import text as TX
+
+    n = (
+        _docs(spark, sf_dir)
+        .groupBy("source")
+        .agg(F.sum(F.size(TX.tokens("text"))).alias("n_tokens"))
+    )
+    wts = n.select(
+        "source", F.sqrt(F.col("n_tokens").cast("double")).alias("w")
+    )
+    tot = (
+        wts.select(F.struct("source", "w").alias("s"))
+        .agg(F.array_sort(F.collect_list("s")).alias("a"))
+        .select(
+            F.aggregate(
+                F.transform("a", lambda s: s["w"]),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            ).alias("wsum")
+        )
+    )
+    alloc = F.floor(F.lit(1000000.0) * F.col("w") / F.col("wsum"))
+    return (
+        n.join(wts, "source")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "source",
+            "n_tokens",
+            (F.col("w") / F.col("wsum")).alias("mix_frac"),
+            alloc.cast("bigint").alias("alloc_tokens"),
+            (
+                alloc.cast("double") / F.col("n_tokens").cast("double")
+            ).alias("upsample"),
+        )
+    )

@@ -244,3 +244,41 @@ class TestBoilerplate:
         for r in rows:
             assert r["df"] >= 3
             assert r["doc_frac"] == r["df"] / n_docs
+
+
+class TestPlanContracts:
+    """Physical-plan assertions for the round-8 family: the scale
+    claims in the docstrings are enforced, not aspirational."""
+
+    def _plan(self, df) -> str:
+        return df._jdf.queryExecution().executedPlan().toString()
+
+    def test_boilerplate_topk_is_take_ordered(self, spark):
+        plan = self._plan(Q["docs_boilerplate_ngrams"](spark, SF_SMOKE))
+        assert "TakeOrderedAndProject" in plan
+
+    def test_outlier_topk_is_window_group_limit(self, spark):
+        plan = self._plan(Q["emb_outlier_topk"](spark, SF_SMOKE))
+        assert "WindowGroupLimit" in plan
+
+    def test_gini_rank_window_is_per_type(self, spark):
+        """The rank window must be PARTITIONED (per event_type), not a
+        global single-partition sort."""
+        plan = self._plan(Q["events_user_gini"](spark, SF_SMOKE))
+        assert "SinglePartition" not in plan
+
+    def test_zscore_windows_are_per_type(self, spark):
+        plan = self._plan(
+            Q["events_anomaly_zscore_rolling"](spark, SF_SMOKE)
+        )
+        assert "SinglePartition" not in plan
+
+    def test_drift_aggregate_is_partial(self, spark):
+        """The (label, pos) quantized sums must map-side combine."""
+        plan = self._plan(Q["emb_label_drift"](spark, SF_SMOKE))
+        assert "partial_sum" in plan
+
+    def test_mix_alloc_broadcasts_the_total(self, spark):
+        plan = self._plan(Q["docs_mix_temperature_alloc"](spark, SF_SMOKE))
+        assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+        assert "CartesianProduct" not in plan
