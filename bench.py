@@ -143,6 +143,7 @@ EXT_HEADLINE = [
     "dedup_simhash_hamming_hist",
     "events_anomaly_zscore_rolling",
     "docs_mix_temperature_alloc",
+    "jdbc_scan_partitioned",
 ]
 
 

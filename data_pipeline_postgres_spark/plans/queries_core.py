@@ -873,3 +873,68 @@ def q_ddl_monthly_shard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # Ensure register_views is importable for SQL-text queries that need it.
 __all__ = ["register_views"]
+
+
+@query(
+    "jdbc_scan_partitioned",
+    """
+WITH b AS (
+    SELECT MIN(o_orderkey) AS lo, MAX(o_orderkey) + 1 AS up FROM orders
+),
+s AS (SELECT lo, (up // 8) - (lo // 8) AS stride FROM b)
+SELECT LEAST(GREATEST((o_orderkey - lo) // stride, 0), 7) AS slice_id,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       MIN(o_orderkey) AS min_key,
+       MAX(o_orderkey) AS max_key
+FROM orders, s
+GROUP BY 1
+""",
+)
+def q_jdbc_scan_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partitioned-extract balance report: how the 8 key-range slices
+    Spark's JDBC source would issue (partitionColumn=o_orderkey,
+    bounds = [min, max+1)) distribute rows — (slice_id, n_rows,
+    min_key, max_key). THE pre-flight check before pointing
+    ``sources.jdbc.jdbc_scan`` at a production table: a skewed slice
+    means one executor drags the whole extract, and the fix (a
+    different partitionColumn or explicit predicates) is decided from
+    exactly this report.
+
+    Faithful to JDBCRelation.columnPartition semantics: stride =
+    up/num − lo/num in INTEGER division, first slice unbounded below,
+    last unbounded above (the LEAST/GREATEST clamp ≡ the generated
+    `key < lo+stride` / `key >= lo+(n−1)·stride` WHERE clauses, since
+    every key lies in [lo, up)). The bounds ride in as a broadcast
+    1-row aggregate — no driver round-trip; the report itself is one
+    map-side-combined count shuffle to 8 rows. The same
+    tests/test_round8.py gate proves the 8 generated predicates
+    partition the table (disjoint + covering)."""
+    o = _t(spark, sf_dir, "orders").select("o_orderkey")
+    b = o.agg(
+        F.min("o_orderkey").alias("lo"),
+        (F.max("o_orderkey") + 1).alias("up"),
+    )
+    s = b.select(
+        "lo",
+        (
+            F.expr("up div 8") - F.expr("lo div 8")
+        ).alias("stride"),
+    )
+    return (
+        o.crossJoin(F.broadcast(s))
+        .select(
+            F.least(
+                F.greatest(
+                    F.expr("(o_orderkey - lo) div stride"), F.lit(0)
+                ),
+                F.lit(7),
+            ).alias("slice_id"),
+            "o_orderkey",
+        )
+        .groupBy("slice_id")
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.min("o_orderkey").alias("min_key"),
+            F.max("o_orderkey").alias("max_key"),
+        )
+    )

@@ -282,3 +282,39 @@ class TestPlanContracts:
         plan = self._plan(Q["docs_mix_temperature_alloc"](spark, SF_SMOKE))
         assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
         assert "CartesianProduct" not in plan
+
+
+class TestJdbcPartitionedScan:
+    def test_generated_predicates_partition_the_table(self, spark):
+        """The 8 WHERE clauses Spark's JDBCRelation would generate for
+        (partitionColumn=o_orderkey, bounds=[min, max+1), num=8) are
+        DISJOINT and COVERING — their slice row counts equal the
+        query's report exactly, and they sum to the full table."""
+        o = load_table(spark, SF_SMOKE, "orders").select("o_orderkey")
+        lo, up = o.agg(
+            F.min("o_orderkey"), F.max("o_orderkey") + 1
+        ).collect()[0]
+        stride = up // 8 - lo // 8
+        preds = []
+        for i in range(8):
+            lo_i = lo + i * stride
+            hi_i = lo + (i + 1) * stride
+            if i == 0:
+                preds.append(F.col("o_orderkey") < hi_i)
+            elif i == 7:
+                preds.append(F.col("o_orderkey") >= lo_i)
+            else:
+                preds.append(
+                    (F.col("o_orderkey") >= lo_i)
+                    & (F.col("o_orderkey") < hi_i)
+                )
+        counts = [o.filter(p).count() for p in preds]
+        total = o.count()
+        assert sum(counts) == total  # covering AND disjoint (no overlap
+        # can hide: any double-counted row would push the sum past total)
+        got = {
+            r["slice_id"]: r["n_rows"]
+            for r in Q["jdbc_scan_partitioned"](spark, SF_SMOKE).collect()
+        }
+        for i, c in enumerate(counts):
+            assert got.get(i, 0) == c
