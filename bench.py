@@ -144,6 +144,8 @@ EXT_HEADLINE = [
     "events_anomaly_zscore_rolling",
     "docs_mix_temperature_alloc",
     "jdbc_scan_partitioned",
+    "stream_zscore_daily",
+    "docs_dedup_impact_tokens",
 ]
 
 

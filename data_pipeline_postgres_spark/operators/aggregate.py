@@ -350,3 +350,45 @@ def _pick_and_interpolate(
             for name in probs
         ]
     )
+
+
+def rolling_zscore_daily(daily: DataFrame) -> DataFrame:
+    """Score a (event_type, day, cnt) daily-count relation with the
+    trailing-28-day z-score (current day EXCLUDED from its own
+    baseline; sample std; NULL until 7 days of history) —
+    (event_type, day, cnt, z, is_anomaly at |z| > 3).
+
+    Shared by the batch query (events_anomaly_zscore_rolling) and the
+    foreachBatch-maintained streaming view (stream_zscore_daily), so
+    both sides score with the IDENTICAL IEEE op sequence: exact int64
+    rolling moments → mean, sample variance, sqrt, one division.
+    Windows span calendar-bounded per-type partitions."""
+    from pyspark.sql import Window
+
+    win = (
+        Window.partitionBy("event_type").orderBy("day").rowsBetween(-28, -1)
+    )
+    w = daily.select(
+        "event_type",
+        "day",
+        "cnt",
+        F.count("*").over(win).alias("n"),
+        F.sum(F.col("cnt").cast("bigint")).over(win).alias("sx"),
+        F.sum((F.col("cnt") * F.col("cnt")).cast("bigint"))
+        .over(win)
+        .alias("sxx"),
+    )
+    n, sx, sxx = F.col("n"), F.col("sx"), F.col("sxx")
+    ok = (n >= 7) & (n * sxx - sx * sx > 0)
+    mean = sx.cast("double") / n.cast("double")
+    std = F.sqrt(
+        (n * sxx - sx * sx).cast("double") / (n * (n - 1)).cast("double")
+    )
+    z = (F.col("cnt").cast("double") - mean) / std
+    return w.select(
+        "event_type",
+        "day",
+        "cnt",
+        F.when(ok, z).alias("z"),
+        F.when(ok, F.abs(z) > 3.0).alias("is_anomaly"),
+    )

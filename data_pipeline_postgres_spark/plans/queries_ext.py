@@ -3606,6 +3606,8 @@ def q_events_anomaly_zscore_rolling(
     variance, sqrt, and the final division are the identical IEEE op
     sequence on both engines. Scale: one (type, day) count shuffle;
     windows span calendar-bounded per-type partitions."""
+    from ..operators.aggregate import rolling_zscore_daily
+
     daily = (
         load_table(spark, sf_dir, "events")
         .groupBy(
@@ -3613,33 +3615,7 @@ def q_events_anomaly_zscore_rolling(
         )
         .agg(F.count("*").alias("cnt"))
     )
-    win = (
-        Window.partitionBy("event_type").orderBy("day").rowsBetween(-28, -1)
-    )
-    w = daily.select(
-        "event_type",
-        "day",
-        "cnt",
-        F.count("*").over(win).alias("n"),
-        F.sum(F.col("cnt").cast("bigint")).over(win).alias("sx"),
-        F.sum((F.col("cnt") * F.col("cnt")).cast("bigint"))
-        .over(win)
-        .alias("sxx"),
-    )
-    n, sx, sxx = F.col("n"), F.col("sx"), F.col("sxx")
-    ok = (n >= 7) & (n * sxx - sx * sx > 0)
-    mean = sx.cast("double") / n.cast("double")
-    std = F.sqrt(
-        (n * sxx - sx * sx).cast("double") / (n * (n - 1)).cast("double")
-    )
-    z = (F.col("cnt").cast("double") - mean) / std
-    return w.select(
-        "event_type",
-        "day",
-        "cnt",
-        F.when(ok, z).alias("z"),
-        F.when(ok, F.abs(z) > 3.0).alias("is_anomaly"),
-    )
+    return rolling_zscore_daily(daily)
 
 
 _MIX_TEMP_ORACLE = r"""
@@ -3714,4 +3690,113 @@ def q_docs_mix_temperature_alloc(
                 alloc.cast("double") / F.col("n_tokens").cast("double")
             ).alias("upsample"),
         )
+    )
+
+
+@query("stream_zscore_daily", _ZSCORE_ROLLING_ORACLE)
+def q_stream_zscore_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of events_anomaly_zscore_rolling: a
+    foreachBatch-maintained daily-count view (additive merge → the
+    standing table is split-invariant) scored with the SHARED
+    trailing-28-day z-score operator — so the batch query is the
+    oracle verbatim (streaming/jobs.zscore_daily_stream)."""
+    return stream_jobs.zscore_daily_stream(spark, sf_dir)
+
+
+_DEDUP_IMPACT_ORACLE = rf"""
+WITH RECURSIVE {_TOKS.lstrip()}, {_SHINGLES.lstrip()},
+{_JACCARD_TAIL.lstrip()},
+pairs AS (
+    SELECT doc_a, doc_b
+    FROM inter i
+    JOIN sizes sa ON sa.doc_id = i.doc_a
+    JOIN sizes sb ON sb.doc_id = i.doc_b
+    WHERE CAST(n_common AS DOUBLE) / (sa.n + sb.n - n_common) >= 0.8
+),
+edges AS (
+    SELECT doc_a AS src, doc_b AS dst FROM pairs
+    UNION ALL
+    SELECT doc_b AS src, doc_a AS dst FROM pairs
+),
+reach(doc, lab) AS (
+    SELECT DISTINCT src, src FROM edges
+    UNION
+    SELECT e.src, r.lab FROM edges e JOIN reach r ON e.dst = r.doc
+),
+labels AS (
+    SELECT doc AS doc_id, MIN(lab) AS cluster_id FROM reach GROUP BY doc
+),
+kept AS (
+    SELECT doc_id FROM (
+        SELECT l.doc_id,
+               row_number() OVER (
+                   PARTITION BY l.cluster_id
+                   ORDER BY d.n_chars DESC, l.doc_id
+               ) AS rn
+        FROM labels l JOIN documents d USING (doc_id)
+    ) WHERE rn = 1
+),
+removed AS (
+    SELECT l.doc_id
+    FROM labels l LEFT JOIN kept k ON k.doc_id = l.doc_id
+    WHERE k.doc_id IS NULL
+),
+tok AS (
+    SELECT doc_id, source,
+           len(regexp_split_to_array(trim(text), '\s+')) AS n_tok
+    FROM documents
+)
+SELECT source,
+       CAST(SUM(n_tok) AS BIGINT) AS total_tokens,
+       CAST(SUM(CASE WHEN r.doc_id IS NOT NULL THEN n_tok ELSE 0 END)
+            AS BIGINT) AS removed_tokens,
+       CAST(SUM(CASE WHEN r.doc_id IS NOT NULL THEN n_tok ELSE 0 END)
+            AS DOUBLE) / CAST(SUM(n_tok) AS DOUBLE) AS removed_frac
+FROM tok LEFT JOIN removed r USING (doc_id)
+GROUP BY 1
+"""
+
+
+@query("docs_dedup_impact_tokens", _DEDUP_IMPACT_ORACLE)
+def q_docs_dedup_impact_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The question every dedup run gets asked: HOW MANY TRAINING
+    TOKENS does it cost, and from which sources? Per source:
+    (total_tokens, removed_tokens, removed_frac), where removed =
+    near-dup cluster members that lost the keep-best election
+    (longest text wins, doc_id tiebreak — same policy as
+    dedup_cluster_keep_best).
+
+    Scale shape: clustering + election run over the pair-bounded
+    near-dup subgraph only; the removed-id set is tiny and broadcasts
+    onto the one linear token-count pass; exact int64 token sums,
+    one division per source."""
+    from ..functions import text as TX
+
+    docs = _docs(spark, sf_dir)
+    pairs = dedup.jaccard_pairs(dedup.doc_shingles(docs), None, 0.8)
+    labels = dedup.dedup_clusters(pairs)
+    kept = (
+        labels.join(docs.select("doc_id", "n_chars"), "doc_id")
+        .groupBy("cluster_id")
+        .agg(
+            F.max_by(
+                "doc_id", F.struct(F.col("n_chars"), (-F.col("doc_id")))
+            ).alias("doc_id")
+        )
+        .select("doc_id")
+    )
+    removed = labels.select("doc_id").join(kept, "doc_id", "left_anti")
+    tok = docs.select(
+        "doc_id", "source", F.size(TX.tokens("text")).alias("n_tok")
+    )
+    flagged = tok.join(
+        F.broadcast(removed.withColumn("_r", F.lit(1))), "doc_id", "left"
+    )
+    rm = F.when(F.col("_r").isNotNull(), F.col("n_tok")).otherwise(F.lit(0))
+    return flagged.groupBy("source").agg(
+        F.sum("n_tok").alias("total_tokens"),
+        F.sum(rm).alias("removed_tokens"),
+        (
+            F.sum(rm).cast("double") / F.sum("n_tok").cast("double")
+        ).alias("removed_frac"),
     )

@@ -882,3 +882,64 @@ def gopher_filter_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     q.awaitTermination()
     return spark.read.parquet(spool)
+
+
+def zscore_daily_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming anomaly pipeline: a foreachBatch-maintained
+    (event_type, day, cnt) daily-count view — the same additive
+    incremental-merge discipline as incremental_agg_foreachbatch —
+    scored AFTER ingest with the shared trailing-28-day z-score
+    operator (operators/aggregate.rolling_zscore_daily). Because the
+    count merge is additive/commutative, the standing view (and hence
+    every z) is identical for ANY micro-batch split of the input, so
+    the batch query events_anomaly_zscore_rolling is the oracle.
+
+    This is the lambda-free production shape: ingestion maintains the
+    small aggregate, detection reruns cheap batch logic over it — the
+    z window needs the trailing days, which a per-batch stream could
+    not see without unbounded state.
+    """
+    src = _scratch("zscore_src")
+    raw = load_table(spark, sf_dir, "events")
+    for i in range(3):
+        raw.filter(F.col("event_id") % 3 == i).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+
+    target = os.path.join(_SCRATCH, "zscore_target")
+    tmp = os.path.join(_SCRATCH, "zscore_target_tmp")
+    for d in (target, tmp):
+        if os.path.exists(d):
+            shutil.rmtree(d)
+
+    def merge_batch(batch_df: DataFrame, batch_id: int) -> None:
+        part = batch_df.groupBy(
+            "event_type",
+            F.date_trunc("day", "ts").cast("date").alias("day"),
+        ).agg(F.count("*").alias("cnt"))
+        if os.path.exists(target):
+            part = (
+                spark.read.parquet(target)
+                .unionByName(part)
+                .groupBy("event_type", "day")
+                .agg(F.sum("cnt").alias("cnt"))
+            )
+        part.coalesce(1).write.mode("overwrite").parquet(tmp)
+        if os.path.exists(target):
+            shutil.rmtree(target)
+        os.rename(tmp, target)
+
+    stream = spark.readStream.schema(EVENTS_TS_SCHEMA).option(
+        "maxFilesPerTrigger", 1
+    ).parquet(src)
+    with _shuffle_partitions(spark, 8):
+        q = (
+            stream.writeStream.foreachBatch(merge_batch)
+            .option("checkpointLocation", _scratch("zscore_ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    from ..operators.aggregate import rolling_zscore_daily
+
+    return rolling_zscore_daily(spark.read.parquet(target))
