@@ -146,6 +146,8 @@ EXT_HEADLINE = [
     "jdbc_scan_partitioned",
     "stream_zscore_daily",
     "docs_dedup_impact_tokens",
+    "docs_quality_drift_by_decile",
+    "emb_centroid_cosine_matrix",
 ]
 
 

@@ -3800,3 +3800,191 @@ def q_docs_dedup_impact_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(rm).cast("double") / F.sum("n_tok").cast("double")
         ).alias("removed_frac"),
     )
+
+
+_QUALITY_DRIFT_ORACLE = r"""
+WITH nd AS (SELECT MAX(doc_id) + 1 AS n FROM documents),
+t AS (
+    SELECT doc_id, text,
+           regexp_split_to_array(trim(text), '\s+') AS w
+    FROM documents
+),
+g AS (
+    SELECT doc_id,
+           (len(w) >= 50 AND len(w) <= 100000
+            AND CAST(list_sum(list_transform(w, tok -> length(tok)))
+                     AS DOUBLE) / len(w) >= 3.0
+            AND CAST(list_sum(list_transform(w, tok -> length(tok)))
+                     AS DOUBLE) / len(w) <= 10.0
+            AND CAST(len(regexp_extract_all(text, '#|\.\.\.|…'))
+                     AS DOUBLE) / len(w) <= 0.1
+            AND CAST(len(list_filter(w, tok ->
+                         regexp_matches(tok, '[a-zA-Z]')))
+                     AS DOUBLE) / len(w) >= 0.8
+            AND CAST(list_contains(w, 'the') AS INT)
+                + CAST(list_contains(w, 'a') AS INT)
+                + CAST(list_contains(w, 'to') AS INT)
+                + CAST(list_contains(w, 'of') AS INT)
+                + CAST(list_contains(w, 'and') AS INT)
+                + CAST(list_contains(w, 'that') AS INT)
+                + CAST(list_contains(w, 'in') AS INT)
+                + CAST(list_contains(w, 'with') AS INT) >= 2
+           ) AS gopher_pass
+    FROM t
+)
+SELECT CAST(g.doc_id * 10 // nd.n AS BIGINT) AS decile,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(CASE WHEN gopher_pass THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_pass,
+       CAST(SUM(CASE WHEN gopher_pass THEN 1 ELSE 0 END) AS DOUBLE)
+           / CAST(COUNT(*) AS DOUBLE) AS pass_rate
+FROM g, nd
+GROUP BY 1
+"""
+
+
+@query("docs_quality_drift_by_decile", _QUALITY_DRIFT_ORACLE)
+def q_docs_quality_drift_by_decile(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Gopher pass rate per ingestion decile (doc_id order) — the "is
+    this crawl getting worse over time" monitor: a sagging tail
+    decile means the feed degraded and the cutoff date matters.
+    Map-only rule table + exact integer decile bucketing + a 10-row
+    aggregate; one division per decile."""
+    from ..operators import textstats
+
+    docs = _docs(spark, sf_dir)
+    g = textstats.gopher_quality(docs).select("doc_id", "gopher_pass")
+    nd = docs.agg((F.max("doc_id") + 1).alias("n"))
+    npass = F.sum(F.when(F.col("gopher_pass"), 1).otherwise(0))
+    return (
+        g.crossJoin(F.broadcast(nd))
+        .select(
+            ((F.col("doc_id") * 10).cast("bigint") / F.col("n"))
+            .cast("bigint")
+            .alias("decile"),
+            "gopher_pass",
+        )
+        .groupBy("decile")
+        .agg(
+            F.count("*").alias("n_docs"),
+            npass.cast("bigint").alias("n_pass"),
+            (
+                npass.cast("double") / F.count("*").cast("double")
+            ).alias("pass_rate"),
+        )
+    )
+
+
+_CENTROID_COS_ORACLE = """
+WITH e AS (
+    SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings
+),
+qv AS (
+    SELECT label,
+           list_transform(v, x -> CAST(floor(
+               x / sqrt(list_reduce(list_transform(v, y -> y*y),
+                                    (a,b) -> a+b)) * 1048576e0 + 0.5
+           ) AS BIGINT)) AS q
+    FROM e
+),
+m AS (
+    SELECT label, i AS pos, SUM(q[i]) AS qs
+    FROM qv, unnest(range(1, 65)) AS t(i)
+    GROUP BY 1, 2
+),
+dots AS (
+    SELECT a.label AS label_a, b.label AS label_b,
+           SUM(CAST(a.qs AS DECIMAL(19,0))
+               * CAST(b.qs AS DECIMAL(19,0))) AS dot
+    FROM m a JOIN m b ON a.pos = b.pos AND a.label < b.label
+    GROUP BY 1, 2
+),
+norms AS (
+    SELECT label,
+           SUM(CAST(qs AS DECIMAL(19,0)) * CAST(qs AS DECIMAL(19,0)))
+               AS nn
+    FROM m GROUP BY 1
+)
+SELECT label_a, label_b,
+       CAST(dot AS DOUBLE)
+           / (sqrt(CAST(na.nn AS DOUBLE)) * sqrt(CAST(nb.nn AS DOUBLE)))
+           AS cosine
+FROM dots
+JOIN norms na ON na.label = label_a
+JOIN norms nb ON nb.label = label_b
+"""
+
+
+@query("emb_centroid_cosine_matrix", _CENTROID_COS_ORACLE)
+def q_emb_centroid_cosine_matrix(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Label-geometry report: cosine similarity between every pair of
+    label centroids — the confusability matrix a labeling/routing
+    pipeline checks before trusting nearest-centroid classification
+    (emb_knn_classify's sanity complement): two centroids at cosine
+    ≈1 mean those labels cannot be separated by this encoder.
+
+    Exactness: centroids stay as INTEGER component sums (the
+    quantized rationals — the common 1/(2^20·n) scale factors cancel
+    in cosine), the dot/norm cross terms widen through
+    DECIMAL(19,0)→(38,0) products, and the single
+    double-division-over-sqrt-product per pair is deterministic
+    IEEE. Scale shape: the per-(label, pos) sums collapse to
+    |labels|·64 rows map-side; the pair join and the matrix are
+    |labels|²-bounded."""
+    from ..functions import vectors as V
+
+    q = dedup.quantize_col(V.as_double(F.col("embedding")))
+    emb = _emb(spark, sf_dir)
+    m = (
+        emb.select("label", F.posexplode(q).alias("pos", "qv"))
+        .groupBy("label", "pos")
+        .agg(F.sum("qv").alias("qs"))
+    )
+    a = m.select(
+        F.col("label").alias("label_a"),
+        "pos",
+        F.col("qs").alias("qa"),
+    )
+    b = m.select(
+        F.col("label").alias("label_b"),
+        "pos",
+        F.col("qs").alias("qb"),
+    )
+    dots = (
+        a.join(b, "pos")
+        .filter(F.col("label_a") < F.col("label_b"))
+        .groupBy("label_a", "label_b")
+        .agg(
+            F.sum(
+                F.col("qa").cast("decimal(19,0)")
+                * F.col("qb").cast("decimal(19,0)")
+            ).alias("dot")
+        )
+    )
+    norms = m.groupBy("label").agg(
+        F.sum(
+            F.col("qs").cast("decimal(19,0)")
+            * F.col("qs").cast("decimal(19,0)")
+        ).alias("nn")
+    )
+    na = norms.select(F.col("label").alias("label_a"), F.col("nn").alias("na"))
+    nb = norms.select(F.col("label").alias("label_b"), F.col("nn").alias("nb"))
+    return (
+        dots.join(F.broadcast(na), "label_a")
+        .join(F.broadcast(nb), "label_b")
+        .select(
+            "label_a",
+            "label_b",
+            (
+                F.col("dot").cast("double")
+                / (
+                    F.sqrt(F.col("na").cast("double"))
+                    * F.sqrt(F.col("nb").cast("double"))
+                )
+            ).alias("cosine"),
+        )
+    )
