@@ -148,6 +148,9 @@ EXT_HEADLINE = [
     "docs_dedup_impact_tokens",
     "docs_quality_drift_by_decile",
     "emb_centroid_cosine_matrix",
+    "dedup_minhash_jaccard_hist",
+    "events_audience_overlap",
+    "emb_norm_histogram",
 ]
 
 

@@ -3988,3 +3988,184 @@ def q_emb_centroid_cosine_matrix(
             ).alias("cosine"),
         )
     )
+
+
+def _minhash_jhist_oracle() -> str:
+    """Candidate generation identical to _minhash_oracle, but the
+    final select buckets EVERY admitted pair's exact Jaccard into
+    0.1-wide bins instead of thresholding."""
+    from ..operators.dedup import MINHASH_A, MINHASH_B, MINHASH_P
+
+    bands, rows = 4, 2
+    slot_mins = ",\n           ".join(
+        f"MIN(({MINHASH_A[b * rows + r]} * h + {MINHASH_B[b * rows + r]})"
+        f" % {MINHASH_P}) AS mh_{b}_{r}"
+        for b in range(bands)
+        for r in range(rows)
+    )
+    band_keys = "\n    UNION ALL ".join(
+        "SELECT doc_id, concat_ws('|', '"
+        + str(b)
+        + "', "
+        + ", ".join(f"mh_{b}_{r}" for r in range(rows))
+        + ") AS band_key FROM slots"
+        for b in range(bands)
+    )
+    return f"""
+WITH {_TOKS}, {_SHINGLES},
+base AS (
+    SELECT doc_id,
+           ('0x' || substr(md5(shingle), 1, 15))::BIGINT % {MINHASH_P} AS h
+    FROM sh
+),
+slots AS (
+    SELECT doc_id,
+           {slot_mins}
+    FROM base GROUP BY 1
+),
+bk AS (
+    {band_keys}
+),
+cand AS (
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM bk a JOIN bk b ON a.band_key = b.band_key AND a.doc_id < b.doc_id
+),
+{_JACCARD_TAIL.lstrip()},
+j AS (
+    SELECT CAST(FLOOR(CAST(n_common AS DOUBLE)
+                      / (sa.n + sb.n - n_common) * 10e0) AS BIGINT)
+               AS bucket
+    FROM inter i
+    JOIN cand USING (doc_a, doc_b)
+    JOIN sizes sa ON sa.doc_id = i.doc_a
+    JOIN sizes sb ON sb.doc_id = i.doc_b
+)
+SELECT bucket, CAST(COUNT(*) AS BIGINT) AS n_pairs
+FROM j GROUP BY 1
+"""
+
+
+@query("dedup_minhash_jaccard_hist", _minhash_jhist_oracle())
+def q_dedup_minhash_jaccard_hist(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Exact-Jaccard histogram (0.1-wide bins) over ALL band-admitted
+    MinHash candidates — the threshold-tuning curve for the MinHash
+    family, twin of dedup_simhash_hamming_hist: where the near-dup
+    mass separates from the banding haze is where the production
+    threshold goes. Same candidate-bounded machinery as
+    dedup_minhash (threshold 0 keeps every admitted pair); the
+    bucket is floor(j·10) — double multiply + floor, deterministic
+    both engines."""
+    pairs = dedup.minhash_dedup(_docs(spark, sf_dir), threshold=0.0)
+    return (
+        pairs.select(
+            F.floor(F.col("jaccard") * F.lit(10.0))
+            .cast("bigint")
+            .alias("bucket")
+        )
+        .groupBy("bucket")
+        .agg(F.count("*").alias("n_pairs"))
+    )
+
+
+@query(
+    "events_audience_overlap",
+    """
+WITH du AS (SELECT DISTINCT event_type, user_id FROM events),
+n AS (SELECT event_type, COUNT(*) AS n FROM du GROUP BY 1),
+x AS (
+    SELECT a.event_type AS type_a, b.event_type AS type_b,
+           COUNT(*) AS n_common
+    FROM du a JOIN du b
+      ON a.user_id = b.user_id AND a.event_type < b.event_type
+    GROUP BY 1, 2
+)
+SELECT type_a, type_b, CAST(n_common AS BIGINT) AS n_common,
+       CAST(n_common AS DOUBLE) / (na.n + nb.n - n_common) AS jaccard
+FROM x
+JOIN n na ON na.event_type = type_a
+JOIN n nb ON nb.event_type = type_b
+""",
+)
+def q_events_audience_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audience-overlap matrix: Jaccard of USER SETS between every
+    pair of event types — "do clickers also purchase" without a
+    funnel's ordering assumption. Scale shape: one distinct
+    (type, user) pass, a user-keyed self-join whose fan-out is
+    |types| per user (types is a small fixed set — never user²),
+    per-type set sizes broadcast back; |types|² output rows. All
+    integer counts, one division."""
+    ev = load_table(spark, sf_dir, "events")
+    du = ev.select("event_type", "user_id").distinct()
+    n = du.groupBy("event_type").agg(F.count("*").alias("n"))
+    a = du.select(F.col("event_type").alias("type_a"), "user_id")
+    b = du.select(F.col("event_type").alias("type_b"), "user_id")
+    x = (
+        a.join(b, "user_id")
+        .filter(F.col("type_a") < F.col("type_b"))
+        .groupBy("type_a", "type_b")
+        .agg(F.count("*").alias("n_common"))
+    )
+    na = n.select(F.col("event_type").alias("type_a"), F.col("n").alias("na"))
+    nb = n.select(F.col("event_type").alias("type_b"), F.col("n").alias("nb"))
+    return (
+        x.join(F.broadcast(na), "type_a")
+        .join(F.broadcast(nb), "type_b")
+        .select(
+            "type_a",
+            "type_b",
+            "n_common",
+            (
+                F.col("n_common").cast("double")
+                / (F.col("na") + F.col("nb") - F.col("n_common"))
+            ).alias("jaccard"),
+        )
+    )
+
+
+@query(
+    "emb_norm_histogram",
+    """
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+nrm AS (
+    SELECT vec_id,
+           sqrt(list_reduce(list_transform(v, x -> x*x),
+                            (x, y) -> x + y)) AS nrm
+    FROM e
+)
+SELECT CAST(FLOOR(nrm * 10e0) AS BIGINT) AS bucket,
+       CAST(COUNT(*) AS BIGINT) AS n_vecs,
+       MIN(nrm) AS min_norm, MAX(nrm) AS max_norm
+FROM nrm GROUP BY 1
+""",
+)
+def q_emb_norm_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L2-norm histogram of the raw embeddings (0.1-wide buckets) —
+    the first QA check on any embedding delivery: a spike at 0 means
+    collapsed vectors, a long right tail means the encoder skipped
+    normalization and every downstream cosine is dominated by
+    magnitude. Narrow map (ordered-fold norm, deterministic), one
+    tiny bucket aggregate; min/max per bucket locate the stragglers."""
+    from ..functions import vectors as V
+
+    v = V.as_double(F.col("embedding"))
+    nrm = F.sqrt(
+        F.aggregate(
+            F.transform(v, lambda x: x * x),
+            F.lit(0.0),
+            lambda a, x: a + x,
+        )
+    )
+    return (
+        _emb(spark, sf_dir)
+        .select(nrm.alias("nrm"))
+        .groupBy(
+            F.floor(F.col("nrm") * F.lit(10.0)).cast("bigint").alias("bucket")
+        )
+        .agg(
+            F.count("*").alias("n_vecs"),
+            F.min("nrm").alias("min_norm"),
+            F.max("nrm").alias("max_norm"),
+        )
+    )
