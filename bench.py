@@ -151,6 +151,8 @@ EXT_HEADLINE = [
     "dedup_minhash_jaccard_hist",
     "events_audience_overlap",
     "emb_norm_histogram",
+    "events_new_vs_returning",
+    "events_dormancy_revival",
 ]
 
 

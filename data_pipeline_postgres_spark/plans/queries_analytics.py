@@ -4090,3 +4090,100 @@ def q_events_rolling_slope_7d(spark: SparkSession, sf_dir: str) -> DataFrame:
             "slope"
         ),
     )
+
+
+@query(
+    "events_new_vs_returning",
+    """
+WITH ud AS (
+    SELECT DISTINCT user_id, CAST(date_trunc('day', ts) AS DATE) AS day
+    FROM events
+),
+first_seen AS (SELECT user_id, MIN(day) AS fday FROM ud GROUP BY 1)
+SELECT day,
+       CAST(SUM(CASE WHEN day = fday THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_new_users,
+       CAST(SUM(CASE WHEN day > fday THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_returning_users
+FROM ud JOIN first_seen USING (user_id)
+GROUP BY 1
+""",
+)
+def q_events_new_vs_returning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily active users split into NEW (first-ever active day) vs
+    RETURNING — the growth-accounting staple every activation
+    dashboard leads with. Scale shape: one distinct (user, day) pass,
+    a per-user MIN (map-side combined to |users| rows) joined back on
+    the user key, one day-keyed aggregate; all exact integer counts."""
+    ud = (
+        _t(spark, sf_dir, "events")
+        .select(
+            "user_id", F.date_trunc("day", "ts").cast("date").alias("day")
+        )
+        .distinct()
+    )
+    first_seen = ud.groupBy("user_id").agg(F.min("day").alias("fday"))
+    return (
+        ud.join(first_seen, "user_id")
+        .groupBy("day")
+        .agg(
+            F.sum(F.when(F.col("day") == F.col("fday"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_new_users"),
+            F.sum(F.when(F.col("day") > F.col("fday"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_returning_users"),
+        )
+    )
+
+
+@query(
+    "events_dormancy_revival",
+    """
+WITH ud AS (
+    SELECT DISTINCT user_id, CAST(date_trunc('day', ts) AS DATE) AS day
+    FROM events
+),
+g AS (
+    SELECT user_id, day,
+           datediff('day',
+                    lag(day) OVER (PARTITION BY user_id ORDER BY day),
+                    day) AS gap
+    FROM ud
+)
+SELECT day,
+       CAST(COUNT(*) AS BIGINT) AS n_active,
+       CAST(SUM(CASE WHEN gap >= 30 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_revived,
+       CAST(SUM(CASE WHEN gap >= 30 THEN 1 ELSE 0 END) AS DOUBLE)
+           / CAST(COUNT(*) AS DOUBLE) AS revived_frac
+FROM g GROUP BY 1
+""",
+)
+def q_events_dormancy_revival(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Win-back signal: per day, how many active users are REVIVALS —
+    returning after a dormancy gap of ≥30 days (lag over each user's
+    active-day sequence) — and their share of that day's actives.
+    The metric that tells a re-engagement campaign whether it worked.
+    Scale shape: distinct (user, day), a per-user-partitioned lag
+    window (bounded by each user's active days, never events), one
+    day aggregate; integer gaps, one division per day."""
+    ud = (
+        _t(spark, sf_dir, "events")
+        .select(
+            "user_id", F.date_trunc("day", "ts").cast("date").alias("day")
+        )
+        .distinct()
+    )
+    w = Window.partitionBy("user_id").orderBy("day")
+    g = ud.select(
+        "day", F.datediff(F.col("day"), F.lag("day").over(w)).alias("gap")
+    )
+    revived = F.sum(F.when(F.col("gap") >= 30, 1).otherwise(0))
+    return g.groupBy("day").agg(
+        F.count("*").alias("n_active"),
+        revived.cast("bigint").alias("n_revived"),
+        (revived.cast("double") / F.count("*").cast("double")).alias(
+            "revived_frac"
+        ),
+    )
