@@ -48,6 +48,20 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 # is oldest (r1/r2), so every query's most recent check keeps rolling
 # forward.  The 4 r2 rows that don't fit (agg_grouping_sets,
 # agg_having, agg_count_distinct, agg_stats_multi) head the r9 filler.
+#
+# Round-9 rotation queue (front-load in this order): the ~24 round-8
+# additions, which are oracle-backed and green in the local parity
+# suite but have never held a driver slot — events_user_gini,
+# orders_ship_backlog_daily, events_rolling_slope_7d, emb_label_drift,
+# emb_outlier_topk, docs_boilerplate_ngrams, docs_near_dup_rate_by_
+# source, docs_vocab_growth, docs_length_histogram_pow2,
+# docs_quality_dup_crosstab, dedup_simhash_hamming_hist,
+# events_anomaly_zscore_rolling, docs_mix_temperature_alloc,
+# jdbc_scan_partitioned, stream_zscore_daily, docs_dedup_impact_tokens,
+# docs_quality_drift_by_decile, emb_centroid_cosine_matrix,
+# dedup_minhash_jaccard_hist, events_audience_overlap,
+# emb_norm_histogram, events_new_vs_returning, events_dormancy_revival
+# — then the 4 r2 leftovers above, then oldest-evidence (r3) rows.
 DRIVER_PRIORITY: tuple[str, ...] = (
     # (a) round-7 additions, never driver-checked
     "docs_curation_funnel",

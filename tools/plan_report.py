@@ -77,6 +77,24 @@ SHOWCASE = [
     "referential_integrity_sweep",
     "events_dau_wau_mau",
     "docs_source_quality",
+    "events_user_gini",
+    "orders_ship_backlog_daily",
+    "events_rolling_slope_7d",
+    "emb_label_drift",
+    "emb_outlier_topk",
+    "docs_boilerplate_ngrams",
+    "docs_near_dup_rate_by_source",
+    "docs_vocab_growth",
+    "docs_quality_dup_crosstab",
+    "dedup_simhash_hamming_hist",
+    "events_anomaly_zscore_rolling",
+    "docs_mix_temperature_alloc",
+    "jdbc_scan_partitioned",
+    "docs_dedup_impact_tokens",
+    "emb_centroid_cosine_matrix",
+    "dedup_minhash_jaccard_hist",
+    "events_audience_overlap",
+    "events_new_vs_returning",
 ]
 
 
