@@ -102,6 +102,48 @@ def quality_scores(docs: DataFrame) -> DataFrame:
     )
 
 
+def char_entropy(docs: DataFrame) -> DataFrame:
+    """Character-level Shannon entropy per document:
+    (doc_id, n_chars_split, n_distinct_chars, entropy_bits,
+    low_entropy).
+
+    The cheapest "is this text or keyboard mash / base64 / one char
+    repeated" signal in the pre-training stack: natural prose sits
+    near 4-4.5 bits/char, a run of one character at 0, random hex
+    near 4, base64 near 6. ``low_entropy`` flags < 2.0 bits — the
+    degenerate-repetition band (C4 drops these outright).
+
+    Determinism contract: counts are exact integers; the entropy fold
+    runs over the distinct characters in SORTED order (array_sort ≡
+    DuckDB list_sort, byte order either side), so the float sum is the
+    same IEEE sequence in both engines; rounded to 6 before the flag
+    compare (round-then-compare keeps the boundary identical).
+
+    Scale: map-only, zero shuffle — O(distinct_chars × len) per doc
+    (≤ ~100 distinct chars in practice), embarrassingly parallel.
+    """
+    cs = F.split(F.col("text"), "")
+    ds = F.array_sort(F.array_distinct(cs))
+    n = F.size(cs)
+    nd = n.cast("double")
+    counts = F.transform(
+        ds, lambda ch: F.size(F.filter(cs, lambda x: x == ch)).cast("double")
+    )
+    h = F.aggregate(
+        F.transform(counts, lambda c: -(c / nd) * F.log2(c / nd)),
+        F.lit(0.0),
+        lambda a, x: a + x,
+    )
+    ent = F.round(h, 6)
+    return docs.select(
+        "doc_id",
+        n.cast("bigint").alias("n_chars_split"),
+        F.size(ds).cast("bigint").alias("n_distinct_chars"),
+        ent.alias("entropy_bits"),
+        (ent < 2.0).alias("low_entropy"),
+    )
+
+
 def fingerprints(docs: DataFrame, n: int = 3) -> DataFrame:
     """Winnowing-style document fingerprint: (doc_id, fingerprint) =
     lexicographic-min md5 over word n-gram shingles (the rolling-hash

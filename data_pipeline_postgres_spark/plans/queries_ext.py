@@ -4169,3 +4169,256 @@ def q_emb_norm_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("nrm").alias("max_norm"),
         )
     )
+
+
+_CHAR_ENTROPY_ORACLE = r"""
+WITH c AS (
+    SELECT doc_id, string_split(text, '') AS cs FROM documents
+),
+d AS (
+    SELECT doc_id, cs, len(cs) AS n,
+           list_sort(list_distinct(cs)) AS ds
+    FROM c
+),
+e AS (
+    SELECT doc_id, n, len(ds) AS ndc,
+           list_reduce(
+               list_prepend(CAST(0.0 AS DOUBLE),
+                   list_transform(
+                       list_transform(ds, ch -> CAST(
+                           len(list_filter(cs, x -> x = ch)) AS DOUBLE)),
+                       c -> -(c / CAST(n AS DOUBLE))
+                            * log2(c / CAST(n AS DOUBLE)))),
+               (a, b) -> a + b) AS h
+    FROM d
+)
+SELECT doc_id, CAST(n AS BIGINT) AS n_chars_split,
+       CAST(ndc AS BIGINT) AS n_distinct_chars,
+       round(h, 6) AS entropy_bits,
+       round(h, 6) < 2.0 AS low_entropy
+FROM e
+"""
+
+
+@query("text_char_entropy", _CHAR_ENTROPY_ORACLE)
+def q_text_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-level Shannon entropy per doc (bits/char) with the
+    < 2.0-bit degenerate-repetition flag — the cheapest garbage
+    detector in the curation stack (run it FIRST at 100 TB: map-only,
+    zero shuffle, prunes before any tokenize/hash pass). Entropy fold
+    runs over sorted distinct chars so both engines add in the same
+    order; round-then-compare pins the flag boundary."""
+    return textstats.char_entropy(_docs(spark, sf_dir))
+
+
+# log2-probability quantization: 1e6 ≈ 6 decimal digits, then every
+# cross-partition sum is EXACT int64 (order-free) instead of a float
+# reduction whose result depends on partial-agg ordering.
+LOGP_SCALE = 1_000_000
+
+_UNIGRAM_LOGPROB_ORACLE = r"""
+WITH tok AS (
+    SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS tok
+    FROM documents
+),
+tf AS (SELECT doc_id, tok, COUNT(*) AS tf FROM tok GROUP BY 1, 2),
+lm AS (SELECT tok, SUM(tf) AS cnt FROM tf GROUP BY 1),
+tot AS (SELECT SUM(cnt) AS n_total, COUNT(*) AS v FROM lm),
+lq AS (
+    SELECT tok,
+           CAST(floor(log2(CAST(cnt + 1 AS DOUBLE)
+                           / CAST(n_total + v AS DOUBLE))
+                      * 1000000.0 + 0.5) AS BIGINT) AS lq
+    FROM lm, tot
+),
+agg AS (
+    SELECT tf.doc_id, CAST(SUM(tf.tf) AS BIGINT) AS n_tokens,
+           SUM(tf.tf * lq.lq) AS slq
+    FROM tf JOIN lq USING (tok)
+    GROUP BY 1
+)
+SELECT doc_id, n_tokens,
+       CAST(slq AS DOUBLE)
+       / (1000000.0 * CAST(n_tokens AS DOUBLE)) AS mean_logp,
+       CAST(slq AS DOUBLE)
+       / (1000000.0 * CAST(n_tokens AS DOUBLE)) < -11.0 AS low_prob
+FROM agg
+"""
+
+
+@query("text_unigram_logprob", _UNIGRAM_LOGPROB_ORACLE)
+def q_text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram-LM document scoring — the shape of the CCNet/KenLM
+    perplexity filter with the corpus itself as the LM: token
+    probability = (count+1)/(N+V) (add-one smoothed), document score
+    = mean log2 p over its token instances, ``low_prob`` flags the
+    improbable-token tail (boilerplate IDs, hex dumps, mangled
+    encodings score far below prose).
+
+    Determinism: per-token log-probs are quantized to int64 micro-bits
+    (floor(log2(p)·1e6 + 0.5)) BEFORE any aggregation, so doc sums are
+    exact integer adds in any partition order; ONE double division at
+    the end. Scale: one explode, two key shuffles (doc-tf, corpus-lm),
+    one tok-keyed join — all linear; the LM never collects to the
+    driver. A production swap-in replaces lm with a broadcast KenLM
+    table; every downstream shape is unchanged."""
+    docs = _docs(spark, sf_dir)
+    from ..functions import text as TX
+
+    tok = docs.select("doc_id", F.explode(TX.tokens("text")).alias("tok"))
+    tf = tok.groupBy("doc_id", "tok").agg(F.count("*").alias("tf"))
+    lm = tf.groupBy("tok").agg(F.sum("tf").alias("cnt"))
+    tot = lm.agg(
+        F.sum("cnt").alias("n_total"), F.count("*").alias("v")
+    )
+    lq = lm.crossJoin(F.broadcast(tot)).select(
+        "tok",
+        F.floor(
+            F.log2(
+                (F.col("cnt") + 1).cast("double")
+                / (F.col("n_total") + F.col("v")).cast("double")
+            )
+            * F.lit(float(LOGP_SCALE))
+            + F.lit(0.5)
+        )
+        .cast("bigint")
+        .alias("lq"),
+    )
+    mean_logp = F.col("slq").cast("double") / (
+        F.lit(float(LOGP_SCALE)) * F.col("n_tokens").cast("double")
+    )
+    return (
+        tf.join(lq, "tok")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("tf").cast("bigint").alias("n_tokens"),
+            F.sum(F.col("tf") * F.col("lq")).alias("slq"),
+        )
+        .select(
+            "doc_id",
+            "n_tokens",
+            mean_logp.alias("mean_logp"),
+            (mean_logp < -11.0).alias("low_prob"),
+        )
+    )
+
+
+# Zipf-fit quantization: 1e4 keeps every OLS moment sum exactly
+# representable in BOTH int64 and double (max |xq·yq| ≈ 1.8e10, 200
+# terms → cross-moments ≤ ~4e12, n·Sxy ≤ ~8e14 < 2^53).
+ZIPF_SCALE = 10_000
+ZIPF_TOPK = 200
+
+_ZIPF_FIT_ORACLE = r"""
+WITH tok AS (
+    SELECT source,
+           unnest(regexp_split_to_array(trim(text), '\s+')) AS tok
+    FROM documents
+),
+tfs AS (SELECT source, tok, COUNT(*) AS freq FROM tok GROUP BY 1, 2),
+ranked AS (
+    SELECT source, freq,
+           row_number() OVER (PARTITION BY source
+                              ORDER BY freq DESC, tok ASC) AS rnk
+    FROM tfs
+),
+q AS (
+    SELECT source,
+           CAST(floor(log2(CAST(rnk AS DOUBLE)) * 10000.0 + 0.5)
+                AS BIGINT) AS xq,
+           CAST(floor(log2(CAST(freq AS DOUBLE)) * 10000.0 + 0.5)
+                AS BIGINT) AS yq
+    FROM ranked WHERE rnk <= 200
+),
+m AS (
+    SELECT source, CAST(COUNT(*) AS BIGINT) AS n,
+           SUM(xq) AS sx, SUM(yq) AS sy,
+           SUM(xq * yq) AS sxy, SUM(xq * xq) AS sxx,
+           SUM(yq * yq) AS syy
+    FROM q GROUP BY 1
+),
+fit AS (
+    SELECT source, n,
+           CAST(n * sxy - sx * sy AS DOUBLE) AS cov,
+           CAST(n * sxx - sx * sx AS DOUBLE) AS varx,
+           CAST(n * syy - sy * sy AS DOUBLE) AS vary,
+           CAST(sx AS DOUBLE) AS sxd, CAST(sy AS DOUBLE) AS syd
+    FROM m WHERE n >= 10
+)
+SELECT source, n AS n_terms,
+       round(cov / varx, 6) AS slope,
+       round((syd - (cov / varx) * sxd)
+             / (10000.0 * CAST(n AS DOUBLE)), 6) AS intercept,
+       round((cov * cov) / (varx * vary), 6) AS r2
+FROM fit
+"""
+
+
+@query("text_zipf_fit", _ZIPF_FIT_ORACLE)
+def q_text_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source Zipf's-law fit: OLS of log2(freq) on log2(rank)
+    over each source's top-200 terms → (slope, intercept, r2). The
+    vocabulary-health gauge for corpus intake: natural language sits
+    near slope −1 with r² ≳ 0.9; template/boilerplate sources go flat
+    (slope ≈ 0, every page repeats the same terms equally) and
+    machine-generated ID soup goes steep-and-ragged (low r²). Compare
+    slopes ACROSS sources to spot the feed that changed generators.
+
+    Determinism: log2(rank)/log2(freq) quantize to int64 ten-thousandths
+    up front; all five OLS moment sums are exact integer adds sized to
+    stay under 2^53 (see ZIPF_SCALE note), cast to double only for the
+    final slope/r² arithmetic — identical IEEE sequence both engines,
+    rounded to 6. Scale: tf shuffle on (source, tok), top-200 rank cut
+    per source (WindowGroupLimit pre-shuffle heaps), then a ≤200-row
+    aggregate per source."""
+    docs = _docs(spark, sf_dir)
+    from ..functions import text as TX
+
+    tok = docs.select(
+        "source", F.explode(TX.tokens("text")).alias("tok")
+    )
+    tfs = tok.groupBy("source", "tok").agg(F.count("*").alias("freq"))
+    w = Window.partitionBy("source").orderBy(
+        F.desc("freq"), F.asc("tok")
+    )
+    scale = F.lit(float(ZIPF_SCALE))
+    q = (
+        tfs.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= ZIPF_TOPK)
+        .select(
+            "source",
+            F.floor(
+                F.log2(F.col("rnk").cast("double")) * scale + F.lit(0.5)
+            )
+            .cast("bigint")
+            .alias("xq"),
+            F.floor(
+                F.log2(F.col("freq").cast("double")) * scale + F.lit(0.5)
+            )
+            .cast("bigint")
+            .alias("yq"),
+        )
+    )
+    m = q.groupBy("source").agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("xq").alias("sx"),
+        F.sum("yq").alias("sy"),
+        F.sum(F.col("xq") * F.col("yq")).alias("sxy"),
+        F.sum(F.col("xq") * F.col("xq")).alias("sxx"),
+        F.sum(F.col("yq") * F.col("yq")).alias("syy"),
+    )
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    cov = (n * F.col("sxy") - sx * sy).cast("double")
+    varx = (n * F.col("sxx") - sx * sx).cast("double")
+    vary = (n * F.col("syy") - sy * sy).cast("double")
+    return m.filter(n >= 10).select(
+        "source",
+        n.alias("n_terms"),
+        F.round(cov / varx, 6).alias("slope"),
+        F.round(
+            (sy.cast("double") - (cov / varx) * sx.cast("double"))
+            / (scale * n.cast("double")),
+            6,
+        ).alias("intercept"),
+        F.round((cov * cov) / (varx * vary), 6).alias("r2"),
+    )
