@@ -153,6 +153,9 @@ EXT_HEADLINE = [
     "emb_norm_histogram",
     "events_new_vs_returning",
     "events_dormancy_revival",
+    "text_char_entropy",
+    "text_unigram_logprob",
+    "text_zipf_fit",
 ]
 
 

@@ -38,84 +38,80 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 
 
 # The driver's correctness sweep checks exactly the first 50 entries of
-# ``queries()`` in dict-insertion order (verified: CORRECTNESS_r01..r07
-# keys == list(QUERIES)[:50]).  Round-8 rotation, per VERDICT r7:
-# (a) the 16 late-round-7 additions that have never been in a driver
-# window (all oracle-backed, green in the local 217-query parity
-# suite), (b) the two iterative graph queries upgraded this round from
-# rows-only to hash-checked DuckDB oracles (VERDICT r7 item 4), and
-# (c) refresh filler drawn from the rows whose latest driver evidence
-# is oldest (r1/r2), so every query's most recent check keeps rolling
-# forward.  The 4 r2 rows that don't fit (agg_grouping_sets,
-# agg_having, agg_count_distinct, agg_stats_multi) head the r9 filler.
+# ``queries()`` in dict-insertion order (verified: CORRECTNESS_r01..r08
+# keys == list(QUERIES)[:50]).  Round-9 rotation, per VERDICT r8 items
+# 1-2: (a) all 26 round-8 additions that have never held a driver slot
+# (oracle-backed except stream_zscore_daily, green in the local parity
+# suite) — including the 3 late-commit text queries
+# (text_char_entropy, text_unigram_logprob, text_zipf_fit) whose
+# log2-based int64-quantized oracles specifically want the driver's
+# sf0.01 libm-parity confirmation; (b) the 4 rows whose latest
+# evidence is r2; (c) the first 20 rows whose latest evidence is r3.
+# 26 + 4 + 20 = 50.  After this window every query's most recent
+# driver evidence is r3 or newer and nothing is never-checked.
 #
-# Round-9 rotation queue (front-load in this order): the ~24 round-8
-# additions, which are oracle-backed and green in the local parity
-# suite but have never held a driver slot — events_user_gini,
-# orders_ship_backlog_daily, events_rolling_slope_7d, emb_label_drift,
-# emb_outlier_topk, docs_boilerplate_ngrams, docs_near_dup_rate_by_
-# source, docs_vocab_growth, docs_length_histogram_pow2,
-# docs_quality_dup_crosstab, dedup_simhash_hamming_hist,
-# events_anomaly_zscore_rolling, docs_mix_temperature_alloc,
-# jdbc_scan_partitioned, stream_zscore_daily, docs_dedup_impact_tokens,
-# docs_quality_drift_by_decile, emb_centroid_cosine_matrix,
-# dedup_minhash_jaccard_hist, events_audience_overlap,
-# emb_norm_histogram, events_new_vs_returning, events_dormancy_revival
-# — then the 4 r2 leftovers above, then oldest-evidence (r3) rows.
+# Round-10 rotation queue (front-load in this order): the remaining 19
+# r3-evidence rows — dedup_simhash_pairs, dedup_embedding_cosine,
+# sim_topk, sim_ann_ivf, profile_table, emb_normalize,
+# emb_centroid_per_label, text_stats, token_count, lang_id,
+# text_quality, doc_fingerprint, text_normalize, pii_redact,
+# text_repetition_filter, multimodal_meta, tpch_q1_pricing_summary,
+# tpch_q3_shipping_priority, tpch_q5_local_supplier — then any
+# round-9 additions, then oldest-evidence (r5) rows.
 DRIVER_PRIORITY: tuple[str, ...] = (
-    # (a) round-7 additions, never driver-checked
-    "docs_curation_funnel",
-    "docs_source_quality",
-    "docs_length_percentiles_by_source",
-    "text_lines_roundtrip",
-    "graph_degree_stats",
-    "events_hourly_seasonality",
-    "customer_churn_inactive",
-    "events_user_diversity",
-    "orders_interarrival_stats",
-    "events_attribution_first_touch",
-    "profile_corr_matrix",
-    "events_attribution_last_touch",
-    "graph_link_prediction",
-    "referential_integrity_sweep",
-    "events_dau_wau_mau",
-    "orders_monthly_revenue_yoy",
-    # (b) round-8 upgrades: rows-only -> hash-checked oracle
-    "graph_pagerank_copurchase",
-    "graph_communities_lpa",
-    # (c) refresh filler: oldest driver evidence first (r1 then r2)
-    "csv_read",
-    "csv_write",
-    "jdbc_scan_param",
-    "jdbc_scan_full",
-    "jdbc_scan_pushdown",
-    "project_cols",
-    "filter_date_range",
-    "cast_numeric",
-    "arith_mul",
-    "arith_div",
-    "drop_col",
-    "in_list_pred",
-    "str_lit_tag",
-    "agg_group_sum_multi",
-    "distinct_rows",
-    "unpivot_melt",
-    "unpivot_union_all",
-    "order_by_multi",
-    "sort_pandas",
-    "union_all",
-    "cdc_merge",
-    "upsert_on_conflict",
-    "delete_all",
-    "window_latest_per_key",
-    "date_fmt_partition",
-    "join_broadcast_dim",
-    "join_shuffle_fact",
-    "window_topk_per_group",
-    "window_cumulative",
-    "scd2_intervals",
-    "window_ntile",
-    "agg_rollup",
+    # (a) round-8 additions, never driver-checked (26)
+    "text_char_entropy",
+    "text_unigram_logprob",
+    "text_zipf_fit",
+    "jdbc_scan_partitioned",
+    "events_user_gini",
+    "orders_ship_backlog_daily",
+    "events_rolling_slope_7d",
+    "events_new_vs_returning",
+    "events_dormancy_revival",
+    "emb_label_drift",
+    "emb_outlier_topk",
+    "docs_boilerplate_ngrams",
+    "docs_near_dup_rate_by_source",
+    "docs_vocab_growth",
+    "docs_length_histogram_pow2",
+    "docs_quality_dup_crosstab",
+    "dedup_simhash_hamming_hist",
+    "events_anomaly_zscore_rolling",
+    "docs_mix_temperature_alloc",
+    "stream_zscore_daily",
+    "docs_dedup_impact_tokens",
+    "docs_quality_drift_by_decile",
+    "emb_centroid_cosine_matrix",
+    "dedup_minhash_jaccard_hist",
+    "events_audience_overlap",
+    "emb_norm_histogram",
+    # (b) refresh filler: latest driver evidence r2 (4)
+    "agg_grouping_sets",
+    "agg_having",
+    "agg_count_distinct",
+    "agg_stats_multi",
+    # (c) refresh filler: latest driver evidence r3, oldest-first (20)
+    "s3_put",
+    "bulk_load_copy",
+    "join_bucketed_colocated",
+    "text_ngram_topk",
+    "sort_limit_topn",
+    "set_intersect",
+    "set_except",
+    "join_semi",
+    "join_anti",
+    "pivot_wide",
+    "agg_cube",
+    "filter_scalar_subquery",
+    "join_bloom_filtered",
+    "dedup_exact",
+    "dedup_incremental",
+    "docs_sample_stratified",
+    "dedup_minhash",
+    "dedup_ngram_jaccard",
+    "dedup_cluster_cc",
+    "dedup_simhash",
 )
 
 
