@@ -504,7 +504,11 @@ def simhash(docs: DataFrame) -> DataFrame:
 SIMHASH_BANDS = 4  # 4 bands × 8 bits
 
 
-def simhash_pairs(docs: DataFrame, max_hamming: int = 3) -> DataFrame:
+def simhash_pairs(
+    docs: DataFrame,
+    max_hamming: int = 3,
+    fingerprints: DataFrame | None = None,
+) -> DataFrame:
     """Banded-hamming near-dup pairs over the SimHash fingerprint:
     (doc_a, doc_b, hamming) with hamming ≤ ``max_hamming``.
 
@@ -515,8 +519,14 @@ def simhash_pairs(docs: DataFrame, max_hamming: int = 3) -> DataFrame:
     hamming ≤ 3 differs in at most 3 bands, so at least one band
     matches exactly → the banded search is LOSSLESS for the default
     radius, and the verify (``bit_count(a XOR b)``) is exact.
+
+    ``fingerprints``: optional precomputed ``simhash(docs)`` relation
+    (doc_id, simhash) — fingerprints are write-once artifacts, so
+    callers with a stored fingerprint index (queries_ext.
+    _simhash_fp_index) pass it here and skip the token scan entirely;
+    the per-probe cost is then just the band join + popcount verify.
     """
-    fp = simhash(docs)
+    fp = fingerprints if fingerprints is not None else simhash(docs)
     bands = fp.select(
         "doc_id",
         "simhash",
@@ -533,6 +543,24 @@ def simhash_pairs(docs: DataFrame, max_hamming: int = 3) -> DataFrame:
     )
     a = bands.alias("a")
     b = bands.alias("b")
+    xor = F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
+    # A pair sharing k bands is emitted k times by the band join; the
+    # usual fix (.distinct()) is a full shuffle of the candidate set —
+    # at 100 TB by far the widest exchange in the query. Instead keep
+    # each pair ONLY in its lowest matching band, decided per-row from
+    # the fingerprint XOR (band j matches iff byte j of the XOR is 0):
+    # exactly-once emission with zero pair-level shuffle, so a
+    # downstream aggregate (the hamming histogram) partial-aggregates
+    # map-side into a ≤33-row exchange.
+    first_match = F.lit(True)
+    for j in range(SIMHASH_BANDS - 1):
+        first_match = first_match & (
+            (F.col("a.band") <= F.lit(j))
+            | (
+                F.shiftright(xor, 8 * j).bitwiseAND(F.lit(255))
+                != F.lit(0)
+            )
+        )
     return (
         a.join(
             b,
@@ -540,17 +568,13 @@ def simhash_pairs(docs: DataFrame, max_hamming: int = 3) -> DataFrame:
             & (F.col("a.bv") == F.col("b.bv"))
             & (F.col("a.doc_id") < F.col("b.doc_id")),
         )
+        .filter(first_match)
         .select(
             F.col("a.doc_id").alias("doc_a"),
             F.col("b.doc_id").alias("doc_b"),
-            F.bit_count(
-                F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
-            )
-            .cast("bigint")
-            .alias("hamming"),
+            F.bit_count(xor).cast("bigint").alias("hamming"),
         )
         .filter(F.col("hamming") <= max_hamming)
-        .distinct()
     )
 
 
