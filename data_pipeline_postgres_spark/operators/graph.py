@@ -26,14 +26,24 @@ def pagerank(
     broadcast_ranks: bool = True,
     prenormalized: bool = False,
     quantize_bits: int | None = None,
+    dangling: bool = False,
 ) -> DataFrame:
     """Weighted PageRank over a directed edge list (src, dst, weight):
     returns (node, rank) after ``iters`` synchronous power-iteration
     rounds of  r' = (1-d)/N + d·Σ_in r_src·w/outw_src.
 
-    Contract: every node must have at least one outgoing edge (true
-    for symmetric graphs such as co-purchase; general graphs add a
-    dangling-mass term — documented, not needed by in-repo callers).
+    Contract (default ``dangling=False``): every node must have at
+    least one outgoing edge (true for symmetric graphs such as
+    co-purchase). For general graphs set ``dangling=True``: the node
+    universe becomes src ∪ dst, and each superstep adds the classic
+    dangling-mass redistribution term — the total rank D sitting on
+    sink nodes is spread uniformly, r' = (1-d)/N + d·(Σ_in c + D/N).
+    D is a ONE-ROW aggregate broadcast onto the rank update (no
+    driver collect, no per-round action); rank mass then sums to
+    exactly 1 each round (property-tested against a dense power
+    iteration in tests/test_graph_dangling.py). The flagged path
+    costs one extra semi-join + broadcast per superstep, so the
+    sink-free default keeps its leaner plan.
     Iteration count is fixed (no convergence collect): 8 rounds
     contract the rank vector by d⁸ ≈ 0.27 of the remaining error,
     plenty for top-k ranking stability, and a deterministic plan.
@@ -85,7 +95,20 @@ def pagerank(
             )
             .localCheckpoint(eager=True)  # reused every superstep
         )
-    nodes = norm.select(F.col("src").alias("node")).distinct()
+    src_nodes = norm.select(F.col("src").alias("node")).distinct()
+    if dangling:
+        nodes = (
+            src_nodes.unionByName(
+                norm.select(F.col("dst").alias("node"))
+            )
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+        # sink set computed once; per round only its rank mass moves
+        sinks = nodes.join(src_nodes, "node", "left_anti")
+        sinks = sinks.localCheckpoint(eager=True)
+    else:
+        nodes = src_nodes
     n = nodes.count()  # single driver scalar, once
     base = (1.0 - damping) / n
     ranks = nodes.select("node", F.lit(1.0 / n).alias("rank"))
@@ -98,9 +121,36 @@ def pagerank(
         contribs = norm.join(r, norm["src"] == r["node"]).select(
             F.col("dst").alias("node"), c.alias("c")
         )
-        ranks = contribs.groupBy("node").agg(
-            (F.lit(base) + F.lit(damping) * F.sum("c")).alias("rank")
-        )
+        if dangling:
+            # one-row dangling-mass aggregate, broadcast onto the
+            # update — every node (even in-degree-0) gets base + D/N
+            dm = ranks.join(sinks, "node", "left_semi").agg(
+                F.coalesce(F.sum("rank"), F.lit(0.0)).alias("_dm")
+            )
+            summed = contribs.groupBy("node").agg(
+                F.sum("c").alias("_sc")
+            )
+            ranks = (
+                nodes.join(summed, "node", "left")
+                .crossJoin(F.broadcast(dm))
+                .select(
+                    "node",
+                    (
+                        F.lit(base)
+                        + F.lit(damping)
+                        * (
+                            F.coalesce(F.col("_sc"), F.lit(0.0))
+                            + F.col("_dm") / F.lit(float(n))
+                        )
+                    ).alias("rank"),
+                )
+            )
+        else:
+            ranks = contribs.groupBy("node").agg(
+                (F.lit(base) + F.lit(damping) * F.sum("c")).alias(
+                    "rank"
+                )
+            )
         if i % 3 == 2:
             # cut lineage so the logical plan stays bounded
             ranks = ranks.localCheckpoint(eager=False)
