@@ -156,6 +156,13 @@ EXT_HEADLINE = [
     "text_char_entropy",
     "text_unigram_logprob",
     "text_zipf_fit",
+    "decontaminate_embedding",
+    "graph_kcore",
+    "table_diff_audit",
+    "bpe_pair_merges",
+    "text_bigram_logprob",
+    "lang_id_confusion",
+    "emb_pca_power_iteration",
 ]
 
 

@@ -333,3 +333,97 @@ def outlier_distance(emb: DataFrame, k: int = 20) -> DataFrame:
         .filter(F.col("rank") <= k)
         .select("label", "vec_id", "d2", "rank")
     )
+
+
+def pca_power_iteration(
+    emb: DataFrame, iters: int = 200, dim: int = 64
+) -> DataFrame:
+    """First principal component of the embedding cloud via power
+    iteration on the covariance matrix, then every vector's PC1
+    projection: (vec_id, pc1_proj).
+
+    Distributed linear algebra the Spark way: the ONLY data-sized
+    passes are (a) one mapInPandas computing each partition's exact
+    int64 partial Gram Σqqᵀ (emitted as (i, j, g) triples — d² rows
+    per partition, Arrow-batched, order-free integer sums), plus the
+    component-sum aggregate for the mean, and (b) the final narrow
+    projection pass. The d×d Gram (4096 scalars for d=64) is a
+    BOUNDED driver artifact — same class as the fingerprint scalars,
+    NOT an O(n) collect — on which the driver runs ``iters``
+    deterministic numpy power-iteration steps (fixed all-ones start,
+    sign fixed by the largest-|component|), and the resulting unit
+    vector broadcasts back as a literal.
+
+    Exactness: vectors are quantized to int64 (floor(x·2^20 + 0.5))
+    before the Gram, so the covariance entering power iteration is
+    bit-identical regardless of partitioning; everything after is
+    driver-deterministic. int64 headroom: |q| ≤ 2^20·max|x|, so each
+    product ≤ ~2^40 and the sum holds ~2^23 rows per partition cell
+    safely — beyond that, partial Grams per partition stay exact and
+    only their (≤ partitions × 4096) merge rides in int64 too.
+    Rows-only check (power iteration is not SQL-expressible);
+    accuracy-gated against full numpy PCA in pytest.
+    """
+    import numpy as np
+
+    q = quantize_col(V.as_double(F.col("embedding")))
+    src = emb.select("vec_id", q.alias("qv"))
+
+    def partial_gram(batches):
+        import numpy as np
+        import pandas as pd
+
+        acc = np.zeros((dim, dim), dtype=np.int64)
+        seen = False
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            seen = True
+            M = np.stack(pdf["qv"].to_numpy()).astype(np.int64)
+            acc += M.T @ M
+        if seen:
+            i, j = np.nonzero(np.ones((dim, dim)))
+            yield pd.DataFrame(
+                {"i": i, "j": j, "g": acc[i, j]}
+            )
+
+    gram_rows = (
+        src.select("qv")
+        .mapInPandas(partial_gram, "i int, j int, g bigint")
+        .groupBy("i", "j")
+        .agg(F.sum("g").alias("g"))
+        .collect()
+    )  # bounded d*d artifact, not data-sized
+    sums = (
+        src.select(F.posexplode("qv").alias("pos", "q"))
+        .groupBy("pos")
+        .agg(F.sum("q").alias("s"), F.count("*").alias("n"))
+        .collect()
+    )
+    n = sums[0]["n"]
+    mu = np.zeros(dim)
+    for r in sums:
+        mu[r["pos"]] = r["s"] / n
+    G = np.zeros((dim, dim))
+    for r in gram_rows:
+        G[r["i"], r["j"]] = r["g"]
+    # covariance of the quantized data: (Σqqᵀ − n·μμᵀ) / n
+    C = (G - n * np.outer(mu, mu)) / n
+    v = np.ones(dim) / np.sqrt(dim)
+    for _ in range(iters):
+        v = C @ v
+        v = v / np.linalg.norm(v)
+    if v[int(np.argmax(np.abs(v)))] < 0:
+        v = -v  # deterministic sign convention
+
+    pc = F.array(*[F.lit(float(x)) for x in v])
+    proj = F.aggregate(
+        F.zip_with(F.col("qv"), pc, lambda x, c: x.cast("double") * c),
+        F.lit(0.0),
+        lambda a, x: a + x,
+    )
+    mu_dot = float(mu @ v)
+    return src.select(
+        "vec_id",
+        ((proj - F.lit(mu_dot)) / F.lit(QSCALE)).alias("pc1_proj"),
+    )

@@ -305,3 +305,44 @@ def triangle_stats(edges: DataFrame, min_weight: float = 2.0) -> DataFrame:
             .alias("global_clustering"),
         )
     )
+
+
+def kcore(edges: DataFrame, k: int = 3, rounds: int = 8) -> DataFrame:
+    """Synchronous k-core peeling over an UNDIRECTED edge list
+    (src, dst — both directions present): repeatedly drop every node
+    whose surviving degree is < ``k``, ``rounds`` times; returns the
+    surviving (node, degree) relation with the degree INSIDE the
+    core.
+
+    Each round is one integer degree aggregate + two semi-joins that
+    restrict the edge set to surviving endpoints — all-integer, so
+    the result is bit-exact against an unrolled-CTE SQL oracle
+    (the same chained-round discipline as ``pagerank``'s oracle; no
+    floats anywhere). A fixed round count keeps the plan
+    deterministic (no convergence collect); peeling converges when a
+    round removes nothing, and the pytest gate asserts rounds and
+    rounds+1 agree at test scale, i.e. the published result IS the
+    fixpoint there. Lineage is cut every 3 rounds so the logical plan
+    stays bounded.
+
+    100 TB shape: degree is a map-side-combined count shuffle on the
+    node key; the edge restriction is two equi-joins against the
+    (much smaller) survivor set — broadcastable once peeling bites.
+    Nothing is quadratic; total cost is rounds × (1 agg + 2 joins)
+    over a monotonically shrinking edge relation.
+    """
+    e = edges.select("src", "dst")
+    for i in range(rounds):
+        deg = e.groupBy(F.col("src").alias("node")).agg(
+            F.count("*").alias("degree")
+        )
+        alive = deg.filter(F.col("degree") >= k).select("node")
+        e = (
+            e.join(alive, e["src"] == alive["node"], "left_semi")
+            .join(alive, e["dst"] == alive["node"], "left_semi")
+        )
+        if i % 3 == 2:
+            e = e.localCheckpoint(eager=False)
+    return e.groupBy(F.col("src").alias("node")).agg(
+        F.count("*").alias("degree")
+    )

@@ -132,6 +132,7 @@ def load_all() -> None:
     from . import queries_analytics  # noqa: F401
     from . import queries_core  # noqa: F401
     from . import queries_ext  # noqa: F401
+    from . import queries_r9  # noqa: F401
     from . import queries_tpch  # noqa: F401
 
     _reorder()

@@ -212,3 +212,86 @@ class TestReferentialSweepPlan:
         assert "ShuffledHashJoin" not in plan
         assert "CartesianProduct" not in plan
         assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+
+
+class TestRound9Queries:
+    """Gates for the round-9 additions beyond oracle parity."""
+
+    def test_kcore_is_fixpoint_at_test_scale(self, spark):
+        """12 peel-rounds must BE the fixpoint at oracle scale (the
+        sf0.01 strong co-purchase graph converges after 10): one more
+        round changes nothing."""
+        from data_pipeline_postgres_spark.plans.queries_analytics import (
+            _copurchase_edge_index,
+        )
+        from data_pipeline_postgres_spark.plans.queries_r9 import (
+            _KCORE_K,
+            _KCORE_ROUNDS,
+        )
+
+        edges = _copurchase_edge_index(spark, "/root/testdata/sf0.01")
+        edges = edges.filter(F.col("weight") >= 2)
+        a = sorted(
+            map(
+                tuple,
+                graph.kcore(edges, _KCORE_K, _KCORE_ROUNDS).collect(),
+            )
+        )
+        b = sorted(
+            map(
+                tuple,
+                graph.kcore(
+                    edges, _KCORE_K, _KCORE_ROUNDS + 1
+                ).collect(),
+            )
+        )
+        assert a == b and len(a) > 0
+
+    def test_pca_matches_numpy(self, spark):
+        import numpy as np
+
+        from data_pipeline_postgres_spark.operators import embeddings
+
+        emb = spark.read.parquet(
+            os.path.join(SF_SMOKE, "embeddings.parquet")
+        )
+        got = {
+            r.vec_id: r.pc1_proj
+            for r in embeddings.pca_power_iteration(emb).collect()
+        }
+        rows = sorted(
+            (r.vec_id, list(r.embedding)) for r in emb.collect()
+        )
+        X = np.array([v for _, v in rows], dtype=np.float64)
+        Xc = X - X.mean(axis=0)
+        _, _, vt = np.linalg.svd(Xc, full_matrices=False)
+        pc = vt[0]
+        if pc[int(np.argmax(np.abs(pc)))] < 0:
+            pc = -pc
+        want = Xc @ pc
+        got_arr = np.array([got[i] for i, _ in rows])
+        # same direction (sign convention matches), high cosine
+        cos = abs(got_arr @ want) / (
+            np.linalg.norm(got_arr) * np.linalg.norm(want)
+        )
+        assert cos > 0.999
+        np.testing.assert_allclose(got_arr, want, atol=5e-3)
+
+    def test_decontaminate_embedding_nontrivial(self, spark):
+        """Guard against a trivially-empty oracle green: the eval
+        split must actually flag training vectors at oracle scale."""
+        df = registry.QUERIES["decontaminate_embedding"](
+            spark, "/root/testdata/sf0.01"
+        )
+        assert df.count() > 0
+
+    def test_bigram_logprob_more_negative_than_unigram_floor(self, spark):
+        """Sanity: bigram conditionals are MLE (<= 0); every doc with
+        >= 2 tokens is scored; mean_logp is finite and <= 0."""
+        rows = registry.QUERIES["text_bigram_logprob"](
+            spark, SF_SMOKE
+        ).collect()
+        assert rows
+        for r in rows:
+            assert r.mean_logp <= 0.0
+            assert r.n_bigrams >= 1
