@@ -119,28 +119,59 @@ def char_entropy(docs: DataFrame) -> DataFrame:
     same IEEE sequence in both engines; rounded to 6 before the flag
     compare (round-then-compare keeps the boundary identical).
 
-    Scale: map-only, zero shuffle — O(distinct_chars × len) per doc
-    (≤ ~100 distinct chars in practice), embarrassingly parallel.
+    Scale: map-only, zero shuffle, O(len·log len) per doc: char
+    counts come from run lengths of the SORTED char array (run-end
+    positions via a null-safe get() boundary scan), not from a
+    per-distinct-char filter over the full array — the runs appear in
+    sorted-char order, i.e. the SAME order as the sorted-distinct
+    fold, so the entropy float sequence (and the oracle hash) is
+    unchanged while the O(distinct × len) rescans disappear
+    (5.4 s → ~1 s at sf0.1, two stepwise wins: materializing the
+    split once — lambdas closing over raw expressions re-evaluate
+    them per element, the word_shingles trap — then run-length
+    counting).
     """
-    cs = F.split(F.col("text"), "")
-    ds = F.array_sort(F.array_distinct(cs))
-    n = F.size(cs)
+    base = docs.select(
+        "doc_id",
+        F.split(F.col("text"), "").alias("cs"),
+    ).select(
+        "doc_id",
+        F.size(F.col("cs")).alias("n"),
+        F.array_sort(F.col("cs")).alias("s"),
+    )
+    s = F.col("s")
+    n = F.col("n")
     nd = n.cast("double")
+    # 0-based indices ending each equal-char run; F.get is null-safe
+    # past the end (element_at would raise under ANSI)
+    ends = F.filter(
+        F.sequence(F.lit(0), n - 1),
+        lambda i: ~F.get(s, i).eqNullSafe(F.get(s, i + 1)),
+    )
     counts = F.transform(
-        ds, lambda ch: F.size(F.filter(cs, lambda x: x == ch)).cast("double")
+        ends,
+        lambda x, j: (
+            x - F.coalesce(F.get(F.col("_ends"), j - 1), F.lit(-1))
+        ).cast("double"),
     )
     h = F.aggregate(
-        F.transform(counts, lambda c: -(c / nd) * F.log2(c / nd)),
+        F.transform(F.col("_counts"), lambda c: -(c / nd) * F.log2(c / nd)),
         F.lit(0.0),
         lambda a, x: a + x,
     )
     ent = F.round(h, 6)
-    return docs.select(
-        "doc_id",
-        n.cast("bigint").alias("n_chars_split"),
-        F.size(ds).cast("bigint").alias("n_distinct_chars"),
-        ent.alias("entropy_bits"),
-        (ent < 2.0).alias("low_entropy"),
+    return (
+        base.withColumn("_ends", ends)
+        .withColumn("_counts", counts)
+        .select(
+            "doc_id",
+            n.cast("bigint").alias("n_chars_split"),
+            F.size(F.col("_ends")).cast("bigint").alias(
+                "n_distinct_chars"
+            ),
+            ent.alias("entropy_bits"),
+            (ent < 2.0).alias("low_entropy"),
+        )
     )
 
 
