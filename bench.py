@@ -163,6 +163,11 @@ EXT_HEADLINE = [
     "text_bigram_logprob",
     "lang_id_confusion",
     "emb_pca_power_iteration",
+    "dedup_simhash_incremental",
+    "events_pattern_detect",
+    "profile_column_entropy",
+    "docs_pack_fragmentation",
+    "stream_pii_redact",
 ]
 
 

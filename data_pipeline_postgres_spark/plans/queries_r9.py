@@ -439,3 +439,369 @@ def q_emb_pca_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
     the final narrow projection. Accuracy-gated against full numpy
     PCA in tests/test_round9.py (top-eigenvector cosine > 0.999)."""
     return embeddings.pca_power_iteration(_emb(spark, sf_dir))
+
+
+# -- Incremental SimHash dedup ---------------------------------------------
+# Completes the incremental-dedup family across all four signatures:
+# exact hash (dedup_incremental), MinHash (dedup_minhash_incremental),
+# embedding (dedup_embedding_incremental) — and now SimHash. The
+# corpus side is the STORED fingerprint index (_simhash_fp_index);
+# only the day's batch is fingerprinted fresh.
+
+_SIMHASH_INCR_ORACLE = r"""
+WITH w AS (
+    SELECT doc_id, source, regexp_split_to_array(trim(text), '\s+') AS w
+    FROM documents
+),
+tok AS (SELECT DISTINCT doc_id, unnest(w) AS tok FROM w),
+bits AS (
+    SELECT doc_id, md5(tok) AS h, b
+    FROM tok, (SELECT unnest(range(32)) AS b)
+),
+contrib AS (
+    SELECT doc_id, b,
+           2 * (CAST(floor(
+                 (instr('0123456789abcdef',
+                        substr(h, CAST(floor(b / 4) AS INT) + 1, 1)) - 1)
+                 / power(2, 3 - (b % 4))) AS INT) % 2) - 1 AS c
+    FROM bits
+),
+persum AS (SELECT doc_id, b, SUM(c) AS s FROM contrib GROUP BY 1, 2),
+fps AS (
+    SELECT p.doc_id,
+           CAST(SUM(CASE WHEN s > 0 THEN CAST(power(2, b) AS BIGINT)
+                         ELSE 0 END) AS BIGINT) AS simhash,
+           MIN(w.source) AS source
+    FROM persum p JOIN w ON w.doc_id = p.doc_id
+    GROUP BY 1
+),
+bands AS (
+    SELECT doc_id, simhash, source,
+           b AS band, (simhash >> (8 * b)) & 255 AS bv
+    FROM fps, (SELECT unnest(range(4)) AS b)
+),
+cand AS (
+    SELECT DISTINCT a.doc_id AS doc_id, c.doc_id AS doc_b,
+           CAST(bit_count(xor(a.simhash, c.simhash)) AS BIGINT) AS hamming
+    FROM bands a
+    JOIN bands c ON a.band = c.band AND a.bv = c.bv
+    WHERE a.source = 'src0' AND c.source <> 'src0'
+),
+hit AS (SELECT * FROM cand WHERE hamming <= 3)
+SELECT doc_id,
+       CAST(min_by(doc_b, hamming * 281474976710656 + doc_b) AS BIGINT)
+           AS dup_of,
+       MIN(hamming) AS hamming
+FROM hit GROUP BY doc_id
+"""
+
+
+@query("dedup_simhash_incremental", _SIMHASH_INCR_ORACLE)
+def q_dedup_simhash_incremental(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Daily-ingest SimHash near-dup: the batch (source='src0') is
+    fingerprinted fresh, banded, and probed against the STORED corpus
+    fingerprint index (queries_ext._simhash_fp_index filtered to the
+    standing corpus) at hamming <= 3; per batch doc the closest
+    corpus partner (ties -> smallest doc_id) -> (doc_id, dup_of,
+    hamming). Completes the incremental-dedup family (exact hash /
+    MinHash / embedding / SimHash).
+
+    Scale shape: standing per-day cost is batchx4 band keys
+    equi-joined against the index's band projection — the corpus is
+    never re-tokenized; the banded search is lossless at radius 3 by
+    pigeonhole; the per-doc winner is min_by through map-side partial
+    merges, no window over candidates."""
+    from pyspark.sql import Window
+
+    from .queries_ext import _docs as _ext_docs
+    from .queries_ext import _simhash_fp_index
+
+    docs = _ext_docs(spark, sf_dir)
+    idx = _simhash_fp_index(spark, sf_dir)
+    batch_ids = docs.filter(F.col("source") == "src0").select("doc_id")
+    corpus_ids = docs.filter(F.col("source") != "src0").select("doc_id")
+
+    def _bands(fp: DataFrame) -> DataFrame:
+        return fp.select(
+            "doc_id",
+            "simhash",
+            F.posexplode(
+                F.array(
+                    *[
+                        F.shiftright(F.col("simhash"), 8 * k).bitwiseAND(
+                            F.lit(255)
+                        )
+                        for k in range(4)
+                    ]
+                )
+            ).alias("band", "bv"),
+        )
+
+    b = _bands(idx.join(batch_ids, "doc_id", "left_semi")).alias("b")
+    c = _bands(idx.join(corpus_ids, "doc_id", "left_semi")).alias("c")
+    cand = (
+        b.join(
+            c,
+            (F.col("b.band") == F.col("c.band"))
+            & (F.col("b.bv") == F.col("c.bv")),
+        )
+        .select(
+            F.col("b.doc_id").alias("doc_id"),
+            F.col("c.doc_id").alias("doc_b"),
+            F.bit_count(
+                F.col("b.simhash").bitwiseXOR(F.col("c.simhash"))
+            )
+            .cast("bigint")
+            .alias("hamming"),
+        )
+        .filter(F.col("hamming") <= 3)
+        .distinct()
+    )
+    # composite scalar min_by key (hamming in the high bits — it fits
+    # in 2 bits, doc ids far below 2^48); a struct key would work in
+    # Spark but DuckDB's min_by needs a scalar, so both engines rank
+    # by the identical bigint
+    key = F.col("hamming") * F.lit(1 << 48) + F.col("doc_b")
+    return cand.groupBy("doc_id").agg(
+        F.min_by("doc_b", key).alias("dup_of"),
+        F.min("hamming").alias("hamming"),
+    )
+
+
+# -- Event sequence-pattern detection --------------------------------------
+
+_PATTERN_ORACLE = """
+WITH seq AS (
+    SELECT user_id, event_type, ts, event_id,
+           lead(event_type) OVER w AS next_type,
+           lead(ts)         OVER w AS next_ts
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+hits AS (
+    SELECT user_id, ts
+    FROM seq
+    WHERE event_type = 'view' AND next_type = 'purchase'
+      AND next_ts - ts <= INTERVAL 1 HOUR
+)
+SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_matches,
+       MIN(ts) AS first_match_ts
+FROM hits GROUP BY user_id
+"""
+
+
+@query("events_pattern_detect", _PATTERN_ORACLE)
+def q_events_pattern_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MATCH_RECOGNIZE-style sequence-pattern detection: per user,
+    every IMMEDIATELY-ADJACENT view -> purchase transition completing
+    within one hour -> (user_id, n_matches, first_match_ts). The
+    conversion-micro-pattern primitive (funnel queries count eventual
+    conversion; this demands adjacency + a time bound — intent
+    signals, fraud bursts, alert-then-ack compliance windows).
+
+    One user_id window shuffle with the unique (ts, event_id) sort
+    key (the same Exchange the session/funnel/markov family rides),
+    then a map-side-combined per-user aggregate; time bound compared
+    in integer microseconds."""
+    ev = load_table(spark, sf_dir, "events")
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "user_id",
+        "event_type",
+        "ts",
+        "event_id",
+        F.lead("event_type").over(w).alias("next_type"),
+        F.lead("ts").over(w).alias("next_ts"),
+    )
+    us = lambda c: F.unix_micros(F.col(c).cast("timestamp"))  # noqa: E731
+    hits = seq.filter(
+        (F.col("event_type") == "view")
+        & (F.col("next_type") == "purchase")
+        & (us("next_ts") - us("ts") <= F.lit(3_600_000_000))
+    )
+    return hits.groupBy("user_id").agg(
+        F.count("*").alias("n_matches"),
+        F.min("ts").alias("first_match_ts"),
+    )
+
+
+# -- Column-entropy profiling ----------------------------------------------
+# Entropy terms are quantized to int64 micro-bits BEFORE the per-column
+# sum (the repo's order-free float contract), so the aggregate is exact
+# regardless of partial-agg order.
+
+_COL_ENTROPY_ORACLE = """
+WITH vals AS (
+    SELECT 'o_orderstatus' AS col_name, o_orderstatus AS v FROM orders
+    UNION ALL
+    SELECT 'o_orderpriority', o_orderpriority FROM orders
+),
+c AS (SELECT col_name, v, COUNT(*) AS n FROM vals GROUP BY 1, 2),
+tot AS (SELECT col_name, SUM(n) AS t FROM c GROUP BY 1),
+q AS (
+    SELECT c.col_name,
+           CAST(floor(-(CAST(c.n AS DOUBLE) / CAST(t AS DOUBLE))
+                      * log2(CAST(c.n AS DOUBLE) / CAST(t AS DOUBLE))
+                      * 1000000.0 + 0.5) AS BIGINT) AS lq
+    FROM c JOIN tot USING (col_name)
+)
+SELECT q.col_name, CAST(COUNT(*) AS BIGINT) AS n_distinct,
+       CAST(SUM(lq) AS DOUBLE) / 1000000.0 AS entropy_bits
+FROM q GROUP BY 1
+"""
+
+
+@query("profile_column_entropy", _COL_ENTROPY_ORACLE)
+def q_profile_column_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column-level Shannon entropy of the categorical order columns
+    (status, priority): (col_name, n_distinct, entropy_bits) — the
+    information-content profile behind encoding choices (dictionary
+    vs plain), partition-key selection, and drift alerts (an entropy
+    collapse means a value took over the column). Companion of
+    profile_table's null/distinct sweep.
+
+    Shape: one stack()-unpivot map, one (col, value) count shuffle
+    collapsing to a tiny relation, per-term micro-bit quantization ->
+    exact int64 sums in any order."""
+    o = load_table(spark, sf_dir, "orders")
+    vals = o.select(
+        F.expr(
+            "stack(2, 'o_orderstatus', o_orderstatus,"
+            " 'o_orderpriority', o_orderpriority) AS (col_name, v)"
+        )
+    )
+    c = vals.groupBy("col_name", "v").agg(F.count("*").alias("n"))
+    tot = c.groupBy("col_name").agg(F.sum("n").alias("t"))
+    p = F.col("n").cast("double") / F.col("t").cast("double")
+    q = c.join(F.broadcast(tot), "col_name").select(
+        "col_name",
+        F.floor(-p * F.log2(p) * F.lit(1_000_000.0) + F.lit(0.5))
+        .cast("bigint")
+        .alias("lq"),
+    )
+    return q.groupBy("col_name").agg(
+        F.count("*").alias("n_distinct"),
+        (F.sum("lq").cast("double") / F.lit(1_000_000.0)).alias(
+            "entropy_bits"
+        ),
+    )
+
+
+# -- Packing fragmentation report ------------------------------------------
+
+_PACK_FRAG_ORACLE = r"""
+WITH t AS (
+    SELECT doc_id,
+           COALESCE(CAST(len(regexp_split_to_array(trim(text), '\s+'))
+                    AS BIGINT), 0) AS n_tokens
+    FROM documents
+),
+c AS (
+    SELECT doc_id, n_tokens,
+           SUM(n_tokens) OVER (ORDER BY doc_id
+               ROWS UNBOUNDED PRECEDING) - n_tokens AS cum_before
+    FROM t
+),
+spans AS (
+    SELECT doc_id,
+           ((cum_before + n_tokens - 1) // 512 - cum_before // 512 + 1)
+               AS n_spans
+    FROM c WHERE n_tokens > 0
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(COUNT(*) FILTER (n_spans > 1) AS BIGINT) AS n_split_docs,
+       CAST(COUNT(*) FILTER (n_spans > 1) AS DOUBLE)
+           / CAST(COUNT(*) AS DOUBLE) AS split_frac,
+       CAST(SUM(n_spans) AS BIGINT) AS total_spans,
+       CAST(SUM(n_spans) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+           AS mean_spans_per_doc
+FROM spans
+"""
+
+
+@query("docs_pack_fragmentation", _PACK_FRAG_ORACLE)
+def q_docs_pack_fragmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Packing-quality report over the concatenate-and-chunk layout
+    (docs_pack_sequences, L=512): how many documents straddle a
+    sequence boundary — (n_docs, n_split_docs, split_frac,
+    total_spans, mean_spans_per_doc). Fragmentation is the quality
+    cost of dense packing (a split doc trains with truncated
+    context); this one-row report is the dial watched when choosing L
+    or switching to best-fit packing.
+
+    Shape: reuses the distributed prefix-sum placement, then pure
+    span arithmetic per doc and ONE map-side-combined global
+    aggregate — no new shuffle beyond the packing pass itself."""
+    from ..operators import packing
+
+    placed = packing.pack_sequences(_docs(spark, sf_dir))
+    spans = placed.filter(F.col("n_tokens") > 0).select(
+        (
+            (
+                (
+                    F.col("seq_id") * 512
+                    + F.col("seq_offset")
+                    + F.col("n_tokens")
+                    - 1
+                )
+                / 512
+            ).cast("bigint")
+            - F.col("seq_id")
+            + 1
+        ).alias("n_spans")
+    )
+    split = F.sum(
+        F.when(F.col("n_spans") > 1, 1).otherwise(0)
+    ).cast("bigint")
+    return spans.agg(
+        F.count("*").alias("n_docs"),
+        split.alias("n_split_docs"),
+        (split.cast("double") / F.count("*").cast("double")).alias(
+            "split_frac"
+        ),
+        F.sum("n_spans").cast("bigint").alias("total_spans"),
+        (
+            F.sum("n_spans").cast("double")
+            / F.count("*").cast("double")
+        ).alias("mean_spans_per_doc"),
+    )
+
+
+# -- Streaming PII redaction -----------------------------------------------
+
+
+def _pii_oracle() -> str:
+    """The batch pii_redact oracle verbatim: an AvailableNow drain of
+    a deterministic split through a stateless map equals the batch
+    result row-for-row."""
+    from ..operators import textclean
+
+    return f"""
+SELECT doc_id,
+       regexp_replace(regexp_replace(regexp_replace(text,
+            '{textclean.EMAIL_RE}', '<EMAIL>', 'g'),
+            '{textclean.IPV4_RE}', '<IP>', 'g'),
+            '{textclean.PHONE_RE}', '<PHONE>', 'g') AS redacted,
+       CAST(len(regexp_extract_all(text, '{textclean.EMAIL_RE}')) AS BIGINT)
+           AS n_emails,
+       CAST(len(regexp_extract_all(text, '{textclean.IPV4_RE}')) AS BIGINT)
+           AS n_ips,
+       CAST(len(regexp_extract_all(text, '{textclean.PHONE_RE}')) AS BIGINT)
+           AS n_phones
+FROM documents
+"""
+
+@query("stream_pii_redact", _pii_oracle())
+def q_stream_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming ingest-time PII scrub: stateless map-only streaming
+    plan (no state store / watermark / shuffle), AvailableNow drain
+    over 3 micro-batches; the spool equals the batch redaction, so
+    the batch pii_redact SQL is the oracle
+    (streaming/jobs.pii_redact_stream)."""
+    from ..streaming import jobs as stream_jobs
+
+    return stream_jobs.pii_redact_stream(spark, sf_dir)

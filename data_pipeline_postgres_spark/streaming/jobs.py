@@ -943,3 +943,46 @@ def zscore_daily_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.aggregate import rolling_zscore_daily
 
     return rolling_zscore_daily(spark.read.parquet(target))
+
+
+def pii_redact_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming PII scrub: documents land as a file stream (3
+    micro-batches) and each batch passes through the STATELESS
+    redaction map (textclean.pii_redact) — like the Gopher gate, a
+    pure map-only streaming plan: no state store, no watermark, no
+    shuffle. This is the compliance-critical ingest shape — PII never
+    reaches the lake unredacted, rather than being scrubbed by a
+    later batch sweep over already-persisted raw text.
+
+    AvailableNow drain over a deterministic split ⇒ the spool equals
+    the batch redaction — the batch pii_redact SQL is the oracle.
+    """
+    from ..operators import textclean
+
+    docs = load_table(spark, sf_dir, "documents")
+    src = _scratch("pii_src")
+    for i in range(3):
+        docs.filter(F.col("doc_id") % 3 == i).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+    spool = _scratch("pii_spool")
+
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    out = textclean.pii_redact(stream)
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df.write.mode("append").parquet(spool)
+
+    q = (
+        out.writeStream.foreachBatch(sink)
+        .outputMode("append")
+        .option("checkpointLocation", _scratch("pii_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.read.parquet(spool)
