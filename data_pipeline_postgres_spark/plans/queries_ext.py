@@ -201,11 +201,44 @@ WHERE CAST(n_common AS DOUBLE) / (sa.n + sb.n - n_common) >= 0.8
 _MINHASH_ORACLE = _minhash_oracle()
 
 
+def _minhash_pairs_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The STORED verified MinHash candidate-pair relation for
+    ``sf_dir``'s corpus: ``minhash_dedup(threshold=0.0)`` — every
+    band-admitted pair with its EXACT Jaccard — materialized to
+    scratch parquet once per (sf_dir, documents mtime). The banding
+    is threshold-independent and the threshold only filters, so this
+    one write-once artifact serves the whole family: dedup_minhash
+    and the dup-rate/crosstab diagnostics read it at j ≥ 0.8, the
+    threshold-tuning histogram reads it unfiltered. Same
+    stale-on-mtime rebuild contract as _minhash_corpus_index /
+    _simhash_fp_index."""
+    import os
+
+    from ..catalog import table_path
+    from ..scratch import scratch_dir
+
+    src = table_path(sf_dir, "documents")
+    tag = "{}-{}".format(
+        os.path.basename(os.path.normpath(sf_dir)),
+        os.stat(src).st_mtime_ns,
+    )
+    path = scratch_dir("minhash_pairs_index", tag, "pairs.parquet")
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        dedup.minhash_dedup(
+            _docs(spark, sf_dir), threshold=0.0
+        ).write.mode("overwrite").parquet(path)
+    return spark.read.parquet(path)
+
+
 @query("dedup_minhash", _MINHASH_ORACLE)
 def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash+LSH near-dup: shingle → minhash sig (4 bands × 2 rows) →
-    band bucket-join → exact-Jaccard verify ≥ 0.8."""
-    return dedup.minhash_dedup(_docs(spark, sf_dir))
+    band bucket-join → exact-Jaccard verify ≥ 0.8. Served from the
+    stored verified-pairs index (_minhash_pairs_index) — the shingle
+    and signature passes run once per corpus version."""
+    return _minhash_pairs_index(spark, sf_dir).filter(
+        F.col("jaccard") >= 0.8
+    )
 
 
 # Incremental variant: same hash family / band machinery, candidates
@@ -3338,9 +3371,12 @@ def q_docs_near_dup_rate_by_source(
     (band-admitted and verified — see minhash_dedup); the two
     doc→source lookups join the TINY pair relation against the
     pruned 2-column doc projection, and the matrix aggregate is
-    |sources|² rows."""
+    |sources|² rows. Pairs come from the stored verified-pairs
+    index."""
     docs = _docs(spark, sf_dir)
-    pairs = dedup.minhash_dedup(docs)
+    pairs = _minhash_pairs_index(spark, sf_dir).filter(
+        F.col("jaccard") >= 0.8
+    )
     src = docs.select("doc_id", "source")
     lab = (
         pairs.join(
@@ -3542,7 +3578,9 @@ def q_docs_quality_dup_crosstab(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _docs(spark, sf_dir)
     g = textstats.gopher_quality(docs).select("doc_id", "gopher_pass")
-    pairs = dedup.minhash_dedup(docs)
+    pairs = _minhash_pairs_index(spark, sf_dir).filter(
+        F.col("jaccard") >= 0.8
+    )
     dup = (
         pairs.select(F.col("doc_a").alias("doc_id"))
         .unionAll(pairs.select(F.col("doc_b").alias("doc_id")))
@@ -4096,8 +4134,9 @@ def q_dedup_minhash_jaccard_hist(
     threshold goes. Same candidate-bounded machinery as
     dedup_minhash (threshold 0 keeps every admitted pair); the
     bucket is floor(j·10) — double multiply + floor, deterministic
-    both engines."""
-    pairs = dedup.minhash_dedup(_docs(spark, sf_dir), threshold=0.0)
+    both engines. Reads the stored verified-pairs index unfiltered —
+    the artifact IS this query's input relation."""
+    pairs = _minhash_pairs_index(spark, sf_dir)
     return (
         pairs.select(
             F.floor(F.col("jaccard") * F.lit(10.0))
