@@ -367,12 +367,39 @@ WHERE CAST(n_common AS DOUBLE) / (sa.n + sb.n - n_common) >= 0.8
 """
 
 
+def _jaccard_pairs_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The STORED exact-Jaccard pair relation (j ≥ 0.8) for
+    ``sf_dir``'s corpus — ground truth the clustering / election /
+    dedup-impact family all consume. Five queries previously
+    recomputed the full shingle equi-join each run; near-dup pairs
+    are a write-once function of the corpus, so they materialize once
+    per (sf_dir, documents mtime) like the band / fingerprint /
+    verified-pairs indexes, and each consumer starts from the tiny
+    pair relation."""
+    import os
+
+    from ..catalog import table_path
+    from ..scratch import scratch_dir
+
+    src = table_path(sf_dir, "documents")
+    tag = "{}-{}".format(
+        os.path.basename(os.path.normpath(sf_dir)),
+        os.stat(src).st_mtime_ns,
+    )
+    path = scratch_dir("jaccard_pairs_index", tag, "pairs.parquet")
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        dedup.jaccard_pairs(
+            dedup.doc_shingles(_docs(spark, sf_dir)), None, 0.8
+        ).write.mode("overwrite").parquet(path)
+    return spark.read.parquet(path)
+
+
 @query("dedup_ngram_jaccard", _NGRAM_ORACLE)
 def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact 3-gram Jaccard pairs ≥ 0.8 (ground truth for the LSH
-    path; quadratic, so at scale it runs only inside LSH buckets)."""
-    docs = _docs(spark, sf_dir)
-    return dedup.jaccard_pairs(dedup.doc_shingles(docs), None, 0.8)
+    path; quadratic, so at scale it runs only inside LSH buckets).
+    Served from the stored exact-pairs index."""
+    return _jaccard_pairs_index(spark, sf_dir)
 
 
 _CONTAINMENT_ORACLE = f"""
@@ -429,8 +456,7 @@ def q_dedup_cluster_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact-Jaccard pair graph via iterative min-label propagation;
     every doc maps to its component's min doc_id (the canonical
     survivor)."""
-    docs = _docs(spark, sf_dir)
-    pairs = dedup.jaccard_pairs(dedup.doc_shingles(docs), None, 0.8)
+    pairs = _jaccard_pairs_index(spark, sf_dir)
     return dedup.dedup_clusters(pairs)
 
 
@@ -440,8 +466,7 @@ def q_dedup_cluster_cc_star(spark: SparkSession, sf_dir: str) -> DataFrame:
     contraction (O(log n) rounds vs diameter-bounded min-label
     propagation) — the variant to use when near-dup chains can be
     long. Identical recursive-CTE oracle."""
-    docs = _docs(spark, sf_dir)
-    pairs = dedup.jaccard_pairs(dedup.doc_shingles(docs), None, 0.8)
+    pairs = _jaccard_pairs_index(spark, sf_dir)
     return dedup.dedup_clusters_star(pairs)
 
 
@@ -2060,9 +2085,10 @@ def q_dedup_cluster_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     the min-id default — the curation policy that retains the best
     copy. One doc_id join onto the component labels + one cluster-key
     aggregate (max_by carries the winner through map-side partial
-    merges; no window over members)."""
+    merges; no window over members). Pairs from the stored
+    exact-pairs index."""
     docs = _docs(spark, sf_dir)
-    pairs = dedup.jaccard_pairs(dedup.doc_shingles(docs), None, 0.8)
+    pairs = _jaccard_pairs_index(spark, sf_dir)
     labels = dedup.dedup_clusters(pairs)
     j = labels.join(docs.select("doc_id", "n_chars"), "doc_id")
     return j.groupBy("cluster_id").agg(
@@ -3847,11 +3873,12 @@ def q_docs_dedup_impact_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: clustering + election run over the pair-bounded
     near-dup subgraph only; the removed-id set is tiny and broadcasts
     onto the one linear token-count pass; exact int64 token sums,
-    one division per source."""
+    one division per source. Pairs from the stored exact-pairs
+    index."""
     from ..functions import text as TX
 
     docs = _docs(spark, sf_dir)
-    pairs = dedup.jaccard_pairs(dedup.doc_shingles(docs), None, 0.8)
+    pairs = _jaccard_pairs_index(spark, sf_dir)
     labels = dedup.dedup_clusters(pairs)
     kept = (
         labels.join(docs.select("doc_id", "n_chars"), "doc_id")
