@@ -2798,11 +2798,36 @@ LEFT JOIN per_doc USING (doc_id)
 LEFT JOIN per_dup USING (doc_id)
 """,
 )
+def _substring_stats_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The STORED per-doc substring-duplication score relation
+    (doc_id, n_windows, n_dup_windows, dup_frac) for ``sf_dir``'s
+    corpus — the write-once scoring artifact both the diagnostic
+    query and the curation funnel threshold on, materialized once per
+    (sf_dir, documents mtime) like the other dedup indexes (the two
+    window-digest shuffles are the cost; the score table is tiny)."""
+    import os
+
+    from ..catalog import table_path
+    from ..scratch import scratch_dir
+
+    src = table_path(sf_dir, "documents")
+    tag = "{}-{}".format(
+        os.path.basename(os.path.normpath(sf_dir)),
+        os.stat(src).st_mtime_ns,
+    )
+    path = scratch_dir("substring_stats_index", tag, "stats.parquet")
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        dedup.substring_dup_stats(
+            _docs(spark, sf_dir), 10
+        ).write.mode("overwrite").parquet(path)
+    return spark.read.parquet(path)
+
+
 def q_dedup_substring_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sliding 10-token exact-substring duplication coverage per doc
     (suffix-array-dedup diagnostic; dup_frac is the removal
-    threshold)."""
-    return dedup.substring_dup_stats(_docs(spark, sf_dir), 10)
+    threshold). Served from the stored score relation."""
+    return _substring_stats_index(spark, sf_dir)
 
 
 _KNN_CLASSIFY_ORACLE = f"""
@@ -3018,7 +3043,9 @@ def q_docs_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     quality = (
         TS.gopher_quality(docs).filter(F.col("gopher_pass")).select("doc_id")
     )
-    frac = D.substring_dup_stats(docs, 10).select("doc_id", "dup_frac")
+    frac = _substring_stats_index(spark, sf_dir).select(
+        "doc_id", "dup_frac"
+    )
     clean = quality.join(frac, "doc_id", "left").filter(
         F.coalesce("dup_frac", F.lit(0.0)) < 0.5
     )
