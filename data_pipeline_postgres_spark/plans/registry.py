@@ -50,14 +50,20 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 # 26 + 4 + 20 = 50.  After this window every query's most recent
 # driver evidence is r3 or newer and nothing is never-checked.
 #
-# Round-10 rotation queue (front-load in this order): the remaining 19
-# r3-evidence rows — dedup_simhash_pairs, dedup_embedding_cosine,
-# sim_topk, sim_ann_ivf, profile_table, emb_normalize,
-# emb_centroid_per_label, text_stats, token_count, lang_id,
-# text_quality, doc_fingerprint, text_normalize, pii_redact,
+# Round-10 rotation queue (front-load in this order): (a) the
+# remaining 19 r3-evidence rows — dedup_simhash_pairs,
+# dedup_embedding_cosine, sim_topk, sim_ann_ivf, profile_table,
+# emb_normalize, emb_centroid_per_label, text_stats, token_count,
+# lang_id, text_quality, doc_fingerprint, text_normalize, pii_redact,
 # text_repetition_filter, multimodal_meta, tpch_q1_pricing_summary,
-# tpch_q3_shipping_priority, tpch_q5_local_supplier — then any
-# round-9 additions, then oldest-evidence (r5) rows.
+# tpch_q3_shipping_priority, tpch_q5_local_supplier; (b) the 12
+# round-9 additions (never driver-checked; all in bench HEADLINE and
+# local parity) — decontaminate_embedding, graph_kcore,
+# table_diff_audit, bpe_pair_merges, text_bigram_logprob,
+# lang_id_confusion, emb_pca_power_iteration (rows-only),
+# dedup_simhash_incremental, events_pattern_detect,
+# profile_column_entropy, docs_pack_fragmentation, stream_pii_redact;
+# (c) oldest-evidence (r5) rows for the rest of the 50.
 DRIVER_PRIORITY: tuple[str, ...] = (
     # (a) round-8 additions, never driver-checked (26)
     "text_char_entropy",

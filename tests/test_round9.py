@@ -295,3 +295,53 @@ class TestRound9Queries:
         for r in rows:
             assert r.mean_logp <= 0.0
             assert r.n_bigrams >= 1
+
+
+class TestRound9Plans:
+    """Physical-plan contracts for the round-9 additions and the
+    stored-index claims (the index queries must actually READ their
+    parquet artifact, not silently recompute)."""
+
+    def _plan_of(self, spark, name):
+        return _plan(registry.QUERIES[name](spark, SF_SMOKE))
+
+    def test_index_queries_scan_their_artifacts(self, spark):
+        for name, marker in [
+            ("dedup_simhash", "simhash_fp_index"),
+            ("dedup_simhash_pairs", "simhash_fp_index"),
+            ("dedup_simhash_hamming_hist", "simhash_fp_index"),
+            ("dedup_simhash_incremental", "simhash_fp_index"),
+            ("dedup_minhash", "minhash_pairs_index"),
+            ("dedup_minhash_jaccard_hist", "minhash_pairs_index"),
+            ("docs_quality_dup_crosstab", "minhash_pairs_index"),
+            ("docs_near_dup_rate_by_source", "minhash_pairs_index"),
+            # (the cluster/impact consumers of jaccard_pairs_index cut
+            # lineage via localCheckpoint, so the parquet scan is not
+            # visible in their executed plan — ngram_jaccard covers
+            # the read-from-index contract for that artifact)
+            ("dedup_ngram_jaccard", "jaccard_pairs_index"),
+            ("dedup_substring_windows", "substring_stats_index"),
+            ("docs_curation_funnel", "substring_stats_index"),
+        ]:
+            assert marker in self._plan_of(spark, name), (
+                f"{name} no longer reads its stored {marker}"
+            )
+
+    def test_bpe_pair_merges_take_ordered(self, spark):
+        """The top-50 cut must plan as TakeOrderedAndProject (per-
+        partition heaps), never a full global sort."""
+        p = self._plan_of(spark, "bpe_pair_merges")
+        assert "TakeOrderedAndProject" in p
+        assert "Sort [" not in p.split("TakeOrderedAndProject")[0]
+
+    def test_table_diff_is_one_full_outer_join(self, spark):
+        p = self._plan_of(spark, "table_diff_audit")
+        assert "FullOuter" in p
+        assert "CartesianProduct" not in p
+
+    def test_pattern_detect_single_user_exchange(self, spark):
+        """The lead() window and the per-user aggregate must share the
+        user_id hash partitioning: exactly one shuffle of event rows."""
+        p = self._plan_of(spark, "events_pattern_detect")
+        assert p.count("Exchange hashpartitioning") == 1
+        assert "CartesianProduct" not in p
