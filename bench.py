@@ -168,6 +168,9 @@ EXT_HEADLINE = [
     "profile_column_entropy",
     "docs_pack_fragmentation",
     "stream_pii_redact",
+    "docs_shingle_novelty",
+    "graph_bfs_distance",
+    "csv_malformed_permissive",
 ]
 
 

@@ -346,3 +346,43 @@ def kcore(edges: DataFrame, k: int = 3, rounds: int = 8) -> DataFrame:
     return e.groupBy(F.col("src").alias("node")).agg(
         F.count("*").alias("degree")
     )
+
+
+def bfs_distances(
+    edges: DataFrame, sources: DataFrame, rounds: int = 6
+) -> DataFrame:
+    """Multi-round BFS over a directed edge list (src, dst): shortest
+    hop distance from the ``sources`` node set (one ``node`` column),
+    bounded at ``rounds`` hops — returns (node, dist) for every node
+    reached within the bound.
+
+    Synchronous min-propagation: each round joins the frontier-bearing
+    distance relation onto the edge list (one contribution join) and
+    folds with the standing distances through a min aggregate — the
+    same superstep discipline as ``pagerank``/``kcore``, all-integer,
+    so an unrolled-CTE SQL oracle is bit-exact. Lineage is cut every
+    3 rounds. A fixed round bound keeps the plan deterministic; for
+    full-graph BFS choose rounds ≥ diameter (pytest asserts the bound
+    is the fixpoint at test scale).
+
+    100 TB shape: the per-round cost is one src-keyed equi-join plus a
+    node-keyed min aggregate (map-side combined); distances only ever
+    shrink, so the relation stays ≤ |reached nodes| rows.
+    """
+    dist = sources.select("node", F.lit(0).cast("bigint").alias("dist"))
+    for i in range(rounds):
+        step = (
+            edges.join(dist, edges["src"] == dist["node"])
+            .select(
+                edges["dst"].alias("node"),
+                (dist["dist"] + 1).alias("dist"),
+            )
+        )
+        dist = (
+            dist.unionByName(step)
+            .groupBy("node")
+            .agg(F.min("dist").alias("dist"))
+        )
+        if i % 3 == 2:
+            dist = dist.localCheckpoint(eager=False)
+    return dist

@@ -805,3 +805,181 @@ def q_stream_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..streaming import jobs as stream_jobs
 
     return stream_jobs.pii_redact_stream(spark, sf_dir)
+
+
+# -- Shingle novelty -------------------------------------------------------
+
+_NOVELTY_ORACLE = r"""
+WITH toks AS (
+    SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w
+    FROM documents
+),
+sh AS (
+    SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS shingle
+    FROM toks, unnest(range(1, len(w) - 1)) AS t(i)
+),
+first AS (SELECT shingle, MIN(doc_id) AS first_doc FROM sh GROUP BY 1)
+SELECT sh.doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_shingles,
+       CAST(SUM(CASE WHEN first_doc = sh.doc_id THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_novel,
+       CAST(SUM(CASE WHEN first_doc = sh.doc_id THEN 1 ELSE 0 END)
+            AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS novelty_frac
+FROM sh JOIN first USING (shingle)
+GROUP BY sh.doc_id
+"""
+
+
+@query("docs_shingle_novelty", _NOVELTY_ORACLE)
+def q_docs_shingle_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document novelty: the fraction of a doc's distinct word
+    3-shingles whose FIRST occurrence (min doc_id, the ingestion
+    order proxy) is this doc → (doc_id, n_shingles, n_novel,
+    novelty_frac). The marginal-value curve of continued crawling —
+    the doc-level companion of docs_vocab_growth's corpus curve: a
+    feed whose new docs trend toward zero novelty is re-serving
+    content and should be down-weighted or cut.
+
+    Shape: one distinct-shingle shuffle (set semantics), one
+    shingle-keyed min aggregate, one shingle-keyed join back, one
+    doc-keyed aggregate — all linear in total shingle volume; exact
+    ints with ONE division."""
+    sh = dedup.doc_shingles(_docs(spark, sf_dir), 3)
+    first = sh.groupBy("shingle").agg(F.min("doc_id").alias("first_doc"))
+    novel = F.sum(
+        F.when(F.col("first_doc") == F.col("doc_id"), 1).otherwise(0)
+    ).cast("bigint")
+    return (
+        sh.join(first, "shingle")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_shingles"),
+            novel.alias("n_novel"),
+            (
+                novel.cast("double") / F.count("*").cast("double")
+            ).alias("novelty_frac"),
+        )
+    )
+
+
+# -- Bounded BFS from the dominant hub -------------------------------------
+
+_BFS_ROUNDS = 10
+
+_BFS_STEP = """
+s{next} AS MATERIALIZED (
+    SELECT node, MIN(dist) AS dist FROM (
+        SELECT node, dist FROM s{i}
+        UNION ALL
+        SELECT e.dst AS node, s{i}.dist + 1 AS dist
+        FROM e JOIN s{i} ON e.src = s{i}.node
+    ) GROUP BY node
+)"""
+
+_BFS_ORACLE = (
+    """
+WITH basket AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+e AS MATERIALIZED (
+    SELECT a.l_partkey AS src, b.l_partkey AS dst
+    FROM basket a JOIN basket b
+      ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey
+    GROUP BY 1, 2 HAVING COUNT(*) >= 2
+),
+deg AS (SELECT src AS node, COUNT(*) AS d FROM e GROUP BY 1),
+s0 AS MATERIALIZED (
+    SELECT node, CAST(0 AS BIGINT) AS dist
+    FROM deg ORDER BY d DESC, node LIMIT 1
+),"""
+    + ",".join(
+        _BFS_STEP.format(i=i, next=i + 1) for i in range(_BFS_ROUNDS)
+    )
+    + f"""
+SELECT node, dist FROM s{_BFS_ROUNDS}
+"""
+)
+
+
+@query("graph_bfs_distance", _BFS_ORACLE)
+def q_graph_bfs_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hop distance from the dominant hub (highest-degree node,
+    node-id tiebreak) of the strong co-purchase graph, bounded at 10
+    hops → (node, dist) for the reached subgraph. The
+    reachability/radius probe behind "how much of the catalog is
+    within k recommendation hops of the flagship product" — and the
+    fourth hash-checked iterative algorithm (PageRank, LPA, k-core,
+    BFS), again all-integer so the unrolled MATERIALIZED-CTE oracle
+    is bit-exact with no fixed-point quantization.
+
+    Per round: ONE src-keyed contribution join + one map-side-combined
+    min aggregate over a relation bounded by the reached set; pytest
+    asserts 10 rounds is the fixpoint at oracle scale (hub
+    eccentricity 9 at sf0.01)."""
+    from .queries_analytics import _copurchase_edge_index
+
+    edges = _copurchase_edge_index(spark, sf_dir).filter(
+        F.col("weight") >= 2
+    )
+    deg = edges.groupBy(F.col("src").alias("node")).agg(
+        F.count("*").alias("d")
+    )
+    hub = deg.orderBy(F.desc("d"), F.asc("node")).limit(1).select("node")
+    return graph.bfs_distances(edges, hub, rounds=_BFS_ROUNDS)
+
+
+# -- Malformed-CSV robustness ----------------------------------------------
+
+_CSV_MALFORMED_ORACLE = """
+SELECT CAST(COUNT(*) FILTER (doc_id % 13 <> 0) AS BIGINT) AS n_good,
+       CAST(COUNT(*) FILTER (doc_id % 13 = 0) AS BIGINT) AS n_corrupt,
+       CAST(SUM(n_chars) FILTER (doc_id % 13 <> 0) AS BIGINT)
+           AS sum_chars_good
+FROM documents
+"""
+
+
+@query("csv_malformed_permissive", _CSV_MALFORMED_ORACLE)
+def q_csv_malformed_permissive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dirty-CSV ingestion (the reference's CSV interchange surface,
+    hardened): a fixture CSV carries a type-corrupted numeric field
+    on every 13th doc; the PERMISSIVE reader salvages good rows and
+    quarantines bad ones in ``_corrupt_record`` instead of failing
+    the job (FAILFAST) or silently dropping rows (DROPMALFORMED) →
+    one summary row (n_good, n_corrupt, sum_chars_good). The oracle
+    recomputes the summary from the source table, closing the loop on
+    exactly which rows must survive.
+
+    The fixture writes executor-side through the text sink; the scan
+    is a single pass with the corrupt column materialized only for
+    the rows that fail parsing."""
+    import os
+
+    from ..scratch import SCRATCH_ROOT
+
+    sf_tag = os.path.basename(sf_dir.rstrip("/"))
+    path = os.path.join(SCRATCH_ROOT, f"csv_malformed_{sf_tag}")
+    lines = _docs(spark, sf_dir).select(
+        F.concat_ws(
+            ",",
+            F.col("doc_id"),
+            F.col("lang"),
+            F.when(
+                F.col("doc_id") % 13 == 0, F.lit("NOT_A_NUMBER")
+            ).otherwise(F.col("n_chars").cast("string")),
+        ).alias("value")
+    )
+    lines.write.mode("overwrite").text(path)
+    df = (
+        spark.read.schema(
+            "doc_id BIGINT, lang STRING, n_chars BIGINT,"
+            " _corrupt_record STRING"
+        )
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .csv(path)
+    )
+    good = F.col("_corrupt_record").isNull()
+    return df.agg(
+        F.sum(good.cast("bigint")).alias("n_good"),
+        F.sum((~good).cast("bigint")).alias("n_corrupt"),
+        F.sum(F.when(good, F.col("n_chars"))).alias("sum_chars_good"),
+    )

@@ -345,3 +345,24 @@ class TestRound9Plans:
         p = self._plan_of(spark, "events_pattern_detect")
         assert p.count("Exchange hashpartitioning") == 1
         assert "CartesianProduct" not in p
+
+
+class TestBfsDistance:
+    def test_bfs_is_fixpoint_at_oracle_scale(self, spark):
+        """10 rounds must reach every node the hub can reach at
+        sf0.01 (hub eccentricity is 9) — one more changes nothing."""
+        from data_pipeline_postgres_spark.plans.queries_analytics import (
+            _copurchase_edge_index,
+        )
+
+        edges = _copurchase_edge_index(spark, "/root/testdata/sf0.01")
+        edges = edges.filter(F.col("weight") >= 2)
+        deg = edges.groupBy(F.col("src").alias("node")).agg(
+            F.count("*").alias("d")
+        )
+        hub = deg.orderBy(F.desc("d"), F.asc("node")).limit(1).select(
+            "node"
+        )
+        a = sorted(map(tuple, graph.bfs_distances(edges, hub, 10).collect()))
+        b = sorted(map(tuple, graph.bfs_distances(edges, hub, 11).collect()))
+        assert a == b and len(a) > 1
