@@ -336,7 +336,7 @@ def outlier_distance(emb: DataFrame, k: int = 20) -> DataFrame:
 
 
 def pca_power_iteration(
-    emb: DataFrame, iters: int = 200, dim: int = 64
+    emb: DataFrame, squarings: int = 40, dim: int = 64
 ) -> DataFrame:
     """First principal component of the embedding cloud via power
     iteration on the covariance matrix, then every vector's PC1
@@ -349,7 +349,7 @@ def pca_power_iteration(
     component-sum aggregate for the mean, and (b) the final narrow
     projection pass. The d×d Gram (4096 scalars for d=64) is a
     BOUNDED driver artifact — same class as the fingerprint scalars,
-    NOT an O(n) collect — on which the driver runs ``iters``
+    NOT an O(n) collect — on which the driver runs ``2^squarings``
     deterministic numpy power-iteration steps (fixed all-ones start,
     sign fixed by the largest-|component|), and the resulting unit
     vector broadcasts back as a literal.
@@ -409,10 +409,20 @@ def pca_power_iteration(
         G[r["i"], r["j"]] = r["g"]
     # covariance of the quantized data: (Σqqᵀ − n·μμᵀ) / n
     C = (G - n * np.outer(mu, mu)) / n
-    v = np.ones(dim) / np.sqrt(dim)
-    for _ in range(iters):
-        v = C @ v
-        v = v / np.linalg.norm(v)
+    # Power iteration by REPEATED SQUARING: M^(2^k) applied to the
+    # all-ones start is 2^k classical power steps in k matrix-matrix
+    # products (renormalized each squaring so entries stay finite).
+    # Random/synthetic embedding clouds have near-flat spectra
+    # (lambda2/lambda1 ~ 1 - 1e-4 at sf0.1) where hundreds of plain
+    # steps visibly fail to converge; 2^40 effective steps contract
+    # any gap >= 1e-11. Deterministic: a fixed function of the exact
+    # int64 Gram.
+    M = C / np.linalg.norm(C)
+    for _ in range(squarings):
+        M = M @ M
+        M = M / np.linalg.norm(M)
+    v = M @ (np.ones(dim) / np.sqrt(dim))
+    v = v / np.linalg.norm(v)
     if v[int(np.argmax(np.abs(v)))] < 0:
         v = -v  # deterministic sign convention
 

@@ -437,7 +437,7 @@ def q_emb_pca_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
     pc1_proj). The drift/whitening primitive for embedding QA at
     100 TB: the only data-sized passes are the Gram accumulation and
     the final narrow projection. Accuracy-gated against full numpy
-    PCA in tests/test_round9.py (top-eigenvector cosine > 0.999)."""
+    PCA in tests/test_round9.py (top-eigenvector cosine > 0.999; 0.99999999997 at sf0.1)."""
     return embeddings.pca_power_iteration(_emb(spark, sf_dir))
 
 

@@ -95,6 +95,20 @@ SHOWCASE = [
     "dedup_minhash_jaccard_hist",
     "events_audience_overlap",
     "events_new_vs_returning",
+    # round-9 additions
+    "decontaminate_embedding",
+    "graph_kcore",
+    "graph_bfs_distance",
+    "table_diff_audit",
+    "bpe_pair_merges",
+    "text_bigram_logprob",
+    "lang_id_confusion",
+    "dedup_simhash_incremental",
+    "events_pattern_detect",
+    "profile_column_entropy",
+    "docs_pack_fragmentation",
+    "docs_shingle_novelty",
+    "csv_malformed_permissive",
 ]
 
 
@@ -267,6 +281,37 @@ def accuracy_rows(spark, sf_dir):
             (name, "sim_topk (exact brute-force)",
              f"recall@10 = {len(set(brute) & set(got)) / 10:.2f}{note}")
         )
+    # PCA power iteration vs full numpy SVD (r9): cosine of the
+    # recovered first principal axis and projection agreement
+    import numpy as np
+
+    from data_pipeline_postgres_spark.operators import embeddings as E
+
+    got_pca = {
+        r.vec_id: r.pc1_proj
+        for r in E.pca_power_iteration(emb).collect()
+    }
+    keyed = sorted(
+        (r.vec_id, list(r.embedding))
+        for r in emb.select("vec_id", "embedding").collect()
+    )
+    X = np.array([v for _, v in keyed], dtype=np.float64)
+    Xc = X - X.mean(axis=0)
+    _, _, vt = np.linalg.svd(Xc, full_matrices=False)
+    want = Xc @ vt[0]
+    got_arr = np.array([got_pca[i] for i, _ in keyed])
+    cos = abs(got_arr @ want) / (
+        np.linalg.norm(got_arr) * np.linalg.norm(want)
+    )
+    rows.append(
+        (
+            "emb_pca_power_iteration",
+            "full numpy SVD of the centered corpus",
+            f"PC1 cosine {cos:.6f} — 2^40 effective power steps by"
+            " repeated squaring on the exact int64 Gram (flat-spectrum"
+            " safe; sign convention matched)",
+        )
+    )
     docs.unpersist()
     emb.unpersist()
     return rows
