@@ -171,6 +171,8 @@ EXT_HEADLINE = [
     "docs_shingle_novelty",
     "graph_bfs_distance",
     "csv_malformed_permissive",
+    "agg_mode_exact",
+    "docs_compression_ratio",
 ]
 
 

@@ -983,3 +983,109 @@ def q_csv_malformed_permissive(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum((~good).cast("bigint")).alias("n_corrupt"),
         F.sum(F.when(good, F.col("n_chars"))).alias("sum_chars_good"),
     )
+
+
+# -- Exact per-group mode ---------------------------------------------------
+
+_MODE_ORACLE = """
+WITH c AS (
+    SELECT o_orderpriority, o_orderstatus, COUNT(*) AS n
+    FROM orders GROUP BY 1, 2
+),
+r AS (
+    SELECT o_orderpriority, o_orderstatus, n,
+           row_number() OVER (PARTITION BY o_orderpriority
+                              ORDER BY n DESC, o_orderstatus) AS rk
+    FROM c
+)
+SELECT o_orderpriority, o_orderstatus AS mode_status,
+       CAST(n AS BIGINT) AS n
+FROM r WHERE rk = 1
+"""
+
+
+@query("agg_mode_exact", _MODE_ORACLE)
+def q_agg_mode_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact per-group mode: the most frequent order status per
+    priority class, deterministic tie-break (count DESC, value ASC) —
+    the categorical summary statistic profile/imputation passes need
+    that approx sketches don't give. A bare max_by would tie-break
+    nondeterministically in DuckDB, so BOTH engines rank explicitly.
+
+    Shape: one map-side-combined count shuffle to a |priorities|x
+    |statuses| relation, then a WindowGroupLimit-eligible rank-1 cut
+    over that tiny relation."""
+    from pyspark.sql import Window
+
+    o = _orders(spark, sf_dir)
+    c = o.groupBy("o_orderpriority", "o_orderstatus").agg(
+        F.count("*").alias("n")
+    )
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        F.desc("n"), F.asc("o_orderstatus")
+    )
+    return (
+        c.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select(
+            "o_orderpriority",
+            F.col("o_orderstatus").alias("mode_status"),
+            "n",
+        )
+    )
+
+
+# -- Compression-ratio quality signal --------------------------------------
+
+
+@query("docs_compression_ratio")  # zlib kernel -> rows-only
+def q_docs_compression_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """zlib compression ratio per document — the classic cheap
+    complexity signal modern curation stacks run next to entropy
+    (highly compressible text = templated/repetitive boilerplate;
+    ratio near 1 = already-compressed or random garbage):
+    (doc_id, raw_bytes, compressed_bytes, compression_ratio,
+    low_complexity). Complements text_char_entropy: entropy sees the
+    unigram character distribution, DEFLATE's LZ77 window also sees
+    repeated SUBSTRINGS, so a doc of shuffled repeated sentences
+    fools entropy but not the ratio.
+
+    Python is unavoidable (no JVM zlib expression), so the hop is an
+    Arrow-batched mapInPandas over a pruned 2-column projection —
+    the repo's UDF policy (no row-at-a-time udfs); memory bounded by
+    arrow.maxRecordsPerBatch. Rows-only check; kernel equivalence
+    vs direct zlib is pytest-gated (tests/test_round9.py)."""
+
+    def score(batches):
+        import zlib
+
+        import pandas as pd
+
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            raw = pdf["text"].fillna("").str.encode("utf-8")
+            rb = raw.str.len().astype("int64")
+            cb = raw.map(
+                lambda b: len(zlib.compress(b, 6))
+            ).astype("int64")
+            ratio = rb / cb.where(cb > 0, 1)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].astype("int64"),
+                    "raw_bytes": rb,
+                    "compressed_bytes": cb,
+                    "compression_ratio": ratio.astype("float64"),
+                    "low_complexity": ratio > 4.0,
+                }
+            )
+
+    return (
+        _docs(spark, sf_dir)
+        .select("doc_id", "text")
+        .mapInPandas(
+            score,
+            "doc_id bigint, raw_bytes bigint, compressed_bytes bigint,"
+            " compression_ratio double, low_complexity boolean",
+        )
+    )

@@ -366,3 +366,26 @@ class TestBfsDistance:
         a = sorted(map(tuple, graph.bfs_distances(edges, hub, 10).collect()))
         b = sorted(map(tuple, graph.bfs_distances(edges, hub, 11).collect()))
         assert a == b and len(a) > 1
+
+
+class TestCompressionRatio:
+    def test_kernel_matches_direct_zlib(self, spark):
+        import zlib
+
+        rows = registry.QUERIES["docs_compression_ratio"](
+            spark, SF_SMOKE
+        ).collect()
+        assert len(rows) == 500
+        docs = {
+            r.doc_id: r.text
+            for r in spark.read.parquet(
+                os.path.join(SF_SMOKE, "documents.parquet")
+            ).collect()
+        }
+        for r in rows[:50]:
+            raw = (docs[r.doc_id] or "").encode("utf-8")
+            assert r.raw_bytes == len(raw)
+            assert r.compressed_bytes == len(zlib.compress(raw, 6))
+            assert r.low_complexity == (
+                r.compression_ratio > 4.0
+            )
