@@ -173,6 +173,7 @@ EXT_HEADLINE = [
     "csv_malformed_permissive",
     "agg_mode_exact",
     "docs_compression_ratio",
+    "docs_dsir_weights",
 ]
 
 

@@ -1089,3 +1089,132 @@ def q_docs_compression_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
             " compression_ratio double, low_complexity boolean",
         )
     )
+
+
+# -- DSIR importance weights -------------------------------------------------
+# Data Selection with Importance Resampling (hashed n-gram variant):
+# score raw docs by the log-likelihood ratio of a TARGET (high-quality
+# /in-domain) unigram-bucket distribution vs the RAW corpus
+# distribution. Target = the deterministic doc_id % 97 split (the same
+# eval-split idiom decontaminate_ngram uses as its stand-in corpus).
+
+_DSIR_BUCKETS = 256
+
+_DSIR_ORACLE = rf"""
+WITH tok AS (
+    SELECT doc_id,
+           unnest(regexp_split_to_array(trim(text), '\s+')) AS t
+    FROM documents
+),
+b AS (
+    SELECT doc_id,
+           ('0x' || substr(md5(t), 1, 4))::BIGINT % {_DSIR_BUCKETS} AS bk
+    FROM tok
+),
+tgt AS (
+    SELECT bk, COUNT(*) AS c FROM b WHERE doc_id % 97 = 0 GROUP BY 1
+),
+raw AS (
+    SELECT bk, COUNT(*) AS c FROM b WHERE doc_id % 97 <> 0 GROUP BY 1
+),
+tt AS (SELECT SUM(c) AS n FROM tgt),
+tr AS (SELECT SUM(c) AS n FROM raw),
+buckets AS (SELECT unnest(range({_DSIR_BUCKETS})) AS bk),
+lq AS (
+    SELECT buckets.bk,
+           CAST(floor(log2(
+               (CAST(COALESCE(tgt.c, 0) + 1 AS DOUBLE)
+                / CAST(tt.n + {_DSIR_BUCKETS} AS DOUBLE))
+               / (CAST(COALESCE(raw.c, 0) + 1 AS DOUBLE)
+                  / CAST(tr.n + {_DSIR_BUCKETS} AS DOUBLE))
+           ) * 1000000.0 + 0.5) AS BIGINT) AS lq
+    FROM buckets
+    LEFT JOIN tgt ON tgt.bk = buckets.bk
+    LEFT JOIN raw ON raw.bk = buckets.bk, tt, tr
+)
+SELECT b.doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_tokens,
+       CAST(SUM(lq.lq) AS DOUBLE) / 1000000.0 AS dsir_logweight
+FROM b JOIN lq ON lq.bk = b.bk
+WHERE b.doc_id % 97 <> 0
+GROUP BY 1
+"""
+
+
+@query("docs_dsir_weights", _DSIR_ORACLE)
+def q_docs_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance weights (Xie et al., "Data Selection for
+    Language Models via Importance Resampling" — the hashed n-gram
+    variant): every raw doc scored by sum over its tokens of
+    log2 p_target(bucket)/p_raw(bucket), where tokens hash into 256
+    md5 buckets and both distributions are add-one smoothed →
+    (doc_id, n_tokens, dsir_logweight). The weight feeds Gumbel
+    top-k / weighted sampling (docs_sample_weighted) to select raw
+    data that looks like the target domain — the modern
+    quality-targeting alternative to hand-written rule filters.
+
+    Determinism: per-bucket log-ratios quantized to int64 micro-bits
+    before the doc sum (order-free exact adds); hashing is the md5
+    idiom both engines share bit-for-bit. Scale: two bucket-count
+    aggregates (256 rows — broadcastable), one bucket-keyed join onto
+    the token stream, one doc-keyed aggregate; the per-token state is
+    ONE int64. At 100 TB the target distribution is a 256-row
+    broadcast literal refreshed offline."""
+    docs = _docs(spark, sf_dir)
+    tok = docs.select(
+        "doc_id", F.explode(TX.tokens("text")).alias("t")
+    )
+    bk = F.conv(F.substring(F.md5(F.col("t")), 1, 4), 16, 10).cast(
+        "bigint"
+    ) % _DSIR_BUCKETS
+    b = tok.select("doc_id", bk.alias("bk"))
+    is_tgt = F.col("doc_id") % 97 == 0
+    counts = b.groupBy("bk").agg(
+        F.sum(is_tgt.cast("bigint")).alias("ct"),
+        F.sum((~is_tgt).cast("bigint")).alias("cr"),
+    )
+    tot = counts.agg(
+        F.sum("ct").alias("nt"), F.sum("cr").alias("nr")
+    )
+    buckets = spark.range(_DSIR_BUCKETS).select(
+        F.col("id").alias("bk")
+    )
+    sm = F.lit(_DSIR_BUCKETS)
+    lq = (
+        buckets.join(F.broadcast(counts), "bk", "left")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "bk",
+            F.floor(
+                F.log2(
+                    (
+                        (F.coalesce(F.col("ct"), F.lit(0)) + 1).cast(
+                            "double"
+                        )
+                        / (F.col("nt") + sm).cast("double")
+                    )
+                    / (
+                        (F.coalesce(F.col("cr"), F.lit(0)) + 1).cast(
+                            "double"
+                        )
+                        / (F.col("nr") + sm).cast("double")
+                    )
+                )
+                * F.lit(1_000_000.0)
+                + F.lit(0.5)
+            )
+            .cast("bigint")
+            .alias("lq"),
+        )
+    )
+    return (
+        b.filter(~is_tgt)
+        .join(F.broadcast(lq), "bk")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_tokens"),
+            (
+                F.sum("lq").cast("double") / F.lit(1_000_000.0)
+            ).alias("dsir_logweight"),
+        )
+    )
