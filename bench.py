@@ -174,6 +174,8 @@ EXT_HEADLINE = [
     "agg_mode_exact",
     "docs_compression_ratio",
     "docs_dsir_weights",
+    "stream_decontaminate",
+    "sim_ivf_balance",
 ]
 
 

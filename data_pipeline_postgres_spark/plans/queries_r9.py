@@ -1218,3 +1218,104 @@ def q_docs_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("dsir_logweight"),
         )
     )
+
+
+# -- Streaming decontamination ---------------------------------------------
+
+
+def _decon_ngram_oracle() -> str:
+    """The batch decontaminate_ngram oracle verbatim (same output
+    relation; the drain equals the batch answer)."""
+    from .registry import ORACLES
+
+    return ORACLES["decontaminate_ngram"]
+
+
+@query("stream_decontaminate", _decon_ngram_oracle())
+def q_stream_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming ingest-time benchmark decontamination: per
+    micro-batch, training docs are flagged against the STATIC
+    broadcast eval n-gram set inside foreachBatch (batch-local
+    aggregate — a doc never spans files), so the streaming plan
+    carries zero state store. AvailableNow drain ≡ the batch
+    decontaminate_ngram query, same SQL oracle
+    (streaming/jobs.decontaminate_stream)."""
+    from ..streaming import jobs as stream_jobs
+
+    return stream_jobs.decontaminate_stream(spark, sf_dir)
+
+
+# -- IVF index-health balance report ---------------------------------------
+
+
+def _ivf_balance_oracle() -> str:
+    from .queries_ext import _duck_cos
+
+    return f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+cents AS (
+    SELECT row_number() OVER (ORDER BY vec_id) - 1 AS centroid_id, v AS cv
+    FROM e ORDER BY vec_id LIMIT 8
+),
+assign AS (
+    SELECT vec_id, centroid_id FROM (
+        SELECT e.vec_id, c.centroid_id,
+               row_number() OVER (
+                   PARTITION BY e.vec_id
+                   ORDER BY {_duck_cos('e.v', 'c.cv')} DESC, c.centroid_id
+               ) AS rn
+        FROM e, cents c
+    ) WHERE rn = 1
+),
+n AS (SELECT COUNT(*) AS t FROM e)
+SELECT centroid_id, CAST(COUNT(*) AS BIGINT) AS n_vecs,
+       CAST(COUNT(*) AS DOUBLE) / CAST(t AS DOUBLE) AS share
+FROM assign, n GROUP BY centroid_id, t
+"""
+
+
+@query("sim_ivf_balance", _ivf_balance_oracle())
+def q_sim_ivf_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF inverted-list balance report: vectors per list and list
+    share under the exact coarse quantizer → (centroid_id, n_vecs,
+    share). THE index-health check run after every (re)build: a hot
+    list means probes that hit it scan far more than nprobe/nlist of
+    the data and the quantizer needs retraining — at 100 TB this
+    report is the difference between believing the partition-pruning
+    math and knowing it.
+
+    Shape: the same fully NARROW broadcast-array argmax assignment
+    the search queries use (no Exchange until the |nlist|-row count
+    aggregate), one tiny count shuffle, totals broadcast back."""
+    from ..operators import similarity
+
+    emb = _emb(spark, sf_dir)
+    from ..operators.similarity import (
+        _centroid_array,
+        _nearest_centroid,
+        _vecs,
+        ivf_centroids,
+    )
+
+    cents = ivf_centroids(emb, 8)
+    assigned = (
+        _vecs(emb)
+        .crossJoin(F.broadcast(_centroid_array(cents)))
+        .select(
+            "vec_id",
+            _nearest_centroid(F.col("v"), F.col("cents")).alias(
+                "centroid_id"
+            ),
+        )
+    )
+    c = assigned.groupBy("centroid_id").agg(
+        F.count("*").alias("n_vecs")
+    )
+    tot = c.agg(F.sum("n_vecs").alias("t"))
+    return c.crossJoin(F.broadcast(tot)).select(
+        "centroid_id",
+        "n_vecs",
+        (
+            F.col("n_vecs").cast("double") / F.col("t").cast("double")
+        ).alias("share"),
+    )

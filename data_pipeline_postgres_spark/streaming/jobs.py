@@ -986,3 +986,59 @@ def pii_redact_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     q.awaitTermination()
     return spark.read.parquet(spool)
+
+
+def decontaminate_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming benchmark decontamination: documents land as a file
+    stream (3 micro-batches) and each batch's training docs are
+    flagged against the STATIC broadcast eval n-gram set — the
+    ingest-time shape of decontaminate_ngram (the eval corpus is a
+    fixed relation refreshed offline; per batch the corpus n-gram
+    stream is filtered by the broadcast before any exchange). Each
+    doc lives in exactly one micro-batch, so the per-batch
+    count_distinct per doc is the global answer and the AvailableNow
+    drain equals the batch query — same SQL oracle.
+    """
+    from ..operators import decontaminate
+
+    docs = load_table(spark, sf_dir, "documents")
+    is_eval = F.col("doc_id") % 97 == 0
+    ev = (
+        decontaminate.raw_ngrams(docs.filter(is_eval), 4)
+        .select("ngram")
+        .distinct()
+    )
+    src = _scratch("decon_src")
+    for i in range(3):
+        docs.filter(F.col("doc_id") % 3 == i).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+    spool = _scratch("decon_spool")
+
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+
+    # the aggregate runs INSIDE foreachBatch (batch-local, complete —
+    # a doc never spans files), so the streaming plan itself carries
+    # ZERO state store: the stateless-gate shape, not a running agg
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        flagged = (
+            decontaminate.raw_ngrams(batch_df.filter(~is_eval), 4)
+            .join(F.broadcast(ev), "ngram")
+            .groupBy("doc_id")
+            .agg(F.count_distinct("ngram").alias("n_hits"))
+        )
+        flagged.write.mode("append").parquet(spool)
+
+    q = (
+        stream.writeStream.foreachBatch(sink)
+        .outputMode("append")
+        .option("checkpointLocation", _scratch("decon_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.read.parquet(spool)
