@@ -176,6 +176,7 @@ EXT_HEADLINE = [
     "docs_dsir_weights",
     "stream_decontaminate",
     "sim_ivf_balance",
+    "docs_gopher_rule_ablation",
 ]
 
 

@@ -1319,3 +1319,93 @@ def q_sim_ivf_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_vecs").cast("double") / F.col("t").cast("double")
         ).alias("share"),
     )
+
+
+# -- Gopher rule ablation ---------------------------------------------------
+
+
+def _gopher_ablation_oracle() -> str:
+    from .registry import ORACLES
+
+    g = ORACLES["docs_gopher_quality"].strip().rstrip()
+    return f"""
+WITH g AS ({g}),
+g2 AS (
+    SELECT *,
+           CAST(NOT r_word_count AS INT) + CAST(NOT r_mean_len AS INT)
+           + CAST(NOT r_symbol AS INT) + CAST(NOT r_alpha AS INT)
+           + CAST(NOT r_stop AS INT) AS failcnt
+    FROM g
+),
+tot AS (SELECT COUNT(*) AS t FROM g2),
+u AS (
+    SELECT 'r_word_count' AS rule,
+           COUNT(*) FILTER (NOT r_word_count) AS n_fail,
+           COUNT(*) FILTER (NOT r_word_count AND failcnt = 1)
+               AS n_sole_fail
+    FROM g2
+    UNION ALL
+    SELECT 'r_mean_len', COUNT(*) FILTER (NOT r_mean_len),
+           COUNT(*) FILTER (NOT r_mean_len AND failcnt = 1) FROM g2
+    UNION ALL
+    SELECT 'r_symbol', COUNT(*) FILTER (NOT r_symbol),
+           COUNT(*) FILTER (NOT r_symbol AND failcnt = 1) FROM g2
+    UNION ALL
+    SELECT 'r_alpha', COUNT(*) FILTER (NOT r_alpha),
+           COUNT(*) FILTER (NOT r_alpha AND failcnt = 1) FROM g2
+    UNION ALL
+    SELECT 'r_stop', COUNT(*) FILTER (NOT r_stop),
+           COUNT(*) FILTER (NOT r_stop AND failcnt = 1) FROM g2
+)
+SELECT rule, CAST(n_fail AS BIGINT) AS n_fail,
+       CAST(n_sole_fail AS BIGINT) AS n_sole_fail,
+       CAST(n_sole_fail AS DOUBLE) / CAST(t AS DOUBLE)
+           AS marginal_pass_gain
+FROM u, tot
+"""
+
+
+@query("docs_gopher_rule_ablation", _gopher_ablation_oracle())
+def q_docs_gopher_rule_ablation(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Per-rule ablation of the Gopher quality gate: for each of the
+    five published rules, how many docs fail it at all (n_fail) and
+    how many fail ONLY it (n_sole_fail — the docs the corpus would
+    regain if the rule were dropped, as marginal_pass_gain). THE
+    tuning readout for a rule filter: a rule with large n_fail but
+    near-zero sole-fail is redundant with the others; a rule with a
+    large sole-fail share is the binding constraint and deserves a
+    threshold review before it deletes terabytes.
+
+    Shape: one map-only rule pass (per-doc failed-rule count rides
+    along), a 5-way stack() unpivot, and one map-side-combined
+    aggregate to 5 rows; totals broadcast back."""
+    from ..operators import textstats
+
+    g = textstats.gopher_quality(_docs(spark, sf_dir))
+    rules = ["r_word_count", "r_mean_len", "r_symbol", "r_alpha", "r_stop"]
+    failcnt = sum(
+        (~F.col(r)).cast("int") for r in rules
+    )
+    g2 = g.select(*rules).withColumn("failcnt", failcnt)
+    stack_expr = "stack({}, {}) AS (rule, flag)".format(
+        len(rules), ", ".join(f"'{r}', {r}" for r in rules)
+    )
+    u = g2.select(F.expr(stack_expr), "failcnt")
+    agg = u.groupBy("rule").agg(
+        F.sum((~F.col("flag")).cast("bigint")).alias("n_fail"),
+        F.sum(
+            ((~F.col("flag")) & (F.col("failcnt") == 1)).cast("bigint")
+        ).alias("n_sole_fail"),
+    )
+    tot = g.agg(F.count("*").alias("t"))
+    return agg.crossJoin(F.broadcast(tot)).select(
+        "rule",
+        "n_fail",
+        "n_sole_fail",
+        (
+            F.col("n_sole_fail").cast("double")
+            / F.col("t").cast("double")
+        ).alias("marginal_pass_gain"),
+    )
