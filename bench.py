@@ -177,6 +177,8 @@ EXT_HEADLINE = [
     "stream_decontaminate",
     "sim_ivf_balance",
     "docs_gopher_rule_ablation",
+    "events_conversion_lag_stats",
+    "orders_basket_size_histogram",
 ]
 
 

@@ -1409,3 +1409,110 @@ def q_docs_gopher_rule_ablation(
             / F.col("t").cast("double")
         ).alias("marginal_pass_gain"),
     )
+
+
+# -- Conversion lag ---------------------------------------------------------
+
+_CONV_LAG_ORACLE = """
+WITH v AS (
+    SELECT user_id, MIN(ts) AS first_view
+    FROM events WHERE event_type = 'view' GROUP BY 1
+),
+p AS (
+    SELECT v.user_id, v.first_view, MIN(e.ts) AS first_purchase
+    FROM v JOIN events e
+      ON e.user_id = v.user_id AND e.event_type = 'purchase'
+     AND e.ts >= v.first_view
+    GROUP BY 1, 2
+),
+lag AS (
+    SELECT user_id,
+           CAST(epoch_us(first_purchase) - epoch_us(first_view)
+                AS BIGINT) AS lag_us
+    FROM p
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_converted,
+       CAST(MIN(lag_us) AS BIGINT) AS min_lag_us,
+       CAST(MAX(lag_us) AS BIGINT) AS max_lag_us,
+       CAST(SUM(lag_us) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+           / 60000000e0 AS mean_lag_minutes
+FROM lag
+"""
+
+
+@query("events_conversion_lag_stats", _CONV_LAG_ORACLE)
+def q_events_conversion_lag_stats(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """First-view → first-subsequent-purchase conversion lag, corpus
+    level: (n_converted, min/max lag in integer microseconds, mean in
+    minutes). The time-to-convert summary the attribution family
+    (first/last touch) and the adjacency pattern (pattern_detect)
+    don't give: how LONG intent takes to close, the input to choosing
+    retargeting windows and the pattern_detect time bound.
+
+    Shape: two user-keyed min-aggregates sharing one Exchange (the
+    purchase side filters then joins on the same user key), lag math
+    in exact integer microseconds, one global 1-row aggregate; ONE
+    double division at the end."""
+    ev = load_table(spark, sf_dir, "events")
+    us = lambda c: F.unix_micros(F.col(c).cast("timestamp"))  # noqa: E731
+    v = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("first_view"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(v, "user_id")
+        .filter(F.col("ts") >= F.col("first_view"))
+        .groupBy("user_id", "first_view")
+        .agg(F.min("ts").alias("first_purchase"))
+    )
+    lag = p.select(
+        (
+            us("first_purchase") - us("first_view")
+        ).alias("lag_us")
+    )
+    return lag.agg(
+        F.count("*").alias("n_converted"),
+        F.min("lag_us").alias("min_lag_us"),
+        F.max("lag_us").alias("max_lag_us"),
+        (
+            F.sum("lag_us").cast("double")
+            / F.count("*").cast("double")
+            / F.lit(60_000_000.0)
+        ).alias("mean_lag_minutes"),
+    )
+
+
+# -- Basket-size histogram --------------------------------------------------
+
+_BASKET_HIST_ORACLE = """
+WITH s AS (
+    SELECT l_orderkey, COUNT(*) AS n_items
+    FROM lineitem GROUP BY 1
+)
+SELECT CAST(n_items AS BIGINT) AS n_items,
+       CAST(COUNT(*) AS BIGINT) AS n_orders
+FROM s GROUP BY 1 ORDER BY n_items
+"""
+
+
+@query("orders_basket_size_histogram", _BASKET_HIST_ORACLE)
+def q_orders_basket_size_histogram(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Order basket-size distribution: lines per order → order count
+    per size. The fan-out profile read before sizing the co-purchase
+    pair generation (pairs grow quadratically in basket size — this
+    histogram is the denominator of that risk) and the classic
+    order-mix sanity check. One map-side-combined count shuffle to
+    |orders| keys, one tiny histogram aggregate."""
+    li = load_table(spark, sf_dir, "lineitem")
+    s = li.groupBy("l_orderkey").agg(F.count("*").alias("n_items"))
+    return (
+        s.groupBy(F.col("n_items").cast("bigint").alias("n_items"))
+        .agg(F.count("*").alias("n_orders"))
+        .orderBy("n_items")
+    )
