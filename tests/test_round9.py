@@ -389,3 +389,97 @@ class TestCompressionRatio:
             assert r.low_complexity == (
                 r.compression_ratio > 4.0
             )
+
+
+class TestRound9Invariants:
+    """Cross-operator and structural invariants for the round-9
+    queries — metamorphic checks beyond the oracle hashes."""
+
+    def test_kcore_degrees_at_least_k(self, spark):
+        rows = registry.QUERIES["graph_kcore"](
+            spark, "/root/testdata/sf0.01"
+        ).collect()
+        assert rows and min(r.degree for r in rows) >= 3
+
+    def test_table_diff_counts_match_construction(self, spark):
+        """added = keys %10==3, removed = %10==7, changed = %10==1 by
+        construction of the two snapshots."""
+        import duckdb
+
+        rows = registry.QUERIES["table_diff_audit"](
+            spark, SF_SMOKE
+        ).collect()
+        got = {}
+        for r in rows:
+            got[r.change_type] = got.get(r.change_type, 0) + 1
+        con = duckdb.connect()
+        n = {
+            m: con.execute(
+                "SELECT COUNT(*) FROM read_parquet("
+                f"'{SF_SMOKE}/orders.parquet') WHERE o_orderkey % 10 = {m}"
+            ).fetchone()[0]
+            for m in (1, 3, 7)
+        }
+        con.close()
+        assert got.get("added", 0) == n[3]
+        assert got.get("removed", 0) == n[7]
+        assert got.get("changed", 0) == n[1]
+
+    def test_bfs_respects_edge_relaxation(self, spark):
+        """At the fixpoint, every edge (u, v) with u reached must have
+        dist(v) <= dist(u) + 1."""
+        from data_pipeline_postgres_spark.plans.queries_analytics import (
+            _copurchase_edge_index,
+        )
+
+        sf = "/root/testdata/sf0.01"
+        dist = {
+            r.node: r.dist
+            for r in registry.QUERIES["graph_bfs_distance"](
+                spark, sf
+            ).collect()
+        }
+        edges = (
+            _copurchase_edge_index(spark, sf)
+            .filter(F.col("weight") >= 2)
+            .select("src", "dst")
+            .collect()
+        )
+        for e in edges:
+            if e.src in dist:
+                assert e.dst in dist
+                assert dist[e.dst] <= dist[e.src] + 1
+
+    def test_fragmentation_consistent_with_manifest(self, spark):
+        """total_spans must equal the pack manifest's number of
+        (doc, sequence) slices for nonempty docs — two independent
+        implementations of the same placement."""
+        frag = registry.QUERIES["docs_pack_fragmentation"](
+            spark, SF_SMOKE
+        ).collect()[0]
+        manifest = registry.QUERIES["docs_pack_manifest"](spark, SF_SMOKE)
+        n_slices = (
+            manifest.filter(F.col("len") > 0)
+            .select("doc_id", "seq_id")
+            .distinct()
+            .count()
+        )
+        assert frag.total_spans == n_slices
+
+    def test_dsir_excludes_target_and_counts_tokens(self, spark):
+        rows = registry.QUERIES["docs_dsir_weights"](
+            spark, SF_SMOKE
+        ).collect()
+        assert rows
+        assert all(r.doc_id % 97 != 0 for r in rows)
+        from data_pipeline_postgres_spark.operators import textstats
+
+        docs = spark.read.parquet(
+            os.path.join(SF_SMOKE, "documents.parquet")
+        )
+        ws = {
+            r.doc_id: r.ws_tokens
+            for r in textstats.token_counts(docs).collect()
+        }
+        for r in rows[:50]:
+            assert r.n_tokens == ws[r.doc_id]
