@@ -367,8 +367,12 @@ def bfs_distances(
 
     100 TB shape: the per-round cost is one src-keyed equi-join plus a
     node-keyed min aggregate (map-side combined); distances only ever
-    shrink, so the relation stays ≤ |reached nodes| rows.
+    shrink, so the relation stays ≤ |reached nodes| rows. The edge
+    relation is checkpoint-materialized ONCE (the same discipline as
+    ``pagerank``'s normalized edges) so the ``rounds`` joins read
+    executor-local blocks instead of re-scanning the source.
     """
+    edges = edges.select("src", "dst").localCheckpoint(eager=True)
     dist = sources.select("node", F.lit(0).cast("bigint").alias("dist"))
     for i in range(rounds):
         step = (
