@@ -358,55 +358,77 @@ def pca_power_iteration(
     before the Gram, so the covariance entering power iteration is
     bit-identical regardless of partitioning; everything after is
     driver-deterministic. int64 headroom: |q| ≤ 2^20·max|x|, so each
-    product ≤ ~2^40 and the sum holds ~2^23 rows per partition cell
-    safely — beyond that, partial Grams per partition stay exact and
-    only their (≤ partitions × 4096) merge rides in int64 too.
-    Rows-only check (power iteration is not SQL-expressible);
-    accuracy-gated against full numpy PCA in pytest.
+    product ≤ ~2^40 — a single int64 accumulator cell is only exact
+    for ~2^22 rows, so the kernel FLUSHES a partial Gram every 2^22
+    rows (still d² triples per flush, Arrow-batched) and the
+    cross-partition merge sums in DECIMAL(38,0), exact to ~2^126 —
+    billions of rows never wrap. Rows-only check (power iteration is
+    not SQL-expressible); accuracy-gated against full numpy PCA in
+    pytest.
     """
     import numpy as np
 
     q = quantize_col(V.as_double(F.col("embedding")))
     src = emb.select("vec_id", q.alias("qv"))
 
+    # |q·q| ≤ 2^40 per row pair-product; 2^22 rows keeps every int64
+    # accumulator cell ≤ 2^62 with 2× margin before a flush.
+    safe_rows = 1 << 22
+
     def partial_gram(batches):
         import numpy as np
         import pandas as pd
 
+        ii, jj = np.nonzero(np.ones((dim, dim)))
         acc = np.zeros((dim, dim), dtype=np.int64)
+        rows = 0
         seen = False
         for pdf in batches:
             if pdf.empty:
                 continue
             seen = True
             M = np.stack(pdf["qv"].to_numpy()).astype(np.int64)
-            acc += M.T @ M
+            for s in range(0, len(M), safe_rows):
+                blk = M[s : s + safe_rows]
+                if rows + len(blk) > safe_rows:
+                    yield pd.DataFrame(
+                        {"i": ii, "j": jj, "g": acc[ii, jj]}
+                    )
+                    acc = np.zeros((dim, dim), dtype=np.int64)
+                    rows = 0
+                acc += blk.T @ blk
+                rows += len(blk)
         if seen:
-            i, j = np.nonzero(np.ones((dim, dim)))
-            yield pd.DataFrame(
-                {"i": i, "j": j, "g": acc[i, j]}
-            )
+            yield pd.DataFrame({"i": ii, "j": jj, "g": acc[ii, jj]})
 
     gram_rows = (
         src.select("qv")
         .mapInPandas(partial_gram, "i int, j int, g bigint")
         .groupBy("i", "j")
-        .agg(F.sum("g").alias("g"))
+        .agg(F.sum(F.col("g").cast("decimal(38,0)")).alias("g"))
         .collect()
     )  # bounded d*d artifact, not data-sized
     sums = (
         src.select(F.posexplode("qv").alias("pos", "q"))
         .groupBy("pos")
-        .agg(F.sum("q").alias("s"), F.count("*").alias("n"))
+        .agg(
+            F.sum(F.col("q").cast("decimal(38,0)")).alias("s"),
+            F.count("*").alias("n"),
+        )
         .collect()
     )
+    if not sums:
+        # empty relation: no component, no projections
+        return src.select(
+            "vec_id", F.lit(0.0).alias("pc1_proj")
+        ).limit(0)
     n = sums[0]["n"]
     mu = np.zeros(dim)
     for r in sums:
-        mu[r["pos"]] = r["s"] / n
+        mu[r["pos"]] = float(r["s"]) / n  # exact Decimal -> float64 once
     G = np.zeros((dim, dim))
     for r in gram_rows:
-        G[r["i"], r["j"]] = r["g"]
+        G[r["i"], r["j"]] = float(r["g"])
     # covariance of the quantized data: (Σqqᵀ − n·μμᵀ) / n
     C = (G - n * np.outer(mu, mu)) / n
     # Power iteration by REPEATED SQUARING: M^(2^k) applied to the
@@ -417,14 +439,22 @@ def pca_power_iteration(
     # steps visibly fail to converge; 2^40 effective steps contract
     # any gap >= 1e-11. Deterministic: a fixed function of the exact
     # int64 Gram.
-    M = C / np.linalg.norm(C)
-    for _ in range(squarings):
-        M = M @ M
-        M = M / np.linalg.norm(M)
-    v = M @ (np.ones(dim) / np.sqrt(dim))
-    v = v / np.linalg.norm(v)
-    if v[int(np.argmax(np.abs(v)))] < 0:
-        v = -v  # deterministic sign convention
+    nC = np.linalg.norm(C)
+    if nC == 0.0:
+        # degenerate cloud (all vectors identical): every projection
+        # onto any direction is 0 relative to the mean — pick e1
+        # deterministically instead of dividing 0/0 into NaNs
+        v = np.zeros(dim)
+        v[0] = 1.0
+    else:
+        M = C / nC
+        for _ in range(squarings):
+            M = M @ M
+            M = M / np.linalg.norm(M)
+        v = M @ (np.ones(dim) / np.sqrt(dim))
+        v = v / np.linalg.norm(v)
+        if v[int(np.argmax(np.abs(v)))] < 0:
+            v = -v  # deterministic sign convention
 
     pc = F.array(*[F.lit(float(x)) for x in v])
     proj = F.aggregate(

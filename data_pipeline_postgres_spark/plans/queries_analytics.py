@@ -2426,19 +2426,10 @@ def _copurchase_edge_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     centrality/traversal queries read the edge artifact, never
     re-deriving 2M+ pairs per run (same stored-index pattern as
     _minhash_corpus_index and the IVF-PQ code table)."""
-    import os
-
-    from ..catalog import table_path
     from ..operators import graph
-    from ..scratch import scratch_dir
+    from ..scratch import stored_index
 
-    src = table_path(sf_dir, "lineitem")
-    tag = "{}-{}".format(
-        os.path.basename(os.path.normpath(sf_dir)),
-        os.stat(src).st_mtime_ns,
-    )
-    path = scratch_dir("copurchase_edges", tag, "edges.parquet")
-    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+    def build() -> DataFrame:
         e = graph.copurchase_edges(
             _t(spark, sf_dir, "lineitem"), _t(spark, sf_dir, "part")
         )
@@ -2447,10 +2438,16 @@ def _copurchase_edge_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         # store the transition probability too, so centrality runs
         # start straight at superstep 1 (pagerank prenormalized=True)
-        e.join(ow, e["src"] == ow["_s"]).select(
-            "src", "dst", "weight", (F.col("weight") / F.col("outw")).alias("p")
-        ).write.mode("overwrite").parquet(path)
-    return spark.read.parquet(path)
+        return e.join(ow, e["src"] == ow["_s"]).select(
+            "src",
+            "dst",
+            "weight",
+            (F.col("weight") / F.col("outw")).alias("p"),
+        )
+
+    return stored_index(
+        spark, sf_dir, "lineitem", "copurchase_edges", "edges.parquet", build
+    )
 
 
 # PageRank oracle: the SAME 8 synchronous supersteps as chained CTEs.

@@ -211,23 +211,17 @@ def _minhash_pairs_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     and the dup-rate/crosstab diagnostics read it at j ≥ 0.8, the
     threshold-tuning histogram reads it unfiltered. Same
     stale-on-mtime rebuild contract as _minhash_corpus_index /
-    _simhash_fp_index."""
-    import os
+    _simhash_fp_index (scratch.stored_index)."""
+    from ..scratch import stored_index
 
-    from ..catalog import table_path
-    from ..scratch import scratch_dir
-
-    src = table_path(sf_dir, "documents")
-    tag = "{}-{}".format(
-        os.path.basename(os.path.normpath(sf_dir)),
-        os.stat(src).st_mtime_ns,
+    return stored_index(
+        spark,
+        sf_dir,
+        "documents",
+        "minhash_pairs_index",
+        "pairs.parquet",
+        lambda: dedup.minhash_dedup(_docs(spark, sf_dir), threshold=0.0),
     )
-    path = scratch_dir("minhash_pairs_index", tag, "pairs.parquet")
-    if not os.path.exists(os.path.join(path, "_SUCCESS")):
-        dedup.minhash_dedup(
-            _docs(spark, sf_dir), threshold=0.0
-        ).write.mode("overwrite").parquet(path)
-    return spark.read.parquet(path)
 
 
 @query("dedup_minhash", _MINHASH_ORACLE)
@@ -320,22 +314,18 @@ def _minhash_corpus_index(
     ingest (append-only) and a day's batch never triggers a corpus
     re-shingle. The mtime in the path makes a regenerated testdata
     dir rebuild the index instead of serving stale band keys."""
-    import os
+    from ..scratch import stored_index
 
-    from ..catalog import table_path
-    from ..scratch import scratch_dir
-
-    src = table_path(sf_dir, "documents")
-    tag = "{}-{}".format(
-        os.path.basename(os.path.normpath(sf_dir)),
-        os.stat(src).st_mtime_ns,
-    )
-    path = scratch_dir("minhash_band_index", tag, "index.parquet")
-    if not os.path.exists(os.path.join(path, "_SUCCESS")):
-        dedup.minhash_bands(
+    return stored_index(
+        spark,
+        sf_dir,
+        "documents",
+        "minhash_band_index",
+        "index.parquet",
+        lambda: dedup.minhash_bands(
             dedup.doc_shingles(corpus, 3, distinct=False), 4, 2
-        ).write.mode("overwrite").parquet(path)
-    return spark.read.parquet(path)
+        ),
+    )
 
 
 @query("dedup_minhash_incremental", _minhash_incr_oracle())
@@ -376,22 +366,18 @@ def _jaccard_pairs_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     per (sf_dir, documents mtime) like the band / fingerprint /
     verified-pairs indexes, and each consumer starts from the tiny
     pair relation."""
-    import os
+    from ..scratch import stored_index
 
-    from ..catalog import table_path
-    from ..scratch import scratch_dir
-
-    src = table_path(sf_dir, "documents")
-    tag = "{}-{}".format(
-        os.path.basename(os.path.normpath(sf_dir)),
-        os.stat(src).st_mtime_ns,
-    )
-    path = scratch_dir("jaccard_pairs_index", tag, "pairs.parquet")
-    if not os.path.exists(os.path.join(path, "_SUCCESS")):
-        dedup.jaccard_pairs(
+    return stored_index(
+        spark,
+        sf_dir,
+        "documents",
+        "jaccard_pairs_index",
+        "pairs.parquet",
+        lambda: dedup.jaccard_pairs(
             dedup.doc_shingles(_docs(spark, sf_dir)), None, 0.8
-        ).write.mode("overwrite").parquet(path)
-    return spark.read.parquet(path)
+        ),
+    )
 
 
 @query("dedup_ngram_jaccard", _NGRAM_ORACLE)
@@ -504,22 +490,16 @@ def _simhash_fp_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     (mirrors the minhash band-index pattern, _minhash_corpus_index).
     The mtime in the path makes a regenerated testdata dir rebuild
     the index instead of serving stale fingerprints."""
-    import os
+    from ..scratch import stored_index
 
-    from ..catalog import table_path
-    from ..scratch import scratch_dir
-
-    src = table_path(sf_dir, "documents")
-    tag = "{}-{}".format(
-        os.path.basename(os.path.normpath(sf_dir)),
-        os.stat(src).st_mtime_ns,
+    return stored_index(
+        spark,
+        sf_dir,
+        "documents",
+        "simhash_fp_index",
+        "index.parquet",
+        lambda: dedup.simhash(_docs(spark, sf_dir)),
     )
-    path = scratch_dir("simhash_fp_index", tag, "index.parquet")
-    if not os.path.exists(os.path.join(path, "_SUCCESS")):
-        dedup.simhash(_docs(spark, sf_dir)).write.mode(
-            "overwrite"
-        ).parquet(path)
-    return spark.read.parquet(path)
 
 
 @query("dedup_simhash", _SIMHASH_ORACLE)
@@ -2798,6 +2778,13 @@ LEFT JOIN per_doc USING (doc_id)
 LEFT JOIN per_dup USING (doc_id)
 """,
 )
+def q_dedup_substring_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding 10-token exact-substring duplication coverage per doc
+    (suffix-array-dedup diagnostic; dup_frac is the removal
+    threshold). Served from the stored score relation."""
+    return _substring_stats_index(spark, sf_dir)
+
+
 def _substring_stats_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The STORED per-doc substring-duplication score relation
     (doc_id, n_windows, n_dup_windows, dup_frac) for ``sf_dir``'s
@@ -2805,29 +2792,16 @@ def _substring_stats_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     query and the curation funnel threshold on, materialized once per
     (sf_dir, documents mtime) like the other dedup indexes (the two
     window-digest shuffles are the cost; the score table is tiny)."""
-    import os
+    from ..scratch import stored_index
 
-    from ..catalog import table_path
-    from ..scratch import scratch_dir
-
-    src = table_path(sf_dir, "documents")
-    tag = "{}-{}".format(
-        os.path.basename(os.path.normpath(sf_dir)),
-        os.stat(src).st_mtime_ns,
+    return stored_index(
+        spark,
+        sf_dir,
+        "documents",
+        "substring_stats_index",
+        "stats.parquet",
+        lambda: dedup.substring_dup_stats(_docs(spark, sf_dir), 10),
     )
-    path = scratch_dir("substring_stats_index", tag, "stats.parquet")
-    if not os.path.exists(os.path.join(path, "_SUCCESS")):
-        dedup.substring_dup_stats(
-            _docs(spark, sf_dir), 10
-        ).write.mode("overwrite").parquet(path)
-    return spark.read.parquet(path)
-
-
-def q_dedup_substring_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Sliding 10-token exact-substring duplication coverage per doc
-    (suffix-array-dedup diagnostic; dup_frac is the removal
-    threshold). Served from the stored score relation."""
-    return _substring_stats_index(spark, sf_dir)
 
 
 _KNN_CLASSIFY_ORACLE = f"""

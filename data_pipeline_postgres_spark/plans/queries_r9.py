@@ -500,21 +500,23 @@ FROM hit GROUP BY doc_id
 def q_dedup_simhash_incremental(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
-    """Daily-ingest SimHash near-dup: the batch (source='src0') is
-    fingerprinted fresh, banded, and probed against the STORED corpus
-    fingerprint index (queries_ext._simhash_fp_index filtered to the
-    standing corpus) at hamming <= 3; per batch doc the closest
-    corpus partner (ties -> smallest doc_id) -> (doc_id, dup_of,
-    hamming). Completes the incremental-dedup family (exact hash /
-    MinHash / embedding / SimHash).
+    """Daily-ingest SimHash near-dup: BOTH sides are served from the
+    STORED fingerprint index (queries_ext._simhash_fp_index covers
+    the full table including today's batch — the index is keyed on
+    the documents mtime, so a new ingest day rebuilds it), split into
+    batch (source='src0') vs standing corpus, banded, and probed at
+    hamming <= 3; per batch doc the closest corpus partner (ties ->
+    smallest doc_id) -> (doc_id, dup_of, hamming). Completes the
+    incremental-dedup family (exact hash / MinHash / embedding /
+    SimHash). At 100 TB the same shape holds with an append-only
+    index: fingerprint only the new day's partition and union it into
+    the stored relation — fingerprints are write-once artifacts.
 
     Scale shape: standing per-day cost is batchx4 band keys
     equi-joined against the index's band projection — the corpus is
     never re-tokenized; the banded search is lossless at radius 3 by
     pigeonhole; the per-doc winner is min_by through map-side partial
     merges, no window over candidates."""
-    from pyspark.sql import Window
-
     from .queries_ext import _docs as _ext_docs
     from .queries_ext import _simhash_fp_index
 
@@ -778,22 +780,10 @@ def _pii_oracle() -> str:
     """The batch pii_redact oracle verbatim: an AvailableNow drain of
     a deterministic split through a stateless map equals the batch
     result row-for-row."""
-    from ..operators import textclean
+    from . import queries_ext  # noqa: F401  (registers the batch oracle)
+    from .registry import ORACLES
 
-    return f"""
-SELECT doc_id,
-       regexp_replace(regexp_replace(regexp_replace(text,
-            '{textclean.EMAIL_RE}', '<EMAIL>', 'g'),
-            '{textclean.IPV4_RE}', '<IP>', 'g'),
-            '{textclean.PHONE_RE}', '<PHONE>', 'g') AS redacted,
-       CAST(len(regexp_extract_all(text, '{textclean.EMAIL_RE}')) AS BIGINT)
-           AS n_emails,
-       CAST(len(regexp_extract_all(text, '{textclean.IPV4_RE}')) AS BIGINT)
-           AS n_ips,
-       CAST(len(regexp_extract_all(text, '{textclean.PHONE_RE}')) AS BIGINT)
-           AS n_phones
-FROM documents
-"""
+    return ORACLES["pii_redact"]
 
 @query("stream_pii_redact", _pii_oracle())
 def q_stream_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1226,6 +1216,7 @@ def q_docs_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _decon_ngram_oracle() -> str:
     """The batch decontaminate_ngram oracle verbatim (same output
     relation; the drain equals the batch answer)."""
+    from . import queries_ext  # noqa: F401  (registers the batch oracle)
     from .registry import ORACLES
 
     return ORACLES["decontaminate_ngram"]
@@ -1325,6 +1316,7 @@ def q_sim_ivf_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _gopher_ablation_oracle() -> str:
+    from . import queries_ext  # noqa: F401  (registers the batch oracle)
     from .registry import ORACLES
 
     g = ORACLES["docs_gopher_quality"].strip().rstrip()

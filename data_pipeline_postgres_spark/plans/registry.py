@@ -56,7 +56,7 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 # emb_normalize, emb_centroid_per_label, text_stats, token_count,
 # lang_id, text_quality, doc_fingerprint, text_normalize, pii_redact,
 # text_repetition_filter, multimodal_meta, tpch_q1_pricing_summary,
-# tpch_q3_shipping_priority, tpch_q5_local_supplier; (b) the 18
+# tpch_q3_shipping_priority, tpch_q5_local_supplier; (b) the 23
 # round-9 additions (never driver-checked; all in bench HEADLINE and
 # local parity) — decontaminate_embedding, graph_kcore,
 # table_diff_audit, bpe_pair_merges, text_bigram_logprob,
@@ -65,8 +65,10 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 # profile_column_entropy, docs_pack_fragmentation, stream_pii_redact,
 # docs_shingle_novelty, graph_bfs_distance, csv_malformed_permissive,
 # agg_mode_exact, docs_compression_ratio (rows-only),
-# docs_dsir_weights; (c) oldest-evidence (r5) rows for the rest of
-# the 50 (19 + 18 + 13 = 50).
+# docs_dsir_weights, stream_decontaminate, sim_ivf_balance,
+# docs_gopher_rule_ablation, events_conversion_lag_stats,
+# orders_basket_size_histogram; (c) oldest-evidence (r5) rows for
+# the rest of the 50 (19 + 23 + 8 = 50).
 DRIVER_PRIORITY: tuple[str, ...] = (
     # (a) round-8 additions, never driver-checked (26)
     "text_char_entropy",

@@ -24,6 +24,32 @@ def scratch_dir(*parts: str) -> str:
     return path
 
 
+def stored_index(spark, sf_dir, table, name, filename, build):
+    """Serve a write-once per-corpus-version artifact (a stored
+    index) from scratch parquet, building it on first touch.
+
+    The ONE implementation of the stale-on-mtime contract every
+    stored index shares: the path is keyed on (sf_dir basename,
+    source-table ``st_mtime_ns``), so a regenerated testdata dir gets
+    a fresh tag and the index REBUILDS instead of serving stale rows,
+    while repeat runs against an unchanged corpus hit the ``_SUCCESS``
+    marker and skip straight to the read. ``build`` is a zero-arg
+    callable returning the DataFrame to materialize; it only runs on
+    a cache miss.
+    """
+    from .catalog import table_path
+
+    src = table_path(sf_dir, table)
+    tag = "{}-{}".format(
+        os.path.basename(os.path.normpath(sf_dir)),
+        os.stat(src).st_mtime_ns,
+    )
+    path = scratch_dir(name, tag, filename)
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        build().write.mode("overwrite").parquet(path)
+    return spark.read.parquet(path)
+
+
 def warehouse_dir(spark) -> str:
     """The session's spark-warehouse location as a local path (managed
     table data lives here; used to clear stale CTAS locations)."""

@@ -150,9 +150,9 @@ class TestStoredIndexRebuild:
         )
         want = sorted(map(tuple, fresh.collect()))
         assert r2 == want, "stored band index served stale results"
-        # sanity: the mutation actually changed something upstream —
-        # r1 was computed against the full corpus
-        assert r1 == r1  # r1 retained for debuggability
+        # sanity: the mutation actually changed the answer — if this
+        # ever fails, the stale-index detection above is vacuous
+        assert r1 != r2, "corpus mutation did not change the dup answer"
 
     def test_ivfpq_index_rebuilds_on_corpus_change(
         self, spark, mut_sf_dir, tmp_path
