@@ -179,6 +179,9 @@ EXT_HEADLINE = [
     "docs_gopher_rule_ablation",
     "events_conversion_lag_stats",
     "orders_basket_size_histogram",
+    "emb_hard_negative_mining",
+    "emb_matryoshka_agreement",
+    "part_entity_match",
 ]
 
 

@@ -886,3 +886,164 @@ def knn_classify(
             "votes",
         )
     )
+
+
+def hard_negative_mining(
+    emb: DataFrame, nq: int = 16, round_digits: int = 6
+) -> DataFrame:
+    """Contrastive-training hard-negative mining: for each of the
+    ``nq`` smallest-vec_id probe vectors, the single most cosine-
+    similar corpus vector carrying a DIFFERENT label → (qid, qlabel,
+    neg_id, neg_label, cosine). The training-data use: the hardest
+    negative per anchor is the pair a contrastive loss learns most
+    from; mining it is one retrieval pass, not a separate system.
+
+    Scale shape: identical ONE-corpus-pass contract as ``batch_topk``
+    — probes ride in as a broadcast struct array (label included),
+    each corpus row explodes to ≤ nq scored candidates AFTER the
+    cheap label-inequality filter — but the top-1 cut is a plain
+    ``max_by`` AGGREGATE, not a window: partial aggregation combines
+    map-side, so the qid exchange carries exactly one candidate per
+    (partition, probe), strictly less than even a WindowGroupLimit
+    heap ships. Ties break on vec_id after 6-digit rounding (max over
+    the (cosine, -neg_id) struct ≡ the oracle's ORDER BY cosine DESC,
+    vec_id), so the op is hash-checked. At corpus-scale probe sets,
+    swap the brute scorer for the IVF path and keep the label filter —
+    the mining logic is unchanged.
+    """
+    vs = emb.select(
+        "vec_id", V.as_double(F.col("embedding")).alias("v"), "label"
+    )
+    qarr = (
+        vs.orderBy("vec_id")
+        .limit(nq)
+        .select(
+            F.struct(
+                F.col("vec_id").alias("qid"),
+                F.col("label").alias("qlabel"),
+                V.norm(F.col("v")).alias("qn"),
+                F.col("v").alias("qv"),
+            ).alias("s")
+        )
+        .agg(F.array_sort(F.collect_list("s")).alias("qs"))
+    )
+    scored = (
+        vs.crossJoin(F.broadcast(qarr))
+        .select(
+            "vec_id",
+            "label",
+            V.norm(F.col("v")).alias("vn"),
+            "v",
+            F.explode("qs").alias("q"),
+        )
+        .filter(F.col("label") != F.col("q.qlabel"))
+        .select(
+            F.col("q.qid").alias("qid"),
+            F.col("q.qlabel").alias("qlabel"),
+            F.col("vec_id").alias("neg_id"),
+            F.col("label").alias("neg_label"),
+            F.round(
+                V.dot(F.col("v"), F.col("q.qv"))
+                / (F.col("vn") * F.col("q.qn")),
+                round_digits,
+            ).alias("cosine"),
+        )
+    )
+    key = F.struct(F.col("cosine"), (-F.col("neg_id")).alias("tie"))
+    return (
+        scored.groupBy("qid", "qlabel")
+        .agg(
+            F.max_by("neg_id", key).alias("neg_id"),
+            F.max_by("neg_label", key).alias("neg_label"),
+            F.max("cosine").alias("cosine"),
+        )
+        .select("qid", "qlabel", "neg_id", "neg_label", "cosine")
+    )
+
+
+def matryoshka_agreement(
+    emb: DataFrame,
+    trunc_dim: int = 16,
+    nq: int = 16,
+    round_digits: int = 6,
+) -> DataFrame:
+    """Matryoshka/truncation QA: does nearest-neighbor retrieval
+    survive keeping only the FIRST ``trunc_dim`` of 64 dimensions?
+    For each of the ``nq`` smallest-vec_id probes, the top-1 cosine
+    neighbor (self excluded) under the full vector AND under the
+    prefix slice → (qid, nn_full, cos_full, nn_trunc, cos_trunc,
+    agree). The aggregate agree-rate is the go/no-go for shipping
+    truncated embeddings (4× index shrink) — per-probe rows keep the
+    disagreements debuggable.
+
+    Scale shape: ONE corpus pass computes BOTH similarities (the
+    prefix slice and its norm are per-row expressions on data already
+    in hand — no second scan), and BOTH top-1 cuts ride in one
+    ``max_by`` aggregate over the same grouping: partial aggregation
+    combines map-side, the qid exchange carries one candidate pair
+    per (partition, probe), and no join or window appears anywhere.
+    Ties break on vec_id after rounding (max over (cos, -vec_id)
+    structs ≡ the oracle's ORDER BY cos DESC, vec_id).
+    """
+    vs = emb.select(
+        "vec_id", V.as_double(F.col("embedding")).alias("v")
+    ).withColumn("vt", F.slice(F.col("v"), 1, trunc_dim))
+    qarr = (
+        vs.orderBy("vec_id")
+        .limit(nq)
+        .select(
+            F.struct(
+                F.col("vec_id").alias("qid"),
+                V.norm(F.col("v")).alias("qn"),
+                F.col("v").alias("qv"),
+                V.norm(F.col("vt")).alias("qtn"),
+                F.col("vt").alias("qtv"),
+            ).alias("s")
+        )
+        .agg(F.array_sort(F.collect_list("s")).alias("qs"))
+    )
+    scored = (
+        vs.crossJoin(F.broadcast(qarr))
+        .select(
+            "vec_id",
+            V.norm(F.col("v")).alias("vn"),
+            V.norm(F.col("vt")).alias("vtn"),
+            "v",
+            "vt",
+            F.explode("qs").alias("q"),
+        )
+        .filter(F.col("vec_id") != F.col("q.qid"))
+        .select(
+            F.col("q.qid").alias("qid"),
+            "vec_id",
+            F.round(
+                V.dot(F.col("v"), F.col("q.qv"))
+                / (F.col("vn") * F.col("q.qn")),
+                round_digits,
+            ).alias("cos_full"),
+            F.round(
+                V.dot(F.col("vt"), F.col("q.qtv"))
+                / (F.col("vtn") * F.col("q.qtn")),
+                round_digits,
+            ).alias("cos_trunc"),
+        )
+    )
+    kf = F.struct(F.col("cos_full"), (-F.col("vec_id")).alias("tie"))
+    kt = F.struct(F.col("cos_trunc"), (-F.col("vec_id")).alias("tie"))
+    return (
+        scored.groupBy("qid")
+        .agg(
+            F.max_by("vec_id", kf).alias("nn_full"),
+            F.max("cos_full").alias("cos_full"),
+            F.max_by("vec_id", kt).alias("nn_trunc"),
+            F.max("cos_trunc").alias("cos_trunc"),
+        )
+        .select(
+            "qid",
+            "nn_full",
+            "cos_full",
+            "nn_trunc",
+            "cos_trunc",
+            (F.col("nn_full") == F.col("nn_trunc")).alias("agree"),
+        )
+    )

@@ -1508,3 +1508,143 @@ def q_orders_basket_size_histogram(
         .agg(F.count("*").alias("n_orders"))
         .orderBy("n_items")
     )
+
+
+# -- Hard-negative mining / Matryoshka QA ----------------------------------
+# Two retrieval-adjacent training-data operators over the embeddings
+# table, both the ONE-corpus-pass broadcast-probe shape of batch_topk
+# (WindowGroupLimit per-partition heaps before the qid exchange).
+
+
+def _hardneg_oracle() -> str:
+    from .queries_ext import _duck_cos
+
+    cos = _duck_cos("e.v", "q.qv")
+    return f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v, label FROM embeddings),
+q AS (
+    SELECT vec_id AS qid, label AS qlabel, v AS qv
+    FROM e ORDER BY vec_id LIMIT 16
+)
+SELECT qid, qlabel, neg_id, neg_label, cosine FROM (
+    SELECT q.qid, q.qlabel, e.vec_id AS neg_id, e.label AS neg_label,
+           round({cos}, 6) AS cosine,
+           row_number() OVER (
+               PARTITION BY q.qid
+               ORDER BY round({cos}, 6) DESC, e.vec_id
+           ) AS rn
+    FROM e, q
+    WHERE e.label <> q.qlabel
+) WHERE rn = 1
+"""
+
+
+@query("emb_hard_negative_mining", _hardneg_oracle())
+def q_emb_hard_negative_mining(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Contrastive-training hard negatives: per probe vector, the
+    single most cosine-similar corpus vector with a DIFFERENT label
+    (operators/similarity.hard_negative_mining). The mined pair is
+    what a contrastive loss learns most from; one retrieval pass, not
+    a separate system."""
+    from ..operators import similarity
+
+    return similarity.hard_negative_mining(_emb(spark, sf_dir))
+
+
+def _matryoshka_oracle() -> str:
+    from .queries_ext import _duck_cos
+
+    cosf = _duck_cos("e.v", "q.qv")
+
+    def trunc_cos(a: str, b: str) -> str:
+        dot = (
+            f"list_reduce(list_transform(range(16), i -> {a}[i+1]*{b}[i+1]),"
+            " (x,y) -> x+y)"
+        )
+
+        def ssq(v: str) -> str:
+            return (
+                f"list_reduce(list_transform(range(16), i -> {v}[i+1]*{v}[i+1]),"
+                " (x,y) -> x+y)"
+            )
+
+        return f"({dot} / (sqrt({ssq(a)}) * sqrt({ssq(b)})))"
+
+    cost = trunc_cos("e.v", "q.qv")
+    return f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+q AS (SELECT vec_id AS qid, v AS qv FROM e ORDER BY vec_id LIMIT 16),
+scored AS (
+    SELECT q.qid, e.vec_id,
+           round({cosf}, 6) AS cos_full,
+           round({cost}, 6) AS cos_trunc
+    FROM e, q
+    WHERE e.vec_id <> q.qid
+),
+nf AS (
+    SELECT qid, vec_id AS nn_full, cos_full FROM (
+        SELECT *, row_number() OVER (
+            PARTITION BY qid ORDER BY cos_full DESC, vec_id
+        ) AS rn FROM scored
+    ) WHERE rn = 1
+),
+nt AS (
+    SELECT qid, vec_id AS nn_trunc, cos_trunc FROM (
+        SELECT *, row_number() OVER (
+            PARTITION BY qid ORDER BY cos_trunc DESC, vec_id
+        ) AS rn FROM scored
+    ) WHERE rn = 1
+)
+SELECT nf.qid, nn_full, cos_full, nn_trunc, cos_trunc,
+       nn_full = nn_trunc AS agree
+FROM nf JOIN nt ON nf.qid = nt.qid
+"""
+
+
+@query("emb_matryoshka_agreement", _matryoshka_oracle())
+def q_emb_matryoshka_agreement(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Matryoshka/truncation QA: per probe, top-1 neighbor under the
+    full 64 dims vs under the first 16, with an agreement flag
+    (operators/similarity.matryoshka_agreement) — the go/no-go
+    measurement for shipping 4x-smaller truncated embeddings."""
+    from ..operators import similarity
+
+    return similarity.matryoshka_agreement(_emb(spark, sf_dir))
+
+
+# -- Entity resolution ------------------------------------------------------
+
+_ENTITY_MATCH_ORACLE = """
+WITH t AS (
+    SELECT p_partkey AS key, p_brand AS brand, p_type AS ptype,
+           list_distinct(regexp_split_to_array(p_name, ' ')) AS toks,
+           regexp_split_to_array(p_name, ' ')[-1] AS block
+    FROM part
+)
+SELECT a_key, b_key, block, jaccard, same_brand, same_type FROM (
+    SELECT a.key AS a_key, b.key AS b_key, a.block AS block,
+           CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
+           / (len(a.toks) + len(b.toks)
+              - len(list_intersect(a.toks, b.toks))) AS jaccard,
+           a.brand = b.brand AS same_brand,
+           a.ptype = b.ptype AS same_type
+    FROM t a JOIN t b ON a.block = b.block AND a.key < b.key
+) WHERE jaccard >= 0.3e0
+"""
+
+
+@query("part_entity_match", _ENTITY_MATCH_ORACLE)
+def q_part_entity_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity resolution over the part catalog: block on the product
+    noun (last name token), verify within-block pairs by exact
+    token-set Jaccard >= 0.3, emit brand/type agreement features
+    (operators/entity.blocked_name_match). Candidates are quadratic
+    only inside a block — the record-linkage sibling of LSH
+    bucketing."""
+    from ..operators import entity
+
+    return entity.blocked_name_match(load_table(spark, sf_dir, "part"))

@@ -67,8 +67,9 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 # agg_mode_exact, docs_compression_ratio (rows-only),
 # docs_dsir_weights, stream_decontaminate, sim_ivf_balance,
 # docs_gopher_rule_ablation, events_conversion_lag_stats,
-# orders_basket_size_histogram; (c) oldest-evidence (r5) rows for
-# the rest of the 50 (19 + 23 + 8 = 50).
+# orders_basket_size_histogram, emb_hard_negative_mining,
+# emb_matryoshka_agreement, part_entity_match; (c) oldest-evidence
+# (r5) rows for the rest of the 50 (19 + 26 + 5 = 50).
 DRIVER_PRIORITY: tuple[str, ...] = (
     # (a) round-8 additions, never driver-checked (26)
     "text_char_entropy",

@@ -483,3 +483,59 @@ class TestRound9Invariants:
         }
         for r in rows[:50]:
             assert r.n_tokens == ws[r.doc_id]
+
+
+class TestRetrievalAndEntityOps:
+    """Round-9 late additions: hard-negative mining, Matryoshka
+    truncation QA, blocked entity resolution."""
+
+    def test_hard_negative_labels_differ(self, spark):
+        rows = registry.QUERIES["emb_hard_negative_mining"](
+            spark, SF_SMOKE
+        ).collect()
+        assert len(rows) == 16
+        for r in rows:
+            assert r["neg_label"] != r["qlabel"]
+            assert -1.0 <= r["cosine"] <= 1.0
+
+    def test_matryoshka_agree_consistent(self, spark):
+        rows = registry.QUERIES["emb_matryoshka_agreement"](
+            spark, SF_SMOKE
+        ).collect()
+        assert len(rows) == 16
+        for r in rows:
+            assert r["agree"] == (r["nn_full"] == r["nn_trunc"])
+            assert r["nn_full"] != r["qid"]
+            assert r["nn_trunc"] != r["qid"]
+
+    def test_entity_match_block_and_threshold(self, spark):
+        from data_pipeline_postgres_spark.catalog import load_table
+
+        rows = registry.QUERIES["part_entity_match"](
+            spark, SF_SMOKE
+        ).collect()
+        assert rows, "expected at least one candidate pair"
+        names = {
+            r["p_partkey"]: r["p_name"]
+            for r in load_table(spark, SF_SMOKE, "part").collect()
+        }
+        for r in rows:
+            assert r["a_key"] < r["b_key"]
+            assert 0.3 <= r["jaccard"] <= 1.0
+            # the block key really is the shared last name token
+            assert names[r["a_key"]].split(" ")[-1] == r["block"]
+            assert names[r["b_key"]].split(" ")[-1] == r["block"]
+
+    def test_aggregate_only_plans(self, spark):
+        # top-1 cuts are map-side-combinable aggregates: no window,
+        # no sort-merge join, no cartesian product anywhere
+        for name in ("emb_hard_negative_mining", "emb_matryoshka_agreement"):
+            plan = _plan(registry.QUERIES[name](spark, SF_SMOKE))
+            assert "Window" not in plan, name
+            assert "SortMergeJoin" not in plan, name
+            assert "CartesianProduct" not in plan, name
+        # entity match is an equi-join on the block key, never a
+        # cartesian or nested-loop pair enumeration
+        plan = _plan(registry.QUERIES["part_entity_match"](spark, SF_SMOKE))
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
