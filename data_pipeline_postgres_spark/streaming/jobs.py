@@ -1005,13 +1005,15 @@ def decontaminate_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     is_eval = F.col("doc_id") % 97 == 0
     # Materialize the eval n-gram set ONCE before the stream starts —
     # an uncached DataFrame captured by the sink closure would
-    # re-execute the full-corpus tokenize+distinct on every
+    # re-execute the eval-split tokenize+distinct on every
     # micro-batch (cost grows with batch count in production).
-    ev_path = _scratch("decon_eval_ngrams")
-    decontaminate.raw_ngrams(docs.filter(is_eval), 4).select(
-        "ngram"
-    ).distinct().write.mode("overwrite").parquet(ev_path)
-    ev = spark.read.parquet(ev_path)
+    # localCheckpoint pins the computed rows without a disk round-trip.
+    ev = (
+        decontaminate.raw_ngrams(docs.filter(is_eval), 4)
+        .select("ngram")
+        .distinct()
+        .localCheckpoint()
+    )
     src = _scratch("decon_src")
     for i in range(3):
         docs.filter(F.col("doc_id") % 3 == i).coalesce(1).write.mode(
