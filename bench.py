@@ -182,6 +182,9 @@ EXT_HEADLINE = [
     "emb_hard_negative_mining",
     "emb_matryoshka_agreement",
     "part_entity_match",
+    "sim_topk_int8",
+    "sim_topk_int8_recall",
+    "events_session_paths",
 ]
 
 

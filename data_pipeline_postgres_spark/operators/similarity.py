@@ -1047,3 +1047,106 @@ def matryoshka_agreement(
             (F.col("nn_full") == F.col("nn_trunc")).alias("agree"),
         )
     )
+
+
+def int8_codes(emb: DataFrame) -> DataFrame:
+    """Fixed-point int8 codes for exact-integer retrieval: unit-normalize
+    (double, ordered accumulation), then ``q_i = floor(x_i·127 + 0.5)``
+    as BIGINT — a GLOBAL scale (1/127), unlike the per-vector max-abs
+    scale of embeddings.int8_quantize, so dot products of two codes are
+    directly comparable integers with no per-pair rescaling.
+
+    Scale shape: one narrow map — at 100 TB this is the write-time
+    compression pass (4 bytes → 1 byte per component) and every
+    downstream integer dot is exact, so partial-agg order can never
+    perturb a ranking."""
+    # Materialize the norm as a column BEFORE the per-element transform:
+    # a HOF lambda that closes over V.norm(v) would re-evaluate the full
+    # O(d) reduction per element (the word_shingles trap — O(d^2)/row).
+    vs = _vecs(emb).select("vec_id", "v", V.norm(F.col("v")).alias("nrm"))
+    return vs.select(
+        "vec_id",
+        F.transform(
+            "v",
+            lambda x: F.floor(
+                x / F.col("nrm") * F.lit(127.0) + F.lit(0.5)
+            ).cast("long"),
+        ).alias("q"),
+    )
+
+
+def int8_batch_topk(emb: DataFrame, k: int = 10, nq: int = 4) -> DataFrame:
+    """Quantized batch retrieval: exact INT top-k — each of the ``nq``
+    smallest-vec_id query codes ranks the corpus by the int64 dot
+    product of int8 codes (descending, vec_id tiebreak) →
+    (qid, vec_id, qdot).
+
+    All-integer scores make the ranking bit-stable across engines,
+    partitionings, and accumulation orders — the property float cosine
+    only gets after careful rounding. Same one-pass shape as
+    batch_topk: broadcast query array, explode to nq scored rows,
+    rank-limited window (WindowGroupLimit per-partition heaps), the
+    qid exchange carries ≤ k·nq rows per partition."""
+    codes = int8_codes(emb)
+    qarr = (
+        codes.orderBy("vec_id")
+        .limit(nq)
+        .select(
+            F.struct(
+                F.col("vec_id").alias("qid"), F.col("q").alias("qq")
+            ).alias("s")
+        )
+        .agg(F.array_sort(F.collect_list("s")).alias("qs"))
+    )
+    scored = (
+        codes.crossJoin(F.broadcast(qarr))
+        .select("vec_id", "q", F.explode("qs").alias("qrec"))
+        .select(
+            F.col("qrec.qid").alias("qid"),
+            "vec_id",
+            F.aggregate(
+                F.zip_with("q", "qrec.qq", lambda x, y: x * y),
+                F.lit(0).cast("long"),
+                lambda acc, v: acc + v,
+            ).alias("qdot"),
+        )
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("qdot"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select("qid", "vec_id", "qdot")
+    )
+
+
+def int8_recall_vs_float(
+    emb: DataFrame, k: int = 10, nq: int = 4, round_digits: int = 6
+) -> DataFrame:
+    """Compression QA for the int8 retrieval path: per query,
+    |int8 top-k ∩ float top-k| and recall@k → (qid, n_common, recall).
+
+    Both sides are exact deterministic rankings (integer dots vs
+    rounded cosine with vec_id tiebreaks), so the overlap is a
+    hash-checkable scalar — the measured answer to "what does 4×
+    compression cost at retrieval time", computed corpus-side with two
+    rank-limited passes and a k·nq-row join, never a collect."""
+    i8 = int8_batch_topk(emb, k=k, nq=nq).select("qid", "vec_id")
+    fl = batch_topk(emb, k=k, nq=nq, round_digits=round_digits).select(
+        "qid", "vec_id"
+    )
+    hits = i8.join(fl, ["qid", "vec_id"]).groupBy("qid").agg(
+        F.count("*").alias("n_common")
+    )
+    return (
+        i8.select("qid")
+        .distinct()
+        .join(hits, "qid", "left")
+        .select(
+            "qid",
+            F.coalesce("n_common", F.lit(0)).cast("long").alias("n_common"),
+            (
+                F.coalesce("n_common", F.lit(0)).cast("double")
+                / F.lit(float(k))
+            ).alias("recall"),
+        )
+    )

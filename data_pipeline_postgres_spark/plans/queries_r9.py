@@ -1648,3 +1648,214 @@ def q_part_entity_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators import entity
 
     return entity.blocked_name_match(load_table(spark, sf_dir, "part"))
+
+
+# -- Int8 fixed-point retrieval ---------------------------------------------
+# A GLOBAL-scale (1/127) int8 code path for the similarity family:
+# unit-normalize, quantize once at write time, and every retrieval
+# score is an exact int64 dot product — bit-stable in any accumulation
+# order, so the ranking itself is hash-checkable with no rounding
+# discipline at all. The recall twin measures what the 4x compression
+# costs against the float cosine ranking.
+
+_INT8_CODES_CTE = """
+e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+c AS (
+    SELECT vec_id,
+           list_transform(v, x -> CAST(floor(
+               x / sqrt(list_reduce(list_transform(v, y -> y*y),
+                                    (a,b) -> a+b)) * 127e0 + 0.5e0
+           ) AS BIGINT)) AS q
+    FROM e
+),
+qs AS (SELECT vec_id AS qid, q AS qq FROM c ORDER BY vec_id LIMIT 4),
+scored8 AS (
+    SELECT qs.qid, c.vec_id,
+           CAST(list_reduce(
+               list_transform(range(64), i -> qs.qq[i+1] * c.q[i+1]),
+               (x,y) -> x+y) AS BIGINT) AS qdot
+    FROM c, qs
+),
+top8 AS (
+    SELECT qid, vec_id, qdot FROM (
+        SELECT *, row_number() OVER (
+            PARTITION BY qid ORDER BY qdot DESC, vec_id) AS rn
+        FROM scored8
+    ) WHERE rn <= 10
+)"""
+
+_INT8_TOPK_ORACLE = f"""
+WITH {_INT8_CODES_CTE}
+SELECT qid, vec_id, qdot FROM top8
+"""
+
+
+@query("sim_topk_int8", _INT8_TOPK_ORACLE)
+def q_sim_topk_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantized batch retrieval: each of the 4 smallest-vec_id query
+    codes ranks the corpus by the EXACT int64 dot product of
+    global-scale int8 codes (floor(x/||x||*127 + 0.5)) →
+    (qid, vec_id, qdot). The compressed-index member of the sim_topk
+    family: 4x smaller codes, integer arithmetic end-to-end, and a
+    ranking that is bit-stable across engines and partitionings by
+    construction rather than by rounding discipline.
+
+    Shape: identical to sim_topk_batch — one narrow quantize pass,
+    broadcast 4-code query array, rank-limited window
+    (WindowGroupLimit per-partition heaps), the qid exchange carries
+    <= k*nq rows per partition. At 100 TB the codes are the stored
+    column (write once at ingest) and the float embeddings never
+    leave cold storage for first-stage retrieval."""
+    from ..operators import similarity
+
+    return similarity.int8_batch_topk(_emb(spark, sf_dir), k=10, nq=4)
+
+
+_INT8_RECALL_ORACLE = f"""
+WITH {_INT8_CODES_CTE},
+n AS (
+    SELECT vec_id, v,
+           sqrt(list_reduce(list_transform(v, y -> y*y),
+                            (a,b) -> a+b)) AS nrm
+    FROM e
+),
+qf AS (SELECT vec_id AS qid, v AS qv, nrm AS qn
+       FROM n ORDER BY vec_id LIMIT 4),
+scoredf AS (
+    SELECT qf.qid, n.vec_id,
+           round(list_reduce(
+                     list_transform(range(64), i -> n.v[i+1]*qf.qv[i+1]),
+                     (x,y) -> x+y) / (n.nrm * qf.qn), 6) AS cosine
+    FROM n, qf
+),
+topf AS (
+    SELECT qid, vec_id FROM (
+        SELECT *, row_number() OVER (
+            PARTITION BY qid ORDER BY cosine DESC, vec_id) AS rn
+        FROM scoredf
+    ) WHERE rn <= 10
+),
+hits AS (
+    SELECT t8.qid, COUNT(*) AS n_common
+    FROM top8 t8 JOIN topf tf
+      ON t8.qid = tf.qid AND t8.vec_id = tf.vec_id
+    GROUP BY 1
+)
+SELECT q.qid,
+       CAST(COALESCE(h.n_common, 0) AS BIGINT) AS n_common,
+       CAST(COALESCE(h.n_common, 0) AS DOUBLE) / 10e0 AS recall
+FROM (SELECT DISTINCT qid FROM top8) q
+LEFT JOIN hits h USING (qid)
+"""
+
+
+@query("sim_topk_int8_recall", _INT8_RECALL_ORACLE)
+def q_sim_topk_int8_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Compression QA for the int8 retrieval path: per query,
+    |int8 top-10 ∩ float top-10| and recall@10 → (qid, n_common,
+    recall). Both rankings are exact and deterministic (integer dots
+    vs rounded cosine, vec_id tiebreaks), so unlike the LSH/IVF
+    recall studies (rows-only, accuracy-gated in pytest) this
+    agreement measure is itself hash-checkable — the measured answer
+    to "what does 4x compression cost at retrieval time".
+
+    Shape: two rank-limited corpus passes sharing the scan + one
+    k*nq-row join — nothing leaves the executors but 2*k*nq rows."""
+    from ..operators import similarity
+
+    return similarity.int8_recall_vs_float(_emb(spark, sf_dir), k=10, nq=4)
+
+
+# -- Session path prefixes ---------------------------------------------------
+# What do the first three steps of a session look like, and how often?
+# The session-shape census the funnel (fixed pattern), markov (pairs),
+# and pattern_detect (adjacent view->purchase) queries each project
+# one slice of.
+
+_SESSION_PATHS_ORACLE = """
+WITH ev AS (
+    SELECT user_id, event_id, event_type,
+           epoch_us(CAST(ts AS TIMESTAMP)) AS us
+    FROM events
+),
+lagged AS (
+    SELECT *, CASE WHEN lag(us) OVER w IS NULL
+                     OR us - lag(us) OVER w > 1800000000 THEN 1
+                   ELSE 0 END AS is_new
+    FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)
+),
+sess AS (
+    SELECT *, SUM(is_new) OVER (
+        PARTITION BY user_id ORDER BY us, event_id
+        ROWS UNBOUNDED PRECEDING) AS sid
+    FROM lagged
+),
+ranked AS (
+    SELECT user_id, sid, event_type,
+           row_number() OVER (
+               PARTITION BY user_id, sid ORDER BY us, event_id) AS rn
+    FROM sess
+),
+paths AS (
+    SELECT user_id, sid,
+           string_agg(event_type, '>' ORDER BY rn) AS path
+    FROM ranked WHERE rn <= 3 GROUP BY 1, 2
+)
+SELECT path, CAST(COUNT(*) AS BIGINT) AS n_sessions
+FROM paths GROUP BY 1
+"""
+
+
+@query("events_session_paths", _SESSION_PATHS_ORACLE)
+def q_events_session_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session-opening path census: sessionize per user on a 30-minute
+    inactivity gap, take each session's first <= 3 event types in
+    order, and count sessions per '>'-joined path → (path,
+    n_sessions). The entry-pattern distribution that tells a product
+    team what sessions actually open with, complementing
+    events_funnel_batch (did a FIXED pattern complete) and
+    events_markov_transitions (memoryless pair rates).
+
+    Shape: ONE user_id Exchange serves the lag, the running
+    session-id sum, and the per-session rank (same sort key
+    (us, event_id) — Spark reuses the window Exchange/Sort); the
+    path aggregate rides a (user_id, sid) shuffle whose output is at
+    most |sessions| rows; the final census groups <= |event_types|^3
+    paths. Gap math in exact integer microseconds."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    e2 = ev.select(
+        "user_id",
+        "event_id",
+        "event_type",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("us"),
+    )
+    w = Window.partitionBy("user_id").orderBy("us", "event_id")
+    lagged = e2.withColumn(
+        "is_new",
+        (
+            F.lag("us").over(w).isNull()
+            | ((F.col("us") - F.lag("us").over(w)) > F.lit(1_800_000_000))
+        ).cast("int"),
+    )
+    sess = lagged.withColumn(
+        "sid",
+        F.sum("is_new").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    ws = Window.partitionBy("user_id", "sid").orderBy("us", "event_id")
+    ranked = sess.withColumn("rn", F.row_number().over(ws)).filter(
+        F.col("rn") <= 3
+    )
+    paths = ranked.groupBy("user_id", "sid").agg(
+        F.concat_ws(
+            ">",
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("rn", "event_type"))),
+                lambda s: s["event_type"],
+            ),
+        ).alias("path")
+    )
+    return paths.groupBy("path").agg(F.count("*").alias("n_sessions"))

@@ -539,3 +539,90 @@ class TestRetrievalAndEntityOps:
         plan = _plan(registry.QUERIES["part_entity_match"](spark, SF_SMOKE))
         assert "CartesianProduct" not in plan
         assert "BroadcastNestedLoopJoin" not in plan
+
+
+class TestInt8AndSessionPaths:
+    """Contracts for the late-round-9 additions: int8 fixed-point
+    retrieval and session path census."""
+
+    def test_int8_topk_heaps_before_exchange(self, spark):
+        # the rank-1..k cut must run as per-partition WindowGroupLimit
+        # heaps (partial+final) so the qid exchange carries <= k*nq
+        # rows per partition, never the scored corpus
+        plan = _plan(registry.QUERIES["sim_topk_int8"](spark, SF_SMOKE))
+        assert plan.count("WindowGroupLimit") >= 2
+        assert "CartesianProduct" not in plan
+
+    def test_int8_scores_are_integers_and_bounded(self, spark):
+        rows = (
+            registry.QUERIES["sim_topk_int8"](spark, SF_SMOKE)
+            .collect()
+        )
+        assert len(rows) == 40  # 4 queries x top-10
+        for r in rows:
+            assert isinstance(r["qdot"], int)
+            # unit vectors quantized at 127: |dot| <= ~127^2 (+rounding)
+            assert abs(r["qdot"]) <= 130 * 130
+        # each query's own code must rank itself first with the max dot
+        by_q = {}
+        for r in rows:
+            by_q.setdefault(r["qid"], []).append(r)
+        for qid, rs in by_q.items():
+            best = max(rs, key=lambda r: (r["qdot"], -r["vec_id"]))
+            assert best["vec_id"] == qid
+
+    def test_int8_recall_is_high(self, spark):
+        # 4x compression should keep recall@10 near 1 on this corpus;
+        # gate loosely (>= 0.7 mean) so the test pins quality, not noise
+        rows = registry.QUERIES["sim_topk_int8_recall"](
+            spark, SF_SMOKE
+        ).collect()
+        assert len(rows) == 4
+        mean = sum(r["recall"] for r in rows) / len(rows)
+        assert mean >= 0.7, [r.asDict() for r in rows]
+
+    def test_session_paths_two_exchanges_only(self, spark):
+        # the user_id window Exchange must serve the lag, the running
+        # session-id sum AND the per-session rank (hash(user_id)
+        # satisfies the (user_id, sid) clustering); only the final
+        # path census adds a second Exchange
+        plan = _plan(
+            registry.QUERIES["events_session_paths"](spark, SF_SMOKE)
+        )
+        assert plan.count("Exchange hashpartitioning") == 2, plan
+
+    def test_session_paths_partition_of_sessions(self, spark):
+        # every session appears in exactly one path row: total
+        # n_sessions == number of distinct (user_id, session) starts
+        import pyspark.sql.functions as F
+        from data_pipeline_postgres_spark.catalog import load_table
+
+        df = registry.QUERIES["events_session_paths"](spark, SF_SMOKE)
+        total = df.agg(F.sum("n_sessions")).collect()[0][0]
+        ev = load_table(spark, SF_SMOKE, "events")
+        from pyspark.sql import Window
+
+        w = Window.partitionBy("user_id").orderBy("us", "event_id")
+        e2 = ev.select(
+            "user_id",
+            "event_id",
+            F.unix_micros(F.col("ts").cast("timestamp")).alias("us"),
+        )
+        n_sessions = (
+            e2.withColumn(
+                "is_new",
+                (
+                    F.lag("us").over(w).isNull()
+                    | (
+                        (F.col("us") - F.lag("us").over(w))
+                        > F.lit(1_800_000_000)
+                    )
+                ).cast("int"),
+            )
+            .agg(F.sum("is_new"))
+            .collect()[0][0]
+        )
+        assert total == n_sessions
+        # paths are built from ordered event types, '>'-joined, <= 3 deep
+        for r in df.collect():
+            assert 1 <= len(r["path"].split(">")) <= 3
