@@ -185,6 +185,8 @@ EXT_HEADLINE = [
     "sim_topk_int8",
     "sim_topk_int8_recall",
     "events_session_paths",
+    "agg_weighted_median",
+    "orders_revenue_holt_forecast",
 ]
 
 

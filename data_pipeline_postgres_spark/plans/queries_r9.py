@@ -1859,3 +1859,195 @@ def q_events_session_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("path")
     )
     return paths.groupBy("path").agg(F.count("*").alias("n_sessions"))
+
+
+# -- Weighted median ---------------------------------------------------------
+# Quantity-weighted median price per return flag: the weighted-quantile
+# primitive (every unit of quantity votes, not every row). All-integer
+# cumulative weights over cent-quantized prices -> hash-exact.
+
+_WMEDIAN_ORACLE = """
+WITH g AS (
+    SELECT l_returnflag,
+           CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * 100
+                AS BIGINT) AS price_c,
+           CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS wt
+    FROM lineitem GROUP BY 1, 2
+),
+c AS (
+    SELECT *,
+           SUM(wt) OVER (PARTITION BY l_returnflag ORDER BY price_c
+                         ROWS UNBOUNDED PRECEDING) AS cum,
+           SUM(wt) OVER (PARTITION BY l_returnflag) AS tot
+    FROM g
+)
+SELECT l_returnflag,
+       CAST(MIN(price_c) AS DOUBLE) / 100e0 AS wmedian_price,
+       CAST(MIN(tot) AS BIGINT) AS total_weight
+FROM c WHERE 2 * cum >= tot
+GROUP BY 1
+"""
+
+
+@query("agg_weighted_median", _WMEDIAN_ORACLE)
+def q_agg_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted median (smallest value whose cumulative weight reaches
+    half the total): quantity-weighted median extended price per
+    return flag → (l_returnflag, wmedian_price, total_weight). The
+    weighted-quantile primitive the unweighted family (agg_percentile,
+    bucket_global_quantile) can't express — every unit of quantity
+    votes, not every row.
+
+    Shape: map-side-combined (flag, cent-price) pre-aggregate FIRST —
+    the windows then run over |distinct prices| rows, not |lineitem|
+    (the pre-agg is what makes a per-group running sum scale-safe:
+    distinct cent prices are value-bounded regardless of row count);
+    both windows and the half-total cut ride ONE flag Exchange.
+    All-integer cumulative weights → exact."""
+    li = load_table(spark, sf_dir, "lineitem")
+    from pyspark.sql import Window
+
+    g = li.groupBy(
+        "l_returnflag",
+        (F.col("l_extendedprice").cast("decimal(12,2)") * 100)
+        .cast("bigint")
+        .alias("price_c"),
+    ).agg(F.sum(F.col("l_quantity").cast("bigint")).alias("wt"))
+    wcum = (
+        Window.partitionBy("l_returnflag")
+        .orderBy("price_c")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wtot = Window.partitionBy("l_returnflag")
+    c = g.select(
+        "l_returnflag",
+        "price_c",
+        F.sum("wt").over(wcum).alias("cum"),
+        F.sum("wt").over(wtot).alias("tot"),
+    )
+    return (
+        c.filter(2 * F.col("cum") >= F.col("tot"))
+        .groupBy("l_returnflag")
+        .agg(
+            (F.min("price_c").cast("double") / F.lit(100.0)).alias(
+                "wmedian_price"
+            ),
+            F.min("tot").cast("long").alias("total_weight"),
+        )
+    )
+
+
+# -- Holt linear-trend forecast ---------------------------------------------
+# Double-exponential smoothing over the monthly revenue series, as an
+# ORDERED fold: both engines evaluate the identical expression tree
+# left-to-right over the identical month-sorted series, so the
+# level/trend recurrence is bit-identical with no quantization at all
+# (the ordered-fold contract of functions/vectors.py, applied to a
+# recurrence instead of a sum). Seed = {l: y1, b: 0} — the uniform
+# zero-trend init that needs no lookahead.
+#
+# The oracle is a RECURSIVE CTE, not list_reduce: DuckDB 1.0's
+# list_reduce with a struct_pack accumulator updates fields
+# SEQUENTIALLY — a later field expression sees earlier fields already
+# overwritten (probe: (acc,e) -> struct_pack(l := acc.l + e.l,
+# b := acc.l) over [1,2,3] yields b = 6, the NEW l, where a
+# functional fold yields 3). Spark's F.aggregate is a proper
+# functional fold, so the two diverge on any cross-referencing
+# recurrence; row-at-a-time recursion has clean semantics.
+
+_HOLT_ORACLE = """
+WITH RECURSIVE m AS MATERIALIZED (
+    SELECT CAST(year(o_orderdate) * 12 + month(o_orderdate) - 1
+                AS BIGINT) AS mk,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+                AS DOUBLE) AS rev
+    FROM orders GROUP BY 1
+),
+ordered AS MATERIALIZED (
+    SELECT row_number() OVER (ORDER BY mk) AS rn, rev FROM m
+),
+fit(rn, l, b) AS (
+    SELECT 1, rev, 0e0 FROM ordered WHERE rn = 1
+    UNION ALL
+    SELECT o.rn,
+           0.5e0 * o.rev + 0.5e0 * (f.l + f.b),
+           0.25e0 * (0.5e0 * o.rev + 0.5e0 * (f.l + f.b) - f.l)
+               + 0.75e0 * f.b
+    FROM fit f JOIN ordered o ON o.rn = f.rn + 1
+),
+last AS (
+    SELECT l, b FROM fit
+    WHERE rn = (SELECT MAX(rn) FROM ordered)
+)
+SELECT CAST(h AS BIGINT) AS h,
+       l + CAST(h AS DOUBLE) * b AS forecast
+FROM last, unnest([1, 2, 3]) AS t(h)
+"""
+
+
+@query("orders_revenue_holt_forecast", _HOLT_ORACLE)
+def q_orders_revenue_holt_forecast(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Holt double-exponential smoothing (alpha=0.5, beta=0.25) over
+    the monthly revenue series, forecasting 1-3 months ahead →
+    (h, forecast). The trend-aware forecaster the OLS family
+    (events_trend_ols, rolling_slope) doesn't give: level and trend
+    adapt recursively, recent months dominate.
+
+    Shape: one decimal-exact month aggregate (map-side combined, ~Z
+    rows for Z months REGARDLESS of order count — the series, not the
+    table, is what's sequential), then the fold runs on that tiny
+    sorted array in a single task. The recurrence is bit-identical
+    across engines because both evaluate the same expression tree
+    left-to-right over the same month-sorted list (ordered-fold
+    contract) — no quantization needed."""
+    o = load_table(spark, sf_dir, "orders")
+    m = o.groupBy(
+        (F.year("o_orderdate") * 12 + F.month("o_orderdate") - 1)
+        .cast("bigint")
+        .alias("mk")
+    ).agg(
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("rev")
+    )
+    xs = m.agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("mk", "rev"))),
+            lambda e: F.struct(
+                e["rev"].alias("l"), F.lit(0.0).alias("b")
+            ),
+        ).alias("xs")
+    )
+    merge = lambda acc, e: F.struct(  # noqa: E731
+        (
+            F.lit(0.5) * e["l"]
+            + F.lit(0.5) * (acc["l"] + acc["b"])
+        ).alias("l"),
+        (
+            F.lit(0.25)
+            * (
+                F.lit(0.5) * e["l"]
+                + F.lit(0.5) * (acc["l"] + acc["b"])
+                - acc["l"]
+            )
+            + F.lit(0.75) * acc["b"]
+        ).alias("b"),
+    )
+    fit = xs.select(
+        F.aggregate(
+            F.slice(F.col("xs"), 2, F.size("xs") - 1),
+            F.element_at(F.col("xs"), 1),
+            merge,
+        ).alias("st")
+    )
+    return fit.select(
+        F.explode(F.array(F.lit(1), F.lit(2), F.lit(3))).alias("h"),
+        "st",
+    ).select(
+        F.col("h").cast("long").alias("h"),
+        (F.col("st.l") + F.col("h").cast("double") * F.col("st.b")).alias(
+            "forecast"
+        ),
+    )

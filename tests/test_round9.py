@@ -626,3 +626,98 @@ class TestInt8AndSessionPaths:
         # paths are built from ordered event types, '>'-joined, <= 3 deep
         for r in df.collect():
             assert 1 <= len(r["path"].split(">")) <= 3
+
+
+class TestWeightedMedianAndHolt:
+    def test_weighted_median_two_hash_exchanges(self, spark):
+        # (flag, cent-price) pre-agg + flag window; the final per-flag
+        # cut must REUSE the flag partitioning, and nothing may funnel
+        # through a single partition
+        plan = _plan(registry.QUERIES["agg_weighted_median"](spark, SF_SMOKE))
+        assert plan.count("Exchange hashpartitioning") == 2, plan
+        assert "Exchange SinglePartition" not in plan
+
+    def test_weighted_median_brute_force(self, spark):
+        import duckdb
+
+        rows = {
+            r["l_returnflag"]: r
+            for r in registry.QUERIES["agg_weighted_median"](
+                spark, SF_SMOKE
+            ).collect()
+        }
+        con = duckdb.connect()
+        got = con.sql(
+            "SELECT l_returnflag, "
+            "CAST(CAST(l_extendedprice AS DECIMAL(12,2))*100 AS BIGINT) p, "
+            "CAST(l_quantity AS BIGINT) w FROM "
+            f"read_parquet('{SF_SMOKE}/lineitem.parquet')"
+        ).fetchall()
+        by_flag = {}
+        for f, p, w in got:
+            by_flag.setdefault(f, []).append((p, w))
+        for f, pw in by_flag.items():
+            pw.sort()
+            tot = sum(w for _, w in pw)
+            cum = 0
+            for p, w in pw:
+                cum += w
+                if 2 * cum >= tot:
+                    assert rows[f]["wmedian_price"] == p / 100.0, f
+                    assert rows[f]["total_weight"] == tot, f
+                    break
+
+    def test_holt_forecasts_are_colinear(self, spark):
+        # f(h) = l + h*b — consecutive differences both approximate b;
+        # they can differ in the last ulp ((l+2b)-(l+b) vs
+        # (l+3b)-(l+2b) round independently), so near-exact only
+        import math
+
+        rows = sorted(
+            registry.QUERIES["orders_revenue_holt_forecast"](
+                spark, SF_SMOKE
+            ).collect(),
+            key=lambda r: r["h"],
+        )
+        assert [r["h"] for r in rows] == [1, 2, 3]
+        d1 = rows[1]["forecast"] - rows[0]["forecast"]
+        d2 = rows[2]["forecast"] - rows[1]["forecast"]
+        assert math.isclose(d1, d2, rel_tol=1e-9), (d1, d2)
+
+    def test_holt_constant_series_is_flat(self, spark):
+        # feed the fold a constant series: level must converge to the
+        # constant and trend must stay exactly 0
+        import pyspark.sql.functions as F
+
+        xs = spark.range(1).select(
+            F.transform(
+                F.array(*[F.lit(42.0)] * 12),
+                lambda x: F.struct(x.alias("l"), F.lit(0.0).alias("b")),
+            ).alias("xs")
+        )
+        from data_pipeline_postgres_spark.plans.queries_r9 import (
+            q_orders_revenue_holt_forecast,  # noqa: F401  (fold inline)
+        )
+
+        merge = lambda acc, e: F.struct(  # noqa: E731
+            (F.lit(0.5) * e["l"] + F.lit(0.5) * (acc["l"] + acc["b"])).alias(
+                "l"
+            ),
+            (
+                F.lit(0.25)
+                * (
+                    F.lit(0.5) * e["l"]
+                    + F.lit(0.5) * (acc["l"] + acc["b"])
+                    - acc["l"]
+                )
+                + F.lit(0.75) * acc["b"]
+            ).alias("b"),
+        )
+        st = xs.select(
+            F.aggregate(
+                F.slice(F.col("xs"), 2, F.size("xs") - 1),
+                F.element_at(F.col("xs"), 1),
+                merge,
+            ).alias("st")
+        ).collect()[0]["st"]
+        assert st["l"] == 42.0 and st["b"] == 0.0
