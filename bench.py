@@ -187,6 +187,7 @@ EXT_HEADLINE = [
     "events_session_paths",
     "agg_weighted_median",
     "orders_revenue_holt_forecast",
+    "sketch_count_min_freq",
 ]
 
 

@@ -2051,3 +2051,104 @@ def q_orders_revenue_holt_forecast(
             "forecast"
         ),
     )
+
+
+# -- Count-Min sketch --------------------------------------------------------
+# The mergeable frequency sketch (Cormode & Muthukrishnan '05): d=4
+# md5-derived hash rows x w=256 counters. Deterministic hashing makes
+# the whole sketch — and its estimates — hash-checkable cross-engine,
+# unlike the HLL/KLL family (library-internal randomness -> rows-only).
+
+_CMS_D = 4
+_CMS_W = 256
+
+_CMS_ORACLE = rf"""
+WITH toks AS (
+    SELECT unnest(regexp_split_to_array(trim(text), '\s+')) AS tok
+    FROM documents
+),
+exact AS (
+    SELECT tok, CAST(COUNT(*) AS BIGINT) AS exact_ct FROM toks GROUP BY 1
+),
+cells AS (
+    SELECT exact_ct, r,
+           ('0x' || substr(md5(tok || '#' || CAST(r AS VARCHAR)), 1, 15)
+           )::BIGINT % {_CMS_W} AS bucket
+    FROM exact, unnest([0, 1, 2, 3]) AS t(r)
+),
+sketch AS (
+    SELECT r, bucket, CAST(SUM(exact_ct) AS BIGINT) AS counter
+    FROM cells GROUP BY 1, 2
+),
+probes AS (
+    SELECT tok, exact_ct FROM exact ORDER BY exact_ct DESC, tok LIMIT 20
+),
+pcells AS (
+    SELECT tok, exact_ct, r,
+           ('0x' || substr(md5(tok || '#' || CAST(r AS VARCHAR)), 1, 15)
+           )::BIGINT % {_CMS_W} AS bucket
+    FROM probes, unnest([0, 1, 2, 3]) AS t(r)
+)
+SELECT p.tok AS token, p.exact_ct,
+       CAST(MIN(s.counter) AS BIGINT) AS cms_est
+FROM pcells p JOIN sketch s ON s.r = p.r AND s.bucket = p.bucket
+GROUP BY 1, 2
+"""
+
+
+def _cms_bucket(r: int) -> "F.Column":
+    return (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.col("tok"), F.lit(f"#{r}"))), 1, 15
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        % F.lit(_CMS_W)
+    )
+
+
+@query("sketch_count_min_freq", _CMS_ORACLE)
+def q_sketch_count_min_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min sketch frequency estimation: build a d=4 x w=256 CMS
+    over all token occurrences, then estimate the top-20 tokens'
+    frequencies and report estimate vs truth → (token, exact_ct,
+    cms_est), cms_est >= exact_ct by construction (property-tested).
+    The mergeable point-frequency sketch the sketch family lacked
+    (HLL: distinct counts; KLL: quantiles) — and, with md5-derived
+    hashing, the only one whose estimates are deterministic enough to
+    hash-check cross-engine rather than gate on error bounds.
+
+    Scale shape: counters build from the (token, count) PRE-AGGREGATE
+    (map-side combined), so the d·w-cell update shuffle carries at
+    most d·w partial cells per partition regardless of corpus size;
+    two-level rollup (shard sketches -> global sketch) is counter
+    addition, the no-raw-rescan re-aggregation story shared with
+    stream_hll_rollup. The probe joins a 4·|probes|-cell relation
+    against the 1 024-cell sketch — both broadcast-size."""
+    docs = _docs(spark, sf_dir)
+    toks = docs.select(F.explode(TX.tokens("text")).alias("tok"))
+    exact = toks.groupBy("tok").agg(F.count("*").alias("exact_ct"))
+    cells = exact.select(
+        "exact_ct",
+        F.posexplode(
+            F.array(*[_cms_bucket(r) for r in range(_CMS_D)])
+        ).alias("r", "bucket"),
+    )
+    sketch = cells.groupBy("r", "bucket").agg(
+        F.sum("exact_ct").alias("counter")
+    )
+    probes = exact.orderBy(F.desc("exact_ct"), F.asc("tok")).limit(20)
+    pcells = probes.select(
+        F.col("tok").alias("token"),
+        "exact_ct",
+        F.posexplode(
+            F.array(*[_cms_bucket(r) for r in range(_CMS_D)])
+        ).alias("r", "bucket"),
+    )
+    return (
+        pcells.join(F.broadcast(sketch), ["r", "bucket"])
+        .groupBy("token", "exact_ct")
+        .agg(F.min("counter").cast("long").alias("cms_est"))
+    )

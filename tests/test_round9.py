@@ -721,3 +721,51 @@ class TestWeightedMedianAndHolt:
             ).alias("st")
         ).collect()[0]["st"]
         assert st["l"] == 42.0 and st["b"] == 0.0
+
+
+class TestCountMinSketch:
+    def test_estimates_never_underestimate(self, spark):
+        rows = registry.QUERIES["sketch_count_min_freq"](
+            spark, SF_SMOKE
+        ).collect()
+        assert len(rows) == 20
+        for r in rows:
+            assert r["cms_est"] >= r["exact_ct"], r.asDict()
+
+    def test_sketch_is_mergeable(self, spark):
+        # CMS counters built over two disjoint halves and added must
+        # equal counters built over the whole corpus — the two-level
+        # rollup contract
+        import pyspark.sql.functions as F
+        from data_pipeline_postgres_spark.catalog import load_table
+        from data_pipeline_postgres_spark.functions import text as TX
+        from data_pipeline_postgres_spark.plans.queries_r9 import (
+            _CMS_D,
+            _cms_bucket,
+        )
+
+        docs = load_table(spark, SF_SMOKE, "documents")
+
+        def sketch_of(df):
+            toks = df.select(F.explode(TX.tokens("text")).alias("tok"))
+            exact = toks.groupBy("tok").agg(F.count("*").alias("exact_ct"))
+            cells = exact.select(
+                "exact_ct",
+                F.posexplode(
+                    F.array(*[_cms_bucket(r) for r in range(_CMS_D)])
+                ).alias("r", "bucket"),
+            )
+            return {
+                (r["r"], r["bucket"]): r["c"]
+                for r in cells.groupBy("r", "bucket")
+                .agg(F.sum("exact_ct").alias("c"))
+                .collect()
+            }
+
+        whole = sketch_of(docs)
+        h1 = sketch_of(docs.filter(F.col("doc_id") % 2 == 0))
+        h2 = sketch_of(docs.filter(F.col("doc_id") % 2 == 1))
+        merged = dict(h1)
+        for k, v in h2.items():
+            merged[k] = merged.get(k, 0) + v
+        assert merged == whole
