@@ -188,6 +188,8 @@ EXT_HEADLINE = [
     "agg_weighted_median",
     "orders_revenue_holt_forecast",
     "sketch_count_min_freq",
+    "sketch_bloom_membership",
+    "stream_cms_rollup",
 ]
 
 

@@ -2152,3 +2152,188 @@ def q_sketch_count_min_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("token", "exact_ct")
         .agg(F.min("counter").cast("long").alias("cms_est"))
     )
+
+
+# -- Bloom membership sketch -------------------------------------------------
+# The third deterministic sketch (CMS: point frequency; HLL: distinct;
+# Bloom: membership): m=4096 bits, k=3 md5-derived hash functions over
+# the set of customers who ever placed a 1-URGENT order (a selective subset; every customer has
+# some order); probe = ALL customers. One summary row with the
+# MEASURED false-positive rate.
+
+_BLOOM_M = 4096
+_BLOOM_K = 3
+
+_BLOOM_ORACLE = f"""
+WITH members AS (SELECT DISTINCT o_custkey AS k FROM orders
+              WHERE o_orderpriority = '1-URGENT'),
+bits AS (
+    SELECT DISTINCT
+           ('0x' || substr(md5(CAST(k AS VARCHAR) || '#'
+                               || CAST(h AS VARCHAR)), 1, 15)
+           )::BIGINT % {_BLOOM_M} AS bit
+    FROM members, unnest([0, 1, 2]) AS t(h)
+),
+probes AS (
+    SELECT c.c_custkey AS k,
+           CASE WHEN m.k IS NULL THEN 0 ELSE 1 END AS actual
+    FROM customer c LEFT JOIN members m ON m.k = c.c_custkey
+),
+pbits AS (
+    SELECT p.k, p.actual,
+           ('0x' || substr(md5(CAST(p.k AS VARCHAR) || '#'
+                               || CAST(h AS VARCHAR)), 1, 15)
+           )::BIGINT % {_BLOOM_M} AS bit
+    FROM probes p, unnest([0, 1, 2]) AS t(h)
+),
+verdict AS (
+    SELECT pb.k, pb.actual,
+           CASE WHEN COUNT(b.bit) = {_BLOOM_K} THEN 1 ELSE 0 END AS hit
+    FROM pbits pb LEFT JOIN bits b ON b.bit = pb.bit
+    GROUP BY 1, 2
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_probes,
+       CAST(SUM(actual) AS BIGINT) AS n_members,
+       CAST(SUM(hit) AS BIGINT) AS n_bloom_positive,
+       CAST(SUM(CASE WHEN hit = 1 AND actual = 0 THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_false_positive,
+       CAST(SUM(CASE WHEN hit = 1 AND actual = 0 THEN 1 ELSE 0 END)
+            AS DOUBLE)
+           / CAST(COUNT(*) - SUM(actual) AS DOUBLE) AS fpr
+FROM verdict
+"""
+
+
+def _bloom_bit(key: "F.Column", h: int) -> "F.Column":
+    return (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(key.cast("string"), F.lit(f"#{h}"))
+                ),
+                1,
+                15,
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        % F.lit(_BLOOM_M)
+    )
+
+
+@query("sketch_bloom_membership", _BLOOM_ORACLE)
+def q_sketch_bloom_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter membership with MEASURED false-positive rate:
+    build an m=4096-bit / k=3 md5-hashed bloom over customers with an
+    URGENT-priority order (a proper subset — every customer has SOME
+    order, so membership must be selective for FPR to be defined),
+    probe every customer, compare the sketch's verdict to
+    ground truth → one row (n_probes, n_members, n_bloom_positive,
+    n_false_positive, fpr). Completes the deterministic sketch trio
+    (CMS: point frequency, Bloom: membership, vs the library HLL/KLL
+    which are rows-only) — and makes the bit array itself a
+    first-class RELATION of set bits, which is exactly the shape a
+    join-pruning filter pushes to a scan (join_bloom_filtered uses
+    Spark's built-in; this one is inspectable and mergeable by bit
+    union).
+
+    Scale shape: the set-bit relation is ≤ m rows REGARDLESS of
+    member count — it broadcasts; probes explode to k rows each and
+    the verdict is a map-side-combinable count-of-hits per key; no
+    shuffle ever carries more than k rows per probe. FPR here is the
+    honest capacity check: |members|≈1.5k at sf0.01 on 4096 bits is
+    past the 1%-FPR sizing, so the measured rate is the documented
+    cost of an undersized filter."""
+    members = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderpriority") == "1-URGENT")
+        .select(F.col("o_custkey").alias("k"))
+        .distinct()
+    )
+    bits = (
+        members.select(
+            F.explode(
+                F.array(
+                    *[_bloom_bit(F.col("k"), h) for h in range(_BLOOM_K)]
+                )
+            ).alias("bit")
+        )
+        .distinct()
+        .withColumn("set_", F.lit(1))
+    )
+    probes = (
+        load_table(spark, sf_dir, "customer")
+        .select(F.col("c_custkey").alias("k"))
+        .join(
+            members.withColumn("actual", F.lit(1)),
+            "k",
+            "left",
+        )
+        .select("k", F.coalesce("actual", F.lit(0)).alias("actual"))
+    )
+    pbits = probes.select(
+        "k",
+        "actual",
+        F.explode(
+            F.array(*[_bloom_bit(F.col("k"), h) for h in range(_BLOOM_K)])
+        ).alias("bit"),
+    )
+    verdict = (
+        pbits.join(F.broadcast(bits), "bit", "left")
+        .groupBy("k", "actual")
+        .agg(
+            (F.count("set_") == _BLOOM_K).cast("int").alias("hit")
+        )
+    )
+    return verdict.agg(
+        F.count("*").cast("long").alias("n_probes"),
+        F.sum("actual").cast("long").alias("n_members"),
+        F.sum("hit").cast("long").alias("n_bloom_positive"),
+        F.sum(
+            F.when((F.col("hit") == 1) & (F.col("actual") == 0), 1)
+            .otherwise(0)
+        )
+        .cast("long")
+        .alias("n_false_positive"),
+        (
+            F.sum(
+                F.when(
+                    (F.col("hit") == 1) & (F.col("actual") == 0), 1
+                ).otherwise(0)
+            ).cast("double")
+            / (F.count("*") - F.sum("actual")).cast("double")
+        ).alias("fpr"),
+    )
+
+
+_CMS_STREAM_ORACLE = rf"""
+WITH toks AS (
+    SELECT unnest(regexp_split_to_array(trim(text), '\s+')) AS tok
+    FROM documents
+),
+exact AS (
+    SELECT tok, CAST(COUNT(*) AS BIGINT) AS exact_ct FROM toks GROUP BY 1
+),
+cells AS (
+    SELECT exact_ct, r,
+           ('0x' || substr(md5(tok || '#' || CAST(r AS VARCHAR)), 1, 15)
+           )::BIGINT % {_CMS_W} AS bucket
+    FROM exact, unnest([0, 1, 2, 3]) AS t(r)
+)
+SELECT CAST(r AS BIGINT) AS r, bucket,
+       CAST(SUM(exact_ct) AS BIGINT) AS counter
+FROM cells GROUP BY 1, 2
+"""
+
+
+@query("stream_cms_rollup", _CMS_STREAM_ORACLE)
+def q_stream_cms_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming Count-Min sketch maintenance (streaming/jobs.py
+    cms_rollup_stream): the d×w counter matrix as the ONLY streaming
+    state, drained over a 3-micro-batch split. Counter addition is
+    commutative, so the drained sketch is bit-identical to the batch
+    sketch — the repo's first hash-checked streaming sketch (HLL
+    rollup is rows-only by library nature)."""
+    from ..streaming import jobs as stream_jobs
+
+    return stream_jobs.cms_rollup_stream(spark, sf_dir)

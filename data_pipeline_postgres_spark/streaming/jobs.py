@@ -1048,3 +1048,60 @@ def decontaminate_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     q.awaitTermination()
     return spark.read.parquet(spool)
+
+
+def cms_rollup_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming Count-Min sketch maintenance: documents arrive as a
+    3-file stream and the d×w counter matrix is the ONLY streaming
+    state — each micro-batch explodes its tokens to (r, bucket) cells
+    and the engine's partial-aggregate merge IS the sketch merge
+    (counter addition: commutative, so the drained sketch is
+    bit-identical for ANY micro-batch split of the corpus). Unlike
+    stream_hll_rollup (library sketch → rows-only), the md5-derived
+    CMS makes this the repo's first HASH-CHECKED streaming sketch:
+    the oracle is the batch sketch_count_min_freq counter relation.
+
+    At 100 TB/day the state is d·w integers per shard REGARDLESS of
+    token volume; point-frequency queries read the standing counters
+    without any raw-data rescan."""
+    from ..functions import text as TX
+    from ..plans.queries_r9 import _CMS_D, _cms_bucket
+
+    docs = load_table(spark, sf_dir, "documents")
+    src = _scratch("cms_src")
+    for i in range(3):
+        docs.filter(F.col("doc_id") % 3 == i).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    cells = (
+        stream.select(F.explode(TX.tokens("text")).alias("tok"))
+        .select(
+            F.posexplode(
+                F.array(*[_cms_bucket(r) for r in range(_CMS_D)])
+            ).alias("r", "bucket")
+        )
+    )
+    agg = cells.groupBy("r", "bucket").agg(
+        F.count("*").alias("counter")
+    )
+    with _shuffle_partitions(spark, 8):
+        q = (
+            agg.writeStream.format("memory")
+            .queryName("stream_cms_rollup")
+            .outputMode("complete")
+            .option("checkpointLocation", _scratch("cms_ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    return spark.table("stream_cms_rollup").select(
+        F.col("r").cast("long").alias("r"),
+        "bucket",
+        F.col("counter").cast("long").alias("counter"),
+    )

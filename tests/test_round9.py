@@ -769,3 +769,59 @@ class TestCountMinSketch:
         for k, v in h2.items():
             merged[k] = merged.get(k, 0) + v
         assert merged == whole
+
+
+class TestBloomAndStreamCms:
+    def test_bloom_verdict_is_complete(self, spark):
+        # a Bloom filter NEVER false-negatives: every true member must
+        # be bloom-positive, and FPR must be consistent with counts
+        r = registry.QUERIES["sketch_bloom_membership"](
+            spark, SF_SMOKE
+        ).collect()[0]
+        assert r["n_bloom_positive"] >= r["n_members"]
+        assert (
+            r["n_bloom_positive"] - r["n_false_positive"] == r["n_members"]
+        )
+        assert 0 < r["n_members"] < r["n_probes"]  # both classes exist
+        nonmembers = r["n_probes"] - r["n_members"]
+        assert r["fpr"] == r["n_false_positive"] / nonmembers
+
+    def test_bloom_bits_relation_broadcasts(self, spark):
+        plan = _plan(
+            registry.QUERIES["sketch_bloom_membership"](spark, SF_SMOKE)
+        )
+        assert "BroadcastHashJoin" in plan
+        assert "CartesianProduct" not in plan
+
+    def test_stream_cms_equals_batch_sketch(self, spark):
+        # drained streaming counters == batch counters, cell for cell
+        # (counter addition is split-invariant) — and every counter in
+        # the probe query's sketch is reachable from this relation
+        import pyspark.sql.functions as F
+        from data_pipeline_postgres_spark.catalog import load_table
+        from data_pipeline_postgres_spark.functions import text as TX
+        from data_pipeline_postgres_spark.plans.queries_r9 import (
+            _CMS_D,
+            _cms_bucket,
+        )
+
+        stream = {
+            (r["r"], r["bucket"]): r["counter"]
+            for r in registry.QUERIES["stream_cms_rollup"](
+                spark, SF_SMOKE
+            ).collect()
+        }
+        docs = load_table(spark, SF_SMOKE, "documents")
+        batch = {
+            (r["r"], r["bucket"]): r["c"]
+            for r in docs.select(F.explode(TX.tokens("text")).alias("tok"))
+            .select(
+                F.posexplode(
+                    F.array(*[_cms_bucket(x) for x in range(_CMS_D)])
+                ).alias("r", "bucket")
+            )
+            .groupBy("r", "bucket")
+            .agg(F.count("*").alias("c"))
+            .collect()
+        }
+        assert stream == batch
