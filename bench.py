@@ -190,6 +190,7 @@ EXT_HEADLINE = [
     "sketch_count_min_freq",
     "sketch_bloom_membership",
     "stream_cms_rollup",
+    "multimodal_shard_manifest",
 ]
 
 

@@ -102,3 +102,55 @@ def pack_manifest(
         (start - F.col("s") * L).cast("bigint").alias("seq_offset"),
         (end - start).cast("bigint").alias("len"),
     )
+
+
+def byte_shard_manifest(
+    sized: DataFrame,
+    shard_bytes: int = 65536,
+    bucket_width: int = 1000,
+    id_col: str = "doc_id",
+    size_col: str = "n_bytes",
+) -> DataFrame:
+    """WebDataset-style shard manifest over any (id, size) relation:
+    items are laid out in id order and each item lands WHOLE in the
+    shard where its start offset falls (shard = cum_before div
+    shard_bytes) → (shard_id, n_items, bytes_total, first_id,
+    last_id). Start-offset sharding keeps assignment a pure function
+    of the exclusive prefix sum — greedy close-at-budget sharding is
+    inherently sequential — at the cost of shards overshooting the
+    budget by at most one item.
+
+    Same distributed prefix-sum shape as pack_sequences: the only
+    global window runs over the tiny per-bucket totals relation,
+    never the corpus."""
+    b = sized.select(
+        F.col(id_col).alias("id"),
+        F.col(size_col).cast("bigint").alias("sz"),
+    ).withColumn("bucket", F.expr(f"id div {bucket_width}"))
+    w_in = (
+        Window.partitionBy("bucket")
+        .orderBy("id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    within = b.withColumn("cum_in", F.sum("sz").over(w_in))
+    totals = b.groupBy("bucket").agg(F.sum("sz").alias("btot"))
+    w_b = Window.orderBy("bucket").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    offsets = totals.select(
+        "bucket",
+        F.coalesce(F.sum("btot").over(w_b), F.lit(0)).alias("boff"),
+    )
+    placed = within.join(F.broadcast(offsets), "bucket").select(
+        "id",
+        "sz",
+        F.expr(f"(boff + cum_in - sz) div {shard_bytes}").alias(
+            "shard_id"
+        ),
+    )
+    return placed.groupBy("shard_id").agg(
+        F.count("*").cast("long").alias("n_items"),
+        F.sum("sz").cast("long").alias("bytes_total"),
+        F.min("id").alias("first_id"),
+        F.max("id").alias("last_id"),
+    )

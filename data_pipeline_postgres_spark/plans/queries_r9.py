@@ -2337,3 +2337,61 @@ def q_stream_cms_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..streaming import jobs as stream_jobs
 
     return stream_jobs.cms_rollup_stream(spark, sf_dir)
+
+
+# -- Multimodal shard manifest ----------------------------------------------
+# WebDataset-style shard layout for binary payloads: items in id order,
+# each blob WHOLE in the shard where its start offset falls.
+
+_SHARD_BYTES = 65536
+
+_SHARD_MANIFEST_ORACLE = f"""
+WITH m AS (
+    SELECT doc_id,
+           CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
+    FROM documents
+),
+c AS (
+    SELECT doc_id, n_bytes,
+           SUM(n_bytes) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING)
+               - n_bytes AS cb
+    FROM m
+),
+s AS (
+    SELECT cb // {_SHARD_BYTES} AS shard_id, doc_id, n_bytes FROM c
+)
+SELECT shard_id,
+       CAST(COUNT(*) AS BIGINT) AS n_items,
+       CAST(SUM(n_bytes) AS BIGINT) AS bytes_total,
+       MIN(doc_id) AS first_id,
+       MAX(doc_id) AS last_id
+FROM s GROUP BY 1
+"""
+
+
+@query("multimodal_shard_manifest", _SHARD_MANIFEST_ORACLE)
+def q_multimodal_shard_manifest(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """WebDataset-style shard manifest over the binary payload lake:
+    blobs laid out in doc_id order, each landing WHOLE in the 64 KiB
+    shard where its start offset falls → (shard_id, n_items,
+    bytes_total, first_id, last_id). The tar-shard layout step every
+    multimodal training pipeline runs between curation and the data
+    loader — contiguous id ranges per shard (manifest IS the index),
+    deterministic, and resumable.
+
+    Scale shape: the distributed prefix-sum idiom of pack_sequences
+    (operators/packing.py byte_shard_manifest) — corpus-wide running
+    totals are bucket-partitioned windows; the only GLOBAL window
+    runs over the tiny per-bucket totals relation; assignment is then
+    a narrow integer division and the manifest a map-side-combined
+    aggregate. Start-offset sharding trades ≤ one-item overshoot per
+    shard for a fully parallel layout (greedy close-at-budget is
+    inherently sequential)."""
+    from ..operators import multimodal, packing
+
+    meta = multimodal.payload_meta(_docs(spark, sf_dir)).select(
+        "doc_id", "n_bytes"
+    )
+    return packing.byte_shard_manifest(meta, shard_bytes=_SHARD_BYTES)

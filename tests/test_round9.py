@@ -825,3 +825,59 @@ class TestBloomAndStreamCms:
             .collect()
         }
         assert stream == batch
+
+
+class TestByteShardManifest:
+    def test_manifest_model_and_partitioning_invariance(self, spark):
+        """Start-offset sharding equals the plain sequential model,
+        shards cover the corpus exactly once with contiguous id
+        ranges, and the layout is invariant to physical
+        partitioning."""
+        from data_pipeline_postgres_spark.operators import packing
+
+        rows = [(i, 100 + (i * 37) % 400) for i in range(300)]
+        sized = spark.createDataFrame(rows, "doc_id bigint, n_bytes bigint")
+        got = sorted(
+            map(
+                tuple,
+                packing.byte_shard_manifest(
+                    sized, shard_bytes=2048, bucket_width=32
+                ).collect(),
+            )
+        )
+        # sequential reference model
+        import collections
+
+        shards = collections.defaultdict(lambda: [0, 0, None, None])
+        cb = 0
+        for i, sz in rows:
+            sid = cb // 2048
+            s = shards[sid]
+            s[0] += 1
+            s[1] += sz
+            s[2] = i if s[2] is None else min(s[2], i)
+            s[3] = i if s[3] is None else max(s[3], i)
+            cb += sz
+        want = sorted((k, *v) for k, v in shards.items())
+        assert got == want
+        # invariant under physical partitioning
+        got13 = sorted(
+            map(
+                tuple,
+                packing.byte_shard_manifest(
+                    sized.repartition(13), shard_bytes=2048, bucket_width=32
+                ).collect(),
+            )
+        )
+        assert got13 == got
+        # contiguity: shard k's last_id < shard k+1's first_id
+        for (a, b) in zip(got, got[1:]):
+            assert a[4] < b[3]
+
+    def test_manifest_no_corpus_wide_single_partition_window(self, spark):
+        # the only single-partition exchange allowed is the tiny
+        # bucket-totals window; the corpus path must stay bucketed
+        plan = _plan(
+            registry.QUERIES["multimodal_shard_manifest"](spark, SF_SMOKE)
+        )
+        assert plan.count("Exchange SinglePartition") <= 1, plan
