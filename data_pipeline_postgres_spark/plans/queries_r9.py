@@ -1620,18 +1620,23 @@ def q_emb_matryoshka_agreement(
 
 _ENTITY_MATCH_ORACLE = """
 WITH t AS (
-    SELECT p_partkey AS key, p_brand AS brand, p_type AS ptype,
+    SELECT p_partkey AS key,
            list_distinct(regexp_split_to_array(p_name, ' ')) AS toks,
-           regexp_split_to_array(p_name, ' ')[-1] AS block
+           regexp_split_to_array(p_name, ' ')[-1] || '|' || p_brand
+               || '|' || p_type AS block,
+           CAST(p_size AS BIGINT) AS sz,
+           CAST(CAST(p_retailprice AS DECIMAL(12,2)) * 100
+                AS BIGINT) AS price_c
     FROM part
 )
-SELECT a_key, b_key, block, jaccard, same_brand, same_type FROM (
+SELECT a_key, b_key, block, jaccard, size_delta, price_delta_cents
+FROM (
     SELECT a.key AS a_key, b.key AS b_key, a.block AS block,
            CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
            / (len(a.toks) + len(b.toks)
               - len(list_intersect(a.toks, b.toks))) AS jaccard,
-           a.brand = b.brand AS same_brand,
-           a.ptype = b.ptype AS same_type
+           abs(a.sz - b.sz) AS size_delta,
+           abs(a.price_c - b.price_c) AS price_delta_cents
     FROM t a JOIN t b ON a.block = b.block AND a.key < b.key
 ) WHERE jaccard >= 0.3e0
 """
@@ -1639,12 +1644,16 @@ SELECT a_key, b_key, block, jaccard, same_brand, same_type FROM (
 
 @query("part_entity_match", _ENTITY_MATCH_ORACLE)
 def q_part_entity_match(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Entity resolution over the part catalog: block on the product
-    noun (last name token), verify within-block pairs by exact
-    token-set Jaccard >= 0.3, emit brand/type agreement features
+    """Entity resolution over the part catalog: block on the
+    composite (product noun, brand, type) key — duplicate listings
+    agree on hard attributes; the name is what drifts — verify
+    within-block pairs by exact token-set Jaccard >= 0.3, emit
+    size/price deltas as match-rule features
     (operators/entity.blocked_name_match). Candidates are quadratic
-    only inside a block — the record-linkage sibling of LSH
-    bucketing."""
+    only inside a block — and the composite key is what keeps block
+    frequency bounded by catalog granularity instead of the fixed
+    noun vocabulary (noun-only blocking measured 25 M candidate pairs
+    at sf0.1 vs 167 k composite; see operators/entity.py)."""
     from ..operators import entity
 
     return entity.blocked_name_match(load_table(spark, sf_dir, "part"))

@@ -515,16 +515,21 @@ class TestRetrievalAndEntityOps:
             spark, SF_SMOKE
         ).collect()
         assert rows, "expected at least one candidate pair"
-        names = {
-            r["p_partkey"]: r["p_name"]
+        attrs = {
+            r["p_partkey"]: (r["p_name"], r["p_brand"], r["p_type"])
             for r in load_table(spark, SF_SMOKE, "part").collect()
         }
         for r in rows:
             assert r["a_key"] < r["b_key"]
             assert 0.3 <= r["jaccard"] <= 1.0
-            # the block key really is the shared last name token
-            assert names[r["a_key"]].split(" ")[-1] == r["block"]
-            assert names[r["b_key"]].split(" ")[-1] == r["block"]
+            assert r["size_delta"] >= 0 and r["price_delta_cents"] >= 0
+            # composite block = shared (noun, brand, type) — the hard
+            # attributes both listings must agree on
+            for k in (r["a_key"], r["b_key"]):
+                name, brand, ptype = attrs[k]
+                assert (
+                    f"{name.split(' ')[-1]}|{brand}|{ptype}" == r["block"]
+                )
 
     def test_aggregate_only_plans(self, spark):
         # top-1 cuts are map-side-combinable aggregates: no window,
