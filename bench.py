@@ -191,6 +191,7 @@ EXT_HEADLINE = [
     "sketch_bloom_membership",
     "stream_cms_rollup",
     "multimodal_shard_manifest",
+    "events_out_of_order_audit",
 ]
 
 

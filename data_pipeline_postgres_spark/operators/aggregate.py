@@ -27,7 +27,7 @@ from __future__ import annotations
 
 from collections.abc import Sequence
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -391,4 +391,57 @@ def rolling_zscore_daily(daily: DataFrame) -> DataFrame:
         "cnt",
         F.when(ok, z).alias("z"),
         F.when(ok, F.abs(z) > 3.0).alias("is_anomaly"),
+    )
+
+
+def bucketed_prefix_max_before(
+    df: DataFrame,
+    order_col: str,
+    value_col: str,
+    bucket_width: int = 100_000,
+    tiebreak: str | None = None,
+) -> DataFrame:
+    """Exclusive running maximum of ``value_col`` in ``order_col``
+    order, WITHOUT a single-partition global window — the prefix-MAX
+    sibling of packing.pack_sequences' prefix sum:
+
+    1. range-bucket by the (monotone, unique) order column;
+    2. within-bucket exclusive running max — windows PARTITIONED by
+       bucket, each partition sorts only its slice;
+    3. one max per bucket (tiny relation), exclusive prefix-max THAT
+       with a global window over the tiny relation only, broadcast
+       back, combine with greatest().
+
+    Adds ``prev_max`` (NULL for the globally first row). The
+    (order_col, tiebreak) pair must be unique — the running max is
+    otherwise order-ambiguous within ties; ties can only occur inside
+    one bucket (equal order values share a bucket), so the tiebreak
+    never crosses the bucket boundary."""
+    b = df.withColumn(
+        "_bucket", F.expr(f"{order_col} div {bucket_width}")
+    )
+    order_cols = [order_col] + ([tiebreak] if tiebreak else [])
+    w_in = (
+        Window.partitionBy("_bucket")
+        .orderBy(*order_cols)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    within = b.withColumn("_in_max", F.max(value_col).over(w_in))
+    totals = b.groupBy("_bucket").agg(F.max(value_col).alias("_bmax"))
+    w_b = Window.orderBy("_bucket").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    offsets = totals.select(
+        "_bucket", F.max("_bmax").over(w_b).alias("_boff")
+    )
+    return (
+        within.join(F.broadcast(offsets), "_bucket")
+        .withColumn(
+            "prev_max",
+            F.when(
+                F.col("_in_max").isNull() & F.col("_boff").isNull(),
+                F.lit(None),
+            ).otherwise(F.greatest("_in_max", "_boff")),
+        )
+        .drop("_bucket", "_in_max", "_boff")
     )

@@ -2404,3 +2404,105 @@ def q_multimodal_shard_manifest(
         "doc_id", "n_bytes"
     )
     return packing.byte_shard_manifest(meta, shard_bytes=_SHARD_BYTES)
+
+
+# -- Out-of-order ingestion audit -------------------------------------------
+# How late do events arrive relative to ingestion order? The measured
+# answer to "what watermark delay does this stream need" — read BEFORE
+# picking withWatermark() bounds, the way basket_size_histogram is read
+# before pair generation.
+
+_OOO_AUDIT_ORACLE = """
+WITH e AS (
+    SELECT event_id, epoch_us(CAST(ts AS TIMESTAMP)) AS us,
+           epoch_us(CAST(ts AS TIMESTAMP))
+               + ('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 8)
+                 )::BIGINT % 3600000000 AS arr_us
+    FROM events
+),
+p AS (
+    SELECT event_id, us,
+           MAX(us) OVER (ORDER BY arr_us, event_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING
+                                  AND 1 PRECEDING) AS prev_max
+    FROM e
+),
+l AS (
+    SELECT CASE WHEN prev_max IS NULL OR prev_max <= us THEN 0
+                ELSE prev_max - us END AS late_us
+    FROM p
+)
+SELECT CASE WHEN late_us = 0 THEN -1
+            ELSE length(bin(late_us)) - 1 END AS late_pow2_us,
+       CAST(COUNT(*) AS BIGINT) AS n_events
+FROM l GROUP BY 1
+"""
+
+
+@query("events_out_of_order_audit", _OOO_AUDIT_ORACLE)
+def q_events_out_of_order_audit(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Event-time disorder audit: per event, lateness = (max event
+    time seen earlier in ingestion order) − its own event time,
+    histogrammed in power-of-2 microsecond buckets (−1 = in order) →
+    (late_pow2_us, n_events). The measured input to choosing a
+    streaming watermark: the p99 bucket IS the withWatermark() bound
+    that keeps 99% of events inside state, and the residual share is
+    the documented drop rate.
+
+    The testdata stream is PERFECTLY sorted by event_id (measured:
+    zero inversions at every sf), so ingestion order is modeled as
+    event time + an md5-derived deterministic arrival delay in
+    [0, 1h) — network jitter — to exercise the full path; on real
+    data the arrival sequence is simply the ingestion order and the
+    delay model drops out.
+
+    Shape: the running max is the distributed prefix-MAX sibling of
+    the packing prefix sum (operators/aggregate.
+    bucketed_prefix_max_before): within-bucket exclusive window maxes
+    + one tiny global window over per-bucket maxes broadcast back —
+    no single-partition pass over the corpus; buckets are arrival-
+    time ranges (ties stay inside a bucket, event_id tiebreak);
+    lateness in exact integer microseconds; bit-length bucketing (no
+    float log2)."""
+    from ..operators import aggregate
+
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    delay = (
+        F.conv(
+            F.substring(F.md5(F.col("event_id").cast("string")), 1, 8),
+            16,
+            10,
+        ).cast("bigint")
+        % F.lit(3_600_000_000)
+    )
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        us.alias("us"),
+        (us + delay).alias("arr_us"),
+    )
+    pm = aggregate.bucketed_prefix_max_before(
+        ev,
+        "arr_us",
+        "us",
+        bucket_width=600_000_000,  # 10-minute arrival-time buckets
+        tiebreak="event_id",
+    )
+    late = pm.select(
+        F.when(
+            F.col("prev_max").isNull()
+            | (F.col("prev_max") <= F.col("us")),
+            F.lit(0).cast("long"),
+        )
+        .otherwise(F.col("prev_max") - F.col("us"))
+        .alias("late_us")
+    )
+    return late.select(
+        F.when(F.col("late_us") == 0, F.lit(-1))
+        .otherwise(F.length(F.expr("bin(late_us)")) - 1)
+        .cast("long")
+        .alias("late_pow2_us")
+    ).groupBy("late_pow2_us").agg(
+        F.count("*").cast("long").alias("n_events")
+    )

@@ -886,3 +886,49 @@ class TestByteShardManifest:
             registry.QUERIES["multimodal_shard_manifest"](spark, SF_SMOKE)
         )
         assert plan.count("Exchange SinglePartition") <= 1, plan
+
+
+class TestOutOfOrderAudit:
+    def test_prefix_max_model_and_invariance(self, spark):
+        """Bucketed prefix-max equals the sequential model and is
+        invariant to physical partitioning."""
+        from data_pipeline_postgres_spark.operators import aggregate
+
+        rows = [(i, (i * 7919) % 1000) for i in range(500)]
+        df = spark.createDataFrame(rows, "event_id bigint, us bigint")
+        got = {
+            r["event_id"]: r["prev_max"]
+            for r in aggregate.bucketed_prefix_max_before(
+                df, "event_id", "us", bucket_width=64
+            ).collect()
+        }
+        mx = None
+        for i, v in rows:
+            assert got[i] == mx, i
+            mx = v if mx is None else max(mx, v)
+        got13 = {
+            r["event_id"]: r["prev_max"]
+            for r in aggregate.bucketed_prefix_max_before(
+                df.repartition(13), "event_id", "us", bucket_width=64
+            ).collect()
+        }
+        assert got13 == got
+
+    def test_audit_accounts_for_every_event(self, spark):
+        import pyspark.sql.functions as F
+        from data_pipeline_postgres_spark.catalog import load_table
+
+        df = registry.QUERIES["events_out_of_order_audit"](
+            spark, SF_SMOKE
+        )
+        total = df.agg(F.sum("n_events")).collect()[0][0]
+        n = load_table(spark, SF_SMOKE, "events").count()
+        assert total == n
+        for r in df.collect():
+            assert r["late_pow2_us"] == -1 or r["late_pow2_us"] >= 0
+
+    def test_audit_no_corpus_single_partition_window(self, spark):
+        plan = _plan(
+            registry.QUERIES["events_out_of_order_audit"](spark, SF_SMOKE)
+        )
+        assert plan.count("Exchange SinglePartition") <= 1, plan
