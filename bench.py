@@ -192,6 +192,7 @@ EXT_HEADLINE = [
     "stream_cms_rollup",
     "multimodal_shard_manifest",
     "events_out_of_order_audit",
+    "text_bigram_kn_logprob",
 ]
 
 

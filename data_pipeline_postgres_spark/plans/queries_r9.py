@@ -2506,3 +2506,131 @@ def q_events_out_of_order_audit(
     ).groupBy("late_pow2_us").agg(
         F.count("*").cast("long").alias("n_events")
     )
+
+
+# -- Kneser-Ney bigram scoring ----------------------------------------------
+# The production-grade LM quality signal: absolute discounting (D=0.75)
+# with CONTINUATION-probability backoff (Kneser & Ney '95). MLE
+# (text_bigram_logprob) overrates memorized frequent pairs;
+# KN's continuation term asks "in how many contexts does this word
+# appear" — the score that separates genuinely fluent text from
+# high-frequency-collocation stuffing. Every scored bigram exists in
+# the corpus (cnt >= 1 > D), so probabilities stay finite with no max().
+
+_KN_LOGPROB_ORACLE = r"""
+WITH w AS (
+    SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w
+    FROM documents
+),
+bg AS (
+    SELECT doc_id, w[i] AS w1, w[i+1] AS w2
+    FROM w, unnest(range(1, len(w))) AS t(i)
+),
+tf AS (SELECT doc_id, w1, w2, COUNT(*) AS tf FROM bg GROUP BY 1, 2, 3),
+cb AS (SELECT w1, w2, SUM(tf) AS cnt FROM tf GROUP BY 1, 2),
+cl AS (SELECT w1, SUM(cnt) AS lcnt FROM cb GROUP BY 1),
+n1f AS (SELECT w1, COUNT(*) AS nf FROM cb GROUP BY 1),
+n1p AS (SELECT w2, COUNT(*) AS np FROM cb GROUP BY 1),
+tot AS (SELECT COUNT(*) AS b FROM cb),
+lq AS (
+    SELECT cb.w1, cb.w2,
+           CAST(floor(log2(
+               (CAST(cnt AS DOUBLE) - 0.75e0) / CAST(lcnt AS DOUBLE)
+               + 0.75e0 * CAST(nf AS DOUBLE) / CAST(lcnt AS DOUBLE)
+                 * (CAST(np AS DOUBLE) / CAST(b AS DOUBLE))
+           ) * 1000000.0 + 0.5) AS BIGINT) AS lq
+    FROM cb
+    JOIN cl USING (w1)
+    JOIN n1f USING (w1)
+    JOIN n1p USING (w2)
+    CROSS JOIN tot
+),
+agg AS (
+    SELECT tf.doc_id, CAST(SUM(tf.tf) AS BIGINT) AS n_bigrams,
+           SUM(tf.tf * lq.lq) AS slq
+    FROM tf JOIN lq ON tf.w1 = lq.w1 AND tf.w2 = lq.w2
+    GROUP BY 1
+)
+SELECT doc_id, n_bigrams,
+       CAST(slq AS DOUBLE)
+       / (1000000.0 * CAST(n_bigrams AS DOUBLE)) AS mean_kn_logp
+FROM agg
+"""
+
+
+@query("text_bigram_kn_logprob", _KN_LOGPROB_ORACLE)
+def q_text_bigram_kn_logprob(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Kneser-Ney smoothed bigram document scoring: mean log2
+    P_KN(w2|w1) per doc with D=0.75 absolute discounting and
+    continuation-probability backoff → (doc_id, n_bigrams,
+    mean_kn_logp). The serious LM-quality member of the text-signal
+    family — MLE (text_bigram_logprob) overrates memorized frequent
+    pairs; the continuation term scores how PROMISCUOUSLY a word
+    combines, the classic fix.
+
+    Determinism: the KN probability is one identically-bracketed
+    double expression in both engines over exact integer counts
+    (discount 0.75 and all divisions exact-input); per-bigram log2
+    quantizes to int64 micro-bits BEFORE aggregation (order-free
+    sums), ONE double division at the end. Scale: the four model
+    relations (pair counts, left counts, fan-out, fan-in) are
+    map-side-combined shuffles on w1/w2; the 1-row bigram total
+    broadcasts; scoring is one bigram-keyed join — linear, the LM
+    never leaves the executors."""
+    toks = TX.tokens("text")
+    cnt_ = F.size(toks) - 1
+    z = F.arrays_zip(F.slice(toks, 1, cnt_), F.slice(toks, 2, cnt_))
+    bg = (
+        _docs(spark, sf_dir)
+        .select("doc_id", F.explode(z).alias("s"))
+        .select(
+            "doc_id",
+            F.col("s")["0"].alias("w1"),
+            F.col("s")["1"].alias("w2"),
+        )
+    )
+    tf = bg.groupBy("doc_id", "w1", "w2").agg(F.count("*").alias("tf"))
+    cb = tf.groupBy("w1", "w2").agg(F.sum("tf").alias("cnt"))
+    cl = cb.groupBy("w1").agg(F.sum("cnt").alias("lcnt"))
+    n1f = cb.groupBy("w1").agg(F.count("*").alias("nf"))
+    n1p = cb.groupBy("w2").agg(F.count("*").alias("np"))
+    tot = cb.agg(F.count("*").alias("b"))
+    p_kn = (
+        (F.col("cnt").cast("double") - F.lit(0.75))
+        / F.col("lcnt").cast("double")
+        + F.lit(0.75)
+        * F.col("nf").cast("double")
+        / F.col("lcnt").cast("double")
+        * (F.col("np").cast("double") / F.col("b").cast("double"))
+    )
+    lq = (
+        cb.join(cl, "w1")
+        .join(n1f, "w1")
+        .join(n1p, "w2")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "w1",
+            "w2",
+            F.floor(F.log2(p_kn) * F.lit(1_000_000.0) + F.lit(0.5))
+            .cast("bigint")
+            .alias("lq"),
+        )
+    )
+    agg = (
+        tf.join(lq, ["w1", "w2"])
+        .groupBy("doc_id")
+        .agg(
+            F.sum("tf").cast("bigint").alias("n_bigrams"),
+            F.sum(F.col("tf") * F.col("lq")).alias("slq"),
+        )
+    )
+    return agg.select(
+        "doc_id",
+        "n_bigrams",
+        (
+            F.col("slq").cast("double")
+            / (F.lit(1_000_000.0) * F.col("n_bigrams").cast("double"))
+        ).alias("mean_kn_logp"),
+    )

