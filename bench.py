@@ -193,6 +193,7 @@ EXT_HEADLINE = [
     "multimodal_shard_manifest",
     "events_out_of_order_audit",
     "text_bigram_kn_logprob",
+    "part_brand_discount_ols",
 ]
 
 

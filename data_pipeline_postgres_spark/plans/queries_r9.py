@@ -2634,3 +2634,96 @@ def q_text_bigram_kn_logprob(
             / (F.lit(1_000_000.0) * F.col("n_bigrams").cast("double"))
         ).alias("mean_kn_logp"),
     )
+
+
+# -- Grouped OLS: discount elasticity per brand -----------------------------
+# events_trend_ols fits ONE global line; the realistic analytical shape
+# is a regression PER GROUP behind a dimension join. All four moments
+# are exact int64 sums (discount in basis points, quantity integral),
+# so the normal-equation arithmetic is engine-identical.
+
+_BRAND_OLS_ORACLE = """
+WITH li AS (
+    SELECT l_partkey,
+           CAST(CAST(l_discount AS DECIMAL(6,4)) * 10000 AS BIGINT) AS x,
+           CAST(l_quantity AS BIGINT) AS y
+    FROM lineitem
+),
+j AS (
+    SELECT p.p_brand AS brand, x, y
+    FROM li JOIN part p ON p.p_partkey = li.l_partkey
+),
+m AS (
+    SELECT brand,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(x) AS BIGINT) AS sx,
+           CAST(SUM(y) AS BIGINT) AS sy,
+           CAST(SUM(x * y) AS BIGINT) AS sxy,
+           CAST(SUM(x * x) AS BIGINT) AS sxx
+    FROM j GROUP BY 1
+)
+SELECT brand, n,
+       CAST(n * sxy - sx * sy AS DOUBLE)
+           / CAST(n * sxx - sx * sx AS DOUBLE) AS slope_per_bp,
+       (CAST(sy AS DOUBLE)
+        - CAST(n * sxy - sx * sy AS DOUBLE)
+          / CAST(n * sxx - sx * sx AS DOUBLE) * CAST(sx AS DOUBLE))
+           / CAST(n AS DOUBLE) AS intercept
+FROM m
+"""
+
+
+@query("part_brand_discount_ols", _BRAND_OLS_ORACLE)
+def q_part_brand_discount_ols(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Per-brand discount→quantity OLS: does a deeper discount move
+    volume, brand by brand → (brand, n, slope_per_bp, intercept).
+    The GROUPED regression shape events_trend_ols (one global line)
+    doesn't cover: a moment aggregate behind a dimension join —
+    the everyday elasticity read.
+
+    Shape: part is the broadcast dim (key, brand only — column-pruned
+    scan); the fact pass accumulates all four moments in ONE
+    map-side-combined aggregate (exact int64: discount in basis
+    points ≤ 10^4, quantity ≤ 50, so n·Σxy stays far under 2^63 at
+    any SF); two double divisions per |brands| output row. No second
+    fact scan, no window."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey",
+        (F.col("l_discount").cast("decimal(6,4)") * 10000)
+        .cast("bigint")
+        .alias("x"),
+        F.col("l_quantity").cast("bigint").alias("y"),
+    )
+    p = load_table(spark, sf_dir, "part").select(
+        F.col("p_partkey").alias("l_partkey"),
+        F.col("p_brand").alias("brand"),
+    )
+    m = (
+        li.join(F.broadcast(p), "l_partkey")
+        .groupBy("brand")
+        .agg(
+            F.count("*").cast("bigint").alias("n"),
+            F.sum("x").cast("bigint").alias("sx"),
+            F.sum("y").cast("bigint").alias("sy"),
+            F.sum(F.col("x") * F.col("y")).cast("bigint").alias("sxy"),
+            F.sum(F.col("x") * F.col("x")).cast("bigint").alias("sxx"),
+        )
+    )
+    num = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast(
+        "double"
+    )
+    den = (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast(
+        "double"
+    )
+    slope = num / den
+    return m.select(
+        "brand",
+        "n",
+        slope.alias("slope_per_bp"),
+        (
+            (F.col("sy").cast("double") - slope * F.col("sx").cast("double"))
+            / F.col("n").cast("double")
+        ).alias("intercept"),
+    )
