@@ -109,6 +109,19 @@ SHOWCASE = [
     "docs_pack_fragmentation",
     "docs_shingle_novelty",
     "csv_malformed_permissive",
+    # late-round-9 additions
+    "part_entity_match",
+    "sim_topk_int8",
+    "sim_topk_int8_recall",
+    "events_session_paths",
+    "agg_weighted_median",
+    "orders_revenue_holt_forecast",
+    "sketch_count_min_freq",
+    "sketch_bloom_membership",
+    "multimodal_shard_manifest",
+    "events_out_of_order_audit",
+    "text_bigram_kn_logprob",
+    "part_brand_discount_ols",
 ]
 
 
