@@ -194,6 +194,7 @@ EXT_HEADLINE = [
     "events_out_of_order_audit",
     "text_bigram_kn_logprob",
     "part_brand_discount_ols",
+    "events_ab_welch_ttest",
 ]
 
 

@@ -2727,3 +2727,136 @@ def q_part_brand_discount_ols(
             / F.col("n").cast("double")
         ).alias("intercept"),
     )
+
+
+# -- Welch's t-test ----------------------------------------------------------
+# The A/B experiment read: deterministic 50/50 assignment (user_id
+# parity), purchase-value metric, Welch's unequal-variance t statistic
+# + Welch-Satterthwaite df. All moments are exact int64 cent sums; the
+# t/df arithmetic is one identically-bracketed double expression.
+
+_AB_TTEST_ORACLE = """
+WITH m AS (
+    SELECT user_id % 2 AS grp,
+           CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS c
+    FROM events WHERE event_type = 'purchase'
+),
+s AS (
+    SELECT grp, CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(c) AS BIGINT) AS sx,
+           CAST(SUM(c * c) AS BIGINT) AS sq
+    FROM m GROUP BY 1
+),
+w AS (
+    SELECT
+        MAX(CASE WHEN grp = 0 THEN n END) AS n_a,
+        MAX(CASE WHEN grp = 1 THEN n END) AS n_b,
+        MAX(CASE WHEN grp = 0 THEN sx END) AS sx_a,
+        MAX(CASE WHEN grp = 1 THEN sx END) AS sx_b,
+        MAX(CASE WHEN grp = 0 THEN sq END) AS sq_a,
+        MAX(CASE WHEN grp = 1 THEN sq END) AS sq_b
+    FROM s
+),
+v AS (
+    SELECT n_a, n_b,
+           CAST(sx_a AS DOUBLE) / CAST(n_a AS DOUBLE) AS ma,
+           CAST(sx_b AS DOUBLE) / CAST(n_b AS DOUBLE) AS mb,
+           (CAST(sq_a AS DOUBLE)
+            - CAST(sx_a AS DOUBLE) * CAST(sx_a AS DOUBLE)
+              / CAST(n_a AS DOUBLE)) / CAST(n_a - 1 AS DOUBLE)
+               / CAST(n_a AS DOUBLE) AS va_n,
+           (CAST(sq_b AS DOUBLE)
+            - CAST(sx_b AS DOUBLE) * CAST(sx_b AS DOUBLE)
+              / CAST(n_b AS DOUBLE)) / CAST(n_b - 1 AS DOUBLE)
+               / CAST(n_b AS DOUBLE) AS vb_n
+    FROM w
+)
+SELECT n_a, n_b,
+       ma / 100e0 AS mean_a,
+       mb / 100e0 AS mean_b,
+       (ma - mb) / sqrt(va_n + vb_n) AS t_stat,
+       (va_n + vb_n) * (va_n + vb_n)
+       / (va_n * va_n / CAST(n_a - 1 AS DOUBLE)
+          + vb_n * vb_n / CAST(n_b - 1 AS DOUBLE)) AS welch_df
+FROM v
+"""
+
+
+@query("events_ab_welch_ttest", _AB_TTEST_ORACLE)
+def q_events_ab_welch_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Welch's unequal-variance two-sample t-test over purchase value
+    with deterministic 50/50 assignment (user_id parity) →
+    (n_a, n_b, mean_a, mean_b, t_stat, welch_df). The experiment
+    read-out primitive the anomaly family doesn't give: is the
+    difference between two cohorts larger than their pooled noise.
+
+    Determinism: the three moments per arm (n, Σ cents, Σ cents²) are
+    exact int64 sums — cents ≤ 10^5, so Σc² stays under 2^63 through
+    ~10^9 purchases per arm (DECIMAL widening documented beyond);
+    every double op after that is one identically-bracketed
+    expression (sqrt is correctly-rounded IEEE, oracle-safe).
+
+    Shape: one filtered scan → ONE map-side-combined 2-group
+    aggregate → a 2-row pivot into a single result row. Nothing else
+    moves; at 100 TB this is the cheapest query in the engine."""
+    ev = load_table(spark, sf_dir, "events")
+    m = ev.filter(F.col("event_type") == "purchase").select(
+        (F.col("user_id") % 2).alias("grp"),
+        (F.col("value").cast("decimal(18,2)") * 100)
+        .cast("bigint")
+        .alias("c"),
+    )
+    s = m.groupBy("grp").agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("c").cast("bigint").alias("sx"),
+        F.sum(F.col("c") * F.col("c")).cast("bigint").alias("sq"),
+    )
+    w = s.agg(
+        F.max(F.when(F.col("grp") == 0, F.col("n"))).alias("n_a"),
+        F.max(F.when(F.col("grp") == 1, F.col("n"))).alias("n_b"),
+        F.max(F.when(F.col("grp") == 0, F.col("sx"))).alias("sx_a"),
+        F.max(F.when(F.col("grp") == 1, F.col("sx"))).alias("sx_b"),
+        F.max(F.when(F.col("grp") == 0, F.col("sq"))).alias("sq_a"),
+        F.max(F.when(F.col("grp") == 1, F.col("sq"))).alias("sq_b"),
+    )
+    d = lambda c: F.col(c).cast("double")  # noqa: E731
+    ma = d("sx_a") / d("n_a")
+    mb = d("sx_b") / d("n_b")
+    va_n = (
+        (d("sq_a") - d("sx_a") * d("sx_a") / d("n_a"))
+        / (F.col("n_a") - 1).cast("double")
+        / d("n_a")
+    )
+    vb_n = (
+        (d("sq_b") - d("sx_b") * d("sx_b") / d("n_b"))
+        / (F.col("n_b") - 1).cast("double")
+        / d("n_b")
+    )
+    v = w.select(
+        "n_a",
+        "n_b",
+        ma.alias("ma"),
+        mb.alias("mb"),
+        va_n.alias("va_n"),
+        vb_n.alias("vb_n"),
+    )
+    return v.select(
+        "n_a",
+        "n_b",
+        (F.col("ma") / F.lit(100.0)).alias("mean_a"),
+        (F.col("mb") / F.lit(100.0)).alias("mean_b"),
+        (
+            (F.col("ma") - F.col("mb"))
+            / F.sqrt(F.col("va_n") + F.col("vb_n"))
+        ).alias("t_stat"),
+        (
+            (F.col("va_n") + F.col("vb_n"))
+            * (F.col("va_n") + F.col("vb_n"))
+            / (
+                F.col("va_n") * F.col("va_n")
+                / (F.col("n_a") - 1).cast("double")
+                + F.col("vb_n") * F.col("vb_n")
+                / (F.col("n_b") - 1).cast("double")
+            )
+        ).alias("welch_df"),
+    )
