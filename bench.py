@@ -195,6 +195,7 @@ EXT_HEADLINE = [
     "text_bigram_kn_logprob",
     "part_brand_discount_ols",
     "events_ab_welch_ttest",
+    "events_km_conversion_curve",
 ]
 
 

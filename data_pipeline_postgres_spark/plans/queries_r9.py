@@ -2860,3 +2860,179 @@ def q_events_ab_welch_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("welch_df"),
     )
+
+
+# -- Kaplan-Meier conversion curve ------------------------------------------
+# Survival analysis over the event log: time from signup to first
+# big-ticket purchase (value >= $150), RIGHT-CENSORED at last activity
+# for users who never get there — the estimator that reads time-to-
+# convert correctly when many subjects haven't converted yet (a plain
+# mean over converters only is survivorship-biased). Survival is
+# emitted as the cumulative quantized log2 (int64 micro-bits, exact
+# running sum); S(t) = 2^(ubits/2^20) for the reader.
+
+_KM_BIG = 150.0
+_KM_DEAD_UBITS = -(10**9)  # d == n_risk: S hits exactly 0
+
+_KM_ORACLE = f"""
+WITH s AS (
+    SELECT user_id, MIN(ts) AS st FROM events
+    WHERE event_type = 'signup' GROUP BY 1
+),
+p AS (
+    SELECT e.user_id, MIN(e.ts) AS pt
+    FROM events e JOIN s ON s.user_id = e.user_id
+    WHERE e.event_type = 'purchase' AND e.value >= {_KM_BIG}e0
+      AND e.ts >= s.st
+    GROUP BY 1
+),
+last AS (
+    SELECT e.user_id, MAX(e.ts) AS lt
+    FROM events e JOIN s ON s.user_id = e.user_id
+    GROUP BY 1
+),
+subj AS (
+    SELECT s.user_id,
+           CASE WHEN p.pt IS NOT NULL THEN 1 ELSE 0 END AS ev,
+           (epoch_us(CAST(COALESCE(p.pt, last.lt) AS TIMESTAMP))
+            - epoch_us(CAST(s.st AS TIMESTAMP))) // 86400000000
+               AS t_days
+    FROM s
+    JOIN last ON last.user_id = s.user_id
+    LEFT JOIN p ON p.user_id = s.user_id
+),
+tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM subj),
+grp AS (
+    SELECT t_days,
+           CAST(SUM(ev) AS BIGINT) AS d,
+           CAST(SUM(1 - ev) AS BIGINT) AS c
+    FROM subj GROUP BY 1
+),
+risk AS (
+    SELECT t_days, d, c,
+           n - COALESCE(SUM(d + c) OVER (ORDER BY t_days
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS n_risk
+    FROM grp, tot
+),
+terms AS (
+    SELECT t_days, n_risk, d, c,
+           CASE WHEN d = 0 THEN 0
+                WHEN d < n_risk THEN CAST(floor(log2(
+                    CAST(n_risk - d AS DOUBLE) / CAST(n_risk AS DOUBLE)
+                ) * 1000000.0 + 0.5) AS BIGINT)
+                ELSE {_KM_DEAD_UBITS} END AS term
+    FROM risk
+)
+SELECT t_days, CAST(n_risk AS BIGINT) AS n_risk, d AS d_events,
+       c AS c_censored,
+       CAST(SUM(term) OVER (ORDER BY t_days
+            ROWS UNBOUNDED PRECEDING) AS BIGINT) AS log2_s_ubits
+FROM terms
+"""
+
+
+@query("events_km_conversion_curve", _KM_ORACLE)
+def q_events_km_conversion_curve(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Kaplan-Meier time-to-conversion: signup → first big-ticket
+    purchase (value >= $150), right-censored at last activity →
+    (t_days, n_risk, d_events, c_censored, log2_s_ubits). The
+    survival-analysis primitive the retention family lacks: censored
+    users stay in the risk set until they drop out, so the curve is
+    unbiased where a converters-only mean is survivorship-biased.
+    S(t) = 2^(ubits/2^20); a d = n_risk terminal bucket pins S to 0
+    via an exact sentinel.
+
+    Determinism: durations in exact integer days (µs div 86400e6);
+    each KM factor's log2 quantizes to int64 micro-bits BEFORE the
+    cumulative sum (exact in any order/engine); sentinel −10^9 for
+    the S=0 step. Shape: three user-keyed aggregates sharing one
+    Exchange, then the curve windows run over the DISTINCT-duration
+    relation (≤ dataset-span days — tiny by construction, its
+    single-partition window is safe the same way the bucket-totals
+    windows are)."""
+    ev = load_table(spark, sf_dir, "events")
+    from pyspark.sql import Window
+
+    s = (
+        ev.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("st"))
+    )
+    p = (
+        ev.filter(
+            (F.col("event_type") == "purchase")
+            & (F.col("value") >= F.lit(_KM_BIG))
+        )
+        .join(s, "user_id")
+        .filter(F.col("ts") >= F.col("st"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("pt"))
+    )
+    last = ev.join(s.select("user_id"), "user_id").groupBy("user_id").agg(
+        F.max("ts").alias("lt")
+    )
+    us = lambda c: F.unix_micros(F.col(c).cast("timestamp"))  # noqa: E731
+    subj = (
+        s.join(last, "user_id")
+        .join(p, "user_id", "left")
+        .select(
+            F.when(F.col("pt").isNotNull(), 1).otherwise(0).alias("ev"),
+            F.expr(
+                "(unix_micros(cast(coalesce(pt, lt) as timestamp))"
+                " - unix_micros(cast(st as timestamp))) div 86400000000"
+            ).alias("t_days"),
+        )
+    )
+    grp = subj.groupBy("t_days").agg(
+        F.sum("ev").cast("bigint").alias("d"),
+        F.sum(1 - F.col("ev")).cast("bigint").alias("c"),
+    )
+    tot = subj.agg(F.count("*").cast("bigint").alias("n"))
+    w_prev = Window.orderBy("t_days").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    risk = grp.crossJoin(F.broadcast(tot)).select(
+        "t_days",
+        "d",
+        "c",
+        (
+            F.col("n")
+            - F.coalesce(
+                F.sum(F.col("d") + F.col("c")).over(w_prev), F.lit(0)
+            )
+        ).alias("n_risk"),
+    )
+    term = (
+        F.when(F.col("d") == 0, F.lit(0).cast("bigint"))
+        .when(
+            F.col("d") < F.col("n_risk"),
+            F.floor(
+                F.log2(
+                    (F.col("n_risk") - F.col("d")).cast("double")
+                    / F.col("n_risk").cast("double")
+                )
+                * F.lit(1_000_000.0)
+                + F.lit(0.5)
+            ).cast("bigint"),
+        )
+        .otherwise(F.lit(_KM_DEAD_UBITS).cast("bigint"))
+    )
+    w_cum = Window.orderBy("t_days").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return risk.select(
+        "t_days",
+        F.col("n_risk").cast("bigint").alias("n_risk"),
+        F.col("d").alias("d_events"),
+        F.col("c").alias("c_censored"),
+        term.alias("term"),
+    ).select(
+        "t_days",
+        "n_risk",
+        "d_events",
+        "c_censored",
+        F.sum("term").over(w_cum).cast("bigint").alias("log2_s_ubits"),
+    )

@@ -1043,3 +1043,50 @@ class TestWelchTTest:
         ).collect()[0]
         assert math.isfinite(got["t_stat"])
         assert 1 <= got["welch_df"] <= got["n_a"] + got["n_b"]
+
+
+class TestKaplanMeier:
+    def test_km_invariants(self, spark):
+        """Risk set telescopes exactly, survival is non-increasing,
+        and with zero censoring KM equals the empirical CDF."""
+        rows = sorted(
+            registry.QUERIES["events_km_conversion_curve"](
+                spark, SF_SMOKE
+            ).collect(),
+            key=lambda r: r["t_days"],
+        )
+        assert rows
+        n0 = rows[0]["n_risk"]
+        expect_risk = n0
+        prev_ubits = 0
+        for r in rows:
+            assert r["n_risk"] == expect_risk
+            expect_risk -= r["d_events"] + r["c_censored"]
+            assert r["log2_s_ubits"] <= prev_ubits  # non-increasing S
+            prev_ubits = r["log2_s_ubits"]
+        assert expect_risk == 0  # every subject accounted for once
+        # there is real censoring on this corpus (the estimator's
+        # reason to exist) — if this fails the threshold needs moving
+        assert sum(r["c_censored"] for r in rows) > 0
+        assert sum(r["d_events"] for r in rows) > 0
+
+    def test_km_matches_sequential_reference(self, spark):
+        import math
+
+        rows = sorted(
+            registry.QUERIES["events_km_conversion_curve"](
+                spark, SF_SMOKE
+            ).collect(),
+            key=lambda r: r["t_days"],
+        )
+        cum = 0
+        for r in rows:
+            n, d = r["n_risk"], r["d_events"]
+            if d == 0:
+                term = 0
+            elif d < n:
+                term = math.floor(math.log2((n - d) / n) * 1e6 + 0.5)
+            else:
+                term = -(10**9)
+            cum += term
+            assert r["log2_s_ubits"] == cum, r.asDict()

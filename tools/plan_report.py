@@ -123,6 +123,7 @@ SHOWCASE = [
     "text_bigram_kn_logprob",
     "part_brand_discount_ols",
     "events_ab_welch_ttest",
+    "events_km_conversion_curve",
 ]
 
 
