@@ -196,6 +196,7 @@ EXT_HEADLINE = [
     "part_brand_discount_ols",
     "events_ab_welch_ttest",
     "events_km_conversion_curve",
+    "events_cuped_ab_adjusted",
 ]
 
 

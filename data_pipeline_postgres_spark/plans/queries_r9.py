@@ -3036,3 +3036,211 @@ def q_events_km_conversion_curve(
         "c_censored",
         F.sum("term").over(w_cum).cast("bigint").alias("log2_s_ubits"),
     )
+
+
+# -- CUPED variance-reduced A/B readout -------------------------------------
+# Deng et al. WSDM'13: regress the experiment metric on its own
+# pre-period value and test the residual — same treatment effect,
+# less variance, smaller detectable lift. theta and x-bar come from
+# exact int64 moments; each user's adjusted metric is one
+# identically-bracketed double, quantized to int64 (2^10 per cent)
+# BEFORE the arm sums so the t statistic is engine-exact.
+
+_CUPED_CUTOFF = "2024-01-16"
+_CUPED_Q = 1024  # 2^10 — exact power-of-2 quantization scale
+
+_CUPED_ORACLE = f"""
+WITH u AS (
+    SELECT user_id,
+           CAST(SUM(CASE WHEN event_type = 'purchase'
+                          AND ts < TIMESTAMP '{_CUPED_CUTOFF}'
+                    THEN CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)
+                    ELSE 0 END) AS BIGINT) AS x,
+           CAST(SUM(CASE WHEN event_type = 'purchase'
+                          AND ts >= TIMESTAMP '{_CUPED_CUTOFF}'
+                    THEN CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)
+                    ELSE 0 END) AS BIGINT) AS y,
+           user_id % 2 AS grp
+    FROM events GROUP BY user_id
+),
+g AS (
+    SELECT CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+           CAST(SUM(CAST(x AS DECIMAL(19,0)) * CAST(x AS DECIMAL(19,0)))
+                AS DOUBLE) AS sxx,
+           CAST(SUM(CAST(x AS DECIMAL(19,0)) * CAST(y AS DECIMAL(19,0)))
+                AS DOUBLE) AS sxy
+    FROM u
+),
+th AS (
+    SELECT n,
+           (CAST(n AS DOUBLE) * sxy
+            - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+           / (CAST(n AS DOUBLE) * sxx
+              - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) AS theta,
+           CAST(sx AS DOUBLE) / CAST(n AS DOUBLE) AS xbar
+    FROM g
+),
+adj AS (
+    SELECT grp, y,
+           CAST(floor((CAST(y AS DOUBLE)
+                       - theta * (CAST(x AS DOUBLE) - xbar))
+                      * {_CUPED_Q}e0 + 0.5e0) AS BIGINT) AS q
+    FROM u, th
+),
+arms AS (
+    SELECT grp, CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(y) AS BIGINT) AS sy,
+           CAST(SUM(CAST(y AS DECIMAL(19,0)) * CAST(y AS DECIMAL(19,0)))
+                AS DOUBLE) AS syy,
+           CAST(SUM(q) AS BIGINT) AS sq,
+           CAST(SUM(CAST(q AS DECIMAL(19,0)) * CAST(q AS DECIMAL(19,0)))
+                AS DOUBLE) AS sqq
+    FROM adj GROUP BY 1
+),
+w AS (
+    SELECT MAX(CASE WHEN grp = 0 THEN n END) AS n_a,
+           MAX(CASE WHEN grp = 1 THEN n END) AS n_b,
+           MAX(CASE WHEN grp = 0 THEN sy END) AS sy_a,
+           MAX(CASE WHEN grp = 1 THEN sy END) AS sy_b,
+           MAX(CASE WHEN grp = 0 THEN syy END) AS syy_a,
+           MAX(CASE WHEN grp = 1 THEN syy END) AS syy_b,
+           MAX(CASE WHEN grp = 0 THEN sq END) AS sq_a,
+           MAX(CASE WHEN grp = 1 THEN sq END) AS sq_b,
+           MAX(CASE WHEN grp = 0 THEN sqq END) AS sqq_a,
+           MAX(CASE WHEN grp = 1 THEN sqq END) AS sqq_b
+    FROM arms
+)
+SELECT n_a, n_b, theta,
+       (CAST(sy_a AS DOUBLE) / CAST(n_a AS DOUBLE)
+        - CAST(sy_b AS DOUBLE) / CAST(n_b AS DOUBLE))
+       / sqrt(
+           (syy_a - CAST(sy_a AS DOUBLE) * CAST(sy_a AS DOUBLE)
+                    / CAST(n_a AS DOUBLE))
+               / CAST(n_a - 1 AS DOUBLE) / CAST(n_a AS DOUBLE)
+           + (syy_b - CAST(sy_b AS DOUBLE) * CAST(sy_b AS DOUBLE)
+                      / CAST(n_b AS DOUBLE))
+               / CAST(n_b - 1 AS DOUBLE) / CAST(n_b AS DOUBLE)
+       ) AS t_raw,
+       (CAST(sq_a AS DOUBLE) / CAST(n_a AS DOUBLE)
+        - CAST(sq_b AS DOUBLE) / CAST(n_b AS DOUBLE))
+       / sqrt(
+           (sqq_a - CAST(sq_a AS DOUBLE) * CAST(sq_a AS DOUBLE)
+                    / CAST(n_a AS DOUBLE))
+               / CAST(n_a - 1 AS DOUBLE) / CAST(n_a AS DOUBLE)
+           + (sqq_b - CAST(sq_b AS DOUBLE) * CAST(sq_b AS DOUBLE)
+                      / CAST(n_b AS DOUBLE))
+               / CAST(n_b - 1 AS DOUBLE) / CAST(n_b AS DOUBLE)
+       ) AS t_cuped
+FROM th, w
+"""
+
+
+@query("events_cuped_ab_adjusted", _CUPED_ORACLE)
+def q_events_cuped_ab_adjusted(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """CUPED variance-reduced experiment readout (Deng et al.
+    WSDM'13): per user, post-period purchase revenue adjusted by its
+    own pre-period value (theta = cov(x,y)/var(x)), then Welch t on
+    raw vs adjusted → (n_a, n_b, theta, t_raw, t_cuped). The standard
+    trick that shrinks experiment runtimes: same expected lift,
+    provably lower variance, so |t_cuped| >= |t_raw| when the
+    pre-period predicts the metric.
+
+    Determinism: theta/x-bar from exact int64/decimal moments; each
+    user's adjustment is ONE identically-bracketed double, quantized
+    to int64 (2^10 per cent — an exact power-of-2 scale) BEFORE the
+    arm sums; squared sums widen through DECIMAL(19,0)x(19,0)
+    products so no count ever overflows. Shape: one user aggregate,
+    one 1-row moment pass broadcast back, one arm aggregate — three
+    map-side-combined shuffles on tiny relations after the scan."""
+    ev = load_table(spark, sf_dir, "events")
+    cents = (F.col("value").cast("decimal(18,2)") * 100).cast("bigint")
+    cutoff = F.lit(_CUPED_CUTOFF).cast("timestamp")
+    is_p = F.col("event_type") == "purchase"
+    u = ev.groupBy("user_id").agg(
+        F.sum(
+            F.when(is_p & (F.col("ts") < cutoff), cents).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("x"),
+        F.sum(
+            F.when(is_p & (F.col("ts") >= cutoff), cents).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("y"),
+    ).withColumn("grp", F.col("user_id") % 2)
+    dec = lambda c: F.col(c).cast("decimal(19,0)")  # noqa: E731
+    g = u.agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("x").cast("bigint").alias("sx"),
+        F.sum("y").cast("bigint").alias("sy"),
+        F.sum(dec("x") * dec("x")).cast("double").alias("sxx"),
+        F.sum(dec("x") * dec("y")).cast("double").alias("sxy"),
+    )
+    d = lambda c: F.col(c).cast("double")  # noqa: E731
+    th = g.select(
+        "n",
+        (
+            (d("n") * F.col("sxy") - d("sx") * d("sy"))
+            / (d("n") * F.col("sxx") - d("sx") * d("sx"))
+        ).alias("theta"),
+        (d("sx") / d("n")).alias("xbar"),
+    )
+    adj = u.crossJoin(F.broadcast(th)).select(
+        "grp",
+        "y",
+        F.floor(
+            (d("y") - F.col("theta") * (d("x") - F.col("xbar")))
+            * F.lit(float(_CUPED_Q))
+            + F.lit(0.5)
+        )
+        .cast("bigint")
+        .alias("q"),
+    )
+    arms = adj.groupBy("grp").agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("y").cast("bigint").alias("sy"),
+        F.sum(dec("y") * dec("y")).cast("double").alias("syy"),
+        F.sum("q").cast("bigint").alias("sq"),
+        F.sum(dec("q") * dec("q")).cast("double").alias("sqq"),
+    )
+    pick = lambda grp, c: F.max(  # noqa: E731
+        F.when(F.col("grp") == grp, F.col(c))
+    )
+    w = arms.agg(
+        pick(0, "n").alias("n_a"),
+        pick(1, "n").alias("n_b"),
+        pick(0, "sy").alias("sy_a"),
+        pick(1, "sy").alias("sy_b"),
+        pick(0, "syy").alias("syy_a"),
+        pick(1, "syy").alias("syy_b"),
+        pick(0, "sq").alias("sq_a"),
+        pick(1, "sq").alias("sq_b"),
+        pick(0, "sqq").alias("sqq_a"),
+        pick(1, "sqq").alias("sqq_b"),
+    )
+
+    def welch(s_a, s_b, ss_a, ss_b):
+        ma = d(s_a) / d("n_a")
+        mb = d(s_b) / d("n_b")
+        va_n = (
+            (F.col(ss_a) - d(s_a) * d(s_a) / d("n_a"))
+            / (F.col("n_a") - 1).cast("double")
+            / d("n_a")
+        )
+        vb_n = (
+            (F.col(ss_b) - d(s_b) * d(s_b) / d("n_b"))
+            / (F.col("n_b") - 1).cast("double")
+            / d("n_b")
+        )
+        return (ma - mb) / F.sqrt(va_n + vb_n)
+
+    return w.crossJoin(F.broadcast(th.select("theta"))).select(
+        "n_a",
+        "n_b",
+        "theta",
+        welch("sy_a", "sy_b", "syy_a", "syy_b").alias("t_raw"),
+        welch("sq_a", "sq_b", "sqq_a", "sqq_b").alias("t_cuped"),
+    )

@@ -1090,3 +1090,54 @@ class TestKaplanMeier:
                 term = -(10**9)
             cum += term
             assert r["log2_s_ubits"] == cum, r.asDict()
+
+
+class TestCuped:
+    def test_cuped_reduces_variance(self, spark):
+        """theta is the OLS minimizer of residual variance, so the
+        sample variance of the adjusted metric can never exceed the
+        raw metric's (up to quantization noise) — and the pooled
+        check against a plain-Python reference."""
+        import math
+
+        from data_pipeline_postgres_spark.catalog import load_table
+
+        got = registry.QUERIES["events_cuped_ab_adjusted"](
+            spark, SF_SMOKE
+        ).collect()[0]
+        assert math.isfinite(got["theta"])
+        assert math.isfinite(got["t_raw"]) and math.isfinite(
+            got["t_cuped"]
+        )
+
+        ev = load_table(spark, SF_SMOKE, "events").collect()
+        from collections import defaultdict
+
+        pre = defaultdict(int)
+        post = defaultdict(int)
+        users = set()
+        for r in ev:
+            users.add(r["user_id"])
+            if r["event_type"] != "purchase":
+                continue
+            c = round(r["value"] * 100)
+            if str(r["ts"]) < "2024-01-16":
+                pre[r["user_id"]] += c
+            else:
+                post[r["user_id"]] += c
+        xs = [pre[u] for u in users]
+        ys = [post[u] for u in users]
+        n = len(xs)
+        sx, sy = sum(xs), sum(ys)
+        sxx = sum(x * x for x in xs)
+        sxy = sum(x * y for x, y in zip(xs, ys))
+        theta = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+        assert got["theta"] == pytest.approx(theta, rel=1e-9)
+        xbar = sx / n
+        adj = [y - theta * (x - xbar) for x, y in zip(xs, ys)]
+
+        def var(v):
+            m = sum(v) / len(v)
+            return sum((a - m) ** 2 for a in v) / (len(v) - 1)
+
+        assert var(adj) <= var([float(y) for y in ys]) * (1 + 1e-9)

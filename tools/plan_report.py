@@ -124,6 +124,7 @@ SHOWCASE = [
     "part_brand_discount_ols",
     "events_ab_welch_ttest",
     "events_km_conversion_curve",
+    "events_cuped_ab_adjusted",
 ]
 
 
