@@ -197,6 +197,7 @@ EXT_HEADLINE = [
     "events_ab_welch_ttest",
     "events_km_conversion_curve",
     "events_cuped_ab_adjusted",
+    "graph_random_walks",
 ]
 
 

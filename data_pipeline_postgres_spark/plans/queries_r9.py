@@ -3244,3 +3244,136 @@ def q_events_cuped_ab_adjusted(
         welch("sy_a", "sy_b", "syy_a", "syy_b").alias("t_raw"),
         welch("sq_a", "sq_b", "sqq_a", "sqq_b").alias("t_cuped"),
     )
+
+
+# -- Deterministic random walks ---------------------------------------------
+# node2vec-style walk-corpus generation (Grover & Leskovec KDD'16,
+# uniform p=q=1 case) with md5-derived neighbor choice: at node v,
+# step k, follow the neighbor whose dense rank equals
+# H(v, k) mod degree(v). Deterministic -> the walk corpus itself is
+# hash-checkable, unlike RNG-based samplers.
+
+_WALK_LEN = 4
+_WALK_STARTS = 20
+
+
+def _walks_oracle() -> str:
+    steps = []
+    sel = ["SELECT start, CAST(0 AS BIGINT) AS step, start AS node"
+           " FROM starts"]
+    for k in range(1, _WALK_LEN + 1):
+        prev = "w0" if k == 1 else f"w{k-1}"
+        steps.append(
+            f"""w{k} AS MATERIALIZED (
+    SELECT {prev}.start, r.dst AS cur
+    FROM {prev} JOIN ranked r
+      ON r.src = {prev}.cur
+     AND r.rnk = ('0x' || substr(md5(CAST({prev}.cur AS VARCHAR)
+                                      || '#{k}'), 1, 8))::BIGINT % r.deg
+)"""
+        )
+        sel.append(
+            f"SELECT start, CAST({k} AS BIGINT) AS step, cur AS node"
+            f" FROM w{k}"
+        )
+    return (
+        """
+WITH basket AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+pw AS (
+    SELECT a.l_partkey AS src, b.l_partkey AS dst
+    FROM basket a JOIN basket b
+      ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey
+    GROUP BY 1, 2
+),
+ranked AS MATERIALIZED (
+    SELECT src, dst,
+           row_number() OVER (PARTITION BY src ORDER BY dst) - 1 AS rnk,
+           COUNT(*) OVER (PARTITION BY src) AS deg
+    FROM pw
+),
+starts AS MATERIALIZED (
+    SELECT src AS start
+    FROM (SELECT DISTINCT src, deg FROM ranked)
+    ORDER BY deg DESC, src LIMIT """
+        + str(_WALK_STARTS)
+        + """
+),
+w0 AS (SELECT start, start AS cur FROM starts),
+"""
+        + ",\n".join(steps)
+        + "\n"
+        + "\nUNION ALL ".join(sel)
+    )
+
+
+@query("graph_random_walks", _walks_oracle())
+def q_graph_random_walks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic uniform random walks over the stored co-purchase
+    edge index: length-4 walks from the 20 highest-degree parts, next
+    hop = neighbor at dense rank H(node, step) mod degree →
+    (start, step, node). The walk-corpus generator behind
+    DeepWalk/node2vec graph embeddings, made md5-deterministic so the
+    sampled corpus itself hash-checks (an RNG sampler can only be
+    rows-checked).
+
+    Shape: neighbor ranking is ONE src-partitioned window over the
+    stored edge index; each hop is a BROADCAST of the tiny frontier
+    (≤ |starts| rows) onto the ranked relation — 4 broadcast joins,
+    the edge set never re-shuffles, and walk count scales the
+    frontier, never the edge side. At 100 TB the ranked index is the
+    write-once artifact and hops stay frontier-broadcast joins."""
+    from pyspark.sql import Window
+
+    from .queries_analytics import _copurchase_edge_index
+
+    e = _copurchase_edge_index(spark, sf_dir).select("src", "dst")
+    wr = Window.partitionBy("src").orderBy("dst")
+    wp = Window.partitionBy("src")
+    ranked = e.select(
+        "src",
+        "dst",
+        (F.row_number().over(wr) - 1).alias("rnk"),
+        F.count("*").over(wp).alias("deg"),
+    )
+    starts = (
+        ranked.select("src", "deg")
+        .distinct()
+        .orderBy(F.desc("deg"), F.asc("src"))
+        .limit(_WALK_STARTS)
+        .select(F.col("src").alias("start"))
+    )
+    parts = [
+        starts.select(
+            "start",
+            F.lit(0).cast("bigint").alias("step"),
+            F.col("start").alias("node"),
+        )
+    ]
+    cur = starts.select("start", F.col("start").alias("cur"))
+    for k in range(1, _WALK_LEN + 1):
+        h = F.conv(
+            F.substring(
+                F.md5(F.concat(F.col("cur").cast("string"), F.lit(f"#{k}"))),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        step = (
+            ranked.join(F.broadcast(cur), ranked["src"] == cur["cur"])
+            .filter(F.col("rnk") == h % F.col("deg"))
+            .select("start", F.col("dst").alias("cur"))
+        )
+        parts.append(
+            step.select(
+                "start",
+                F.lit(k).cast("bigint").alias("step"),
+                F.col("cur").alias("node"),
+            )
+        )
+        cur = step
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out

@@ -1141,3 +1141,40 @@ class TestCuped:
             return sum((a - m) ** 2 for a in v) / (len(v) - 1)
 
         assert var(adj) <= var([float(y) for y in ys]) * (1 + 1e-9)
+
+
+class TestRandomWalks:
+    def test_walks_are_valid_paths(self, spark):
+        """Every consecutive (node, next) pair is a real edge, every
+        walk has exactly length+1 rows, and hop choice matches the
+        md5 rule recomputed in Python."""
+        import hashlib
+
+        from data_pipeline_postgres_spark.plans.queries_analytics import (
+            _copurchase_edge_index,
+        )
+
+        rows = registry.QUERIES["graph_random_walks"](
+            spark, SF_SMOKE
+        ).collect()
+        walks = {}
+        for r in rows:
+            walks.setdefault(r["start"], {})[r["step"]] = r["node"]
+        assert len(walks) == 20
+        edges = {}
+        for e in (
+            _copurchase_edge_index(spark, SF_SMOKE)
+            .select("src", "dst")
+            .collect()
+        ):
+            edges.setdefault(e["src"], []).append(e["dst"])
+        for start, path in walks.items():
+            assert sorted(path) == [0, 1, 2, 3, 4]
+            assert path[0] == start
+            for k in range(1, 5):
+                cur = path[k - 1]
+                nbrs = sorted(edges[cur])
+                h = int(
+                    hashlib.md5(f"{cur}#{k}".encode()).hexdigest()[:8], 16
+                )
+                assert path[k] == nbrs[h % len(nbrs)], (start, k)

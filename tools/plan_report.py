@@ -125,6 +125,7 @@ SHOWCASE = [
     "events_ab_welch_ttest",
     "events_km_conversion_curve",
     "events_cuped_ab_adjusted",
+    "graph_random_walks",
 ]
 
 
