@@ -198,6 +198,7 @@ EXT_HEADLINE = [
     "events_km_conversion_curve",
     "events_cuped_ab_adjusted",
     "graph_random_walks",
+    "agg_bootstrap_ci_mean",
 ]
 
 

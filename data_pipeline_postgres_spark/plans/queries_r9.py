@@ -3391,3 +3391,144 @@ def q_graph_random_walks(spark: SparkSession, sf_dir: str) -> DataFrame:
     for p in parts[1:]:
         out = out.unionByName(p)
     return out
+
+
+# -- Deterministic bootstrap CI ---------------------------------------------
+# Poisson bootstrap (Chamandy et al., Google 2012) made hash-exact:
+# resample weights are Binomial(4, 1/4) read off four 2-bit fields of
+# ONE md5 per (row, replicate) — E[w] = 1 like Poisson(1), no RNG, so
+# the whole CI is value-hash-checkable. Per-replicate sums are exact
+# int64; the only doubles are 100 independent divisions and two
+# order-statistic picks (no float summation anywhere).
+
+_BOOT_B = 100
+
+_BOOT_CI_ORACLE = f"""
+WITH m AS (
+    SELECT event_id,
+           CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS c
+    FROM events WHERE event_type = 'purchase'
+),
+x AS (
+    SELECT b,
+           ('0x' || substr(md5(CAST(event_id AS VARCHAR) || '#'
+                               || CAST(b AS VARCHAR)), 1, 8)
+           )::BIGINT AS h,
+           c
+    FROM m, unnest(range({_BOOT_B})) AS t(b)
+),
+w AS (
+    SELECT b, c,
+           CAST((h >> 0) & 3 = 0 AS BIGINT)
+           + CAST((h >> 2) & 3 = 0 AS BIGINT)
+           + CAST((h >> 4) & 3 = 0 AS BIGINT)
+           + CAST((h >> 6) & 3 = 0 AS BIGINT) AS wt
+    FROM x
+),
+rep AS (
+    SELECT b, CAST(SUM(wt * c) AS BIGINT) AS swc,
+           CAST(SUM(wt) AS BIGINT) AS sw
+    FROM w GROUP BY 1
+),
+means AS (
+    SELECT CAST(swc AS DOUBLE) / CAST(sw AS DOUBLE) / 100e0 AS mb,
+           row_number() OVER (
+               ORDER BY CAST(swc AS DOUBLE) / CAST(sw AS DOUBLE)) AS rn
+    FROM rep
+),
+pt AS (
+    SELECT CAST(SUM(c) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) / 100e0
+               AS mean_value
+    FROM m
+)
+SELECT pt.mean_value,
+       (SELECT mb FROM means WHERE rn = 3) AS ci_lo,
+       (SELECT mb FROM means WHERE rn = 98) AS ci_hi
+FROM pt
+"""
+
+
+@query("agg_bootstrap_ci_mean", _BOOT_CI_ORACLE)
+def q_agg_bootstrap_ci_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic Poisson-bootstrap 95% CI for mean purchase value
+    → (mean_value, ci_lo, ci_hi). Error bars with NO distributional
+    assumption — the Welch/CUPED family's normal-theory complement —
+    and, because resample weights are Binomial(4, 1/4) read off four
+    2-bit fields of one md5 per (row, replicate), the whole interval
+    is hash-exact where an RNG bootstrap couldn't even be
+    row-checked. CI bounds are nearest-rank order statistics of the
+    100 replicate means (picks, not float sums).
+
+    Shape: ONE pass over the fact — each row fans out to B=100
+    (replicate, weight) terms that partial-aggregate map-side into
+    exactly B groups, so the shuffle carries ≤ B rows per partition
+    at ANY scale; the B-row replicate relation sorts in one tiny
+    task. Bootstrap's honest cost is the B× compute in the fan-out
+    stage, all inside whole-stage codegen."""
+    ev = load_table(spark, sf_dir, "events")
+    m = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id",
+        (F.col("value").cast("decimal(18,2)") * 100)
+        .cast("bigint")
+        .alias("c"),
+    )
+    x = m.select(
+        "c",
+        F.explode(F.sequence(F.lit(0), F.lit(_BOOT_B - 1))).alias("b"),
+        F.col("event_id"),
+    ).select(
+        "b",
+        "c",
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.col("event_id").cast("string"),
+                        F.lit("#"),
+                        F.col("b").cast("string"),
+                    )
+                ),
+                1,
+                8,
+            ),
+            16,
+            10,
+        )
+        .cast("bigint")
+        .alias("h"),
+    )
+    wt = sum(
+        (F.shiftright(F.col("h"), 2 * j).bitwiseAND(3) == 0).cast(
+            "bigint"
+        )
+        for j in range(4)
+    )
+    rep = (
+        x.select("b", "c", wt.alias("wt"))
+        .groupBy("b")
+        .agg(
+            F.sum(F.col("wt") * F.col("c")).cast("bigint").alias("swc"),
+            F.sum("wt").cast("bigint").alias("sw"),
+        )
+    )
+    from pyspark.sql import Window
+
+    mb = F.col("swc").cast("double") / F.col("sw").cast("double")
+    means = rep.select(
+        (mb / F.lit(100.0)).alias("mb"),
+        F.row_number().over(Window.orderBy(mb)).alias("rn"),
+    )
+    pt = m.agg(
+        (
+            F.sum("c").cast("double")
+            / F.count("*").cast("double")
+            / F.lit(100.0)
+        ).alias("mean_value")
+    )
+    lo = means.filter(F.col("rn") == 3).select(
+        F.col("mb").alias("ci_lo")
+    )
+    hi = means.filter(F.col("rn") == 98).select(
+        F.col("mb").alias("ci_hi")
+    )
+    return pt.crossJoin(F.broadcast(lo)).crossJoin(F.broadcast(hi))

@@ -1178,3 +1178,35 @@ class TestRandomWalks:
                     hashlib.md5(f"{cur}#{k}".encode()).hexdigest()[:8], 16
                 )
                 assert path[k] == nbrs[h % len(nbrs)], (start, k)
+
+
+class TestBootstrapCI:
+    def test_ci_brackets_mean_and_replays_in_python(self, spark):
+        import hashlib
+
+        from data_pipeline_postgres_spark.catalog import load_table
+
+        got = registry.QUERIES["agg_bootstrap_ci_mean"](
+            spark, SF_SMOKE
+        ).collect()[0]
+        assert got["ci_lo"] < got["mean_value"] < got["ci_hi"]
+        rows = [
+            (r["event_id"], round(r["value"] * 100))
+            for r in load_table(spark, SF_SMOKE, "events")
+            .filter(F.col("event_type") == "purchase")
+            .collect()
+        ]
+        means = []
+        for b in range(100):
+            swc = sw = 0
+            for eid, c in rows:
+                h = int(
+                    hashlib.md5(f"{eid}#{b}".encode()).hexdigest()[:8], 16
+                )
+                w = sum(1 for j in range(4) if (h >> (2 * j)) & 3 == 0)
+                swc += w * c
+                sw += w
+            means.append(swc / sw / 100)
+        means.sort()
+        assert got["ci_lo"] == means[2]  # rank 3, 1-indexed
+        assert got["ci_hi"] == means[97]  # rank 98

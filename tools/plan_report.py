@@ -126,6 +126,7 @@ SHOWCASE = [
     "events_km_conversion_curve",
     "events_cuped_ab_adjusted",
     "graph_random_walks",
+    "agg_bootstrap_ci_mean",
 ]
 
 
