@@ -199,6 +199,7 @@ EXT_HEADLINE = [
     "events_cuped_ab_adjusted",
     "graph_random_walks",
     "agg_bootstrap_ci_mean",
+    "text_bm25_search",
 ]
 
 

@@ -3532,3 +3532,122 @@ def q_agg_bootstrap_ci_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("mb").alias("ci_hi")
     )
     return pt.crossJoin(F.broadcast(lo)).crossJoin(F.broadcast(hi))
+
+
+# -- BM25 retrieval ----------------------------------------------------------
+# The sparse-retrieval complement of the dense ANN family (Robertson &
+# Zaragoza '09): query-by-example BM25 over the corpus inverted index,
+# k1=1.2, b=0.75. Per-(doc, term) scores quantize to int64 micro-bits
+# BEFORE the per-doc sum (the repo's order-free float contract), so
+# the ranking hash-checks.
+
+_BM25_ORACLE = r"""
+WITH toks AS (
+    SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS w
+    FROM documents
+),
+tf AS (
+    SELECT doc_id, w, CAST(COUNT(*) AS BIGINT) AS tf
+    FROM toks GROUP BY 1, 2
+),
+dl AS (
+    SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS len FROM tf GROUP BY 1
+),
+stats AS (
+    SELECT CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(len) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+               AS avglen
+    FROM dl
+),
+df AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+q AS (
+    SELECT DISTINCT w FROM toks
+    WHERE doc_id = (SELECT MIN(doc_id) FROM documents)
+),
+scored AS (
+    SELECT tf.doc_id,
+           CAST(floor(
+               log2((CAST(n - df.df AS DOUBLE) + 0.5e0)
+                    / (CAST(df.df AS DOUBLE) + 0.5e0) + 1e0)
+               * (CAST(tf.tf AS DOUBLE) * 2.2e0)
+               / (CAST(tf.tf AS DOUBLE)
+                  + 1.2e0 * (0.25e0 + 0.75e0 * CAST(dl.len AS DOUBLE)
+                                      / avglen))
+               * 1000000.0 + 0.5) AS BIGINT) AS s
+    FROM tf
+    JOIN q ON q.w = tf.w
+    JOIN df ON df.w = tf.w
+    JOIN dl ON dl.doc_id = tf.doc_id
+    CROSS JOIN stats
+)
+SELECT doc_id, CAST(SUM(s) AS BIGINT) AS score_ubits
+FROM scored GROUP BY 1
+ORDER BY score_ubits DESC, doc_id LIMIT 10
+"""
+
+
+@query("text_bm25_search", _BM25_ORACLE)
+def q_text_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 query-by-example retrieval: the min-doc_id document's
+    terms score the whole corpus through the inverted index (k1=1.2,
+    b=0.75, BM25+ idf), top-10 → (doc_id, score_ubits). The SPARSE
+    retrieval primitive the dense family (sim_topk*, IVF, PQ) needs
+    beside it — lexical recall catches what embedding recall misses,
+    and hybrid search is just a score join of the two.
+
+    Determinism: per-(doc, term) BM25 terms are identically-bracketed
+    doubles over exact counts, quantized to int64 micro-bits BEFORE
+    the per-doc sum; ranking on the exact int. Shape: tf/df/length
+    relations are map-side-combined token shuffles (the inverted
+    index); the query-term relation is tiny and broadcast; corpus
+    never sees a cross join; final cut is TakeOrderedAndProject. At
+    100 TB tf/df/dl are the write-once index artifacts and a query
+    touches only its terms' postings."""
+    docs = _docs(spark, sf_dir)
+    toks = docs.select("doc_id", F.explode(TX.tokens("text")).alias("w"))
+    tf = toks.groupBy("doc_id", "w").agg(F.count("*").alias("tf"))
+    dl = tf.groupBy("doc_id").agg(F.sum("tf").alias("len"))
+    stats = dl.agg(
+        F.count("*").alias("n"),
+        (F.sum("len").cast("double") / F.count("*").cast("double")).alias(
+            "avglen"
+        ),
+    )
+    df = tf.groupBy("w").agg(F.count("*").alias("df"))
+    qmin = docs.agg(F.min("doc_id").alias("qid"))
+    q = (
+        toks.join(
+            F.broadcast(qmin), toks["doc_id"] == F.col("qid")
+        )
+        .select("w")
+        .distinct()
+    )
+    d = lambda c: F.col(c).cast("double")  # noqa: E731
+    term = F.floor(
+        F.log2(
+            ((F.col("n") - F.col("df")).cast("double") + F.lit(0.5))
+            / (d("df") + F.lit(0.5))
+            + F.lit(1.0)
+        )
+        * (d("tf") * F.lit(2.2))
+        / (
+            d("tf")
+            + F.lit(1.2)
+            * (F.lit(0.25) + F.lit(0.75) * d("len") / F.col("avglen"))
+        )
+        * F.lit(1_000_000.0)
+        + F.lit(0.5)
+    ).cast("bigint")
+    scored = (
+        tf.join(F.broadcast(q), "w")
+        .join(F.broadcast(df.join(F.broadcast(q), "w")), "w")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .select("doc_id", term.alias("s"))
+    )
+    return (
+        scored.groupBy("doc_id")
+        .agg(F.sum("s").cast("bigint").alias("score_ubits"))
+        .orderBy(F.desc("score_ubits"), F.asc("doc_id"))
+        .limit(10)
+    )

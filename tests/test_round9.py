@@ -1210,3 +1210,22 @@ class TestBootstrapCI:
         means.sort()
         assert got["ci_lo"] == means[2]  # rank 3, 1-indexed
         assert got["ci_hi"] == means[97]  # rank 98
+
+
+class TestBM25:
+    def test_query_doc_ranks_first_and_plan_has_no_cross_join(self, spark):
+        df = registry.QUERIES["text_bm25_search"](spark, SF_SMOKE)
+        rows = df.collect()
+        assert len(rows) == 10
+        # the query document ranks very highly but — unlike cosine —
+        # BM25's length normalization doesn't guarantee rank 1: a
+        # shorter doc stacking the rarest query terms can edge it out
+        # (doc 82 does, by design of the measure). It must appear.
+        assert 0 in {r["doc_id"] for r in rows}
+        assert all(
+            rows[i]["score_ubits"] >= rows[i + 1]["score_ubits"]
+            for i in range(9)
+        )
+        plan = _plan(df)
+        assert "CartesianProduct" not in plan
+        assert "TakeOrderedAndProject" in plan

@@ -127,6 +127,7 @@ SHOWCASE = [
     "events_cuped_ab_adjusted",
     "graph_random_walks",
     "agg_bootstrap_ci_mean",
+    "text_bm25_search",
 ]
 
 
