@@ -200,6 +200,7 @@ EXT_HEADLINE = [
     "graph_random_walks",
     "agg_bootstrap_ci_mean",
     "text_bm25_search",
+    "search_hybrid_rrf",
 ]
 
 

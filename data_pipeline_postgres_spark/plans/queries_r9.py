@@ -3541,8 +3541,8 @@ def q_agg_bootstrap_ci_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
 # BEFORE the per-doc sum (the repo's order-free float contract), so
 # the ranking hash-checks.
 
-_BM25_ORACLE = r"""
-WITH toks AS (
+_BM25_CTES = r"""
+toks AS (
     SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS w
     FROM documents
 ),
@@ -3580,6 +3580,10 @@ scored AS (
     JOIN dl ON dl.doc_id = tf.doc_id
     CROSS JOIN stats
 )
+"""
+
+_BM25_ORACLE = f"""
+WITH {_BM25_CTES}
 SELECT doc_id, CAST(SUM(s) AS BIGINT) AS score_ubits
 FROM scored GROUP BY 1
 ORDER BY score_ubits DESC, doc_id LIMIT 10
@@ -3603,6 +3607,15 @@ def q_text_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     never sees a cross join; final cut is TakeOrderedAndProject. At
     100 TB tf/df/dl are the write-once index artifacts and a query
     touches only its terms' postings."""
+    return _bm25_scored(spark, sf_dir).orderBy(
+        F.desc("score_ubits"), F.asc("doc_id")
+    ).limit(10)
+
+
+def _bm25_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full BM25 score relation (doc_id, score_ubits) for the
+    min-doc_id query — shared by text_bm25_search (top-10 cut) and
+    search_hybrid_rrf (rank fusion)."""
     docs = _docs(spark, sf_dir)
     toks = docs.select("doc_id", F.explode(TX.tokens("text")).alias("w"))
     tf = toks.groupBy("doc_id", "w").agg(F.count("*").alias("tf"))
@@ -3645,9 +3658,124 @@ def q_text_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(F.broadcast(stats))
         .select("doc_id", term.alias("s"))
     )
+    return scored.groupBy("doc_id").agg(
+        F.sum("s").cast("bigint").alias("score_ubits")
+    )
+
+
+# -- Hybrid retrieval (RRF) --------------------------------------------------
+# Reciprocal Rank Fusion (Cormack et al. SIGIR'09): fuse the BM25
+# lexical top-10 and the dense cosine top-10 for the SAME query
+# (doc_id 0 / its embedding vec_id 0 — embeddings.vec_id is the
+# embedding of documents.doc_id in this lake layout) by
+# score = sum 1/(60 + rank). Both input rankings are exact, and the
+# fusion is a fixed-order two-term double sum, so the hybrid ranking
+# hash-checks end-to-end.
+
+_RRF_K = 60
+
+_HYBRID_ORACLE = f"""
+WITH {{bm25}},
+lex AS (
+    SELECT doc_id, row_number() OVER (
+        ORDER BY score_ubits DESC, doc_id) AS r_lex
+    FROM (SELECT doc_id, CAST(SUM(s) AS BIGINT) AS score_ubits
+          FROM scored GROUP BY 1)
+    QUALIFY r_lex <= 10
+),
+e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+qv AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+dns AS (
+    SELECT vec_id AS doc_id, row_number() OVER (
+        ORDER BY round(
+            list_reduce(list_transform(range(64), i -> v[i+1]*qv[i+1]),
+                        (x,y) -> x+y)
+            / (sqrt(list_reduce(list_transform(v, x -> x*x),
+                                (x,y) -> x+y))
+               * sqrt(list_reduce(list_transform(qv, x -> x*x),
+                                  (x,y) -> x+y))), 6) DESC,
+            vec_id) AS r_dense
+    FROM e, qv
+    QUALIFY r_dense <= 10
+)
+SELECT COALESCE(lex.doc_id, dns.doc_id) AS doc_id,
+       CAST(lex.r_lex AS BIGINT) AS r_lex,
+       CAST(dns.r_dense AS BIGINT) AS r_dense,
+       COALESCE(1e0 / ({_RRF_K}e0 + CAST(lex.r_lex AS DOUBLE)), 0e0)
+       + COALESCE(1e0 / ({_RRF_K}e0 + CAST(dns.r_dense AS DOUBLE)), 0e0)
+           AS rrf_score
+FROM lex FULL OUTER JOIN dns ON lex.doc_id = dns.doc_id
+""".format(bm25=_BM25_CTES)
+
+
+@query("search_hybrid_rrf", _HYBRID_ORACLE)
+def q_search_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval by Reciprocal Rank Fusion: BM25 lexical
+    top-10 ∪ dense cosine top-10 for the same query document, fused
+    as Σ 1/(60+rank) → (doc_id, r_lex, r_dense, rrf_score). The
+    production search stack in one query — lexical recall catches
+    literal matches embeddings smear, dense recall catches
+    paraphrase lexical misses, and RRF needs no score calibration
+    between the two.
+
+    Shape: both arms are the already-proven retrieval shapes (BM25
+    inverted-index join; one narrow corpus pass + rank-limited cut);
+    the fusion is a FULL OUTER join of two ≤10-row relations — free.
+    Both arms' rankings are exact, and the fused score is a
+    fixed-order two-term double sum, so the hybrid result
+    hash-checks."""
+    from pyspark.sql import Window
+
+    lex = (
+        _bm25_scored(spark, sf_dir)
+        .select(
+            "doc_id",
+            F.row_number()
+            .over(Window.orderBy(F.desc("score_ubits"), F.asc("doc_id")))
+            .alias("r_lex"),
+        )
+        .filter(F.col("r_lex") <= 10)
+    )
+    from ..operators import similarity
+
+    emb = _emb(spark, sf_dir)
+    vs = emb.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    qv = vs.filter(F.col("vec_id") == 0).select(F.col("v").alias("qv"))
+    from ..functions import vectors as V
+
+    dns = (
+        vs.crossJoin(F.broadcast(qv))
+        .select(
+            F.col("vec_id").alias("doc_id"),
+            F.round(V.cosine(F.col("v"), F.col("qv")), 6).alias("cos"),
+        )
+        .select(
+            "doc_id",
+            F.row_number()
+            .over(Window.orderBy(F.desc("cos"), F.asc("doc_id")))
+            .alias("r_dense"),
+        )
+        .filter(F.col("r_dense") <= 10)
+    )
+    k = float(_RRF_K)
     return (
-        scored.groupBy("doc_id")
-        .agg(F.sum("s").cast("bigint").alias("score_ubits"))
-        .orderBy(F.desc("score_ubits"), F.asc("doc_id"))
-        .limit(10)
+        lex.join(dns, "doc_id", "full_outer")
+        .select(
+            "doc_id",
+            F.col("r_lex").cast("bigint").alias("r_lex"),
+            F.col("r_dense").cast("bigint").alias("r_dense"),
+            (
+                F.coalesce(
+                    F.lit(1.0) / (F.lit(k) + F.col("r_lex").cast("double")),
+                    F.lit(0.0),
+                )
+                + F.coalesce(
+                    F.lit(1.0)
+                    / (F.lit(k) + F.col("r_dense").cast("double")),
+                    F.lit(0.0),
+                )
+            ).alias("rrf_score"),
+        )
     )

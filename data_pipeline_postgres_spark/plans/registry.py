@@ -56,7 +56,7 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 # emb_normalize, emb_centroid_per_label, text_stats, token_count,
 # lang_id, text_quality, doc_fingerprint, text_normalize, pii_redact,
 # text_repetition_filter, multimodal_meta, tpch_q1_pricing_summary,
-# tpch_q3_shipping_priority, tpch_q5_local_supplier; (b) the 44
+# tpch_q3_shipping_priority, tpch_q5_local_supplier; (b) the 45
 # round-9 additions (never driver-checked; all in bench HEADLINE and
 # local parity) — decontaminate_embedding, graph_kcore,
 # table_diff_audit, bpe_pair_merges, text_bigram_logprob,
@@ -76,8 +76,8 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 # text_bigram_kn_logprob, part_brand_discount_ols,
 # events_ab_welch_ttest, events_km_conversion_curve,
 # events_cuped_ab_adjusted, graph_random_walks,
-# agg_bootstrap_ci_mean, text_bm25_search — 19 + 44 = 63: drop the
-# last 13 r3 filler rows to stay at 50.
+# agg_bootstrap_ci_mean, text_bm25_search, search_hybrid_rrf —
+# 19 + 45 = 64: drop the last 14 r3 filler rows to stay at 50.
 
 DRIVER_PRIORITY: tuple[str, ...] = (
     # (a) round-8 additions, never driver-checked (26)

@@ -1229,3 +1229,29 @@ class TestBM25:
         plan = _plan(df)
         assert "CartesianProduct" not in plan
         assert "TakeOrderedAndProject" in plan
+
+
+class TestHybridRRF:
+    def test_fusion_covers_both_arms(self, spark):
+        rows = registry.QUERIES["search_hybrid_rrf"](
+            spark, SF_SMOKE
+        ).collect()
+        # 10-20 rows: union of two top-10 lists
+        assert 10 <= len(rows) <= 20
+        by_id = {r["doc_id"]: r for r in rows}
+        # every rank 1..10 appears exactly once per arm
+        assert sorted(
+            r["r_lex"] for r in rows if r["r_lex"] is not None
+        ) == list(range(1, 11))
+        assert sorted(
+            r["r_dense"] for r in rows if r["r_dense"] is not None
+        ) == list(range(1, 11))
+        # the query doc (0) tops the dense arm (cosine with itself = 1)
+        assert by_id[0]["r_dense"] == 1
+        for r in rows:
+            want = 0.0
+            if r["r_lex"] is not None:
+                want += 1.0 / (60 + r["r_lex"])
+            if r["r_dense"] is not None:
+                want += 1.0 / (60 + r["r_dense"])
+            assert r["rrf_score"] == want

@@ -128,6 +128,7 @@ SHOWCASE = [
     "graph_random_walks",
     "agg_bootstrap_ci_mean",
     "text_bm25_search",
+    "search_hybrid_rrf",
 ]
 
 
