@@ -201,6 +201,7 @@ EXT_HEADLINE = [
     "agg_bootstrap_ci_mean",
     "text_bm25_search",
     "search_hybrid_rrf",
+    "graph_walk_skipgram_pairs",
 ]
 
 

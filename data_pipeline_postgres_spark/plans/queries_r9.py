@@ -3257,10 +3257,11 @@ _WALK_LEN = 4
 _WALK_STARTS = 20
 
 
-def _walks_oracle() -> str:
+def _walks_prelude() -> str:
+    """The shared CTE chain (edges -> ranked adjacency -> starts ->
+    unrolled hops) used by graph_random_walks and the skip-gram
+    derivation."""
     steps = []
-    sel = ["SELECT start, CAST(0 AS BIGINT) AS step, start AS node"
-           " FROM starts"]
     for k in range(1, _WALK_LEN + 1):
         prev = "w0" if k == 1 else f"w{k-1}"
         steps.append(
@@ -3271,10 +3272,6 @@ def _walks_oracle() -> str:
      AND r.rnk = ('0x' || substr(md5(CAST({prev}.cur AS VARCHAR)
                                       || '#{k}'), 1, 8))::BIGINT % r.deg
 )"""
-        )
-        sel.append(
-            f"SELECT start, CAST({k} AS BIGINT) AS step, cur AS node"
-            f" FROM w{k}"
         )
     return (
         """
@@ -3301,12 +3298,21 @@ starts AS MATERIALIZED (
 w0 AS (SELECT start, start AS cur FROM starts),
 """
         + ",\n".join(steps)
-        + "\n"
-        + "\nUNION ALL ".join(sel)
     )
 
 
-@query("graph_random_walks", _walks_oracle())
+def _walks_select() -> str:
+    sel = ["SELECT start, CAST(0 AS BIGINT) AS step, start AS node"
+           " FROM starts"]
+    for k in range(1, _WALK_LEN + 1):
+        sel.append(
+            f"SELECT start, CAST({k} AS BIGINT) AS step, cur AS node"
+            f" FROM w{k}"
+        )
+    return "\nUNION ALL ".join(sel)
+
+
+@query("graph_random_walks", _walks_prelude() + "\n" + _walks_select())
 def q_graph_random_walks(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic uniform random walks over the stored co-purchase
     edge index: length-4 walks from the 20 highest-degree parts, next
@@ -3778,4 +3784,52 @@ def q_search_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
                 )
             ).alias("rrf_score"),
         )
+    )
+
+
+_SKIPGRAM_ORACLE = (
+    _walks_prelude()
+    + ",\nwalks AS (\n"
+    + _walks_select()
+    + """
+)
+SELECT a.node AS center, b.node AS context,
+       CAST(COUNT(*) AS BIGINT) AS n
+FROM walks a JOIN walks b
+  ON a.start = b.start AND abs(a.step - b.step) BETWEEN 1 AND 2
+GROUP BY 1, 2
+"""
+)
+
+
+@query("graph_walk_skipgram_pairs", _SKIPGRAM_ORACLE)
+def q_graph_walk_skipgram_pairs(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Skip-gram training pairs from the deterministic walk corpus
+    (window = 2, both directions) → (center, context, n) — the final
+    derivation of the DeepWalk/node2vec pipeline: stored edge index →
+    ranked adjacency → walks → (center, context) co-occurrence
+    counts, which is exactly what a word2vec-style embedding trainer
+    consumes. Counts are exact and the walks deterministic, so the
+    training corpus itself hash-checks.
+
+    Shape: the walk relation is tiny (|starts|·(len+1) rows); the
+    window join is a self-join on the walk id — bounded by
+    |walks|·(2·window), never touching the edge relation again."""
+    walks = q_graph_random_walks(spark, sf_dir)
+    a, b = walks.alias("a"), walks.alias("b")
+    dist = F.abs(F.col("a.step") - F.col("b.step"))
+    return (
+        a.join(
+            b,
+            (F.col("a.start") == F.col("b.start"))
+            & (dist >= 1)
+            & (dist <= 2),
+        )
+        .groupBy(
+            F.col("a.node").alias("center"),
+            F.col("b.node").alias("context"),
+        )
+        .agg(F.count("*").cast("bigint").alias("n"))
     )

@@ -1255,3 +1255,29 @@ class TestHybridRRF:
             if r["r_dense"] is not None:
                 want += 1.0 / (60 + r["r_dense"])
             assert r["rrf_score"] == want
+
+
+class TestSkipgramPairs:
+    def test_pair_counts_match_walk_replay(self, spark):
+        walks = {}
+        for r in registry.QUERIES["graph_random_walks"](
+            spark, SF_SMOKE
+        ).collect():
+            walks.setdefault(r["start"], {})[r["step"]] = r["node"]
+        import collections
+
+        want = collections.Counter()
+        for path in walks.values():
+            for i in range(5):
+                for j in range(5):
+                    if 1 <= abs(i - j) <= 2:
+                        want[(path[i], path[j])] += 1
+        got = {
+            (r["center"], r["context"]): r["n"]
+            for r in registry.QUERIES["graph_walk_skipgram_pairs"](
+                spark, SF_SMOKE
+            ).collect()
+        }
+        assert got == dict(want)
+        # symmetric window: total pairs even, every (c,x) has (x,c)
+        assert sum(got.values()) % 2 == 0

@@ -129,6 +129,7 @@ SHOWCASE = [
     "agg_bootstrap_ci_mean",
     "text_bm25_search",
     "search_hybrid_rrf",
+    "graph_walk_skipgram_pairs",
 ]
 
 
