@@ -3833,3 +3833,198 @@ def q_graph_walk_skipgram_pairs(
         )
         .agg(F.count("*").cast("bigint").alias("n"))
     )
+
+
+# -- Distribution drift: PSI + KS -------------------------------------------
+# The model-monitoring pair: Population Stability Index over fixed $20
+# bins (the scorecard-industry drift alarm) and the two-sample
+# Kolmogorov-Smirnov statistic (assumption-free CDF distance). Split =
+# first vs second half of the month. KS is computed ENTIRELY in
+# integers — D = max |c1·n2 − c2·n1| / (n1·n2) — so the supremum pick
+# is exact; PSI terms quantize to µnats before the sum.
+
+_DRIFT_CUTOFF = "2024-01-16"
+
+_PSI_ORACLE = f"""
+WITH m AS (
+    SELECT CASE WHEN ts < TIMESTAMP '{_DRIFT_CUTOFF}' THEN 0 ELSE 1
+           END AS half,
+           CAST(floor(CAST(value AS DECIMAL(18,2)) / 20) AS BIGINT)
+               AS bin
+    FROM events WHERE event_type = 'purchase'
+),
+c AS (
+    SELECT bin,
+           CAST(SUM(CASE WHEN half = 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS c1,
+           CAST(SUM(CASE WHEN half = 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS c2
+    FROM m GROUP BY 1
+),
+n AS (SELECT CAST(SUM(c1) AS BIGINT) AS n1,
+             CAST(SUM(c2) AS BIGINT) AS n2 FROM c),
+t AS (
+    SELECT bin, c1, c2,
+           CAST(floor(
+               (CAST(c1 AS DOUBLE) / CAST(n1 AS DOUBLE)
+                - CAST(c2 AS DOUBLE) / CAST(n2 AS DOUBLE))
+               * ln((CAST(c1 AS DOUBLE) / CAST(n1 AS DOUBLE))
+                    / (CAST(c2 AS DOUBLE) / CAST(n2 AS DOUBLE)))
+               * 1000000.0 + 0.5) AS BIGINT) AS psi_ubits
+    FROM c, n WHERE c1 > 0 AND c2 > 0
+)
+SELECT bin, c1, c2, psi_ubits FROM t
+"""
+
+
+@query("events_psi_value_drift", _PSI_ORACLE)
+def q_events_psi_value_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population Stability Index of purchase value between the two
+    halves of the month, fixed $20 bins → (bin, c1, c2, psi_ubits).
+    The scorecard-industry drift alarm (PSI > 0.1: investigate;
+    > 0.25: retrain) as per-bin contributions — Σ psi_ubits / 10^6
+    is the headline index, and the per-bin split says WHERE the
+    distribution moved. Bins empty on either side are excluded (the
+    standard convention; they'd send the log term to ±inf).
+
+    Determinism: counts exact; each bin's (p−q)·ln(p/q) term is one
+    identically-bracketed double quantized to int64 µnats. Shape:
+    one filtered scan → map-side-combined bin counts → 1-row totals
+    broadcast back; |bins| is value-range-bounded regardless of row
+    count."""
+    ev = load_table(spark, sf_dir, "events")
+    m = ev.filter(F.col("event_type") == "purchase").select(
+        F.when(
+            F.col("ts") < F.lit(_DRIFT_CUTOFF).cast("timestamp"), 0
+        )
+        .otherwise(1)
+        .alias("half"),
+        F.floor(F.col("value").cast("decimal(18,2)") / 20)
+        .cast("bigint")
+        .alias("bin"),
+    )
+    c = m.groupBy("bin").agg(
+        F.sum(F.when(F.col("half") == 0, 1).otherwise(0))
+        .cast("bigint")
+        .alias("c1"),
+        F.sum(F.when(F.col("half") == 1, 1).otherwise(0))
+        .cast("bigint")
+        .alias("c2"),
+    )
+    n = c.agg(
+        F.sum("c1").cast("bigint").alias("n1"),
+        F.sum("c2").cast("bigint").alias("n2"),
+    )
+    d = lambda x: F.col(x).cast("double")  # noqa: E731
+    p = d("c1") / d("n1")
+    q = d("c2") / d("n2")
+    return (
+        c.crossJoin(F.broadcast(n))
+        .filter((F.col("c1") > 0) & (F.col("c2") > 0))
+        .select(
+            "bin",
+            "c1",
+            "c2",
+            F.floor((p - q) * F.log(p / q) * F.lit(1_000_000.0) + F.lit(0.5))
+            .cast("bigint")
+            .alias("psi_ubits"),
+        )
+    )
+
+
+_KS_ORACLE = f"""
+WITH m AS (
+    SELECT CASE WHEN ts < TIMESTAMP '{_DRIFT_CUTOFF}' THEN 0 ELSE 1
+           END AS half,
+           CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS c
+    FROM events WHERE event_type = 'purchase'
+),
+v AS (
+    SELECT c,
+           CAST(SUM(CASE WHEN half = 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS d1,
+           CAST(SUM(CASE WHEN half = 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS d2
+    FROM m GROUP BY 1
+),
+n AS (SELECT CAST(SUM(d1) AS BIGINT) AS n1,
+             CAST(SUM(d2) AS BIGINT) AS n2 FROM v),
+cum AS (
+    SELECT c,
+           SUM(d1) OVER (ORDER BY c ROWS UNBOUNDED PRECEDING) AS f1,
+           SUM(d2) OVER (ORDER BY c ROWS UNBOUNDED PRECEDING) AS f2
+    FROM v
+),
+gap AS (
+    SELECT c, abs(f1 * n2 - f2 * n1) AS g, n1, n2 FROM cum, n
+)
+SELECT n1, n2,
+       CAST(MAX(g) AS BIGINT) AS ks_num,
+       CAST(MAX(g) AS DOUBLE)
+           / (CAST(MAX(n1) AS DOUBLE) * CAST(MAX(n2) AS DOUBLE))
+           AS ks_d
+FROM gap GROUP BY n1, n2
+"""
+
+
+@query("events_ks_two_sample", _KS_ORACLE)
+def q_events_ks_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Kolmogorov-Smirnov statistic between the month's
+    two halves of purchase value → (n1, n2, ks_num, ks_d). The
+    assumption-free CDF-distance complement of PSI (binned) and
+    Welch (means): D = sup |F1 − F2|, computed ENTIRELY in integers
+    as max |F1·n2 − F2·n1| over distinct cent values — the supremum
+    is an exact integer pick, with ONE double division at the end.
+
+    Shape: map-side-combined per-value counts (state = distinct cent
+    values, value-range-bounded), running sums over that bounded
+    relation, one max aggregate. The distinct-value pre-agg is what
+    makes a CDF supremum scale-safe — the windows never see raw
+    rows."""
+    ev = load_table(spark, sf_dir, "events")
+    from pyspark.sql import Window
+
+    m = ev.filter(F.col("event_type") == "purchase").select(
+        F.when(
+            F.col("ts") < F.lit(_DRIFT_CUTOFF).cast("timestamp"), 0
+        )
+        .otherwise(1)
+        .alias("half"),
+        (F.col("value").cast("decimal(18,2)") * 100)
+        .cast("bigint")
+        .alias("c"),
+    )
+    v = m.groupBy("c").agg(
+        F.sum(F.when(F.col("half") == 0, 1).otherwise(0))
+        .cast("bigint")
+        .alias("d1"),
+        F.sum(F.when(F.col("half") == 1, 1).otherwise(0))
+        .cast("bigint")
+        .alias("d2"),
+    )
+    n = v.agg(
+        F.sum("d1").cast("bigint").alias("n1"),
+        F.sum("d2").cast("bigint").alias("n2"),
+    )
+    w = Window.orderBy("c").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = v.select(
+        "c",
+        F.sum("d1").over(w).alias("f1"),
+        F.sum("d2").over(w).alias("f2"),
+    )
+    gap = cum.crossJoin(F.broadcast(n)).select(
+        F.abs(
+            F.col("f1") * F.col("n2") - F.col("f2") * F.col("n1")
+        ).alias("g"),
+        "n1",
+        "n2",
+    )
+    return gap.groupBy("n1", "n2").agg(
+        F.max("g").cast("bigint").alias("ks_num"),
+        (
+            F.max("g").cast("double")
+            / (F.max("n1").cast("double") * F.max("n2").cast("double"))
+        ).alias("ks_d"),
+    )

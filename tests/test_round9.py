@@ -1281,3 +1281,56 @@ class TestSkipgramPairs:
         assert got == dict(want)
         # symmetric window: total pairs even, every (c,x) has (x,c)
         assert sum(got.values()) % 2 == 0
+
+
+class TestDriftPair:
+    def _halves(self, spark):
+        from data_pipeline_postgres_spark.catalog import load_table
+
+        a, b = [], []
+        for r in (
+            load_table(spark, SF_SMOKE, "events")
+            .filter(F.col("event_type") == "purchase")
+            .collect()
+        ):
+            (a if str(r["ts"]) < "2024-01-16" else b).append(
+                round(r["value"] * 100)
+            )
+        return a, b
+
+    def test_ks_matches_bruteforce(self, spark):
+        a, b = self._halves(spark)
+        got = registry.QUERIES["events_ks_two_sample"](
+            spark, SF_SMOKE
+        ).collect()[0]
+        assert got["n1"] == len(a) and got["n2"] == len(b)
+        n1, n2 = len(a), len(b)
+        best = 0
+        for v in sorted(set(a) | set(b)):
+            f1 = sum(1 for x in a if x <= v)
+            f2 = sum(1 for x in b if x <= v)
+            best = max(best, abs(f1 * n2 - f2 * n1))
+        assert got["ks_num"] == best
+        assert got["ks_d"] == best / (n1 * n2)
+
+    def test_psi_replays_and_is_nonnegative_total(self, spark):
+        import math
+        from collections import Counter
+
+        a, b = self._halves(spark)
+        ca = Counter(v // 2000 for v in a)  # $20 bins over cents
+        cb = Counter(v // 2000 for v in b)
+        rows = registry.QUERIES["events_psi_value_drift"](
+            spark, SF_SMOKE
+        ).collect()
+        n1, n2 = len(a), len(b)
+        total = 0
+        for r in rows:
+            assert ca[r["bin"]] == r["c1"] and cb[r["bin"]] == r["c2"]
+            p, q = r["c1"] / n1, r["c2"] / n2
+            want = math.floor((p - q) * math.log(p / q) * 1e6 + 0.5)
+            assert r["psi_ubits"] == want
+            total += r["psi_ubits"]
+        # each (p-q)·ln(p/q) term is >= 0, so the index is too
+        # (quantization can nudge a zero term to at most -1 µnat each)
+        assert total >= -len(rows)

@@ -130,6 +130,8 @@ SHOWCASE = [
     "text_bm25_search",
     "search_hybrid_rrf",
     "graph_walk_skipgram_pairs",
+    "events_psi_value_drift",
+    "events_ks_two_sample",
 ]
 
 
