@@ -204,6 +204,7 @@ EXT_HEADLINE = [
     "graph_walk_skipgram_pairs",
     "events_psi_value_drift",
     "events_ks_two_sample",
+    "events_mann_whitney_u",
 ]
 
 

@@ -4028,3 +4028,136 @@ def q_events_ks_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
             / (F.max("n1").cast("double") * F.max("n2").cast("double"))
         ).alias("ks_d"),
     )
+
+
+# -- Mann-Whitney U ----------------------------------------------------------
+# The rank-based two-sample test completing the stats suite (Welch:
+# means under normality; KS: CDF distance; bootstrap: resampling).
+# Doubled tie-averaged rank sums are EXACT integers: a value with d1/d2
+# occurrences and cum_before predecessors contributes
+# d1·(2·cum_before + d1 + d2 + 1) to 2·R1 — so U is exact in halves,
+# and only the tie-corrected normal approximation is floating point.
+
+_MWU_ORACLE = f"""
+WITH m AS (
+    SELECT user_id % 2 AS grp,
+           CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS c
+    FROM events WHERE event_type = 'purchase'
+),
+v AS (
+    SELECT c,
+           CAST(SUM(CASE WHEN grp = 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS d1,
+           CAST(SUM(CASE WHEN grp = 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS d2
+    FROM m GROUP BY 1
+),
+cum AS (
+    SELECT c, d1, d2,
+           COALESCE(SUM(d1 + d2) OVER (ORDER BY c
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS cb
+    FROM v
+),
+agg AS (
+    SELECT CAST(SUM(d1) AS BIGINT) AS n1,
+           CAST(SUM(d2) AS BIGINT) AS n2,
+           CAST(SUM(d1 * (2 * cb + d1 + d2 + 1)) AS BIGINT) AS r1x2,
+           CAST(SUM((d1 + d2) * (d1 + d2) * (d1 + d2) - (d1 + d2))
+                AS BIGINT) AS tie3
+    FROM cum
+)
+SELECT n1, n2,
+       CAST(2 * n1 * n2 + n1 * (n1 + 1) - r1x2 AS BIGINT) AS u_x2,
+       (CAST(2 * n1 * n2 + n1 * (n1 + 1) - r1x2 AS DOUBLE) / 2e0
+        - CAST(n1 * n2 AS DOUBLE) / 2e0)
+       / sqrt(
+           CAST(n1 * n2 AS DOUBLE) / 12e0
+           * (CAST(n1 + n2 + 1 AS DOUBLE)
+              - CAST(tie3 AS DOUBLE)
+                / (CAST(n1 + n2 AS DOUBLE)
+                   * CAST(n1 + n2 - 1 AS DOUBLE)))
+       ) AS z_stat
+FROM agg
+"""
+
+
+@query("events_mann_whitney_u", _MWU_ORACLE)
+def q_events_mann_whitney_u(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Whitney U between the two deterministic cohorts of
+    purchase value → (n1, n2, u_x2, z_stat). The nonparametric member
+    of the testing suite — rank-based, so outliers and skew can't
+    fake or mask a shift the way they can in a means test; u_x2 is
+    the EXACT doubled U (tie-averaged ranks are half-integers), and
+    only the tie-corrected normal z is floating point.
+
+    Shape: per-cent-value counts (map-side combined, value-range-
+    bounded), one running sum over that bounded relation, one moment
+    aggregate — the same distinct-value pre-agg discipline as the KS
+    statistic, and why a rank test scales at all (raw ranks would
+    need a global sort; tie-grouped ranks need |distinct values|)."""
+    ev = load_table(spark, sf_dir, "events")
+    from pyspark.sql import Window
+
+    m = ev.filter(F.col("event_type") == "purchase").select(
+        (F.col("user_id") % 2).alias("grp"),
+        (F.col("value").cast("decimal(18,2)") * 100)
+        .cast("bigint")
+        .alias("c"),
+    )
+    v = m.groupBy("c").agg(
+        F.sum(F.when(F.col("grp") == 0, 1).otherwise(0))
+        .cast("bigint")
+        .alias("d1"),
+        F.sum(F.when(F.col("grp") == 1, 1).otherwise(0))
+        .cast("bigint")
+        .alias("d2"),
+    )
+    w = Window.orderBy("c").rowsBetween(Window.unboundedPreceding, -1)
+    cum = v.select(
+        "d1",
+        "d2",
+        F.coalesce(
+            F.sum(F.col("d1") + F.col("d2")).over(w), F.lit(0)
+        ).alias("cb"),
+    )
+    t = F.col("d1") + F.col("d2")
+    agg = cum.agg(
+        F.sum("d1").cast("bigint").alias("n1"),
+        F.sum("d2").cast("bigint").alias("n2"),
+        F.sum(
+            F.col("d1") * (2 * F.col("cb") + F.col("d1") + F.col("d2") + 1)
+        )
+        .cast("bigint")
+        .alias("r1x2"),
+        F.sum(t * t * t - t).cast("bigint").alias("tie3"),
+    )
+    d = lambda c: F.col(c).cast("double")  # noqa: E731
+    ux2 = (
+        2 * F.col("n1") * F.col("n2")
+        + F.col("n1") * (F.col("n1") + 1)
+        - F.col("r1x2")
+    )
+    return agg.select(
+        "n1",
+        "n2",
+        ux2.cast("bigint").alias("u_x2"),
+        (
+            (
+                ux2.cast("double") / F.lit(2.0)
+                - (F.col("n1") * F.col("n2")).cast("double") / F.lit(2.0)
+            )
+            / F.sqrt(
+                (F.col("n1") * F.col("n2")).cast("double")
+                / F.lit(12.0)
+                * (
+                    (F.col("n1") + F.col("n2") + 1).cast("double")
+                    - d("tie3")
+                    / (
+                        (F.col("n1") + F.col("n2")).cast("double")
+                        * (F.col("n1") + F.col("n2") - 1).cast("double")
+                    )
+                )
+            )
+        ).alias("z_stat"),
+    )

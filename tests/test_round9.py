@@ -1334,3 +1334,42 @@ class TestDriftPair:
         # each (p-q)·ln(p/q) term is >= 0, so the index is too
         # (quantization can nudge a zero term to at most -1 µnat each)
         assert total >= -len(rows)
+
+
+class TestMannWhitney:
+    def test_u_matches_bruteforce_ranks(self, spark):
+        from collections import Counter
+
+        from data_pipeline_postgres_spark.catalog import load_table
+
+        got = registry.QUERIES["events_mann_whitney_u"](
+            spark, SF_SMOKE
+        ).collect()[0]
+        a, b = [], []
+        for r in (
+            load_table(spark, SF_SMOKE, "events")
+            .filter(F.col("event_type") == "purchase")
+            .collect()
+        ):
+            (a if r["user_id"] % 2 == 0 else b).append(
+                round(r["value"] * 100)
+            )
+        assert got["n1"] == len(a) and got["n2"] == len(b)
+        # tie-averaged doubled rank sum of sample 1 by brute force
+        allv = sorted(a + b)
+        first = {}
+        cnt = Counter(allv)
+        pos = 1
+        rank2 = {}
+        for v in sorted(cnt):
+            k = cnt[v]
+            rank2[v] = 2 * pos + (k - 1)  # 2 * average rank
+            pos += k
+        r1x2 = sum(rank2[v] for v in a)
+        n1, n2 = len(a), len(b)
+        u_x2 = 2 * n1 * n2 + n1 * (n1 + 1) - r1x2
+        assert got["u_x2"] == u_x2
+        # z is within normal range and finite
+        import math
+
+        assert math.isfinite(got["z_stat"])

@@ -132,6 +132,7 @@ SHOWCASE = [
     "graph_walk_skipgram_pairs",
     "events_psi_value_drift",
     "events_ks_two_sample",
+    "events_mann_whitney_u",
 ]
 
 
