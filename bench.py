@@ -205,6 +205,7 @@ EXT_HEADLINE = [
     "events_psi_value_drift",
     "events_ks_two_sample",
     "events_mann_whitney_u",
+    "events_chi2_independence",
 ]
 
 

@@ -4161,3 +4161,85 @@ def q_events_mann_whitney_u(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("z_stat"),
     )
+
+
+# -- Chi-square independence ------------------------------------------------
+# The categorical member of the shift-test suite (PSI: binned numeric;
+# KS/MWU: continuous; this: is the event-type MIX independent of the
+# cohort). (o-e)^2/e terms quantize to micro-units before the sum.
+
+_CHI2_ORACLE = """
+WITH m AS (
+    SELECT user_id % 2 AS grp, event_type FROM events
+),
+c AS (
+    SELECT grp, event_type, CAST(COUNT(*) AS BIGINT) AS o
+    FROM m GROUP BY 1, 2
+),
+rt AS (SELECT grp, CAST(SUM(o) AS BIGINT) AS nr FROM c GROUP BY 1),
+ct AS (SELECT event_type, CAST(SUM(o) AS BIGINT) AS nc FROM c GROUP BY 1),
+tot AS (SELECT CAST(SUM(o) AS BIGINT) AS n FROM c),
+t AS (
+    SELECT c.grp, c.event_type, o,
+           CAST(floor(
+               (CAST(o AS DOUBLE)
+                - CAST(nr AS DOUBLE) * CAST(nc AS DOUBLE)
+                  / CAST(n AS DOUBLE))
+               * (CAST(o AS DOUBLE)
+                  - CAST(nr AS DOUBLE) * CAST(nc AS DOUBLE)
+                    / CAST(n AS DOUBLE))
+               / (CAST(nr AS DOUBLE) * CAST(nc AS DOUBLE)
+                  / CAST(n AS DOUBLE))
+               * 1000000.0 + 0.5) AS BIGINT) AS chi2_u
+    FROM c JOIN rt USING (grp) JOIN ct USING (event_type)
+    CROSS JOIN tot
+)
+SELECT grp, event_type, o, chi2_u FROM t
+"""
+
+
+@query("events_chi2_independence", _CHI2_ORACLE)
+def q_events_chi2_independence(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Chi-square test of independence between cohort and event-type
+    mix → one row per cell (grp, event_type, o, chi2_u); the
+    statistic is Σ chi2_u / 10^6 with df = (R−1)(C−1), and the
+    per-cell terms localize WHICH behavior diverged. The categorical
+    member of the shift suite (PSI: binned numeric; KS/MWU:
+    continuous ranks; Welch/CUPED: means).
+
+    Determinism: observed/marginal counts exact; each cell's
+    (o−e)²/e is one identically-bracketed double quantized to int64
+    micro-units. Shape: one map-side-combined cell count (R·C cells,
+    cardinality-bounded), marginals derived FROM the cell relation
+    (no second scan), broadcast joins of tiny marginal relations."""
+    ev = load_table(spark, sf_dir, "events")
+    c = ev.select(
+        (F.col("user_id") % 2).alias("grp"), "event_type"
+    ).groupBy("grp", "event_type").agg(
+        F.count("*").cast("bigint").alias("o")
+    )
+    rt = c.groupBy("grp").agg(F.sum("o").cast("bigint").alias("nr"))
+    ct = c.groupBy("event_type").agg(
+        F.sum("o").cast("bigint").alias("nc")
+    )
+    tot = c.agg(F.sum("o").cast("bigint").alias("n"))
+    d = lambda x: F.col(x).cast("double")  # noqa: E731
+    e = d("nr") * d("nc") / d("n")
+    return (
+        c.join(F.broadcast(rt), "grp")
+        .join(F.broadcast(ct), "event_type")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "grp",
+            "event_type",
+            "o",
+            F.floor(
+                (d("o") - e) * (d("o") - e) / e * F.lit(1_000_000.0)
+                + F.lit(0.5)
+            )
+            .cast("bigint")
+            .alias("chi2_u"),
+        )
+    )

@@ -52,7 +52,7 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 #
 # Round-10 rotation queue (front-load in this order — never-checked
 # queries take priority over refresh rows now that together they
-# exceed the 50-slot window): (a) the 49 round-9 additions (never
+# exceed the 50-slot window): (a) the 50 round-9 additions (never
 # driver-checked; all in bench HEADLINE and local parity) — decontaminate_embedding, graph_kcore,
 # table_diff_audit, bpe_pair_merges, text_bigram_logprob,
 # lang_id_confusion, emb_pca_power_iteration (rows-only),
@@ -73,16 +73,16 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 # events_cuped_ab_adjusted, graph_random_walks,
 # agg_bootstrap_ci_mean, text_bm25_search, search_hybrid_rrf,
 # graph_walk_skipgram_pairs, events_psi_value_drift,
-# events_ks_two_sample, events_mann_whitney_u;
-# then (b) the first 1 of the 19 r3-evidence refresh rows —
-# dedup_embedding_cosine (remaining r3 rows roll to r11: sim_topk,
-# sim_ann_ivf, profile_table,
+# events_ks_two_sample, events_mann_whitney_u,
+# events_chi2_independence;
+# (the 19 r3-evidence refresh rows all roll to r11:
+# dedup_embedding_cosine, sim_topk, sim_ann_ivf, profile_table,
 # emb_normalize, emb_centroid_per_label, text_stats, token_count,
 # lang_id, text_quality, doc_fingerprint, text_normalize,
 # pii_redact, text_repetition_filter, multimodal_meta,
 # tpch_q1_pricing_summary, tpch_q3_shipping_priority,
 # tpch_q5_local_supplier, plus dedup_simhash_pairs rolling too).
-# 49 + 1 = 50.
+# exactly 50 never-checked round-9 additions fill the window.
 
 DRIVER_PRIORITY: tuple[str, ...] = (
     # (a) round-8 additions, never driver-checked (26)

@@ -1373,3 +1373,31 @@ class TestMannWhitney:
         import math
 
         assert math.isfinite(got["z_stat"])
+
+
+class TestChi2:
+    def test_cells_replay_and_marginals_consistent(self, spark):
+        import math
+        from collections import Counter
+
+        from data_pipeline_postgres_spark.catalog import load_table
+
+        rows = registry.QUERIES["events_chi2_independence"](
+            spark, SF_SMOKE
+        ).collect()
+        obs = Counter()
+        for r in load_table(spark, SF_SMOKE, "events").collect():
+            obs[(r["user_id"] % 2, r["event_type"])] += 1
+        assert {(r["grp"], r["event_type"]): r["o"] for r in rows} == dict(
+            obs
+        )
+        n = sum(obs.values())
+        nr = Counter()
+        nc = Counter()
+        for (g, t), o in obs.items():
+            nr[g] += o
+            nc[t] += o
+        for r in rows:
+            e = nr[r["grp"]] * nc[r["event_type"]] / n
+            want = math.floor((r["o"] - e) ** 2 / e * 1e6 + 0.5)
+            assert r["chi2_u"] == want
