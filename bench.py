@@ -206,6 +206,7 @@ EXT_HEADLINE = [
     "events_ks_two_sample",
     "events_mann_whitney_u",
     "events_chi2_independence",
+    "events_did_estimator",
 ]
 
 

@@ -4243,3 +4243,126 @@ def q_events_chi2_independence(
             .alias("chi2_u"),
         )
     )
+
+
+# -- Difference-in-differences ----------------------------------------------
+# The causal-inference staple: effect = (treat_post − treat_pre) −
+# (ctrl_post − ctrl_pre), the parallel-trends estimate that survives
+# level differences between cohorts AND common time shocks. Four-cell
+# moment aggregate, exact int64 cent sums, one identically-bracketed
+# double expression for the estimate and its pooled SE.
+
+_DID_ORACLE = f"""
+WITH m AS (
+    SELECT user_id % 2 AS grp,
+           CASE WHEN ts < TIMESTAMP '{_CUPED_CUTOFF}' THEN 0 ELSE 1
+           END AS post,
+           CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS c
+    FROM events WHERE event_type = 'purchase'
+),
+s AS (
+    SELECT grp, post, CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(c) AS BIGINT) AS sx,
+           CAST(SUM(CAST(c AS DECIMAL(19,0)) * CAST(c AS DECIMAL(19,0)))
+                AS DOUBLE) AS sq
+    FROM m GROUP BY 1, 2
+),
+w AS (
+    SELECT
+        MAX(CASE WHEN grp = 1 AND post = 1 THEN CAST(sx AS DOUBLE)
+                 / CAST(n AS DOUBLE) END) AS m_tp,
+        MAX(CASE WHEN grp = 1 AND post = 0 THEN CAST(sx AS DOUBLE)
+                 / CAST(n AS DOUBLE) END) AS m_t0,
+        MAX(CASE WHEN grp = 0 AND post = 1 THEN CAST(sx AS DOUBLE)
+                 / CAST(n AS DOUBLE) END) AS m_cp,
+        MAX(CASE WHEN grp = 0 AND post = 0 THEN CAST(sx AS DOUBLE)
+                 / CAST(n AS DOUBLE) END) AS m_c0,
+        MAX(CASE WHEN grp = 1 AND post = 1 THEN
+            (sq - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)
+                  / CAST(n AS DOUBLE))
+            / CAST(n - 1 AS DOUBLE) / CAST(n AS DOUBLE) END) AS v_tp,
+        MAX(CASE WHEN grp = 1 AND post = 0 THEN
+            (sq - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)
+                  / CAST(n AS DOUBLE))
+            / CAST(n - 1 AS DOUBLE) / CAST(n AS DOUBLE) END) AS v_t0,
+        MAX(CASE WHEN grp = 0 AND post = 1 THEN
+            (sq - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)
+                  / CAST(n AS DOUBLE))
+            / CAST(n - 1 AS DOUBLE) / CAST(n AS DOUBLE) END) AS v_cp,
+        MAX(CASE WHEN grp = 0 AND post = 0 THEN
+            (sq - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)
+                  / CAST(n AS DOUBLE))
+            / CAST(n - 1 AS DOUBLE) / CAST(n AS DOUBLE) END) AS v_c0
+    FROM s
+)
+SELECT ((m_tp - m_t0) - (m_cp - m_c0)) / 100e0 AS did_effect,
+       sqrt(v_tp + v_t0 + v_cp + v_c0) / 100e0 AS did_se,
+       ((m_tp - m_t0) - (m_cp - m_c0))
+           / sqrt(v_tp + v_t0 + v_cp + v_c0) AS did_t
+FROM w
+"""
+
+
+@query("events_did_estimator", _DID_ORACLE)
+def q_events_did_estimator(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Difference-in-differences over the 2×2 (cohort × pre/post)
+    design → (did_effect, did_se, did_t) in dollars. The
+    causal-inference staple of the experiment family: immune to level
+    differences between cohorts AND to common time shocks, under the
+    parallel-trends assumption the pre-period exists to check.
+
+    Determinism: four cells of exact moments (int64 cent sums,
+    DECIMAL(19,0)²-widened squares); the estimate, its pooled SE, and
+    the t ratio are one identically-bracketed double expression each
+    (sqrt is correctly-rounded). Shape: ONE filtered scan →
+    map-side-combined 4-group aggregate → a 4-row pivot — the
+    cheapest possible causal readout at any scale."""
+    ev = load_table(spark, sf_dir, "events")
+    cutoff = F.lit(_CUPED_CUTOFF).cast("timestamp")
+    m = ev.filter(F.col("event_type") == "purchase").select(
+        (F.col("user_id") % 2).alias("grp"),
+        F.when(F.col("ts") < cutoff, 0).otherwise(1).alias("post"),
+        (F.col("value").cast("decimal(18,2)") * 100)
+        .cast("bigint")
+        .alias("c"),
+    )
+    dec = lambda c: F.col(c).cast("decimal(19,0)")  # noqa: E731
+    s = m.groupBy("grp", "post").agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("c").cast("bigint").alias("sx"),
+        F.sum(dec("c") * dec("c")).cast("double").alias("sq"),
+    )
+    d = lambda c: F.col(c).cast("double")  # noqa: E731
+    mean = d("sx") / d("n")
+    var_n = (
+        (F.col("sq") - d("sx") * d("sx") / d("n"))
+        / (F.col("n") - 1).cast("double")
+        / d("n")
+    )
+
+    def cell(g, p, expr, alias):
+        return F.max(
+            F.when((F.col("grp") == g) & (F.col("post") == p), expr)
+        ).alias(alias)
+
+    w = s.agg(
+        cell(1, 1, mean, "m_tp"),
+        cell(1, 0, mean, "m_t0"),
+        cell(0, 1, mean, "m_cp"),
+        cell(0, 0, mean, "m_c0"),
+        cell(1, 1, var_n, "v_tp"),
+        cell(1, 0, var_n, "v_t0"),
+        cell(0, 1, var_n, "v_cp"),
+        cell(0, 0, var_n, "v_c0"),
+    )
+    eff = (F.col("m_tp") - F.col("m_t0")) - (
+        F.col("m_cp") - F.col("m_c0")
+    )
+    se = F.sqrt(
+        F.col("v_tp") + F.col("v_t0") + F.col("v_cp") + F.col("v_c0")
+    )
+    return w.select(
+        (eff / F.lit(100.0)).alias("did_effect"),
+        (se / F.lit(100.0)).alias("did_se"),
+        (eff / se).alias("did_t"),
+    )

@@ -1401,3 +1401,39 @@ class TestChi2:
             e = nr[r["grp"]] * nc[r["event_type"]] / n
             want = math.floor((r["o"] - e) ** 2 / e * 1e6 + 0.5)
             assert r["chi2_u"] == want
+
+
+class TestDiD:
+    def test_did_replays_in_python(self, spark):
+        import math
+        from collections import defaultdict
+
+        from data_pipeline_postgres_spark.catalog import load_table
+
+        got = registry.QUERIES["events_did_estimator"](
+            spark, SF_SMOKE
+        ).collect()[0]
+        cells = defaultdict(list)
+        for r in (
+            load_table(spark, SF_SMOKE, "events")
+            .filter(F.col("event_type") == "purchase")
+            .collect()
+        ):
+            post = 0 if str(r["ts"]) < "2024-01-16" else 1
+            cells[(r["user_id"] % 2, post)].append(round(r["value"] * 100))
+
+        def mv(x):
+            n = len(x)
+            m = sum(x) / n
+            v = sum((xi - m) ** 2 for xi in x) / (n - 1) / n
+            return m, v
+
+        m_tp, v_tp = mv(cells[(1, 1)])
+        m_t0, v_t0 = mv(cells[(1, 0)])
+        m_cp, v_cp = mv(cells[(0, 1)])
+        m_c0, v_c0 = mv(cells[(0, 0)])
+        eff = (m_tp - m_t0) - (m_cp - m_c0)
+        se = math.sqrt(v_tp + v_t0 + v_cp + v_c0)
+        assert got["did_effect"] == pytest.approx(eff / 100, rel=1e-9)
+        assert got["did_se"] == pytest.approx(se / 100, rel=1e-9)
+        assert got["did_t"] == pytest.approx(eff / se, rel=1e-9)
