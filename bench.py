@@ -207,6 +207,7 @@ EXT_HEADLINE = [
     "events_mann_whitney_u",
     "events_chi2_independence",
     "events_did_estimator",
+    "orders_holt_backtest",
 ]
 
 

@@ -4366,3 +4366,102 @@ def q_events_did_estimator(spark: SparkSession, sf_dir: str) -> DataFrame:
         (se / F.lit(100.0)).alias("did_se"),
         (eff / se).alias("did_t"),
     )
+
+
+# -- Holt backtest -----------------------------------------------------------
+# Rolling-origin evaluation of the Holt forecaster: at every month t
+# the PRIOR state's one-step forecast (l + b) is scored against the
+# actual, THEN the state updates — the walk-forward discipline that
+# measures a forecaster honestly (in-sample fit flatters). The error
+# sum rides INSIDE the sequential fold, so it accumulates in the same
+# order in both engines and the MAE is bit-identical.
+
+_HOLT_BT_ORACLE = """
+WITH RECURSIVE m AS MATERIALIZED (
+    SELECT CAST(year(o_orderdate) * 12 + month(o_orderdate) - 1
+                AS BIGINT) AS mk,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+                AS DOUBLE) AS rev
+    FROM orders GROUP BY 1
+),
+ordered AS MATERIALIZED (
+    SELECT row_number() OVER (ORDER BY mk) AS rn, rev FROM m
+),
+fit(rn, l, b, s, k) AS (
+    SELECT 1, rev, 0e0, 0e0, CAST(0 AS BIGINT)
+    FROM ordered WHERE rn = 1
+    UNION ALL
+    SELECT o.rn,
+           0.5e0 * o.rev + 0.5e0 * (f.l + f.b),
+           0.25e0 * (0.5e0 * o.rev + 0.5e0 * (f.l + f.b) - f.l)
+               + 0.75e0 * f.b,
+           f.s + abs(o.rev - (f.l + f.b)),
+           f.k + 1
+    FROM fit f JOIN ordered o ON o.rn = f.rn + 1
+)
+SELECT k AS n_evals, s / CAST(k AS DOUBLE) AS mae
+FROM fit WHERE rn = (SELECT MAX(rn) FROM ordered)
+"""
+
+
+@query("orders_holt_backtest", _HOLT_BT_ORACLE)
+def q_orders_holt_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Walk-forward backtest of the Holt forecaster
+    (orders_revenue_holt_forecast's exact recurrence): every month is
+    first predicted by the prior state's one-step forecast, then
+    folded in → (n_evals, mae). The honest forecaster score —
+    in-sample fit flatters; rolling-origin error is what a forecast
+    consumer actually experiences.
+
+    Determinism: the |error| sum accumulates INSIDE the sequential
+    fold (same order both engines → bit-identical MAE, no
+    quantization needed); same decimal-exact month aggregate, same
+    tiny-array single-task fold shape as the forecast query."""
+    o = load_table(spark, sf_dir, "orders")
+    m = o.groupBy(
+        (F.year("o_orderdate") * 12 + F.month("o_orderdate") - 1)
+        .cast("bigint")
+        .alias("mk")
+    ).agg(
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("rev")
+    )
+    xs = m.agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("mk", "rev"))),
+            lambda e: F.struct(
+                e["rev"].alias("l"),
+                F.lit(0.0).alias("b"),
+                F.lit(0.0).alias("s"),
+                F.lit(0).cast("bigint").alias("k"),
+            ),
+        ).alias("xs")
+    )
+    merge = lambda acc, e: F.struct(  # noqa: E731
+        (
+            F.lit(0.5) * e["l"] + F.lit(0.5) * (acc["l"] + acc["b"])
+        ).alias("l"),
+        (
+            F.lit(0.25)
+            * (
+                F.lit(0.5) * e["l"]
+                + F.lit(0.5) * (acc["l"] + acc["b"])
+                - acc["l"]
+            )
+            + F.lit(0.75) * acc["b"]
+        ).alias("b"),
+        (acc["s"] + F.abs(e["l"] - (acc["l"] + acc["b"]))).alias("s"),
+        (acc["k"] + 1).alias("k"),
+    )
+    fit = xs.select(
+        F.aggregate(
+            F.slice(F.col("xs"), 2, F.size("xs") - 1),
+            F.element_at(F.col("xs"), 1),
+            merge,
+        ).alias("st")
+    )
+    return fit.select(
+        F.col("st.k").alias("n_evals"),
+        (F.col("st.s") / F.col("st.k").cast("double")).alias("mae"),
+    )

@@ -52,7 +52,7 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 #
 # Round-10 rotation queue (front-load in this order — never-checked
 # queries take priority over refresh rows now that together they
-# exceed the 50-slot window): (a) the 51 round-9 additions (never
+# exceed the 50-slot window): (a) the 52 round-9 additions (never
 # driver-checked; all in bench HEADLINE and local parity) — decontaminate_embedding, graph_kcore,
 # table_diff_audit, bpe_pair_merges, text_bigram_logprob,
 # lang_id_confusion, emb_pca_power_iteration (rows-only),
@@ -74,7 +74,8 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 # agg_bootstrap_ci_mean, text_bm25_search, search_hybrid_rrf,
 # graph_walk_skipgram_pairs, events_psi_value_drift,
 # events_ks_two_sample, events_mann_whitney_u,
-# events_chi2_independence, events_did_estimator;
+# events_chi2_independence, events_did_estimator,
+# orders_holt_backtest;
 # (the 19 r3-evidence refresh rows all roll to r11:
 # dedup_embedding_cosine, sim_topk, sim_ann_ivf, profile_table,
 # emb_normalize, emb_centroid_per_label, text_stats, token_count,
@@ -82,8 +83,9 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 # pii_redact, text_repetition_filter, multimodal_meta,
 # tpch_q1_pricing_summary, tpch_q3_shipping_priority,
 # tpch_q5_local_supplier, plus dedup_simhash_pairs rolling too).
-# 51 never-checked round-9 additions > 50 slots: the LAST one
-# (events_did_estimator) rolls to r11 with the 19 r3 refresh rows.
+# 52 never-checked round-9 additions > 50 slots: the LAST two
+# (events_did_estimator, orders_holt_backtest) roll to r11 with the
+# 19 r3 refresh rows.
 
 DRIVER_PRIORITY: tuple[str, ...] = (
     # (a) round-8 additions, never driver-checked (26)

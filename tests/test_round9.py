@@ -1437,3 +1437,27 @@ class TestDiD:
         assert got["did_effect"] == pytest.approx(eff / 100, rel=1e-9)
         assert got["did_se"] == pytest.approx(se / 100, rel=1e-9)
         assert got["did_t"] == pytest.approx(eff / se, rel=1e-9)
+
+
+class TestHoltBacktest:
+    def test_backtest_replays_sequentially(self, spark):
+        import duckdb
+
+        got = registry.QUERIES["orders_holt_backtest"](
+            spark, SF_SMOKE
+        ).collect()[0]
+        ser = duckdb.sql(
+            "SELECT cast(year(o_orderdate)*12+month(o_orderdate)-1 as bigint) mk,"
+            " cast(sum(cast(o_totalprice as decimal(18,2))) as double) rev"
+            f" FROM read_parquet('{SF_SMOKE}/orders.parquet')"
+            " GROUP BY 1 ORDER BY 1"
+        ).fetchall()
+        ys = [r[1] for r in ser]
+        l, b, s = ys[0], 0.0, 0.0
+        for y in ys[1:]:
+            s += abs(y - (l + b))
+            l2 = 0.5 * y + 0.5 * (l + b)
+            b = 0.25 * (l2 - l) + 0.75 * b
+            l = l2
+        assert got["n_evals"] == len(ys) - 1
+        assert got["mae"] == s / (len(ys) - 1)

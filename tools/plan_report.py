@@ -135,6 +135,7 @@ SHOWCASE = [
     "events_mann_whitney_u",
     "events_chi2_independence",
     "events_did_estimator",
+    "orders_holt_backtest",
 ]
 
 
