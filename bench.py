@@ -208,6 +208,9 @@ EXT_HEADLINE = [
     "events_chi2_independence",
     "events_did_estimator",
     "orders_holt_backtest",
+    "text_rake_keywords",
+    "docs_naive_bayes_source",
+    "orders_theil_sen_trend",
 ]
 
 

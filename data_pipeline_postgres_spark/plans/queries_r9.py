@@ -4465,3 +4465,439 @@ def q_orders_holt_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("st.k").alias("n_evals"),
         (F.col("st.s") / F.col("st.k").cast("double")).alias("mae"),
     )
+
+
+# -- RAKE keyword extraction ------------------------------------------------
+# Rapid Automatic Keyword Extraction (Rose et al. 2010): candidate
+# phrases are maximal stopword-free token runs; word score =
+# degree/frequency where degree sums the lengths of the phrases the
+# word appears in (self included); phrase score = sum of member word
+# scores. Word scores are exact integer ratios quantized by FLOOR
+# integer division (both engines use floor-div on non-negative ints),
+# so phrase sums are order-free int64 adds.
+
+_RAKE_SCALE = 1_048_576
+_RAKE_MAXLEN = 3
+_RAKE_TOPK = 20
+
+_RAKE_ORACLE = rf"""
+WITH ts AS (
+    SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS a
+    FROM documents
+),
+tok AS (
+    SELECT doc_id, i AS pos, a[i] AS tok
+    FROM ts, unnest(range(1, len(a) + 1)) AS r(i)
+),
+seg AS (
+    SELECT doc_id, pos, tok,
+           tok IN ('the','a','and','of','to','in') AS is_stop,
+           SUM(CASE WHEN tok IN ('the','a','and','of','to','in')
+                    THEN 1 ELSE 0 END)
+               OVER (PARTITION BY doc_id ORDER BY pos) AS seg
+    FROM tok
+),
+ph AS (
+    SELECT doc_id, seg,
+           string_agg(tok, ' ' ORDER BY pos) AS phrase,
+           COUNT(*) AS n_words
+    FROM seg WHERE NOT is_stop
+    GROUP BY 1, 2
+    HAVING COUNT(*) BETWEEN 1 AND {_RAKE_MAXLEN}
+),
+pw AS (
+    SELECT doc_id, seg, phrase, n_words,
+           unnest(string_split(phrase, ' ')) AS w
+    FROM ph
+),
+ws AS (
+    SELECT w, COUNT(*) AS freq, SUM(n_words) AS deg
+    FROM pw GROUP BY 1
+),
+wq AS (SELECT w, (deg * {_RAKE_SCALE}) // freq AS wq FROM ws),
+inst AS (
+    SELECT pw.doc_id, pw.seg, pw.phrase, pw.n_words,
+           SUM(wq.wq) AS sq
+    FROM pw JOIN wq ON pw.w = wq.w
+    GROUP BY 1, 2, 3, 4
+)
+SELECT phrase, CAST(n_words AS BIGINT) AS n_words,
+       CAST(COUNT(*) AS BIGINT) AS n_occur,
+       CAST(sq AS DOUBLE) / {_RAKE_SCALE}.0 AS rake_score
+FROM inst
+GROUP BY phrase, n_words, sq
+ORDER BY sq DESC, n_occur DESC, phrase
+LIMIT {_RAKE_TOPK}
+"""
+
+
+@query("text_rake_keywords", _RAKE_ORACLE)
+def q_text_rake_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAKE keyword extraction over the corpus: stopword-delimited
+    candidate phrases (length <= 3), word score = degree/frequency,
+    phrase score = sum of member word scores, global top-20 phrases.
+    The classic unsupervised keyworder — in a curation stack it
+    surfaces the corpus's dominant multi-word topics without an LM.
+
+    Determinism: word scores are (deg*2^20) DIV freq — exact floor
+    integer division on non-negative int64 in both engines — so every
+    downstream sum is an order-free integer add; ONE double division
+    at the end. Scale: one posexplode, token-key shuffles only
+    (segment ids are a per-doc window over positions, partitioned by
+    doc_id); the word-score relation is vocabulary-sized and the
+    top-20 lands in TakeOrderedAndProject — nothing collects."""
+    from pyspark.sql import Window
+
+    docs = _docs(spark, sf_dir)
+    tok = docs.select(
+        "doc_id", F.posexplode(TX.tokens("text")).alias("p0", "tok")
+    ).select("doc_id", (F.col("p0") + 1).alias("pos"), "tok")
+    is_stop = F.col("tok").isin(*TX.STOPWORDS)
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    seg = tok.select(
+        "doc_id",
+        "pos",
+        "tok",
+        is_stop.alias("is_stop"),
+        F.sum(is_stop.cast("bigint")).over(w).alias("seg"),
+    )
+    ph = (
+        seg.filter(~F.col("is_stop"))
+        .groupBy("doc_id", "seg")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "tok"))),
+                    lambda s: s["tok"],
+                ),
+                " ",
+            ).alias("phrase"),
+            F.count("*").alias("n_words"),
+        )
+        .filter(F.col("n_words").between(1, _RAKE_MAXLEN))
+    )
+    pw = ph.select(
+        "doc_id",
+        "seg",
+        "phrase",
+        "n_words",
+        F.explode(F.split(F.col("phrase"), " ")).alias("w"),
+    )
+    ws = pw.groupBy("w").agg(
+        F.count("*").alias("freq"), F.sum("n_words").alias("deg")
+    )
+    wq = ws.select(
+        "w",
+        F.expr(f"(deg * {_RAKE_SCALE}) div freq").alias("wq"),
+    )
+    inst = pw.join(wq, "w").groupBy(
+        "doc_id", "seg", "phrase", "n_words"
+    ).agg(F.sum("wq").alias("sq"))
+    return (
+        inst.groupBy("phrase", "n_words", "sq")
+        .agg(F.count("*").cast("bigint").alias("n_occur"))
+        .select(
+            "phrase",
+            F.col("n_words").cast("bigint").alias("n_words"),
+            "n_occur",
+            (F.col("sq").cast("double") / F.lit(float(_RAKE_SCALE)))
+            .alias("rake_score"),
+            "sq",
+        )
+        .orderBy(F.desc("sq"), F.desc("n_occur"), F.asc("phrase"))
+        .limit(_RAKE_TOPK)
+        .drop("sq")
+    )
+
+
+# -- Naive Bayes source classifier -----------------------------------------
+# The trained-classifier member of the curation stack (fastText-style
+# quality/domain classifiers in CCNet/RedPajama pipelines): multinomial
+# NB over token counts, trained on the md5-free deterministic split
+# doc_id % 5 <> 0, scored on the held-out fifth, reported as a
+# source-level confusion matrix. All log-probabilities are add-one
+# smoothed and int64-quantized before any aggregation.
+
+_NB_ORACLE = r"""
+WITH train AS (SELECT * FROM documents WHERE doc_id % 5 <> 0),
+test  AS (SELECT * FROM documents WHERE doc_id % 5 = 0),
+ttok AS (
+    SELECT source,
+           unnest(regexp_split_to_array(trim(text), '\s+')) AS tok
+    FROM train
+),
+cnt AS (SELECT source, tok, COUNT(*) AS c FROM ttok GROUP BY 1, 2),
+nsrc AS (SELECT source, SUM(c) AS n_src FROM cnt GROUP BY 1),
+vocab AS (SELECT DISTINCT tok FROM ttok),
+v AS (SELECT COUNT(*) AS v FROM vocab),
+model AS (
+    SELECT s.source, t.tok,
+           CAST(floor(log2(CAST(COALESCE(c.c, 0) + 1 AS DOUBLE)
+                           / CAST(s.n_src + v.v AS DOUBLE))
+                      * 1000000.0 + 0.5) AS BIGINT) AS lq
+    FROM nsrc s CROSS JOIN vocab t CROSS JOIN v
+    LEFT JOIN cnt c ON c.source = s.source AND c.tok = t.tok
+),
+lq0 AS (
+    SELECT s.source,
+           CAST(floor(log2(1.0 / CAST(s.n_src + v.v AS DOUBLE))
+                      * 1000000.0 + 0.5) AS BIGINT) AS lq0
+    FROM nsrc s CROSS JOIN v
+),
+prior AS (
+    SELECT source,
+           CAST(floor(log2(CAST(COUNT(*) AS DOUBLE)
+                           / CAST((SELECT COUNT(*) FROM train) AS DOUBLE))
+                      * 1000000.0 + 0.5) AS BIGINT) AS pq
+    FROM train GROUP BY 1
+),
+dtok AS (
+    SELECT doc_id, source AS true_source,
+           unnest(regexp_split_to_array(trim(text), '\s+')) AS tok
+    FROM test
+),
+tf AS (
+    SELECT doc_id, true_source, tok, COUNT(*) AS tf
+    FROM dtok GROUP BY 1, 2, 3
+),
+score AS (
+    SELECT tf.doc_id, tf.true_source, p.source,
+           p.pq + SUM(tf.tf * COALESCE(m.lq, z.lq0)) AS sq
+    FROM tf
+    CROSS JOIN prior p
+    JOIN lq0 z ON z.source = p.source
+    LEFT JOIN model m ON m.source = p.source AND m.tok = tf.tok
+    GROUP BY 1, 2, 3, p.pq
+),
+pred AS (
+    SELECT doc_id, true_source, source AS pred_source,
+           row_number() OVER (PARTITION BY doc_id
+                              ORDER BY sq DESC, source) AS rk
+    FROM score
+)
+SELECT true_source, pred_source, CAST(COUNT(*) AS BIGINT) AS n_docs
+FROM pred WHERE rk = 1
+GROUP BY 1, 2
+"""
+
+
+@query("docs_naive_bayes_source", _NB_ORACLE)
+def q_docs_naive_bayes_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multinomial Naive Bayes source classifier, trained on 4/5 of
+    the corpus (doc_id % 5 <> 0) and evaluated on the held-out fifth:
+    add-one smoothed token log-likelihoods + class prior, argmax over
+    sources, reported as the (true_source, pred_source, n_docs)
+    confusion matrix. The shape of every fastText-style
+    quality/domain classifier in a curation pipeline — train token
+    stats, broadcast the model, score in one linear pass.
+
+    Determinism: every log2 probability is quantized to int64
+    micro-bits BEFORE aggregation (floor(log2(p)*1e6+0.5)); document
+    scores are exact integer sums in any partition order; argmax ties
+    break by source name. (On this signal-free synthetic corpus the
+    matrix reads chance-level — exactly what a classifier-QA gate
+    should report for it.) Scale: the model is vocab x classes — the
+    standard NB model size, built with token-key shuffles and joined
+    BROADCAST onto the test token stream; the test corpus never
+    shuffles on anything but (doc, token); confusion output is
+    classes^2 rows."""
+    docs = _docs(spark, sf_dir)
+    train = docs.filter(F.col("doc_id") % 5 != 0)
+    test = docs.filter(F.col("doc_id") % 5 == 0)
+
+    ttok = train.select(
+        "source", F.explode(TX.tokens("text")).alias("tok")
+    )
+    cnt = ttok.groupBy("source", "tok").agg(F.count("*").alias("c"))
+    nsrc = cnt.groupBy("source").agg(F.sum("c").alias("n_src"))
+    vocab = ttok.select("tok").distinct()
+    v = vocab.agg(F.count("*").alias("v"))
+
+    def q_log2(num, den):
+        return (
+            F.floor(F.log2(num / den) * F.lit(1e6) + F.lit(0.5))
+            .cast("bigint")
+        )
+
+    model = (
+        nsrc.crossJoin(F.broadcast(v))
+        .crossJoin(vocab)
+        .join(cnt, ["source", "tok"], "left")
+        .select(
+            "source",
+            "tok",
+            q_log2(
+                (F.coalesce(F.col("c"), F.lit(0)) + 1).cast("double"),
+                (F.col("n_src") + F.col("v")).cast("double"),
+            ).alias("lq"),
+        )
+    )
+    lq0 = nsrc.crossJoin(F.broadcast(v)).select(
+        "source",
+        q_log2(
+            F.lit(1.0), (F.col("n_src") + F.col("v")).cast("double")
+        ).alias("lq0"),
+    )
+    n_train = train.agg(F.count("*").alias("n_train"))
+    prior = (
+        train.groupBy("source")
+        .agg(F.count("*").alias("nd"))
+        .crossJoin(F.broadcast(n_train))
+        .select(
+            "source",
+            q_log2(
+                F.col("nd").cast("double"),
+                F.col("n_train").cast("double"),
+            ).alias("pq"),
+        )
+    )
+
+    tf = (
+        test.select(
+            "doc_id",
+            F.col("source").alias("true_source"),
+            F.explode(TX.tokens("text")).alias("tok"),
+        )
+        .groupBy("doc_id", "true_source", "tok")
+        .agg(F.count("*").alias("tf"))
+    )
+    score = (
+        tf.crossJoin(F.broadcast(prior))
+        .join(F.broadcast(lq0), "source")
+        .join(F.broadcast(model), ["source", "tok"], "left")
+        .groupBy("doc_id", "true_source", "source", "pq")
+        .agg(
+            F.sum(
+                F.col("tf") * F.coalesce(F.col("lq"), F.col("lq0"))
+            ).alias("s1")
+        )
+        .select(
+            "doc_id",
+            "true_source",
+            "source",
+            (F.col("pq") + F.col("s1")).alias("sq"),
+        )
+    )
+    from pyspark.sql import Window
+
+    wk = Window.partitionBy("doc_id").orderBy(
+        F.desc("sq"), F.asc("source")
+    )
+    pred = score.select(
+        "doc_id",
+        "true_source",
+        F.col("source").alias("pred_source"),
+        F.row_number().over(wk).alias("rk"),
+    ).filter(F.col("rk") == 1)
+    return pred.groupBy("true_source", "pred_source").agg(
+        F.count("*").cast("bigint").alias("n_docs")
+    )
+
+
+# -- Theil-Sen robust trend -------------------------------------------------
+# Median-of-pairwise-slopes regression (Theil 1950, Sen 1968) over the
+# DAILY revenue series: the input to the pairwise stage is
+# calendar-bounded (<= n_days rows at ANY corpus scale), so the
+# all-pairs step is a deliberate, bounded exception to the no-all-pairs
+# rule — n_days(n_days-1)/2 pairs of an already-aggregated relation.
+
+_TS_ORACLE = """
+WITH daily AS (
+    SELECT CAST(o_orderdate AS DATE) AS d,
+           SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS rev
+    FROM orders GROUP BY 1
+),
+t0 AS (SELECT MIN(d) AS d0 FROM daily),
+pts AS (
+    SELECT datediff('day', t0.d0, daily.d) AS t,
+           CAST(rev AS DOUBLE) AS y
+    FROM daily, t0
+),
+pairs AS (
+    SELECT (b.y - a.y) / CAST(b.t - a.t AS DOUBLE) AS slope,
+           a.t AS t1, b.t AS t2
+    FROM pts a JOIN pts b ON a.t < b.t
+),
+rk AS (
+    SELECT slope,
+           row_number() OVER (ORDER BY slope, t1, t2) AS rn,
+           COUNT(*) OVER () AS n
+    FROM pairs
+)
+SELECT CAST((SELECT COUNT(*) FROM pts) AS BIGINT) AS n_days,
+       CAST(MAX(n) AS BIGINT) AS n_pairs,
+       SUM(CASE WHEN rn IN ((n + 1) // 2, n // 2 + 1)
+                THEN slope ELSE 0 END)
+       / CAST(COUNT(CASE WHEN rn IN ((n + 1) // 2, n // 2 + 1)
+                         THEN 1 END) AS DOUBLE) AS ts_slope
+FROM rk
+"""
+
+
+@query("orders_theil_sen_trend", _TS_ORACLE)
+def q_orders_theil_sen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil-Sen robust trend of daily order revenue: the median of
+    all pairwise slopes (y_j - y_i)/(t_j - t_i) over the daily
+    aggregate — the robust counterpart of events_trend_ols (up to
+    ~29% outlier days cannot move it). Output: (n_days, n_pairs,
+    ts_slope) in revenue units per day.
+
+    Determinism: daily revenue is a DECIMAL(18,2) sum cast once to
+    double; each slope is ONE IEEE division of exactly-representable
+    operands, so both engines compute bit-identical slope values;
+    the median picks rank-addressed elements under the total order
+    (slope, t1, t2) and averages the middle two on even counts.
+    Scale: the pairwise stage runs on the CALENDAR-BOUNDED daily
+    relation (n_days rows no matter the corpus size), so the
+    quadratic is O(days^2) ~ 266k pairs for two years — constant in
+    data volume; everything upstream is one date-key shuffle."""
+    from pyspark.sql import Window
+
+    o = load_table(spark, sf_dir, "orders")
+    daily = o.groupBy(
+        F.col("o_orderdate").cast("date").alias("d")
+    ).agg(
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("rev")
+    )
+    t0 = daily.agg(F.min("d").alias("d0"))
+    pts = daily.crossJoin(F.broadcast(t0)).select(
+        F.datediff(F.col("d"), F.col("d0")).alias("t"),
+        F.col("rev").cast("double").alias("y"),
+    )
+    a = pts.alias("a")
+    b = pts.alias("b")
+    pairs = a.join(
+        F.broadcast(b), F.col("a.t") < F.col("b.t")
+    ).select(
+        (
+            (F.col("b.y") - F.col("a.y"))
+            / (F.col("b.t") - F.col("a.t")).cast("double")
+        ).alias("slope"),
+        F.col("a.t").alias("t1"),
+        F.col("b.t").alias("t2"),
+    )
+    w = Window.orderBy("slope", "t1", "t2")
+    rk = pairs.select(
+        "slope",
+        F.row_number().over(w).alias("rn"),
+        F.count("*").over(
+            Window.partitionBy(F.lit(1)).rowsBetween(
+                Window.unboundedPreceding, Window.unboundedFollowing
+            )
+        ).alias("n"),
+    )
+    m1 = F.floor((F.col("n") + 1) / 2)
+    m2 = F.floor(F.col("n") / 2) + 1
+    mid = (F.col("rn") == m1) | (F.col("rn") == m2)
+    n_days = pts.agg(F.count("*").cast("bigint").alias("n_days"))
+    return (
+        rk.agg(
+            F.max("n").cast("bigint").alias("n_pairs"),
+            (
+                F.sum(F.when(mid, F.col("slope")).otherwise(F.lit(0.0)))
+                / F.count(F.when(mid, F.lit(1))).cast("double")
+            ).alias("ts_slope"),
+        )
+        .crossJoin(F.broadcast(n_days))
+        .select("n_days", "n_pairs", "ts_slope")
+    )

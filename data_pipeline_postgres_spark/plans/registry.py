@@ -75,7 +75,8 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 # graph_walk_skipgram_pairs, events_psi_value_drift,
 # events_ks_two_sample, events_mann_whitney_u,
 # events_chi2_independence, events_did_estimator,
-# orders_holt_backtest;
+# orders_holt_backtest, text_rake_keywords,
+# docs_naive_bayes_source, orders_theil_sen_trend;
 # (the 19 r3-evidence refresh rows all roll to r11:
 # dedup_embedding_cosine, sim_topk, sim_ann_ivf, profile_table,
 # emb_normalize, emb_centroid_per_label, text_stats, token_count,
@@ -83,9 +84,10 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 # pii_redact, text_repetition_filter, multimodal_meta,
 # tpch_q1_pricing_summary, tpch_q3_shipping_priority,
 # tpch_q5_local_supplier, plus dedup_simhash_pairs rolling too).
-# 52 never-checked round-9 additions > 50 slots: the LAST two
-# (events_did_estimator, orders_holt_backtest) roll to r11 with the
-# 19 r3 refresh rows.
+# 55 never-checked round-9 additions > 50 slots: the LAST five
+# (events_did_estimator, orders_holt_backtest, text_rake_keywords,
+# docs_naive_bayes_source, orders_theil_sen_trend) roll to r11 with
+# the 19 r3 refresh rows.
 
 DRIVER_PRIORITY: tuple[str, ...] = (
     # (a) round-8 additions, never driver-checked (26)

@@ -1461,3 +1461,184 @@ class TestHoltBacktest:
             l = l2
         assert got["n_evals"] == len(ys) - 1
         assert got["mae"] == s / (len(ys) - 1)
+
+
+class TestRakeKeywords:
+    def test_rake_replays_in_python(self, spark):
+        """Full pure-Python RAKE replay on the smoke corpus must equal
+        the Spark top-20 bit-for-bit (scores included)."""
+        from collections import defaultdict
+
+        from data_pipeline_postgres_spark.catalog import load_table
+        from data_pipeline_postgres_spark.functions.text import STOPWORDS
+
+        got = [
+            (r["phrase"], r["n_words"], r["n_occur"], r["rake_score"])
+            for r in registry.QUERIES["text_rake_keywords"](
+                spark, SF_SMOKE
+            ).collect()
+        ]
+        assert len(got) == 20
+
+        phrases = []
+        for r in load_table(spark, SF_SMOKE, "documents").collect():
+            cur = []
+            for tok in r["text"].strip().split():
+                if tok in STOPWORDS:
+                    if 1 <= len(cur) <= 3:
+                        phrases.append(tuple(cur))
+                    cur = []
+                else:
+                    cur.append(tok)
+            if 1 <= len(cur) <= 3:
+                phrases.append(tuple(cur))
+        freq, deg = defaultdict(int), defaultdict(int)
+        for p in phrases:
+            for w in p:
+                freq[w] += 1
+                deg[w] += len(p)
+        wq = {w: (deg[w] * 1048576) // freq[w] for w in freq}
+        stats = defaultdict(int)
+        for p in phrases:
+            stats[(p, sum(wq[w] for w in p))] += 1
+        ranked = sorted(
+            (
+                (" ".join(p), len(p), n, sq / 1048576.0, sq)
+                for (p, sq), n in stats.items()
+            ),
+            key=lambda t: (-t[4], -t[2], t[0]),
+        )[:20]
+        assert got == [t[:4] for t in ranked]
+
+    def test_rake_top20_is_take_ordered(self, spark):
+        plan = _plan(
+            registry.QUERIES["text_rake_keywords"](spark, SF_SMOKE)
+        )
+        assert "TakeOrderedAndProject" in plan
+
+
+class TestNaiveBayesSource:
+    def test_confusion_partitions_test_split(self, spark):
+        """Every held-out doc lands in exactly one confusion cell and
+        both axes stay inside the training label set."""
+        from data_pipeline_postgres_spark.catalog import load_table
+
+        rows = registry.QUERIES["docs_naive_bayes_source"](
+            spark, SF_SMOKE
+        ).collect()
+        docs = load_table(spark, SF_SMOKE, "documents")
+        n_test = docs.filter(F.col("doc_id") % 5 == 0).count()
+        srcs = {
+            r["source"]
+            for r in docs.filter(F.col("doc_id") % 5 != 0)
+            .select("source")
+            .distinct()
+            .collect()
+        }
+        assert sum(r["n_docs"] for r in rows) == n_test
+        assert {r["true_source"] for r in rows} <= srcs | {
+            r["source"] for r in docs.select("source").collect()
+        }
+        assert {r["pred_source"] for r in rows} <= srcs
+
+    def test_separable_corpus_classifies_perfectly(self, spark):
+        """On a corpus where each source has a disjoint vocabulary the
+        confusion matrix must be diagonal — the classifier actually
+        learns, even though the synthetic word-salad corpus reads
+        chance-level."""
+        import pandas as pd
+
+        from data_pipeline_postgres_spark.plans import queries_r9
+
+        scratch = "/tmp/nb_separable"
+        os.makedirs(scratch, exist_ok=True)
+        rows = []
+        for d in range(40):
+            src = f"s{d % 4}"
+            word = f"w{d % 4}"
+            rows.append(
+                {
+                    "doc_id": d,
+                    "text": " ".join([word] * 5),
+                    "lang": "en",
+                    "source": src,
+                    "n_chars": 10,
+                }
+            )
+        pd.DataFrame(rows).to_parquet(f"{scratch}/documents.parquet")
+        got = queries_r9.q_docs_naive_bayes_source(
+            spark, scratch
+        ).collect()
+        assert all(r["true_source"] == r["pred_source"] for r in got)
+        assert sum(r["n_docs"] for r in got) == 8  # 40/5 held out
+
+
+class TestTheilSen:
+    def test_matches_numpy_reference(self, spark):
+        """Median-of-pairwise-slopes replay with plain floats over the
+        decimal-exact daily aggregate."""
+        from decimal import Decimal
+
+        from data_pipeline_postgres_spark.catalog import load_table
+
+        got = registry.QUERIES["orders_theil_sen_trend"](
+            spark, SF_SMOKE
+        ).collect()[0]
+        daily = {}
+        for r in load_table(spark, SF_SMOKE, "orders").collect():
+            d = r["o_orderdate"].date()
+            daily[d] = daily.get(d, Decimal(0)) + Decimal(
+                str(r["o_totalprice"])
+            ).quantize(Decimal("0.01"))
+        d0 = min(daily)
+        pts = sorted(
+            ((d - d0).days, float(v)) for d, v in daily.items()
+        )
+        slopes = sorted(
+            (
+                ((y2 - y1) / float(t2 - t1), t1, t2)
+                for i, (t1, y1) in enumerate(pts)
+                for t2, y2 in pts[i + 1 :]
+            )
+        )
+        n = len(slopes)
+        mids = {(n + 1) // 2, n // 2 + 1}
+        med = sum(slopes[m - 1][0] for m in mids) / len(mids)
+        assert got["n_days"] == len(pts)
+        assert got["n_pairs"] == n == len(pts) * (len(pts) - 1) // 2
+        assert got["ts_slope"] == med
+
+    def test_outlier_robustness(self, spark):
+        """Theil-Sen on a clean ramp plus a few wild outlier days must
+        recover the ramp slope exactly (median ignores the tails)."""
+        import datetime as dt
+
+        import pandas as pd
+
+        from data_pipeline_postgres_spark.plans import queries_r9
+
+        scratch = "/tmp/ts_robust"
+        os.makedirs(scratch, exist_ok=True)
+        rows = []
+        for i in range(30):
+            price = 100.0 + 10.0 * i
+            if i in (5, 17):  # wild outliers
+                price = 100000.0
+            rows.append(
+                {
+                    "o_orderkey": i,
+                    "o_custkey": 1,
+                    "o_orderstatus": "F",
+                    "o_totalprice": price,
+                    "o_orderdate": dt.datetime(2024, 1, 1)
+                    + dt.timedelta(days=i),
+                    "o_orderpriority": "1-URGENT",
+                }
+            )
+        pdf = pd.DataFrame(rows)
+        pdf["o_orderdate"] = pdf["o_orderdate"].astype("datetime64[us]")
+        pdf.to_parquet(f"{scratch}/orders.parquet")
+        got = queries_r9.q_orders_theil_sen_trend(
+            spark, scratch
+        ).collect()[0]
+        assert got["ts_slope"] == 10.0
