@@ -211,6 +211,10 @@ EXT_HEADLINE = [
     "text_rake_keywords",
     "docs_naive_bayes_source",
     "orders_theil_sen_trend",
+    "text_pmi_collocations",
+    "docs_winnowing_fingerprints",
+    "events_burst_range_join",
+    "docs_nb_margin_calibration",
 ]
 
 

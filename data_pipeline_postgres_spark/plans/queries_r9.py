@@ -4618,7 +4618,10 @@ def q_text_rake_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
 # source-level confusion matrix. All log-probabilities are add-one
 # smoothed and int64-quantized before any aggregation.
 
-_NB_ORACLE = r"""
+# Shared CTE prelude: model training + per-(test doc, class) int64
+# micro-bit scores. Consumed by the confusion-matrix oracle and the
+# margin-calibration oracle below.
+_NB_PRELUDE = r"""
 WITH train AS (SELECT * FROM documents WHERE doc_id % 5 <> 0),
 test  AS (SELECT * FROM documents WHERE doc_id % 5 = 0),
 ttok AS (
@@ -4668,7 +4671,9 @@ score AS (
     JOIN lq0 z ON z.source = p.source
     LEFT JOIN model m ON m.source = p.source AND m.tok = tf.tok
     GROUP BY 1, 2, 3, p.pq
-),
+)"""
+
+_NB_ORACLE = _NB_PRELUDE + r""",
 pred AS (
     SELECT doc_id, true_source, source AS pred_source,
            row_number() OVER (PARTITION BY doc_id
@@ -4681,26 +4686,12 @@ GROUP BY 1, 2
 """
 
 
-@query("docs_naive_bayes_source", _NB_ORACLE)
-def q_docs_naive_bayes_source(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Multinomial Naive Bayes source classifier, trained on 4/5 of
-    the corpus (doc_id % 5 <> 0) and evaluated on the held-out fifth:
-    add-one smoothed token log-likelihoods + class prior, argmax over
-    sources, reported as the (true_source, pred_source, n_docs)
-    confusion matrix. The shape of every fastText-style
-    quality/domain classifier in a curation pipeline — train token
-    stats, broadcast the model, score in one linear pass.
-
-    Determinism: every log2 probability is quantized to int64
-    micro-bits BEFORE aggregation (floor(log2(p)*1e6+0.5)); document
-    scores are exact integer sums in any partition order; argmax ties
-    break by source name. (On this signal-free synthetic corpus the
-    matrix reads chance-level — exactly what a classifier-QA gate
-    should report for it.) Scale: the model is vocab x classes — the
-    standard NB model size, built with token-key shuffles and joined
-    BROADCAST onto the test token stream; the test corpus never
-    shuffles on anything but (doc, token); confusion output is
-    classes^2 rows."""
+def _nb_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared Naive Bayes scoring relation: every held-out test doc
+    scored against every source class. Returns (doc_id, true_source,
+    source, sq) with sq the int64 micro-bit log-posterior. Used by
+    the confusion-matrix query and the margin-calibration QA query —
+    same model, same quantization, one implementation."""
     docs = _docs(spark, sf_dir)
     train = docs.filter(F.col("doc_id") % 5 != 0)
     test = docs.filter(F.col("doc_id") % 5 == 0)
@@ -4761,7 +4752,7 @@ def q_docs_naive_bayes_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id", "true_source", "tok")
         .agg(F.count("*").alias("tf"))
     )
-    score = (
+    return (
         tf.crossJoin(F.broadcast(prior))
         .join(F.broadcast(lq0), "source")
         .join(F.broadcast(model), ["source", "tok"], "left")
@@ -4778,6 +4769,29 @@ def q_docs_naive_bayes_source(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("pq") + F.col("s1")).alias("sq"),
         )
     )
+
+
+@query("docs_naive_bayes_source", _NB_ORACLE)
+def q_docs_naive_bayes_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multinomial Naive Bayes source classifier, trained on 4/5 of
+    the corpus (doc_id % 5 <> 0) and evaluated on the held-out fifth:
+    add-one smoothed token log-likelihoods + class prior, argmax over
+    sources, reported as the (true_source, pred_source, n_docs)
+    confusion matrix. The shape of every fastText-style
+    quality/domain classifier in a curation pipeline — train token
+    stats, broadcast the model, score in one linear pass.
+
+    Determinism: every log2 probability is quantized to int64
+    micro-bits BEFORE aggregation (floor(log2(p)*1e6+0.5)); document
+    scores are exact integer sums in any partition order; argmax ties
+    break by source name. (On this signal-free synthetic corpus the
+    matrix reads chance-level — exactly what a classifier-QA gate
+    should report for it.) Scale: the model is vocab x classes — the
+    standard NB model size, built with token-key shuffles and joined
+    BROADCAST onto the test token stream; the test corpus never
+    shuffles on anything but (doc, token); confusion output is
+    classes^2 rows."""
+    score = _nb_scores(spark, sf_dir)
     from pyspark.sql import Window
 
     wk = Window.partitionBy("doc_id").orderBy(
@@ -4900,4 +4914,442 @@ def q_orders_theil_sen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .crossJoin(F.broadcast(n_days))
         .select("n_days", "n_pairs", "ts_slope")
+    )
+
+
+# -- PMI collocations -------------------------------------------------------
+# Pointwise mutual information over adjacent token bigrams (Church &
+# Hanks 1990): pmi(x,y) = log2(c(xy)*N / (c(x)*c(y))) with N the
+# total token count. The classic collocation surfacer — in a curation
+# stack it exposes boilerplate word pairs and domain phrases. The
+# score is ONE double expression evaluated in the identical operation
+# order in both engines (two exact int64->double products, one IEEE
+# division, one log2), then quantized to int64 micro-bits as the
+# ranking key, so the top-20 is hash-stable.
+
+_PMI_MINC = 5
+_PMI_TOPK = 20
+
+_PMI_ORACLE = rf"""
+WITH ts AS (
+    SELECT regexp_split_to_array(trim(text), '\s+') AS a
+    FROM documents
+),
+uni AS (SELECT unnest(a) AS tok FROM ts),
+uc AS (SELECT tok, COUNT(*) AS c FROM uni GROUP BY 1),
+n AS (SELECT CAST(SUM(c) AS BIGINT) AS n FROM uc),
+bg AS (
+    SELECT a[i] AS w1, a[i + 1] AS w2
+    FROM ts, unnest(range(1, len(a))) AS r(i)
+),
+bc AS (
+    SELECT w1, w2, COUNT(*) AS cxy
+    FROM bg GROUP BY 1, 2
+    HAVING COUNT(*) >= {_PMI_MINC}
+),
+sc AS (
+    SELECT w1, w2, cxy,
+           CAST(floor(log2((CAST(cxy AS DOUBLE) * CAST(n.n AS DOUBLE))
+                           / (CAST(u1.c AS DOUBLE)
+                              * CAST(u2.c AS DOUBLE)))
+                      * 1000000.0 + 0.5) AS BIGINT) AS pq
+    FROM bc
+    CROSS JOIN n
+    JOIN uc u1 ON bc.w1 = u1.tok
+    JOIN uc u2 ON bc.w2 = u2.tok
+)
+SELECT w1, w2, CAST(cxy AS BIGINT) AS n_pair,
+       CAST(pq AS DOUBLE) / 1000000.0 AS pmi
+FROM sc
+ORDER BY pq DESC, cxy DESC, w1, w2
+LIMIT {_PMI_TOPK}
+"""
+
+
+@query("text_pmi_collocations", _PMI_ORACLE)
+def q_text_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 adjacent-bigram collocations by pointwise mutual
+    information, with a min-count floor of 5 occurrences. PMI ranks
+    pairs that co-occur far more than their unigram frequencies
+    predict — the standard boilerplate/phrase detector run before
+    tokenizer training.
+
+    Determinism: pmi = log2((cxy*N)/(c1*c2)) is one fixed-order
+    double expression over exact integer counts, quantized to int64
+    micro-bits before ranking; ties break (count desc, bigram asc).
+    Scale: bigrams come from arrays_zip of two shifted slices — pure
+    map-side, no window shuffle; the only shuffles are the two
+    token-key count aggregations and the two vocabulary-sized joins;
+    top-20 lands in TakeOrderedAndProject."""
+    docs = _docs(spark, sf_dir)
+    toks = docs.select(TX.tokens("text").alias("t"))
+    cnt = F.size(F.col("t")) - 1
+    bg = toks.select(
+        F.explode(
+            F.arrays_zip(
+                F.slice(F.col("t"), 1, F.greatest(cnt, F.lit(0))),
+                F.slice(F.col("t"), 2, F.greatest(cnt, F.lit(0))),
+            )
+        ).alias("z")
+    ).select(F.col("z")["0"].alias("w1"), F.col("z")["1"].alias("w2"))
+
+    uc = (
+        docs.select(F.explode(TX.tokens("text")).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count("*").alias("c"))
+    )
+    n = uc.agg(F.sum("c").cast("bigint").alias("n"))
+    bc = (
+        bg.groupBy("w1", "w2")
+        .agg(F.count("*").alias("cxy"))
+        .filter(F.col("cxy") >= _PMI_MINC)
+    )
+    u1 = uc.select(F.col("tok").alias("w1"), F.col("c").alias("c1"))
+    u2 = uc.select(F.col("tok").alias("w2"), F.col("c").alias("c2"))
+    pq = F.floor(
+        F.log2(
+            (F.col("cxy").cast("double") * F.col("n").cast("double"))
+            / (F.col("c1").cast("double") * F.col("c2").cast("double"))
+        )
+        * F.lit(1e6)
+        + F.lit(0.5)
+    ).cast("bigint")
+    return (
+        bc.crossJoin(F.broadcast(n))
+        .join(u1, "w1")
+        .join(u2, "w2")
+        .select(
+            "w1",
+            "w2",
+            F.col("cxy").cast("bigint").alias("n_pair"),
+            pq.alias("pq"),
+        )
+        .orderBy(
+            F.desc("pq"), F.desc("n_pair"), F.asc("w1"), F.asc("w2")
+        )
+        .limit(_PMI_TOPK)
+        .select(
+            "w1",
+            "w2",
+            "n_pair",
+            (F.col("pq").cast("double") / F.lit(1e6)).alias("pmi"),
+        )
+    )
+
+
+# -- Winnowing fingerprints -------------------------------------------------
+# Winnowing (Schleimer, Wilkerson & Aiken, SIGMOD 2003 — the MOSS
+# algorithm): hash every k-gram (k=3 word shingles here), slide a
+# window of w=4 consecutive hashes, and select the minimum hash of
+# each window, rightmost position on ties. The selected set is the
+# document's fingerprint; any shared substring of length >= k+w-1
+# tokens is GUARANTEED to produce at least one shared fingerprint.
+# Hash = first 10 md5 hex digits (40-bit int); the tie rule is packed
+# into one int64 key (hash * 2^20 + (2^20-1-pos)), so a single MIN
+# implements "smallest hash, rightmost on ties" in both engines.
+# (The 2^20 position budget bounds docs at ~1M tokens — far above
+# this corpus; a production build would widen to 2^24.)
+
+_WIN_W = 4
+_WIN_TOPK = 20
+
+_WIN_ORACLE = r"""
+WITH ts AS (
+    SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t
+    FROM documents
+),
+sh AS (
+    SELECT doc_id, i AS pos,
+           t[i] || ' ' || t[i + 1] || ' ' || t[i + 2] AS s
+    FROM ts, unnest(range(1, len(t) - 1)) AS r(i)
+),
+h AS (
+    SELECT doc_id, pos,
+           ('0x' || substr(md5(s), 1, 10))::BIGINT * 1048576
+               + (1048575 - pos) AS k
+    FROM sh
+),
+m AS (SELECT doc_id, MAX(pos) AS m FROM h GROUP BY 1),
+w AS (
+    SELECT doc_id, unnest(range(1, greatest(m - 3, 1) + 1)) AS j
+    FROM m
+),
+win AS (
+    SELECT w.doc_id, w.j, MIN(h.k) AS sel
+    FROM w
+    JOIN h ON h.doc_id = w.doc_id
+          AND h.pos >= w.j AND h.pos <= w.j + 3
+    GROUP BY 1, 2
+),
+sel AS (SELECT DISTINCT doc_id, sel AS k FROM win)
+SELECT k // 1048576 AS fingerprint,
+       CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+       CAST(COUNT(*) AS BIGINT) AS n_picks
+FROM sel
+GROUP BY 1
+ORDER BY n_docs DESC, n_picks DESC, fingerprint
+LIMIT 20
+"""
+
+
+@query("docs_winnowing_fingerprints", _WIN_ORACLE)
+def q_docs_winnowing_fingerprints(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Winnowing document fingerprints (the MOSS plagiarism-detector
+    selection rule) over 3-word shingles with window w=4: the top-20
+    fingerprints shared by the most documents, with total pick
+    counts. In a dedup stack this is the guaranteed-recall substring
+    detector — any shared run of >= 6 tokens yields a shared
+    fingerprint, at ~2/(w+1) the storage of full shingling.
+
+    Determinism: integer md5-derived hashes; the min-with-rightmost-
+    tie rule is one packed-int64 MIN; dedup of selected (hash, pos)
+    pairs is exact. Scale: the whole selection pipeline is array HOFs
+    inside one projection — zero shuffles until the final
+    fingerprint-key aggregation; per-doc cost is O(tokens * w)."""
+    docs = _docs(spark, sf_dir)
+    base = docs.select(
+        "doc_id", TX.tokens("text").alias("t")
+    ).select(
+        "doc_id", TX.word_shingles(F.col("t"), 3).alias("sh")
+    )
+    hashed = base.filter(F.size("sh") > 0).select(
+        "doc_id",
+        F.expr(
+            "transform(sh, s -> cast(conv(substring(md5(s), 1, 10),"
+            " 16, 10) as bigint))"
+        ).alias("hs"),
+    )
+    keyed = hashed.select(
+        "doc_id",
+        F.expr(
+            "transform(sequence(1, size(hs)), i ->"
+            " hs[i - 1] * 1048576 + (1048575 - i))"
+        ).alias("ks"),
+    )
+    sel = keyed.select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(
+                F.expr(
+                    "transform("
+                    " sequence(1, greatest(size(ks) - 3, 1)),"
+                    " j -> array_min(slice(ks, j,"
+                    "   least(4, size(ks) - j + 1))))"
+                )
+            )
+        ).alias("k"),
+    )
+    return (
+        sel.select("doc_id", F.expr("k div 1048576").alias("fingerprint"))
+        .groupBy("fingerprint")
+        .agg(
+            F.countDistinct("doc_id").cast("bigint").alias("n_docs"),
+            F.count("*").cast("bigint").alias("n_picks"),
+        )
+        .orderBy(
+            F.desc("n_docs"), F.desc("n_picks"), F.asc("fingerprint")
+        )
+        .limit(_WIN_TOPK)
+    )
+
+
+# -- Bucketed range join over burst windows ---------------------------------
+# A range join with NO natural equi-key: intervals (the 3-day windows
+# around each event type's 3 busiest days) joined to the event stream
+# by ts-in-interval. The scale shape is interval bucketing — each
+# interval explodes to its covered day buckets, the join runs as an
+# EQUI-join on the day key (broadcast: the interval relation is
+# types x 3 rows), and no non-equi theta join ever reaches the
+# executor. This is the generic recipe for range joins Spark lacks
+# natively: discretize the range axis, equi-join the buckets, then
+# (for partial buckets) re-filter exactly — here buckets are whole
+# days so no residual filter is needed.
+
+_BURST_ORACLE = """
+WITH daily AS (
+    SELECT event_type, CAST(ts AS DATE) AS d, COUNT(*) AS c
+    FROM events GROUP BY 1, 2
+),
+top3 AS (
+    SELECT event_type, d FROM (
+        SELECT event_type, d,
+               row_number() OVER (PARTITION BY event_type
+                                  ORDER BY c DESC, d) AS rk
+        FROM daily) WHERE rk <= 3
+),
+buckets AS (
+    SELECT event_type AS burst_type, d AS center_day,
+           CAST(d + o AS DATE) AS day
+    FROM top3, unnest([-1, 0, 1]) AS r(o)
+)
+SELECT b.burst_type, b.center_day,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(COUNT(DISTINCT e.user_id) AS BIGINT) AS n_users,
+       CAST(SUM(CAST(e.value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+FROM events e
+JOIN buckets b ON CAST(e.ts AS DATE) = b.day
+GROUP BY 1, 2
+"""
+
+
+@query("events_burst_range_join", _BURST_ORACLE)
+def q_events_burst_range_join(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Activity during burst windows: for each event type's 3 busiest
+    days, the +/-1-day window's total traffic (all types) — events,
+    distinct users, and summed value per (burst_type, center_day).
+    The operator shape is a RANGE JOIN (ts within [center-1,
+    center+1]) executed as a bucketed equi-join: each interval
+    explodes to its day buckets and the stream joins on the day key.
+
+    Determinism: exact counts; value sums ride DECIMAL(18,2); busiest
+    days tiebreak (count desc, day asc). Scale: the interval relation
+    is |types| x 3 rows — broadcast; the event stream is scanned ONCE
+    and never shuffles on anything but the final (type, day) group
+    key; no theta join appears in the plan."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        F.col("ts").cast("timestamp").alias("ts"),
+        "user_id",
+        "value",
+    )
+    daily = ev.groupBy(
+        "event_type", F.to_date("ts").alias("d")
+    ).agg(F.count("*").alias("c"))
+    wk = Window.partitionBy("event_type").orderBy(
+        F.desc("c"), F.asc("d")
+    )
+    top3 = (
+        daily.select(
+            "event_type", "d", F.row_number().over(wk).alias("rk")
+        )
+        .filter(F.col("rk") <= 3)
+    )
+    buckets = top3.select(
+        F.col("event_type").alias("burst_type"),
+        F.col("d").alias("center_day"),
+        F.explode(F.array(F.lit(-1), F.lit(0), F.lit(1))).alias("o"),
+    ).select(
+        "burst_type",
+        "center_day",
+        F.date_add(F.col("center_day"), F.col("o")).alias("day"),
+    )
+    return (
+        ev.join(
+            F.broadcast(buckets), F.to_date("ts") == F.col("day")
+        )
+        .groupBy("burst_type", "center_day")
+        .agg(
+            F.count("*").cast("bigint").alias("n_events"),
+            F.countDistinct("user_id").cast("bigint").alias("n_users"),
+            F.sum(F.col("value").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("total_value"),
+        )
+    )
+
+
+# -- NB margin calibration --------------------------------------------------
+
+_NBCAL_ORACLE = _NB_PRELUDE + r""",
+r2 AS (
+    SELECT doc_id, true_source, source, sq,
+           row_number() OVER (PARTITION BY doc_id
+                              ORDER BY sq DESC, source) AS rk
+    FROM score
+),
+doc AS (
+    SELECT a.doc_id,
+           CASE WHEN a.source = a.true_source THEN 1 ELSE 0 END
+               AS correct,
+           a.sq - b.sq AS margin
+    FROM r2 a
+    JOIN r2 b ON a.doc_id = b.doc_id AND b.rk = 2
+    WHERE a.rk = 1
+),
+binned AS (
+    SELECT correct, margin,
+           CAST(ntile(5) OVER (ORDER BY margin, doc_id) AS BIGINT)
+               AS margin_bin
+    FROM doc
+)
+SELECT margin_bin,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(correct) AS BIGINT) AS n_correct,
+       CAST(SUM(correct) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+           AS accuracy,
+       CAST(MIN(margin) AS BIGINT) AS min_margin,
+       CAST(MAX(margin) AS BIGINT) AS max_margin
+FROM binned
+GROUP BY 1
+"""
+
+
+@query("docs_nb_margin_calibration", _NBCAL_ORACLE)
+def q_docs_nb_margin_calibration(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Calibration QA for the Naive Bayes source classifier: test
+    docs are bucketed into margin quintiles (margin = top-1 minus
+    top-2 log-posterior in micro-bits) and each bucket reports its
+    empirical accuracy — the classifier-confidence reliability table
+    every curation gate should publish before its scores are used as
+    filtering thresholds. A calibrated classifier shows accuracy
+    rising with margin; chance-level flat rows mean the scores carry
+    no signal (the expected reading on this synthetic corpus).
+
+    Determinism: margins are exact int64 differences of quantized
+    scores; quintile assignment is ntile(5) under the total order
+    (margin, doc_id); accuracy is one IEEE division of exact counts.
+    Scale: reuses the NB scoring relation (broadcast model, linear
+    token pass); the top-2 extraction is a per-doc window; the only
+    global step is the ntile over the EVAL-SET-sized doc relation —
+    bounded state by design (eval sets are small by construction,
+    the corpus itself never enters the quintile window)."""
+    from pyspark.sql import Window
+
+    score = _nb_scores(spark, sf_dir)
+    wk = Window.partitionBy("doc_id").orderBy(
+        F.desc("sq"), F.asc("source")
+    )
+    r2 = score.select(
+        "doc_id",
+        "true_source",
+        "source",
+        "sq",
+        F.row_number().over(wk).alias("rk"),
+    )
+    top1 = r2.filter(F.col("rk") == 1).select(
+        "doc_id",
+        F.when(F.col("source") == F.col("true_source"), 1)
+        .otherwise(0)
+        .alias("correct"),
+        F.col("sq").alias("sq1"),
+    )
+    top2 = r2.filter(F.col("rk") == 2).select(
+        "doc_id", F.col("sq").alias("sq2")
+    )
+    doc = top1.join(top2, "doc_id").select(
+        "doc_id", "correct", (F.col("sq1") - F.col("sq2")).alias("margin")
+    )
+    wq = Window.orderBy("margin", "doc_id")
+    binned = doc.select(
+        "correct",
+        "margin",
+        F.ntile(5).over(wq).cast("bigint").alias("margin_bin"),
+    )
+    return binned.groupBy("margin_bin").agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.sum("correct").cast("bigint").alias("n_correct"),
+        (
+            F.sum("correct").cast("double")
+            / F.count("*").cast("double")
+        ).alias("accuracy"),
+        F.min("margin").cast("bigint").alias("min_margin"),
+        F.max("margin").cast("bigint").alias("max_margin"),
     )

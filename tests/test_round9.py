@@ -1642,3 +1642,184 @@ class TestTheilSen:
             spark, scratch
         ).collect()[0]
         assert got["ts_slope"] == 10.0
+
+
+class TestPmiCollocations:
+    def test_pmi_replays_in_python(self, spark):
+        """Pure-Python PMI replay on the smoke corpus must equal the
+        Spark top-20 bit-for-bit (quantized scores included)."""
+        import math
+        from collections import Counter
+
+        from data_pipeline_postgres_spark.catalog import load_table
+
+        got = [
+            (r["w1"], r["w2"], r["n_pair"], r["pmi"])
+            for r in registry.QUERIES["text_pmi_collocations"](
+                spark, SF_SMOKE
+            ).collect()
+        ]
+        assert len(got) == 20
+
+        uni, big = Counter(), Counter()
+        for r in load_table(spark, SF_SMOKE, "documents").collect():
+            t = r["text"].strip().split()
+            uni.update(t)
+            big.update(zip(t, t[1:]))
+        n = sum(uni.values())
+        rows = []
+        for (w1, w2), cxy in big.items():
+            if cxy < 5:
+                continue
+            pq = math.floor(
+                math.log2((cxy * float(n)) / (uni[w1] * float(uni[w2])))
+                * 1e6
+                + 0.5
+            )
+            rows.append((w1, w2, cxy, pq))
+        rows.sort(key=lambda t: (-t[3], -t[2], t[0], t[1]))
+        assert got == [
+            (w1, w2, c, q / 1e6) for w1, w2, c, q in rows[:20]
+        ]
+
+    def test_pmi_top20_is_take_ordered(self, spark):
+        plan = _plan(
+            registry.QUERIES["text_pmi_collocations"](spark, SF_SMOKE)
+        )
+        assert "TakeOrderedAndProject" in plan
+
+
+class TestWinnowingFingerprints:
+    @staticmethod
+    def _select(hashes, w=4):
+        """Reference winnowing: min hash per window, rightmost tie."""
+        sel = set()
+        m = len(hashes)
+        for j in range(1, max(m - w + 1, 1) + 1):
+            win = hashes[j - 1 : j - 1 + w]
+            mn = min(win)
+            # rightmost occurrence of the min
+            pos = j + max(i for i, h in enumerate(win) if h == mn)
+            sel.add((mn, pos))
+        return sel
+
+    def test_winnowing_replays_in_python(self, spark):
+        import hashlib
+        from collections import defaultdict
+
+        from data_pipeline_postgres_spark.catalog import load_table
+
+        got = [
+            (r["fingerprint"], r["n_docs"], r["n_picks"])
+            for r in registry.QUERIES["docs_winnowing_fingerprints"](
+                spark, SF_SMOKE
+            ).collect()
+        ]
+        assert len(got) == 20
+
+        per_fp_docs = defaultdict(set)
+        per_fp_picks = defaultdict(int)
+        for r in load_table(spark, SF_SMOKE, "documents").collect():
+            t = r["text"].strip().split()
+            hs = [
+                int(
+                    hashlib.md5(
+                        " ".join(t[i : i + 3]).encode()
+                    ).hexdigest()[:10],
+                    16,
+                )
+                for i in range(len(t) - 2)
+            ]
+            for h, _pos in self._select(hs):
+                per_fp_docs[h].add(r["doc_id"])
+                per_fp_picks[h] += 1
+        ranked = sorted(
+            (
+                (fp, len(ds), per_fp_picks[fp])
+                for fp, ds in per_fp_docs.items()
+            ),
+            key=lambda x: (-x[1], -x[2], x[0]),
+        )[:20]
+        assert got == ranked
+
+    def test_shared_run_guarantees_shared_fingerprint(self):
+        """Winnowing guarantee: two hash sequences sharing a run of
+        >= w consecutive equal hashes share a selected fingerprint."""
+        import random
+
+        rng = random.Random(9)
+        run = [rng.randrange(1 << 40) for _ in range(4)]
+        a = [rng.randrange(1 << 40) for _ in range(30)] + run
+        b = run + [rng.randrange(1 << 40) for _ in range(25)]
+        sa = {h for h, _ in self._select(a)}
+        sb = {h for h, _ in self._select(b)}
+        assert sa & sb & set(run)
+
+
+class TestBurstRangeJoin:
+    def test_no_theta_join_in_plan(self, spark):
+        """The range join must execute as a broadcast EQUI-join on
+        the day bucket — no BroadcastNestedLoop / CartesianProduct."""
+        plan = _plan(
+            registry.QUERIES["events_burst_range_join"](spark, SF_SMOKE)
+        )
+        assert "BroadcastNestedLoopJoin" not in plan
+        assert "CartesianProduct" not in plan
+        assert "BroadcastHashJoin" in plan
+
+    def test_windows_cover_top_days(self, spark):
+        """Every reported center day must be among its type's top-3
+        busiest days, and its window count must be >= the center
+        day's own event count."""
+        from data_pipeline_postgres_spark.catalog import load_table
+
+        out = {
+            (r["burst_type"], r["center_day"]): r["n_events"]
+            for r in registry.QUERIES["events_burst_range_join"](
+                spark, SF_SMOKE
+            ).collect()
+        }
+        ev = load_table(spark, SF_SMOKE, "events")
+        daily = (
+            ev.groupBy("event_type", F.to_date("ts").alias("d"))
+            .count()
+            .collect()
+        )
+        from collections import defaultdict
+
+        per_type = defaultdict(list)
+        for r in daily:
+            per_type[r["event_type"]].append((r["d"], r["count"]))
+        for (btype, center), n in out.items():
+            top3 = [
+                d
+                for d, _ in sorted(
+                    per_type[btype], key=lambda x: (-x[1], x[0])
+                )[:3]
+            ]
+            assert center in top3
+            center_cnt = dict(per_type[btype])[center]
+            assert n >= center_cnt
+
+
+class TestNbMarginCalibration:
+    def test_bins_partition_eval_set_and_match_confusion(self, spark):
+        cal = registry.QUERIES["docs_nb_margin_calibration"](
+            spark, SF_SMOKE
+        ).collect()
+        conf = registry.QUERIES["docs_naive_bayes_source"](
+            spark, SF_SMOKE
+        ).collect()
+        n_eval = sum(r["n_docs"] for r in conf)
+        assert sum(r["n_docs"] for r in cal) == n_eval
+        diag = sum(
+            r["n_docs"]
+            for r in conf
+            if r["true_source"] == r["pred_source"]
+        )
+        assert sum(r["n_correct"] for r in cal) == diag
+        assert sorted(r["margin_bin"] for r in cal) == [1, 2, 3, 4, 5]
+        for r in cal:
+            assert 0.0 <= r["accuracy"] <= 1.0
+            assert r["min_margin"] >= 0
+            assert r["n_correct"] <= r["n_docs"]
