@@ -215,6 +215,7 @@ EXT_HEADLINE = [
     "docs_winnowing_fingerprints",
     "events_burst_range_join",
     "docs_nb_margin_calibration",
+    "docs_ngram_novelty_curve",
 ]
 
 

@@ -5353,3 +5353,133 @@ def q_docs_nb_margin_calibration(
         F.min("margin").cast("bigint").alias("min_margin"),
         F.max("margin").cast("bigint").alias("max_margin"),
     )
+
+
+# -- N-gram novelty curve -----------------------------------------------------
+# Dataset redundancy growth curve: sweeping the corpus in ingest order
+# (doc_id), what fraction of each slice's 3-gram shingles has never
+# appeared in ANY earlier document? Falling novelty across buckets is
+# the canonical "we are re-crawling the same web" signal and the
+# standard pre-training argument for dedup budget (docs_vocab_growth
+# tracks the VOCABULARY curve; this tracks phrase-level redundancy,
+# which saturates far earlier). Reference scope: the reference has no
+# text analytics; this extends its profiling family per SURVEY §2.13.
+
+_NOVELTY_BUCKETS = 10
+
+_NOVELTY_CURVE_ORACLE = r"""
+WITH ts AS (
+    SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t
+    FROM documents
+),
+sh AS (
+    SELECT DISTINCT doc_id,
+           ('0x' || substr(md5(t[i] || ' ' || t[i + 1] || ' ' || t[i + 2]),
+                           1, 15))::BIGINT AS h
+    FROM ts, unnest(range(1, len(t) - 1)) AS r(i)
+),
+firsts AS (SELECT h, MIN(doc_id) AS first_doc FROM sh GROUP BY 1),
+bounds AS (SELECT MIN(doc_id) AS mn, MAX(doc_id) AS mx FROM documents),
+per_doc AS (
+    SELECT s.doc_id,
+           COUNT(*) AS n_sh,
+           SUM(CASE WHEN f.first_doc = s.doc_id THEN 1 ELSE 0 END) AS n_new
+    FROM sh s JOIN firsts f ON s.h = f.h
+    GROUP BY 1
+)
+SELECT CAST(((p.doc_id - b.mn) * 10) // (b.mx - b.mn + 1) AS BIGINT)
+           AS bucket,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_sh) AS BIGINT) AS n_shingles,
+       CAST(SUM(n_new) AS BIGINT) AS n_novel,
+       CAST((SUM(n_new) * 1000000) // SUM(n_sh) AS BIGINT) AS novelty_ppm,
+       CAST(CAST((SUM(n_new) * 1000000) // SUM(n_sh) AS BIGINT) AS DOUBLE)
+           / 1000000e0 AS novel_frac
+FROM per_doc p, bounds b
+GROUP BY 1
+ORDER BY bucket
+"""
+
+
+@query("docs_ngram_novelty_curve", _NOVELTY_CURVE_ORACLE)
+def q_docs_ngram_novelty_curve(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Per-corpus-decile 3-gram novelty: bucket documents into 10
+    slices of the doc_id (ingest-order) range and report, per slice,
+    the fraction of its distinct shingles whose FIRST corpus
+    occurrence is in that slice's documents. The redundancy growth
+    curve every crawl-heavy training corpus should publish — a
+    phrase-level saturation signal that falls long before
+    docs_vocab_growth's vocabulary curve flattens. Aggregates the
+    same first-occurrence signal as docs_shingle_novelty (the per-doc
+    table) to a fixed 10-row corpus-position summary.
+
+    Determinism: shingles are set-deduped per doc; first occurrence is
+    an integer MIN over doc_id; all bucket math is integer DIV over a
+    broadcast (min, max) scalar — no floats until one final exact
+    int-to-double division. Docs with < 3 tokens carry no shingles and
+    are excluded (stated contract). Scale: shingles are 60-bit md5
+    ints, so the two shuffle keys are fixed-width — the groupBy(h) and
+    the join back on h share one hash partitioning; per-doc and
+    per-bucket aggs are map-side-combinable; nothing is quadratic and
+    nothing sorts globally (buckets come from the id RANGE, not a
+    global ntile)."""
+    docs = _docs(spark, sf_dir)
+    sh = (
+        docs.select("doc_id", TX.tokens("text").alias("t"))
+        .select("doc_id", TX.word_shingles(F.col("t"), 3).alias("sh"))
+        .select("doc_id", F.explode("sh").alias("s"))
+        .select(
+            "doc_id",
+            F.expr(
+                "cast(conv(substring(md5(s), 1, 15), 16, 10) as bigint)"
+            ).alias("h"),
+        )
+        .distinct()
+    )
+    firsts = sh.groupBy("h").agg(F.min("doc_id").alias("first_doc"))
+    per_doc = (
+        sh.join(firsts, "h")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_sh"),
+            F.sum(
+                F.when(F.col("first_doc") == F.col("doc_id"), 1).otherwise(0)
+            ).alias("n_new"),
+        )
+    )
+    bounds = docs.agg(
+        F.min("doc_id").alias("mn"), F.max("doc_id").alias("mx")
+    )
+    return (
+        per_doc.crossJoin(F.broadcast(bounds))
+        .select(
+            F.expr(
+                f"cast(((doc_id - mn) * {_NOVELTY_BUCKETS})"
+                " div (mx - mn + 1) as bigint)"
+            ).alias("bucket"),
+            "n_sh",
+            "n_new",
+        )
+        .groupBy("bucket")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.sum("n_sh").cast("bigint").alias("n_shingles"),
+            F.sum("n_new").cast("bigint").alias("n_novel"),
+            F.expr(
+                "cast((sum(n_new) * 1000000) div sum(n_sh) as bigint)"
+            ).alias("novelty_ppm"),
+        )
+        .select(
+            "bucket",
+            "n_docs",
+            "n_shingles",
+            "n_novel",
+            "novelty_ppm",
+            (F.col("novelty_ppm").cast("double") / F.lit(1e6)).alias(
+                "novel_frac"
+            ),
+        )
+        .orderBy("bucket")
+    )

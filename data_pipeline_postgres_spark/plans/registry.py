@@ -84,12 +84,12 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 # pii_redact, text_repetition_filter, multimodal_meta,
 # tpch_q1_pricing_summary, tpch_q3_shipping_priority,
 # tpch_q5_local_supplier, plus dedup_simhash_pairs rolling too).
-# 59 never-checked round-9 additions > 50 slots: the LAST nine
+# 60 never-checked round-9 additions > 50 slots: the LAST ten
 # (events_did_estimator, orders_holt_backtest, text_rake_keywords,
 # docs_naive_bayes_source, orders_theil_sen_trend,
 # text_pmi_collocations, docs_winnowing_fingerprints,
-# events_burst_range_join, docs_nb_margin_calibration) roll to r11
-# with the 19 r3 refresh rows.
+# events_burst_range_join, docs_nb_margin_calibration,
+# docs_ngram_novelty_curve) roll to r11 with the 19 r3 refresh rows.
 
 DRIVER_PRIORITY: tuple[str, ...] = (
     # (a) round-8 additions, never driver-checked (26)

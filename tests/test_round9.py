@@ -1823,3 +1823,73 @@ class TestNbMarginCalibration:
             assert 0.0 <= r["accuracy"] <= 1.0
             assert r["min_margin"] >= 0
             assert r["n_correct"] <= r["n_docs"]
+
+
+class TestNgramNoveltyCurve:
+    def test_novelty_replays_in_python(self, spark):
+        """Sorted-order Python replay (first occurrence = min doc_id)
+        must match Spark's bucket table exactly, novelty_ppm included."""
+        import hashlib
+        from collections import defaultdict
+
+        from data_pipeline_postgres_spark.catalog import load_table
+
+        got = {
+            r["bucket"]: (
+                r["n_docs"],
+                r["n_shingles"],
+                r["n_novel"],
+                r["novelty_ppm"],
+                r["novel_frac"],
+            )
+            for r in registry.QUERIES["docs_ngram_novelty_curve"](
+                spark, SF_SMOKE
+            ).collect()
+        }
+
+        docs = load_table(spark, SF_SMOKE, "documents").collect()
+        ids = [r["doc_id"] for r in docs]
+        mn, mx = min(ids), max(ids)
+        first: dict[int, int] = {}
+        per_doc: dict[int, tuple[int, int]] = {}
+        for r in sorted(docs, key=lambda r: r["doc_id"]):
+            t = r["text"].strip().split()
+            hs = {
+                int(
+                    hashlib.md5(
+                        " ".join(t[i : i + 3]).encode()
+                    ).hexdigest()[:15],
+                    16,
+                )
+                for i in range(len(t) - 2)
+            }
+            if not hs:
+                continue
+            novel = 0
+            for h in hs:
+                if h not in first:
+                    first[h] = r["doc_id"]
+                    novel += 1
+            per_doc[r["doc_id"]] = (len(hs), novel)
+        assert per_doc, "smoke corpus must produce shingled docs"
+
+        agg = defaultdict(lambda: [0, 0, 0])
+        for d, (n_sh, n_new) in per_doc.items():
+            b = ((d - mn) * 10) // (mx - mn + 1)
+            agg[b][0] += 1
+            agg[b][1] += n_sh
+            agg[b][2] += n_new
+        exp = {
+            b: (c, s, nv, (nv * 1000000) // s, ((nv * 1000000) // s) / 1e6)
+            for b, (c, s, nv) in agg.items()
+        }
+        assert got == exp
+
+    def test_novelty_plan_shape(self, spark):
+        """Bounds ride a broadcast; no cartesian product; shingle key
+        work is hash aggregation, not any global sort."""
+        plan = _plan(
+            registry.QUERIES["docs_ngram_novelty_curve"](spark, SF_SMOKE)
+        )
+        assert "BroadcastExchange" in plan
+        assert "CartesianProduct" not in plan
