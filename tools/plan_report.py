@@ -136,6 +136,14 @@ SHOWCASE = [
     "events_chi2_independence",
     "events_did_estimator",
     "orders_holt_backtest",
+    "text_rake_keywords",
+    "docs_naive_bayes_source",
+    "orders_theil_sen_trend",
+    "text_pmi_collocations",
+    "docs_winnowing_fingerprints",
+    "events_burst_range_join",
+    "docs_nb_margin_calibration",
+    "docs_ngram_novelty_curve",
 ]
 
 
