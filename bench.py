@@ -256,22 +256,35 @@ def main() -> None:
     # official round-7 bench record).  stdout carries ONLY a compact
     # line (<1 KB) as the LAST line; the worst-3 queries ride along so
     # the headline record still names the hotspots.
-    detail_path = os.path.join(
-        os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"
-    )
-    with open(detail_path, "w") as f:
-        json.dump(
-            {
-                "metric": "headline_queries_total_wall",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "spread": spreads,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-            },
-            f,
-            indent=1,
-        )
+    root = os.path.dirname(os.path.abspath(__file__))
+    detail = {
+        "metric": "headline_queries_total_wall",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "spread": spreads,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+    }
+    with open(os.path.join(root, "BENCH_DETAIL.json"), "w") as f:
+        json.dump(detail, f, indent=1)
+    # Archive a per-round copy (BENCH_DETAIL.json is gitignored and
+    # overwritten every run, which made cross-round regression
+    # comparison impossible — the r9 verdict could diff only the 3
+    # worst-query values preserved in BENCH_r{N}.json).  The current
+    # round is 1 + the newest driver-recorded BENCH_r{N}.json.
+    import glob as _glob
+    import re as _re
+
+    rounds = [
+        int(m.group(1))
+        for p in _glob.glob(os.path.join(root, "BENCH_r*.json"))
+        if (m := _re.search(r"BENCH_r(\d+)\.json$", p))
+    ]
+    this_round = (max(rounds) if rounds else 0) + 1
+    with open(
+        os.path.join(root, f"BENCH_DETAIL_r{this_round:02d}.json"), "w"
+    ) as f:
+        json.dump(detail, f, indent=1)
     worst3 = dict(
         sorted(timings.items(), key=lambda kv: kv[1], reverse=True)[:3]
     )

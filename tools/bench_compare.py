@@ -4,11 +4,15 @@ bench record and print per-query regressions — the measurement
 discipline behind "no query regressed >2x beyond its measured spread".
 
 Usage:
-    python tools/bench_compare.py [BASELINE_JSON]
+    python tools/bench_compare.py [BASELINE] [CURRENT]
 
-BASELINE_JSON defaults to the newest BENCH_r*.json whose payload
-parses (the driver's stdout capture; records with "parsed": null are
-skipped). Exit code 1 if any regression is found, 0 otherwise.
+BASELINE / CURRENT may be file paths or round labels like ``r09`` —
+a label resolves to BENCH_DETAIL_r09.json (the full per-query archive
+bench.py writes since round 10) and falls back to the driver's
+BENCH_r09.json stdout capture (worst-3 queries only). CURRENT defaults
+to BENCH_DETAIL.json (the latest local run); BASELINE defaults to the
+newest archive/record with a usable per-query dict. Exit code 1 if any
+regression is found, 0 otherwise.
 """
 
 from __future__ import annotations
@@ -36,24 +40,44 @@ def _load_record(path: str) -> dict | None:
     return d
 
 
+def _resolve(label: str) -> str:
+    """Map ``r09`` → the round's full detail archive if present, else
+    the driver's compact record; pass file paths through unchanged."""
+    if not (label.startswith("r") and label[1:].isdigit()):
+        return label
+    n = int(label[1:])
+    for pat in (f"BENCH_DETAIL_r{n:02d}.json", f"BENCH_r{n:02d}.json"):
+        p = os.path.join(ROOT, pat)
+        if os.path.exists(p):
+            return p
+    return os.path.join(ROOT, f"BENCH_r{n:02d}.json")
+
+
 def _latest_baseline() -> tuple[str, dict] | None:
-    paths = sorted(glob.glob(os.path.join(ROOT, "BENCH_r*.json")))
+    # detail archives first (full per-query dicts), then the driver's
+    # compact stdout captures (worst-3 only, need >=20 to be usable)
+    paths = sorted(
+        glob.glob(os.path.join(ROOT, "BENCH_DETAIL_r*.json"))
+    ) + sorted(glob.glob(os.path.join(ROOT, "BENCH_r*.json")))
     for p in reversed(paths):
         d = _load_record(p)
-        # the compact stdout line carries only the worst-3 queries —
-        # need a full per-query dict to compare against
         if d and len(d["queries"]) >= 20:
             return p, d
     return None
 
 
 def main() -> int:
-    cur = _load_record(os.path.join(ROOT, "BENCH_DETAIL.json"))
+    cur_path = (
+        _resolve(sys.argv[2])
+        if len(sys.argv) > 2
+        else os.path.join(ROOT, "BENCH_DETAIL.json")
+    )
+    cur = _load_record(cur_path)
     if cur is None:
-        print("no BENCH_DETAIL.json — run `python bench.py` first")
+        print(f"no current record ({cur_path}) — run `python bench.py` first")
         return 2
     if len(sys.argv) > 1:
-        base_path = sys.argv[1]
+        base_path = _resolve(sys.argv[1])
         base = _load_record(base_path)
     else:
         found = _latest_baseline()
