@@ -1063,14 +1063,20 @@ def int8_codes(emb: DataFrame) -> DataFrame:
     # Materialize the norm as a column BEFORE the per-element transform:
     # a HOF lambda that closes over V.norm(v) would re-evaluate the full
     # O(d) reduction per element (the word_shingles trap — O(d^2)/row).
+    # Zero-norm guard: an all-zero embedding would otherwise divide by
+    # zero (NaN -> null codes that still consume top-k window slots
+    # downstream); it quantizes to the all-zero code instead, which
+    # scores 0 against every query — the correct "no direction" rank.
     vs = _vecs(emb).select("vec_id", "v", V.norm(F.col("v")).alias("nrm"))
     return vs.select(
         "vec_id",
         F.transform(
             "v",
-            lambda x: F.floor(
-                x / F.col("nrm") * F.lit(127.0) + F.lit(0.5)
-            ).cast("long"),
+            lambda x: F.when(F.col("nrm") == 0, F.lit(0))
+            .otherwise(
+                F.floor(x / F.col("nrm") * F.lit(127.0) + F.lit(0.5))
+            )
+            .cast("long"),
         ).alias("q"),
     )
 

@@ -1669,13 +1669,19 @@ def q_part_entity_match(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _INT8_CODES_CTE = """
 e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+en AS (
+    SELECT vec_id, v,
+           sqrt(list_reduce(list_transform(v, y -> y*y),
+                            (a,b) -> a+b)) AS nrm
+    FROM e
+),
 c AS (
     SELECT vec_id,
-           list_transform(v, x -> CAST(floor(
-               x / sqrt(list_reduce(list_transform(v, y -> y*y),
-                                    (a,b) -> a+b)) * 127e0 + 0.5e0
-           ) AS BIGINT)) AS q
-    FROM e
+           list_transform(v, x -> CASE WHEN nrm = 0e0
+               THEN CAST(0 AS BIGINT)
+               ELSE CAST(floor(x / nrm * 127e0 + 0.5e0) AS BIGINT)
+           END) AS q
+    FROM en
 ),
 qs AS (SELECT vec_id AS qid, q AS qq FROM c ORDER BY vec_id LIMIT 4),
 scored8 AS (
@@ -2658,16 +2664,22 @@ m AS (
            CAST(COUNT(*) AS BIGINT) AS n,
            CAST(SUM(x) AS BIGINT) AS sx,
            CAST(SUM(y) AS BIGINT) AS sy,
-           CAST(SUM(x * y) AS BIGINT) AS sxy,
-           CAST(SUM(x * x) AS BIGINT) AS sxx
+           CAST(SUM(CAST(x AS DECIMAL(19,0)) * CAST(y AS DECIMAL(19,0)))
+                AS DOUBLE) AS sxy,
+           CAST(SUM(CAST(x AS DECIMAL(19,0)) * CAST(x AS DECIMAL(19,0)))
+                AS DOUBLE) AS sxx
     FROM j GROUP BY 1
 )
 SELECT brand, n,
-       CAST(n * sxy - sx * sy AS DOUBLE)
-           / CAST(n * sxx - sx * sx AS DOUBLE) AS slope_per_bp,
+       (CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+           / (CAST(n AS DOUBLE) * sxx
+              - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) AS slope_per_bp,
        (CAST(sy AS DOUBLE)
-        - CAST(n * sxy - sx * sy AS DOUBLE)
-          / CAST(n * sxx - sx * sx AS DOUBLE) * CAST(sx AS DOUBLE))
+        - (CAST(n AS DOUBLE) * sxy
+           - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+          / (CAST(n AS DOUBLE) * sxx
+             - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+          * CAST(sx AS DOUBLE))
            / CAST(n AS DOUBLE) AS intercept
 FROM m
 """
@@ -2685,10 +2697,16 @@ def q_part_brand_discount_ols(
 
     Shape: part is the broadcast dim (key, brand only — column-pruned
     scan); the fact pass accumulates all four moments in ONE
-    map-side-combined aggregate (exact int64: discount in basis
-    points ≤ 10^4, quantity ≤ 50, so n·Σxy stays far under 2^63 at
-    any SF); two double divisions per |brands| output row. No second
-    fact scan, no window."""
+    map-side-combined aggregate. Overflow policy (same as CUPED's
+    moment pass): linear sums sx/sy stay exact int64 (x ≤ 10^4 bp,
+    y ≤ 50 → safe past SF 10^6); the product sums Σxy/Σx² widen
+    per-row through DECIMAL(19,0)×(19,0) and the normal-equation
+    cross products n·Σxy, Σx·Σy run in DOUBLE — at SF100 n·Σxy
+    reaches ~10^20, past int64, and non-ANSI Spark would wrap
+    silently while DuckDB errors. DOUBLE arithmetic over identically
+    bracketed expressions is bit-identical cross-engine; two double
+    divisions per |brands| output row. No second fact scan, no
+    window."""
     li = load_table(spark, sf_dir, "lineitem").select(
         "l_partkey",
         (F.col("l_discount").cast("decimal(6,4)") * 10000)
@@ -2700,6 +2718,7 @@ def q_part_brand_discount_ols(
         F.col("p_partkey").alias("l_partkey"),
         F.col("p_brand").alias("brand"),
     )
+    dec = lambda c: F.col(c).cast("decimal(19,0)")  # noqa: E731
     m = (
         li.join(F.broadcast(p), "l_partkey")
         .groupBy("brand")
@@ -2707,25 +2726,19 @@ def q_part_brand_discount_ols(
             F.count("*").cast("bigint").alias("n"),
             F.sum("x").cast("bigint").alias("sx"),
             F.sum("y").cast("bigint").alias("sy"),
-            F.sum(F.col("x") * F.col("y")).cast("bigint").alias("sxy"),
-            F.sum(F.col("x") * F.col("x")).cast("bigint").alias("sxx"),
+            F.sum(dec("x") * dec("y")).cast("double").alias("sxy"),
+            F.sum(dec("x") * dec("x")).cast("double").alias("sxx"),
         )
     )
-    num = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast(
-        "double"
-    )
-    den = (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast(
-        "double"
-    )
+    d = lambda c: F.col(c).cast("double")  # noqa: E731
+    num = d("n") * F.col("sxy") - d("sx") * d("sy")
+    den = d("n") * F.col("sxx") - d("sx") * d("sx")
     slope = num / den
     return m.select(
         "brand",
         "n",
         slope.alias("slope_per_bp"),
-        (
-            (F.col("sy").cast("double") - slope * F.col("sx").cast("double"))
-            / F.col("n").cast("double")
-        ).alias("intercept"),
+        ((d("sy") - slope * d("sx")) / d("n")).alias("intercept"),
     )
 
 
@@ -4066,19 +4079,23 @@ agg AS (
            CAST(SUM((d1 + d2) * (d1 + d2) * (d1 + d2) - (d1 + d2))
                 AS BIGINT) AS tie3
     FROM cum
-)
-SELECT n1, n2,
-       CAST(2 * n1 * n2 + n1 * (n1 + 1) - r1x2 AS BIGINT) AS u_x2,
-       (CAST(2 * n1 * n2 + n1 * (n1 + 1) - r1x2 AS DOUBLE) / 2e0
-        - CAST(n1 * n2 AS DOUBLE) / 2e0)
-       / sqrt(
+),
+fin AS (
+    SELECT n1, n2,
+           CAST(2 * n1 * n2 + n1 * (n1 + 1) - r1x2 AS BIGINT) AS u_x2,
            CAST(n1 * n2 AS DOUBLE) / 12e0
            * (CAST(n1 + n2 + 1 AS DOUBLE)
               - CAST(tie3 AS DOUBLE)
                 / (CAST(n1 + n2 AS DOUBLE)
-                   * CAST(n1 + n2 - 1 AS DOUBLE)))
-       ) AS z_stat
-FROM agg
+                   * CAST(n1 + n2 - 1 AS DOUBLE))) AS vr
+    FROM agg
+)
+SELECT n1, n2, u_x2,
+       CASE WHEN vr > 0e0 THEN
+           (CAST(u_x2 AS DOUBLE) / 2e0 - CAST(n1 * n2 AS DOUBLE) / 2e0)
+           / sqrt(vr)
+       ELSE NULL END AS z_stat
+FROM fin
 """
 
 
@@ -4138,28 +4155,33 @@ def q_events_mann_whitney_u(spark: SparkSession, sf_dir: str) -> DataFrame:
         + F.col("n1") * (F.col("n1") + 1)
         - F.col("r1x2")
     )
+    # Degenerate guard: if every purchase value ties into one group
+    # (or one cohort is empty) the tie-corrected variance is exactly
+    # 0 and z would divide by zero — Spark and DuckDB disagree on
+    # what that yields (NaN/NULL/error), so both sides emit NULL.
+    vr = (
+        (F.col("n1") * F.col("n2")).cast("double")
+        / F.lit(12.0)
+        * (
+            (F.col("n1") + F.col("n2") + 1).cast("double")
+            - d("tie3")
+            / (
+                (F.col("n1") + F.col("n2")).cast("double")
+                * (F.col("n1") + F.col("n2") - 1).cast("double")
+            )
+        )
+    )
+    z = (
+        ux2.cast("double") / F.lit(2.0)
+        - (F.col("n1") * F.col("n2")).cast("double") / F.lit(2.0)
+    ) / F.sqrt(vr)
     return agg.select(
         "n1",
         "n2",
         ux2.cast("bigint").alias("u_x2"),
-        (
-            (
-                ux2.cast("double") / F.lit(2.0)
-                - (F.col("n1") * F.col("n2")).cast("double") / F.lit(2.0)
-            )
-            / F.sqrt(
-                (F.col("n1") * F.col("n2")).cast("double")
-                / F.lit(12.0)
-                * (
-                    (F.col("n1") + F.col("n2") + 1).cast("double")
-                    - d("tie3")
-                    / (
-                        (F.col("n1") + F.col("n2")).cast("double")
-                        * (F.col("n1") + F.col("n2") - 1).cast("double")
-                    )
-                )
-            )
-        ).alias("z_stat"),
+        F.when(vr > 0, z)
+        .otherwise(F.lit(None).cast("double"))
+        .alias("z_stat"),
     )
 
 
@@ -4848,6 +4870,15 @@ FROM rk
 """
 
 
+# Ceiling on the exact all-pairs Theil-Sen path: 3,000 distinct days
+# (~8 calendar years; the TPC-H-ish testdata spans ~2,400) ->
+# <=4.5M pairwise slopes, comfortably inside one broadcast join +
+# one bounded median sort (the 2,399-day bench case measures ~4s at
+# sf0.1). Beyond it the query raises rather than silently going
+# quadratic-in-calendar.
+_TS_MAX_DAYS = 3000
+
+
 @query("orders_theil_sen_trend", _TS_ORACLE)
 def q_orders_theil_sen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Theil-Sen robust trend of daily order revenue: the median of
@@ -4864,7 +4895,16 @@ def q_orders_theil_sen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: the pairwise stage runs on the CALENDAR-BOUNDED daily
     relation (n_days rows no matter the corpus size), so the
     quadratic is O(days^2) ~ 266k pairs for two years — constant in
-    data volume; everything upstream is one date-key shuffle."""
+    data volume; everything upstream is one date-key shuffle.
+
+    Long-calendar guard: the quadratic is constant in CORPUS size but
+    not in CALENDAR length (a 10-year daily series is ~6.7M pairs
+    into a broadcast join and a single-partition median sort), so the
+    query self-limits at ``_TS_MAX_DAYS`` (3,000) distinct days — one
+    cheap column-pruned count of the daily relation, then a loud
+    ValueError naming the repeated-median / deterministic-pair-sample
+    variant as the long-calendar path, instead of silently going
+    quadratic-in-calendar."""
     from pyspark.sql import Window
 
     o = load_table(spark, sf_dir, "orders")
@@ -4873,6 +4913,15 @@ def q_orders_theil_sen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).agg(
         F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("rev")
     )
+    n_days_now = daily.select(F.count("*")).first()[0]
+    if n_days_now > _TS_MAX_DAYS:
+        raise ValueError(
+            f"orders_theil_sen_trend: {n_days_now} distinct days exceeds "
+            f"the {_TS_MAX_DAYS}-day ceiling ({n_days_now * (n_days_now - 1) // 2:,} "
+            "pairwise slopes). For longer calendars use a repeated-median "
+            "or a deterministic md5 pair sample instead of the exact "
+            "all-pairs median."
+        )
     t0 = daily.agg(F.min("d").alias("d0"))
     pts = daily.crossJoin(F.broadcast(t0)).select(
         F.datediff(F.col("d"), F.col("d0")).alias("t"),

@@ -36,7 +36,18 @@ def stored_index(spark, sf_dir, table, name, filename, build):
     marker and skip straight to the read. ``build`` is a zero-arg
     callable returning the DataFrame to materialize; it only runs on
     a cache miss.
+
+    Publication is build-into-temp + atomic ``os.rename``: a reader
+    never observes a half-written index directory, and if two
+    sessions sharing a scratch dir both miss the marker and build
+    concurrently, exactly one rename wins and the loser discards its
+    copy and serves the winner's (both built the identical artifact —
+    the tag pins the corpus version). Published tags are immutable:
+    nothing deletes a tag once renamed into place, so open parquet
+    handles stay valid.
     """
+    import shutil
+
     from .catalog import table_path
 
     src = table_path(sf_dir, table)
@@ -45,8 +56,22 @@ def stored_index(spark, sf_dir, table, name, filename, build):
         os.stat(src).st_mtime_ns,
     )
     path = scratch_dir(name, tag, filename)
-    if not os.path.exists(os.path.join(path, "_SUCCESS")):
-        build().write.mode("overwrite").parquet(path)
+    marker = os.path.join(path, "_SUCCESS")
+    if not os.path.exists(marker):
+        tmp = "{}.build-{}".format(path, os.getpid())
+        build().write.mode("overwrite").parquet(tmp)
+        if os.path.exists(marker):
+            # a concurrent session published first — serve its copy
+            shutil.rmtree(tmp, ignore_errors=True)
+        else:
+            # clear a partial dir left by an interrupted pre-atomic
+            # build (exists but no _SUCCESS), then publish atomically
+            shutil.rmtree(path, ignore_errors=True)
+            try:
+                os.rename(tmp, path)
+            except OSError:
+                # lost a rename race begun after the marker check
+                shutil.rmtree(tmp, ignore_errors=True)
     return spark.read.parquet(path)
 
 

@@ -1,0 +1,185 @@
+"""Round-10 hardening tests: degenerate-input guards added per the
+round-9 advisory (zero-norm int8 codes, all-tied Mann-Whitney) and the
+atomic stored-index publish."""
+
+from __future__ import annotations
+
+import os
+
+import duckdb
+import pytest
+from pyspark.sql import functions as F
+
+from data_pipeline_postgres_spark.operators import similarity
+from data_pipeline_postgres_spark.plans import registry
+
+registry.load_all()
+
+
+class TestInt8ZeroNormGuard:
+    """A zero-norm embedding must quantize to the all-zero code — not
+    NaN->null codes that silently eat top-k window slots."""
+
+    def _emb(self, spark, rows):
+        return spark.createDataFrame(
+            [(i, [float(x) for x in v]) for i, v in enumerate(rows)],
+            "vec_id long, embedding array<float>",
+        )
+
+    def test_zero_vector_codes_are_zero_not_null(self, spark):
+        emb = self._emb(
+            spark, [[0.0, 0.0, 0.0], [1.0, 2.0, 2.0], [3.0, 0.0, 4.0]]
+        )
+        codes = {
+            r["vec_id"]: r["q"]
+            for r in similarity.int8_codes(emb).collect()
+        }
+        assert codes[0] == [0, 0, 0]
+        # unit-norm rows quantize to floor(x/||x||*127 + .5)
+        assert codes[1] == [42, 85, 85]  # [1,2,2]/3 * 127 rounded
+        assert codes[2] == [76, 0, 102]  # [.6, 0, .8] * 127 rounded
+        for q in codes.values():
+            assert all(x is not None for x in q)
+
+    def test_topk_with_zero_vector_has_no_null_scores(self, spark):
+        emb = self._emb(
+            spark,
+            [[0.0, 0.0], [1.0, 0.0], [0.0, 1.0], [1.0, 1.0]],
+        )
+        out = similarity.int8_batch_topk(emb, k=3, nq=2).collect()
+        assert out, "top-k produced no rows"
+        assert all(r["qdot"] is not None for r in out)
+        # the zero vector scores exactly 0 against every query
+        zero_scores = {r["qdot"] for r in out if r["vec_id"] == 0}
+        assert zero_scores <= {0}
+
+
+class TestMannWhitneyDegenerateGuard:
+    """All purchase values tied -> tie-corrected variance is exactly 0;
+    both the plan and the oracle must emit NULL z_stat instead of an
+    engine-specific divide-by-zero artifact."""
+
+    @pytest.fixture()
+    def tied_sf_dir(self, tmp_path, spark):
+        d = tmp_path / "sftied"
+        d.mkdir()
+        rows = [
+            (i, "2024-01-01 00:00:00", i % 7, "purchase", 5.0, "{}")
+            for i in range(40)
+        ]
+        spark.createDataFrame(
+            rows,
+            "event_id long, ts string, user_id long, "
+            "event_type string, value double, props string",
+        ).withColumn("ts", F.col("ts").cast("timestamp")).coalesce(
+            1
+        ).write.parquet(str(d / "events.parquet"))
+        return str(d)
+
+    def test_plan_and_oracle_agree_on_null_z(self, spark, tied_sf_dir):
+        row = registry.QUERIES["events_mann_whitney_u"](
+            spark, tied_sf_dir
+        ).collect()[0]
+        assert row["z_stat"] is None
+        assert row["n1"] + row["n2"] == 40
+        # exact doubled U is still well-defined under total ties
+        assert row["u_x2"] == row["n1"] * row["n2"]
+        con = duckdb.connect()
+        con.execute(
+            "CREATE VIEW events AS SELECT * FROM "
+            f"'{tied_sf_dir}/events.parquet/*.parquet'"
+        )
+        d_row = con.sql(
+            registry.ORACLES["events_mann_whitney_u"]
+        ).fetchall()[0]
+        cols = [
+            c[0]
+            for c in con.sql(
+                registry.ORACLES["events_mann_whitney_u"]
+            ).description
+        ]
+        oracle = dict(zip(cols, d_row))
+        assert oracle["z_stat"] is None
+        assert oracle["u_x2"] == row["u_x2"]
+
+
+class TestTheilSenLongCalendarGuard:
+    """The exact all-pairs Theil-Sen path must self-limit on calendar
+    length instead of silently going quadratic past ~5.5 years."""
+
+    def test_raises_past_ceiling(self, spark, tmp_path):
+        from data_pipeline_postgres_spark.plans.queries_r9 import (
+            _TS_MAX_DAYS,
+        )
+
+        d = tmp_path / "sflong"
+        d.mkdir()
+        n = _TS_MAX_DAYS + 1
+        spark.range(n).select(
+            F.col("id").alias("o_orderkey"),
+            F.lit(1).cast("long").alias("o_custkey"),
+            F.lit("O").alias("o_orderstatus"),
+            F.lit(100.0).alias("o_totalprice"),
+            F.date_add(F.lit("2010-01-01").cast("date"), F.col("id").cast("int"))
+            .cast("timestamp")
+            .alias("o_orderdate"),
+            F.lit("1-URGENT").alias("o_orderpriority"),
+        ).coalesce(1).write.parquet(str(d / "orders.parquet"))
+        with pytest.raises(ValueError, match="exceeds"):
+            registry.QUERIES["orders_theil_sen_trend"](spark, str(d))
+
+    def test_normal_calendar_still_runs(self, spark):
+        row = registry.QUERIES["orders_theil_sen_trend"](
+            spark, "/root/testdata/sf0.001"
+        ).collect()[0]
+        assert row["n_pairs"] == row["n_days"] * (row["n_days"] - 1) // 2
+
+
+class TestStoredIndexAtomicPublish:
+    """stored_index must never expose a half-written directory: the
+    build lands in a temp path and publishes via one rename."""
+
+    def test_partial_dir_without_marker_is_rebuilt(
+        self, spark, tmp_path, monkeypatch
+    ):
+        from data_pipeline_postgres_spark import scratch
+
+        monkeypatch.setattr(scratch, "SCRATCH_ROOT", str(tmp_path))
+        sf = "/root/testdata/sf0.001"
+        calls = []
+
+        def build():
+            calls.append(1)
+            return spark.range(5).select(
+                F.col("id").alias("k"), (F.col("id") * 2).alias("v")
+            )
+
+        df1 = scratch.stored_index(spark, sf, "documents", "t10", "ix", build)
+        assert sorted(r["v"] for r in df1.collect()) == [0, 2, 4, 6, 8]
+        assert len(calls) == 1
+        # cache hit: no rebuild
+        scratch.stored_index(
+            spark, sf, "documents", "t10", "ix", build
+        ).collect()
+        assert len(calls) == 1
+        # simulate an interrupted pre-atomic build: a published dir
+        # whose _SUCCESS marker is missing must be discarded + rebuilt
+        pub = os.path.dirname(
+            [
+                os.path.join(dp, f)
+                for dp, _, fs in os.walk(tmp_path)
+                for f in fs
+                if f == "_SUCCESS"
+            ][0]
+        )
+        os.remove(os.path.join(pub, "_SUCCESS"))
+        df3 = scratch.stored_index(spark, sf, "documents", "t10", "ix", build)
+        assert len(calls) == 2
+        assert sorted(r["v"] for r in df3.collect()) == [0, 2, 4, 6, 8]
+        # no temp build dirs left behind
+        leftovers = [
+            p
+            for p in os.listdir(os.path.dirname(pub))
+            if ".build-" in p
+        ]
+        assert leftovers == []
