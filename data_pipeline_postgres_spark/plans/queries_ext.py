@@ -675,8 +675,16 @@ def q_sim_topk_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query("sim_topk_lsh")  # approximate → rows-only check; recall vs
 def q_sim_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """ANN top-10 via sign-LSH bucket probe + exact rerank (recall
-    measured against sim_topk in tests/test_ext.py)."""
+    """REGIME STUDY — NOT the ANN top-k offering (demoted round 10).
+
+    Sign-LSH bucket probe + exact rerank, kept registered as the
+    documented negative example of sign-LSH outside its near-dup
+    regime: this corpus's true top-10 sit at cosine 0.31-0.41, where
+    per-plane sign agreement is ~0.61, so ANY probe budget short of
+    brute force caps recall (measured 0.30 @ 64/256 buckets —
+    PLANS.md accuracy table). For generic top-k use ``sim_ann_ivf``
+    (recall 1.00); sign-LSH earns its keep only on near-dup-grade
+    neighbors (see ``dedup_embedding_lsh``)."""
     return similarity.lsh_topk(_emb(spark, sf_dir))
 
 

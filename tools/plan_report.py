@@ -239,6 +239,70 @@ def accuracy_rows(spark, sf_dir):
          f"(lgK=14; equals the batch rollup estimates — tested)")
     )
 
+    # deterministic sketch trio (r9): CMS point frequency, Bloom
+    # membership, streaming CMS — published alongside HLL/KLL so the
+    # 9-query sketch family's accuracy table is uniform. These three
+    # are md5-derived/deterministic, so beyond error bounds they also
+    # carry exactness claims (hash-checked against their oracles).
+    cms = Q["sketch_count_min_freq"](spark, sf_dir).collect()
+    assert all(r["cms_est"] >= r["exact_ct"] for r in cms)
+    over = max(
+        (r["cms_est"] - r["exact_ct"]) / r["exact_ct"] for r in cms
+    )
+    rows.append(
+        ("sketch_count_min_freq", "exact token frequency (top-20 probes)",
+         f"max overestimate {over:.4f} rel (never under, by"
+         f" construction — asserted); d=4 x w=256 counters; two-level"
+         f" shard rollup is exact counter addition, so merged and"
+         f" single-pass sketches are bit-identical")
+    )
+    bl = Q["sketch_bloom_membership"](spark, sf_dir).collect()[0]
+    rows.append(
+        ("sketch_bloom_membership", "exact membership (URGENT-order custkeys)",
+         f"fpr {bl['fpr']:.4f} measured over {bl['n_probes']} probes,"
+         f" zero false negatives ({bl['n_bloom_positive']} positives ="
+         f" {bl['n_members']} members + {bl['n_false_positive']} fp);"
+         f" m=4096/k=3 — deliberately past the 1%-FPR sizing so the"
+         f" row documents undersizing cost; merge = bit union")
+    )
+    # streaming CMS mergeability: drained sketch vs the batch sketch
+    # rebuilt inline (same comparison tests/test_round9.py gates)
+    from data_pipeline_postgres_spark.functions import text as TX
+    from data_pipeline_postgres_spark.plans.queries_r9 import (
+        _CMS_D,
+        _cms_bucket,
+    )
+
+    stream_cells = {
+        (r["r"], r["bucket"]): r["counter"]
+        for r in Q["stream_cms_rollup"](spark, sf_dir).collect()
+    }
+    batch_cells = {
+        (r["r"], r["bucket"]): r["counter"]
+        for r in load_table(spark, sf_dir, "documents")
+        .select(F.explode(TX.tokens("text")).alias("tok"))
+        .select(
+            F.posexplode(
+                F.array(*[_cms_bucket(x) for x in range(_CMS_D)])
+            ).alias("r", "bucket")
+        )
+        .groupBy("r", "bucket")
+        .agg(F.count("*").alias("counter"))
+        .collect()
+    }
+    n_diff = sum(
+        1
+        for k in set(stream_cells) | set(batch_cells)
+        if stream_cells.get(k) != batch_cells.get(k)
+    )
+    rows.append(
+        ("stream_cms_rollup", "batch CMS over the same corpus",
+         f"{n_diff} differing counters of {len(batch_cells)} after a"
+         f" 3-micro-batch drain — counter addition is commutative, so"
+         f" ANY micro-batch split merges to the bit-identical sketch;"
+         f" state is d x w integers regardless of volume")
+    )
+
     # minhash LSH families vs exact n-gram Jaccard ground truth
     docs = load_table(spark, sf_dir, "documents").cache()
     sh = dedup.doc_shingles(docs)
@@ -306,12 +370,14 @@ def accuracy_rows(spark, sf_dir):
                     " inline encode cost — bigger codebooks belong on"
                     " the materialized IVF-PQ index path)")
         if name == "sim_topk_lsh":
-            note = (f" — multi-probe 64/256 buckets; true top-10 sit at"
+            note = (f" — REGIME STUDY, NOT AN OFFERING (demoted r10):"
+                    f" multi-probe 64/256 buckets; true top-10 sit at"
                     f" cosine {qtop[0]:.2f}–{qtop[1]:.2f} (excl. self),"
-                    f" a weak-similarity regime where sign-LSH recall is"
-                    f" inherently bounded; ivf_topk is the top-k scale"
-                    f" path, LSH's regime is near-dup (see"
-                    f" dedup_embedding_lsh recall above)")
+                    f" where per-plane sign agreement is ~0.61 and any"
+                    f" probe budget below brute-force caps recall —"
+                    f" kept registered as the documented negative"
+                    f" example of sign-LSH outside its near-dup regime;"
+                    f" use sim_ann_ivf (1.00) for top-k")
         rows.append(
             (name, "sim_topk (exact brute-force)",
              f"recall@10 = {len(set(brute) & set(got)) / 10:.2f}{note}")
