@@ -2171,12 +2171,19 @@ def q_sketch_count_min_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # -- Bloom membership sketch -------------------------------------------------
 # The third deterministic sketch (CMS: point frequency; HLL: distinct;
-# Bloom: membership): m=4096 bits, k=3 md5-derived hash functions over
+# Bloom: membership): m=65536 bits, k=3 md5-derived hash functions over
 # the set of customers who ever placed a 1-URGENT order (a selective subset; every customer has
 # some order); probe = ALL customers. One summary row with the
 # MEASURED false-positive rate.
+#
+# Sizing: r9 shipped m=4096 as a deliberate undersizing demo, but at
+# bench scale (sf0.1, ~13k members) that filter saturates to FPR 1.0 —
+# a useless operator, not a documentation point. m=2^16 keeps the
+# filter working across the test scales (theory FPR ~9% at 13k
+# members, ~0.02% at 1.3k) while still being 8 KiB — the measured-vs-
+# theory comparison in PLANS.md is the honest capacity story.
 
-_BLOOM_M = 4096
+_BLOOM_M = 65536
 _BLOOM_K = 3
 
 _BLOOM_ORACLE = f"""
@@ -2239,7 +2246,7 @@ def _bloom_bit(key: "F.Column", h: int) -> "F.Column":
 @query("sketch_bloom_membership", _BLOOM_ORACLE)
 def q_sketch_bloom_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bloom-filter membership with MEASURED false-positive rate:
-    build an m=4096-bit / k=3 md5-hashed bloom over customers with an
+    build an m=65536-bit / k=3 md5-hashed bloom over customers with an
     URGENT-priority order (a proper subset — every customer has SOME
     order, so membership must be selective for FPR to be defined),
     probe every customer, compare the sketch's verdict to
@@ -2255,10 +2262,10 @@ def q_sketch_bloom_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: the set-bit relation is ≤ m rows REGARDLESS of
     member count — it broadcasts; probes explode to k rows each and
     the verdict is a map-side-combinable count-of-hits per key; no
-    shuffle ever carries more than k rows per probe. FPR here is the
-    honest capacity check: |members|≈1.5k at sf0.01 on 4096 bits is
-    past the 1%-FPR sizing, so the measured rate is the documented
-    cost of an undersized filter."""
+    shuffle ever carries more than k rows per probe. The measured FPR
+    vs the (1-e^(-kn/m))^k theory line is published in the PLANS.md
+    accuracy table; at 100 TB, m scales with the member estimate (the
+    bit relation stays broadcast-size into the millions of bits)."""
     members = (
         load_table(spark, sf_dir, "orders")
         .filter(F.col("o_orderpriority") == "1-URGENT")
@@ -4908,12 +4915,22 @@ def q_orders_theil_sen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     o = load_table(spark, sf_dir, "orders")
-    daily = o.groupBy(
-        F.col("o_orderdate").cast("date").alias("d")
-    ).agg(
-        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("rev")
+    # The guard below must run an action anyway, so pin the
+    # calendar-bounded daily aggregate with localCheckpoint first:
+    # the fact table is scanned EXACTLY once, and the guard count,
+    # the t0 min, and both sides of the pairwise self-join all read
+    # the <=_TS_MAX_DAYS-row checkpoint instead of re-aggregating
+    # orders (3-4 fact scans at 100 TB otherwise).
+    daily = (
+        o.groupBy(F.col("o_orderdate").cast("date").alias("d"))
+        .agg(
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias(
+                "rev"
+            )
+        )
+        .localCheckpoint(eager=True)
     )
-    n_days_now = daily.select(F.count("*")).first()[0]
+    n_days_now = daily.count()
     if n_days_now > _TS_MAX_DAYS:
         raise ValueError(
             f"orders_theil_sen_trend: {n_days_now} distinct days exceeds "
@@ -4939,30 +4956,58 @@ def q_orders_theil_sen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("a.t").alias("t1"),
         F.col("b.t").alias("t2"),
     )
-    w = Window.orderBy("slope", "t1", "t2")
-    rk = pairs.select(
-        "slope",
-        F.row_number().over(w).alias("rn"),
-        F.count("*").over(
-            Window.partitionBy(F.lit(1)).rowsBetween(
-                Window.unboundedPreceding, Window.unboundedFollowing
-            )
-        ).alias("n"),
-    )
-    m1 = F.floor((F.col("n") + 1) / 2)
-    m2 = F.floor(F.col("n") / 2) + 1
-    mid = (F.col("rn") == m1) | (F.col("rn") == m2)
-    n_days = pts.agg(F.count("*").cast("bigint").alias("n_days"))
-    return (
-        rk.agg(
-            F.max("n").cast("bigint").alias("n_pairs"),
-            (
-                F.sum(F.when(mid, F.col("slope")).otherwise(F.lit(0.0)))
-                / F.count(F.when(mid, F.lit(1))).cast("double")
-            ).alias("ts_slope"),
+    # Median by TWO-LEVEL rank (the packing.py repartitionByRange
+    # pattern), not a global row_number: the r9 version paid a
+    # single-partition Exchange+Sort+Window over all ~2.9M pairs
+    # (~3.5 s of the query's 5 s at sf0.1). Here the pairs range-
+    # partition on the total order (slope, t1, t2), sort IN PARALLEL
+    # within partitions, and take per-row ids from
+    # monotonically_increasing_id — consecutive from pid*2^33 within
+    # each sorted partition, so global rank = (exclusive prefix of
+    # partition counts) + (id - partition min id) + 1. The only
+    # window left runs over the 32-row partition-totals relation.
+    # localCheckpoint pins the sorted ids so the totals pass and the
+    # rank filter read the SAME layout (AQE cannot re-coalesce
+    # between them), and rank is boundary-independent anyway: any
+    # range split of a total order yields the same global ranks.
+    # The guard already collected n_days, so n_pairs and the two
+    # median ranks are driver literals.
+    n_pairs = n_days_now * (n_days_now - 1) // 2
+    m1 = (n_pairs + 1) // 2
+    m2 = n_pairs // 2 + 1
+    s = (
+        pairs.repartitionByRange(32, "slope", "t1", "t2")
+        .sortWithinPartitions("slope", "t1", "t2")
+        .select("slope", F.monotonically_increasing_id().alias("mono"))
+        .localCheckpoint(eager=False)
+        .withColumn(
+            "pid", F.floor(F.col("mono") / F.lit(2**33)).cast("bigint")
         )
-        .crossJoin(F.broadcast(n_days))
-        .select("n_days", "n_pairs", "ts_slope")
+    )
+    tot = s.groupBy("pid").agg(
+        F.count("*").alias("cnt"), F.min("mono").alias("mn")
+    )
+    w_p = Window.orderBy("pid").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    off = tot.select(
+        "pid",
+        "mn",
+        F.coalesce(F.sum("cnt").over(w_p), F.lit(0)).alias("off"),
+    )
+    mid = (
+        s.join(F.broadcast(off), "pid")
+        .withColumn(
+            "rn", F.col("off") + (F.col("mono") - F.col("mn")) + 1
+        )
+        .filter(F.col("rn").isin(m1, m2))
+    )
+    return mid.agg(
+        (F.sum("slope") / F.count("*").cast("double")).alias("ts_slope")
+    ).select(
+        F.lit(n_days_now).cast("bigint").alias("n_days"),
+        F.lit(n_pairs).cast("bigint").alias("n_pairs"),
+        "ts_slope",
     )
 
 

@@ -256,14 +256,24 @@ def accuracy_rows(spark, sf_dir):
          f" shard rollup is exact counter addition, so merged and"
          f" single-pass sketches are bit-identical")
     )
+    import math as _math
+
+    from data_pipeline_postgres_spark.plans.queries_r9 import (
+        _BLOOM_K,
+        _BLOOM_M,
+    )
+
     bl = Q["sketch_bloom_membership"](spark, sf_dir).collect()[0]
+    theory = (
+        1 - _math.exp(-_BLOOM_K * bl["n_members"] / _BLOOM_M)
+    ) ** _BLOOM_K
     rows.append(
         ("sketch_bloom_membership", "exact membership (URGENT-order custkeys)",
-         f"fpr {bl['fpr']:.4f} measured over {bl['n_probes']} probes,"
-         f" zero false negatives ({bl['n_bloom_positive']} positives ="
+         f"fpr {bl['fpr']:.4f} measured vs {theory:.4f} theory"
+         f" ((1-e^-kn/m)^k) over {bl['n_probes']} probes, zero false"
+         f" negatives ({bl['n_bloom_positive']} positives ="
          f" {bl['n_members']} members + {bl['n_false_positive']} fp);"
-         f" m=4096/k=3 — deliberately past the 1%-FPR sizing so the"
-         f" row documents undersizing cost; merge = bit union")
+         f" m={_BLOOM_M}/k={_BLOOM_K}; merge = bit union")
     )
     # streaming CMS mergeability: drained sketch vs the batch sketch
     # rebuilt inline (same comparison tests/test_round9.py gates)
