@@ -16,6 +16,33 @@ from data_pipeline_postgres_spark.plans import registry
 registry.load_all()
 
 
+class TestDriverWindowContract:
+    """The driver's correctness sweep checks exactly the first 50
+    registry entries; a typo in DRIVER_PRIORITY would silently drop a
+    query out of the window (``_reorder`` skips unknown names)."""
+
+    def test_priority_names_all_registered_and_first(self):
+        assert len(registry.DRIVER_PRIORITY) == 50
+        assert len(set(registry.DRIVER_PRIORITY)) == 50
+        missing = [
+            n for n in registry.DRIVER_PRIORITY if n not in registry.QUERIES
+        ]
+        assert not missing, f"unknown names in DRIVER_PRIORITY: {missing}"
+        assert list(registry.QUERIES)[:50] == list(registry.DRIVER_PRIORITY)
+
+    def test_window_queries_are_oracle_backed_or_declared(self):
+        # the r10 window carries exactly 2 rows-only-by-design entries
+        rows_only = [
+            n
+            for n in registry.DRIVER_PRIORITY
+            if n not in registry.ORACLES
+        ]
+        assert rows_only == [
+            "emb_pca_power_iteration",
+            "docs_compression_ratio",
+        ]
+
+
 class TestInt8ZeroNormGuard:
     """A zero-norm embedding must quantize to the all-zero code — not
     NaN->null codes that silently eat top-k window slots."""
