@@ -35,13 +35,20 @@ def canon(v):
 fails=[]
 for name in sorted(os_):
     t0=time.time()
-    sdf = qs[name](spark, SF)
-    scols = sorted(sdf.columns)
-    srows = sorted(tuple(canon(r[c]) for c in scols) for r in sdf.collect())
-    rel = con.sql(os_[name]); dcols = sorted(rel.columns)
-    idx = [rel.columns.index(c) for c in dcols]
-    drows = sorted(tuple(canon(r[i]) for i in idx) for r in rel.fetchall())
-    ok = scols==dcols and srows==drows
+    # one raising query must not abort the sweep (the r10 theil-sen
+    # guard crash hid every result after it alphabetically)
+    try:
+        sdf = qs[name](spark, SF)
+        scols = sorted(sdf.columns)
+        srows = sorted(tuple(canon(r[c]) for c in scols) for r in sdf.collect())
+        rel = con.sql(os_[name]); dcols = sorted(rel.columns)
+        idx = [rel.columns.index(c) for c in dcols]
+        drows = sorted(tuple(canon(r[i]) for i in idx) for r in rel.fetchall())
+        ok = scols==dcols and srows==drows
+    except Exception as e:  # noqa: BLE001
+        fails.append(name)
+        print(f"{name}: ERROR {type(e).__name__}: {str(e)[:200]}")
+        continue
     print(f"{name}: cols={'OK' if scols==dcols else (scols,dcols)} n={len(srows)}/{len(drows)} match={ok} {time.time()-t0:.1f}s")
     if not ok:
         fails.append(name)
