@@ -52,3 +52,74 @@ def latest_per_key_first_value(
         *[F.col(k) for k in keys],
         *[F.first(c).over(w).alias(c) for c in others],
     ).distinct()
+
+
+def global_rank(
+    df: DataFrame,
+    order_cols: Sequence[str],
+    num_partitions: int = 32,
+    rank_col: str = "rn",
+) -> DataFrame:
+    """Exact 1-based global rank over a TOTAL order without a
+    single-partition sort (extracted from orders_theil_sen_trend's
+    round-10 median rewrite).
+
+    An unpartitioned ``row_number()`` window compiles to Exchange
+    SinglePartition + Sort — one task sorts the whole relation. This
+    is the distributed equivalent, the packing.py two-level
+    prefix-sum pattern applied to ranks:
+
+    1. ``repartitionByRange(order_cols)`` — partition boundaries split
+       the total order, so partition id order == value order;
+    2. ``sortWithinPartitions`` — N parallel sorts;
+    3. ``monotonically_increasing_id()`` — ids are CONSECUTIVE from
+       pid*2^33 within each partition, so (id - min_id_of_pid) is the
+       0-based local rank with no window over the data;
+    4. global rank = exclusive prefix sum of partition counts (a
+       window over the <= num_partitions-row totals relation) + local
+       rank + 1.
+
+    ``localCheckpoint`` pins the sorted layout so the totals pass and
+    the rank join read identical ids (AQE cannot re-coalesce between
+    them). Ranks are boundary-independent: any range split of a total
+    order yields the same global ranks, so sampling nondeterminism in
+    RangePartitioner cannot change the result.
+
+    Contract: ``order_cols`` must be a TOTAL order (no duplicate
+    tuples) — ties would rank by physical layout. Cost: one range
+    exchange + parallel sorts + one checkpoint materialization; the
+    relation must fit executor storage (it is data-sized, same as the
+    sort it replaces).
+    """
+    cols = list(order_cols)
+    s = (
+        df.repartitionByRange(num_partitions, *cols)
+        .sortWithinPartitions(*cols)
+        .withColumn("__mono", F.monotonically_increasing_id())
+        .localCheckpoint(eager=False)
+        .withColumn(
+            "__pid",
+            F.floor(F.col("__mono") / F.lit(2**33)).cast("bigint"),
+        )
+    )
+    tot = s.groupBy("__pid").agg(
+        F.count("*").alias("__cnt"), F.min("__mono").alias("__mn")
+    )
+    w_p = Window.orderBy("__pid").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    off = tot.select(
+        "__pid",
+        "__mn",
+        F.coalesce(F.sum("__cnt").over(w_p), F.lit(0)).alias("__off"),
+    )
+    return (
+        s.join(F.broadcast(off), "__pid")
+        .withColumn(
+            rank_col,
+            (
+                F.col("__off") + (F.col("__mono") - F.col("__mn")) + 1
+            ).cast("bigint"),
+        )
+        .drop("__mono", "__pid", "__mn", "__off")
+    )

@@ -4956,51 +4956,23 @@ def q_orders_theil_sen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("a.t").alias("t1"),
         F.col("b.t").alias("t2"),
     )
-    # Median by TWO-LEVEL rank (the packing.py repartitionByRange
-    # pattern), not a global row_number: the r9 version paid a
+    # Median by TWO-LEVEL rank (operators/window.py global_rank —
+    # the packing.py repartitionByRange prefix-sum pattern applied to
+    # ranks), not a global row_number: the r9 version paid a
     # single-partition Exchange+Sort+Window over all ~2.9M pairs
-    # (~3.5 s of the query's 5 s at sf0.1). Here the pairs range-
-    # partition on the total order (slope, t1, t2), sort IN PARALLEL
-    # within partitions, and take per-row ids from
-    # monotonically_increasing_id — consecutive from pid*2^33 within
-    # each sorted partition, so global rank = (exclusive prefix of
-    # partition counts) + (id - partition min id) + 1. The only
-    # window left runs over the 32-row partition-totals relation.
-    # localCheckpoint pins the sorted ids so the totals pass and the
-    # rank filter read the SAME layout (AQE cannot re-coalesce
-    # between them), and rank is boundary-independent anyway: any
-    # range split of a total order yields the same global ranks.
+    # (~3.5 s of the query's 5 s at sf0.1); the two-level form sorts
+    # in parallel and its only window runs over the 32-row
+    # partition-totals relation. (slope, t1, t2) is a total order
+    # (t1, t2 unique per pair), satisfying global_rank's contract.
     # The guard already collected n_days, so n_pairs and the two
     # median ranks are driver literals.
+    from ..operators.window import global_rank
+
     n_pairs = n_days_now * (n_days_now - 1) // 2
     m1 = (n_pairs + 1) // 2
     m2 = n_pairs // 2 + 1
-    s = (
-        pairs.repartitionByRange(32, "slope", "t1", "t2")
-        .sortWithinPartitions("slope", "t1", "t2")
-        .select("slope", F.monotonically_increasing_id().alias("mono"))
-        .localCheckpoint(eager=False)
-        .withColumn(
-            "pid", F.floor(F.col("mono") / F.lit(2**33)).cast("bigint")
-        )
-    )
-    tot = s.groupBy("pid").agg(
-        F.count("*").alias("cnt"), F.min("mono").alias("mn")
-    )
-    w_p = Window.orderBy("pid").rowsBetween(
-        Window.unboundedPreceding, -1
-    )
-    off = tot.select(
-        "pid",
-        "mn",
-        F.coalesce(F.sum("cnt").over(w_p), F.lit(0)).alias("off"),
-    )
-    mid = (
-        s.join(F.broadcast(off), "pid")
-        .withColumn(
-            "rn", F.col("off") + (F.col("mono") - F.col("mn")) + 1
-        )
-        .filter(F.col("rn").isin(m1, m2))
+    mid = global_rank(pairs, ["slope", "t1", "t2"]).filter(
+        F.col("rn").isin(m1, m2)
     )
     return mid.agg(
         (F.sum("slope") / F.count("*").cast("double")).alias("ts_slope")

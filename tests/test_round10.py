@@ -173,6 +173,80 @@ class TestMannWhitneyDegenerateGuard:
         assert oracle["u_x2"] == row["u_x2"]
 
 
+class TestGlobalRank:
+    """operators/window.py global_rank must agree exactly with an
+    unpartitioned row_number over the same total order, for any
+    partition count — ranks are range-boundary-independent."""
+
+    def _truth(self, spark, rows):
+        from pyspark.sql import Window as W
+
+        df = spark.createDataFrame(rows, "a long, b long")
+        w = W.orderBy("a", "b")
+        return {
+            (r["a"], r["b"]): r["rn"]
+            for r in df.select(
+                "a", "b", F.row_number().over(w).alias("rn")
+            ).collect()
+        }
+
+    @pytest.mark.parametrize("parts", [1, 3, 8, 64])
+    def test_matches_row_number(self, spark, parts):
+        from data_pipeline_postgres_spark.operators.window import (
+            global_rank,
+        )
+
+        # md5-scrambled unique tuples: unsorted input, no ties
+        rows = [
+            (int.from_bytes(__import__("hashlib").md5(
+                str(i).encode()).digest()[:4], "big"), i)
+            for i in range(257)
+        ]
+        df = spark.createDataFrame(rows, "a long, b long")
+        got = {
+            (r["a"], r["b"]): r["rn"]
+            for r in global_rank(df, ["a", "b"], parts).collect()
+        }
+        assert got == self._truth(spark, rows)
+
+    def test_only_bounded_singlepartition_work_in_plan(self, spark):
+        """The ONLY SinglePartition/partition-less-window work allowed
+        is over the <=num_partitions-row totals relation (an aggregate
+        bounds it); the data itself must never single-partition-sort."""
+        from data_pipeline_postgres_spark.operators.window import (
+            global_rank,
+        )
+        from tests.test_window_contract import _bounded, _children, _cls, _walk
+
+        df = spark.range(1000).select(
+            (F.col("id") * 7919 % 1000).alias("a"), F.col("id").alias("b")
+        )
+        prev = spark.conf.get("spark.sql.adaptive.enabled")
+        spark.conf.set("spark.sql.adaptive.enabled", "false")
+        try:
+            plan = (
+                global_rank(df, ["a", "b"])
+                ._jdf.queryExecution()
+                .executedPlan()
+            )
+        finally:
+            spark.conf.set("spark.sql.adaptive.enabled", prev)
+        bare = [
+            n
+            for n in _walk(plan)
+            if _cls(n) == "WindowExec" and n.partitionSpec().isEmpty()
+        ]
+        assert bare, "expected the totals-relation window"
+        for node in bare:
+            assert _bounded(_children(node)[0], False)
+        # and no global Sort over the data: every SortExec must be
+        # partition-local (the parallel within-partition sorts)
+        for node in _walk(plan):
+            if _cls(node) == "SortExec":
+                is_global = getattr(node, "global")()
+                assert not is_global, "data-sized global sort found"
+
+
 class TestTheilSenLongCalendarGuard:
     """The exact all-pairs Theil-Sen path must self-limit on calendar
     length instead of silently going quadratic past ~5.5 years."""
