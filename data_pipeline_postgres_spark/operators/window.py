@@ -90,6 +90,18 @@ def global_rank(
     exchange + parallel sorts + one checkpoint materialization; the
     relation must fit executor storage (it is data-sized, same as the
     sort it replaces).
+
+    Limit: ``monotonically_increasing_id`` packs the per-partition
+    row index into 33 bits, so a single range partition holding
+    > 2^33 (~8.6 B) rows overflows into the next partition-id band
+    and would silently corrupt ranks. Rather than trust the caller,
+    the plan VALIDATES the invariant on the already-computed totals
+    relation (every band's min id must be pid*2^33 and its count
+    < 2^33 — any overflow necessarily fills some band to 2^33) via
+    ``assert_true`` folded into the offset column: zero extra cost
+    (≤ num_partitions rows) and a loud failure instead of bad ranks.
+    At 100 TB, size num_partitions so rows/partition stays far below
+    the band width.
     """
     cols = list(order_cols)
     s = (
@@ -108,10 +120,25 @@ def global_rank(
     w_p = Window.orderBy("__pid").rowsBetween(
         Window.unboundedPreceding, -1
     )
+    band_ok = F.assert_true(
+        (F.col("__mn") == F.col("__pid") * F.lit(2**33))
+        & (F.col("__cnt") < F.lit(2**33)),
+        F.lit(
+            "global_rank: a range partition exceeded 2^33 rows — "
+            "monotonically_increasing_id bands overflowed; raise "
+            "num_partitions"
+        ),
+    )
     off = tot.select(
         "__pid",
         "__mn",
-        F.coalesce(F.sum("__cnt").over(w_p), F.lit(0)).alias("__off"),
+        # assert_true yields NULL when the invariant holds; summing it
+        # into __off (coalesced to 0) keeps Catalyst from pruning the
+        # check while leaving the value unchanged.
+        (
+            F.coalesce(F.sum("__cnt").over(w_p), F.lit(0))
+            + F.coalesce(band_ok.cast("bigint"), F.lit(0))
+        ).alias("__off"),
     )
     return (
         s.join(F.broadcast(off), "__pid")

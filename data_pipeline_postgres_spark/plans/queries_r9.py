@@ -2380,13 +2380,19 @@ c AS (
     FROM m
 ),
 s AS (
-    SELECT cb // {_SHARD_BYTES} AS shard_id, doc_id, n_bytes FROM c
+    -- cb is a window SUM → HUGEINT in DuckDB; without the cast the
+    -- result column surfaces as decimal128 through Arrow and the
+    -- driver's value-hash diverges from Spark's BIGINT even though
+    -- row-sorted equality passes (CORRECTNESS_r10's only hash-fail).
+    SELECT CAST(cb // {_SHARD_BYTES} AS BIGINT) AS shard_id,
+           doc_id, n_bytes
+    FROM c
 )
 SELECT shard_id,
        CAST(COUNT(*) AS BIGINT) AS n_items,
        CAST(SUM(n_bytes) AS BIGINT) AS bytes_total,
-       MIN(doc_id) AS first_id,
-       MAX(doc_id) AS last_id
+       CAST(MIN(doc_id) AS BIGINT) AS first_id,
+       CAST(MAX(doc_id) AS BIGINT) AS last_id
 FROM s GROUP BY 1
 """
 
@@ -4907,20 +4913,24 @@ def q_orders_theil_sen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     Long-calendar guard: the quadratic is constant in CORPUS size but
     not in CALENDAR length (a 10-year daily series is ~6.7M pairs
     into a broadcast join and a single-partition median sort), so the
-    query self-limits at ``_TS_MAX_DAYS`` (3,000) distinct days — one
-    cheap column-pruned count of the daily relation, then a loud
-    ValueError naming the repeated-median / deterministic-pair-sample
-    variant as the long-calendar path, instead of silently going
+    query self-limits at ``_TS_MAX_DAYS`` (3,000) distinct days. The
+    guard is IN-PLAN (an ``assert_true`` over the 1-row t0 aggregate,
+    folded into the day offset so Catalyst can't prune it — the
+    global_rank pattern): plan construction stays action-free (the
+    round-10 advisory: the old driver-side ``daily.count()`` guard
+    paid a full orders scan at BUILD time for any caller that merely
+    constructs the DataFrame), and the first action raises loudly
+    naming the repeated-median / deterministic-pair-sample variant as
+    the long-calendar path instead of silently going
     quadratic-in-calendar."""
     from pyspark.sql import Window
 
     o = load_table(spark, sf_dir, "orders")
-    # The guard below must run an action anyway, so pin the
-    # calendar-bounded daily aggregate with localCheckpoint first:
-    # the fact table is scanned EXACTLY once, and the guard count,
-    # the t0 min, and both sides of the pairwise self-join all read
-    # the <=_TS_MAX_DAYS-row checkpoint instead of re-aggregating
-    # orders (3-4 fact scans at 100 TB otherwise).
+    # localCheckpoint (lazy) pins the calendar-bounded daily
+    # aggregate: the fact table is scanned EXACTLY once, and the t0
+    # min and both sides of the pairwise self-join all read the
+    # <=_TS_MAX_DAYS-row checkpoint instead of re-aggregating orders
+    # (3-4 fact scans at 100 TB otherwise).
     daily = (
         o.groupBy(F.col("o_orderdate").cast("date").alias("d"))
         .agg(
@@ -4928,20 +4938,30 @@ def q_orders_theil_sen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "rev"
             )
         )
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
-    n_days_now = daily.count()
-    if n_days_now > _TS_MAX_DAYS:
-        raise ValueError(
-            f"orders_theil_sen_trend: {n_days_now} distinct days exceeds "
-            f"the {_TS_MAX_DAYS}-day ceiling ({n_days_now * (n_days_now - 1) // 2:,} "
-            "pairwise slopes). For longer calendars use a repeated-median "
-            "or a deterministic md5 pair sample instead of the exact "
-            "all-pairs median."
-        )
-    t0 = daily.agg(F.min("d").alias("d0"))
+    t0 = daily.agg(
+        F.min("d").alias("d0"), F.count("*").alias("__nd")
+    )
+    calendar_ok = F.assert_true(
+        F.col("__nd") <= F.lit(_TS_MAX_DAYS),
+        F.concat(
+            F.lit("orders_theil_sen_trend: "),
+            F.col("__nd"),
+            F.lit(
+                f" distinct days exceeds the {_TS_MAX_DAYS}-day "
+                "ceiling (quadratic pairwise-slope stage). For longer "
+                "calendars use a repeated-median or a deterministic "
+                "md5 pair sample instead of the exact all-pairs "
+                "median."
+            ),
+        ),
+    )
     pts = daily.crossJoin(F.broadcast(t0)).select(
-        F.datediff(F.col("d"), F.col("d0")).alias("t"),
+        (
+            F.datediff(F.col("d"), F.col("d0"))
+            + F.coalesce(calendar_ok.cast("int"), F.lit(0))
+        ).alias("t"),
         F.col("rev").cast("double").alias("y"),
     )
     a = pts.alias("a")
@@ -4964,23 +4984,30 @@ def q_orders_theil_sen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     # in parallel and its only window runs over the 32-row
     # partition-totals relation. (slope, t1, t2) is a total order
     # (t1, t2 unique per pair), satisfying global_rank's contract.
-    # The guard already collected n_days, so n_pairs and the two
-    # median ranks are driver literals.
+    # n_pairs and the two median ranks come IN-PLAN from the 1-row t0
+    # aggregate (broadcast) — no driver-side count, construction stays
+    # action-free.
     from ..operators.window import global_rank
 
-    n_pairs = n_days_now * (n_days_now - 1) // 2
-    m1 = (n_pairs + 1) // 2
-    m2 = n_pairs // 2 + 1
-    mid = global_rank(pairs, ["slope", "t1", "t2"]).filter(
-        F.col("rn").isin(m1, m2)
+    nd = t0.select(
+        F.col("__nd").cast("bigint").alias("n_days"),
+        F.expr("CAST(__nd * (__nd - 1) DIV 2 AS BIGINT)").alias(
+            "n_pairs"
+        ),
+    )
+    mid = (
+        global_rank(pairs, ["slope", "t1", "t2"])
+        .crossJoin(F.broadcast(nd))
+        .filter(
+            (F.col("rn") == F.expr("(n_pairs + 1) DIV 2"))
+            | (F.col("rn") == F.expr("n_pairs DIV 2 + 1"))
+        )
     )
     return mid.agg(
-        (F.sum("slope") / F.count("*").cast("double")).alias("ts_slope")
-    ).select(
-        F.lit(n_days_now).cast("bigint").alias("n_days"),
-        F.lit(n_pairs).cast("bigint").alias("n_pairs"),
-        "ts_slope",
-    )
+        F.coalesce(F.first("n_days"), F.lit(0)).alias("n_days"),
+        F.coalesce(F.first("n_pairs"), F.lit(0)).alias("n_pairs"),
+        (F.sum("slope") / F.count("*").cast("double")).alias("ts_slope"),
+    ).select("n_days", "n_pairs", "ts_slope")
 
 
 # -- PMI collocations -------------------------------------------------------

@@ -37,15 +37,22 @@ def stored_index(spark, sf_dir, table, name, filename, build):
     callable returning the DataFrame to materialize; it only runs on
     a cache miss.
 
-    Publication is build-into-temp + atomic ``os.rename``: a reader
-    never observes a half-written index directory, and if two
-    sessions sharing a scratch dir both miss the marker and build
-    concurrently, exactly one rename wins and the loser discards its
+    Publication is build-into-temp + atomic ``os.rename``, with the
+    check-and-publish critical section serialized under a per-tag
+    ``flock`` (the expensive build itself runs OUTSIDE the lock): if
+    two sessions sharing a scratch dir both miss the marker and build
+    concurrently, exactly one publishes and the loser discards its
     copy and serves the winner's (both built the identical artifact —
     the tag pins the corpus version). Published tags are immutable:
-    nothing deletes a tag once renamed into place, so open parquet
-    handles stay valid.
+    the only delete of ``path`` happens under the lock after
+    re-checking that no ``_SUCCESS`` marker exists (i.e. it is a
+    partial dir from an interrupted pre-atomic build, never a
+    published tag), so open parquet handles — whose file listing
+    Spark pins at read time — stay valid. The previous unlocked
+    check-then-rmtree had a TOCTOU window where a loser could delete
+    a winner's freshly published dir (round-10 advisory).
     """
+    import fcntl
     import shutil
 
     from .catalog import table_path
@@ -60,18 +67,18 @@ def stored_index(spark, sf_dir, table, name, filename, build):
     if not os.path.exists(marker):
         tmp = "{}.build-{}".format(path, os.getpid())
         build().write.mode("overwrite").parquet(tmp)
-        if os.path.exists(marker):
-            # a concurrent session published first — serve its copy
-            shutil.rmtree(tmp, ignore_errors=True)
-        else:
-            # clear a partial dir left by an interrupted pre-atomic
-            # build (exists but no _SUCCESS), then publish atomically
-            shutil.rmtree(path, ignore_errors=True)
-            try:
-                os.rename(tmp, path)
-            except OSError:
-                # lost a rename race begun after the marker check
+        with open(path + ".lock", "w") as lf:
+            fcntl.flock(lf, fcntl.LOCK_EX)
+            if os.path.exists(marker):
+                # a concurrent session published while we were
+                # building — serve its (identical) copy
                 shutil.rmtree(tmp, ignore_errors=True)
+            else:
+                # no marker under the lock ⇒ path is at most a
+                # partial dir from an interrupted pre-atomic build;
+                # safe to clear, then publish atomically
+                shutil.rmtree(path, ignore_errors=True)
+                os.rename(tmp, path)
     return spark.read.parquet(path)
 
 

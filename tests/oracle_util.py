@@ -1,7 +1,10 @@
 """Local mirror of the driver's DuckDB-differential correctness check:
 row-count + schema-arity + order-insensitive value comparison, with
 EXACT value equality (stricter than a hash — catches nondeterminism
-early)."""
+early), PLUS Arrow-level type-family identity (the round-10 lesson:
+``multimodal_shard_manifest`` was value-equal but hash-failed because
+a DuckDB window SUM surfaced as decimal128 where Spark emits int64 —
+row equality is NOT the driver-hasher contract; type identity is)."""
 
 from __future__ import annotations
 
@@ -10,8 +13,63 @@ import decimal
 import math
 
 import duckdb
+import pyarrow as pa
 
 from data_pipeline_postgres_spark.catalog import TABLES
+
+
+def spark_type_family(dt) -> str:
+    """Collapse a Spark type to the family the driver's value-hasher
+    canonicalizes by (ints of any width together; TIMESTAMP and
+    TIMESTAMP_NTZ together — 17 ntz-emitting queries hold repeated
+    driver hash-greens against tz-naive DuckDB timestamps)."""
+    from pyspark.sql import types as T
+
+    if isinstance(dt, (T.ByteType, T.ShortType, T.IntegerType, T.LongType)):
+        return "int"
+    if isinstance(dt, T.DoubleType):
+        return "float64"
+    if isinstance(dt, T.FloatType):
+        return "float32"
+    if isinstance(dt, T.DecimalType):
+        return f"decimal({dt.precision},{dt.scale})"
+    if isinstance(dt, (T.TimestampType, T.TimestampNTZType)):
+        return "timestamp"
+    if isinstance(dt, T.DateType):
+        return "date"
+    if isinstance(dt, T.StringType):
+        return "string"
+    if isinstance(dt, T.BooleanType):
+        return "bool"
+    if isinstance(dt, T.BinaryType):
+        return "binary"
+    if isinstance(dt, T.ArrayType):
+        return f"list<{spark_type_family(dt.elementType)}>"
+    return dt.simpleString()
+
+
+def arrow_type_family(t: pa.DataType) -> str:
+    if pa.types.is_integer(t):
+        return "int"
+    if pa.types.is_float64(t):
+        return "float64"
+    if pa.types.is_float32(t):
+        return "float32"
+    if pa.types.is_decimal(t):
+        return f"decimal({t.precision},{t.scale})"
+    if pa.types.is_timestamp(t):
+        return "timestamp"
+    if pa.types.is_date(t):
+        return "date"
+    if pa.types.is_string(t) or pa.types.is_large_string(t):
+        return "string"
+    if pa.types.is_boolean(t):
+        return "bool"
+    if pa.types.is_binary(t) or pa.types.is_large_binary(t):
+        return "binary"
+    if pa.types.is_list(t) or pa.types.is_large_list(t):
+        return f"list<{arrow_type_family(t.value_type)}>"
+    return str(t)
 
 
 def duck_connect(sf_dir: str) -> duckdb.DuckDBPyConnection:
@@ -54,12 +112,26 @@ def normalize(rows, columns):
 def assert_matches_oracle(spark_df, con, sql: str, name: str = "?") -> None:
     s_rows = [tuple(r) for r in spark_df.collect()]
     s_cols = list(spark_df.columns)
-    rel = con.sql(sql)
-    d_cols = list(rel.columns)
-    d_rows = rel.fetchall()
+    tbl = con.sql(sql).arrow()
+    d_cols = list(tbl.schema.names)
+    d_rows = [
+        tuple(d[c] for c in d_cols) for d in tbl.to_pylist()
+    ]
 
     assert sorted(s_cols) == sorted(d_cols), (
         f"[{name}] column mismatch: spark={sorted(s_cols)} duck={sorted(d_cols)}"
+    )
+    s_fams = {
+        f.name: spark_type_family(f.dataType)
+        for f in spark_df.schema.fields
+    }
+    d_fams = {f.name: arrow_type_family(f.type) for f in tbl.schema}
+    fam_diffs = {
+        c: (s_fams[c], d_fams[c]) for c in s_fams if s_fams[c] != d_fams[c]
+    }
+    assert not fam_diffs, (
+        f"[{name}] Arrow type-family mismatch (driver-hasher contract, "
+        f"see multimodal_shard_manifest r10): {fam_diffs}"
     )
     assert len(s_rows) == len(d_rows), (
         f"[{name}] row count: spark={len(s_rows)} duck={len(d_rows)}"

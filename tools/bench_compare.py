@@ -96,8 +96,15 @@ def main() -> int:
         f"baseline {os.path.basename(base_path)}: {len(common)} common "
         f"queries, total {tot_b:.1f}s -> {tot_c:.1f}s"
     )
-    regressions = []
+    regressions, noisy = [], []
     for k in common:
+        # A spread larger than the measured time itself means the
+        # record can't distinguish plan change from host noise (r10
+        # saw 32s spreads on a 3s query) — report it as UNRELIABLE
+        # instead of pretending the comparison is meaningful.
+        if max(sc.get(k, 0.0), sb.get(k, 0.0)) > max(qc[k], qb[k]):
+            noisy.append(k)
+            continue
         # regression = >2x the old time AND outside both runs' spread
         # AND not measurement dust (>150ms absolute)
         slack = sc.get(k, 0.0) + sb.get(k, 0.0)
@@ -107,6 +114,12 @@ def main() -> int:
                 f"  REGRESSION {k}: {qb[k]:.2f}s -> {qc[k]:.2f}s "
                 f"(spread {sb.get(k, 0)}/{sc.get(k, 0)})"
             )
+    if noisy:
+        print(
+            f"  UNRELIABLE (spread > measured time, not compared): "
+            f"{len(noisy)} queries: {' '.join(noisy[:10])}"
+            + (" ..." if len(noisy) > 10 else "")
+        )
     new = sorted(set(qc) - set(qb))
     if new:
         print(f"  new (no baseline): {len(new)} queries, "

@@ -1,0 +1,89 @@
+"""Strict oracle-vs-Spark TYPE audit (driver-hasher contract).
+
+CORRECTNESS_r10's only hash-fail (`multimodal_shard_manifest`) was a
+pure type divergence: a DuckDB window ``SUM(BIGINT)`` yields HUGEINT,
+which surfaces through Arrow as ``decimal128(38,0)`` — value-equal to
+Spark's BIGINT under row-sorted comparison, but hashed differently by
+the driver. Row equality is NOT the driver contract; Arrow-level type
+identity is the safe one.
+
+This tool fetches every oracle's result as an Arrow table and compares
+column types to the Spark query's schema, flagging any column whose
+Arrow type family differs (int vs decimal, int width, date vs
+timestamp, float32 vs float64). Run it whenever an oracle is added.
+
+Usage: python tools/type_audit.py [--sf DIR] [name ...]
+       (no names = audit every oracle-backed query)
+"""
+import sys
+
+sys.path.insert(0, "/root/repo")
+
+args = sys.argv[1:]
+SF = "/root/testdata/sf0.001"
+if args and args[0] == "--sf":
+    SF = args[1]
+    args = args[2:]
+
+import duckdb
+import __spark_entry__ as E
+from pyspark.sql import SparkSession
+
+spark = (
+    SparkSession.builder.master("local[8]")
+    .appName("type-audit")
+    .config("spark.sql.shuffle.partitions", "8")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+)
+spark.sparkContext.setLogLevel("ERROR")
+
+qs, os_ = E.queries(), E.oracle_sql()
+names = args or [n for n in qs if n in os_]
+
+con = duckdb.connect()
+for t in [
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+]:
+    con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{SF}/{t}.parquet'")
+
+
+from tests.oracle_util import (  # noqa: E402  (one shared impl)
+    arrow_type_family as arrow_family,
+    spark_type_family as spark_family,
+)
+
+
+bad, err = [], []
+for name in names:
+    try:
+        sdf = qs[name](spark, SF)
+        s_types = {f.name: spark_family(f.dataType) for f in sdf.schema.fields}
+        tbl = con.execute(os_[name]).fetch_arrow_table()
+        d_types = {
+            f.name: arrow_family(f.type) for f in tbl.schema
+        }
+    except Exception as e:  # noqa: BLE001
+        err.append(name)
+        print(f"{name}: ERROR {type(e).__name__}: {e}")
+        continue
+    if sorted(s_types) != sorted(d_types):
+        bad.append(name)
+        print(f"{name}: COLUMN MISMATCH spark={sorted(s_types)} "
+              f"duck={sorted(d_types)}")
+        continue
+    diffs = {
+        c: (s_types[c], d_types[c])
+        for c in s_types
+        if s_types[c] != d_types[c]
+    }
+    if diffs:
+        bad.append(name)
+        print(f"{name}: TYPE MISMATCH {diffs}")
+
+print(f"\naudited {len(names)}; type-mismatched {len(bad)}; errors {len(err)}")
+if bad:
+    print("mismatched:", " ".join(sorted(bad)))
+sys.exit(1 if (bad or err) else 0)
