@@ -225,7 +225,12 @@ def q_docs_bpe_train_merges(
             )
         )
         if k < _BPE_ROUNDS:
-            seqs = _bpe_apply(seqs, top)
+            # pin each rebuilt corpus: without the lineage cut, round
+            # k's pair count AND round k+1's rebuild would each replay
+            # every earlier round's windows (the recompute grows with
+            # round depth — the superstep checkpoint idiom of
+            # operators/graph.py)
+            seqs = _bpe_apply(seqs, top).localCheckpoint(eager=False)
     out = outs[0]
     for o in outs[1:]:
         out = out.unionAll(o)

@@ -1,6 +1,13 @@
 """Targeted subset of tools/drive_contract.py: check only the named
 queries against their DuckDB oracles (rows-only queries get a count).
 
+NOTE: this checker compares canonicalized VALUES (row-sorted equality).
+That is NECESSARY but not SUFFICIENT for a driver hash-green: the
+driver's hasher is sensitive to Arrow-level types (DuckDB HUGEINT →
+decimal128 vs Spark int64 — the multimodal_shard_manifest r10 failure,
+value-equal yet hash-red). Run `python tools/type_audit.py <name>` as
+well for any new oracle; full contract in FIXTURES.md §F6.
+
 Usage: python tools/check_queries.py [--sf DIR] name [name ...]
 """
 import sys, time
