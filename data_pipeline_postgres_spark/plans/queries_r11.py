@@ -491,3 +491,445 @@ def q_docs_snapshot_curation_diff(
     return j.groupBy(
         "source", "change_type", "old_pass", "new_pass"
     ).agg(F.count("*").cast("bigint").alias("n_docs"))
+
+
+# =====================================================================
+# Session-2 additions (round 11, after the verdict's top-3 landed):
+# the CCNet perplexity-bucket criterion proper, a graded (not binary)
+# decontamination overlap fraction, tokenizer fertility by language,
+# and a fixed-sample cosine calibration histogram for dedup-threshold
+# tuning. Same conventions: every output column aliased identically in
+# Spark and DuckDB, counts/sums CAST to BIGINT on both sides.
+# =====================================================================
+
+
+# -- CCNet perplexity buckets ------------------------------------------------
+# docs_ccnet_buckets cuts on a log-free unigram commonness score; the
+# actual CCNet criterion (Wenzek et al. 2020) buckets documents by the
+# perplexity of an LM TRAINED ON A REFERENCE CORPUS (Wikipedia). Here
+# the reference split is deterministic (doc_id % 11 == 0, the wiki
+# proxy), the LM is a Laplace-smoothed bigram model, and every held-out
+# doc is scored with the standard backoff for unseen events:
+#   seen (w1,w2):  P = (cnt+1) / (lcnt+V)
+#   seen w1 only:  P = 1 / (lcnt+V)
+#   unseen w1:     P = 1 / V          (uniform over the LM vocab)
+# Per-bigram log2 P quantizes to int64 micro-bits BEFORE aggregation
+# (order-free exact sums — the text_unigram/bigram_logprob pattern);
+# the tercile cutoffs come from the bounded-memory global quantile.
+
+_PPL_REF_MOD = 11
+
+_PPL_BUCKET_ORACLE = r"""
+WITH w AS (
+    SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w
+    FROM documents
+),
+rbg AS (
+    SELECT w[i] AS w1, w[i+1] AS w2, COUNT(*) AS cnt
+    FROM w, unnest(range(1, len(w))) AS t(i)
+    WHERE doc_id % 11 = 0
+    GROUP BY 1, 2
+),
+rl AS (SELECT w1, SUM(cnt) AS lcnt FROM rbg GROUP BY 1),
+rv AS (
+    SELECT COUNT(DISTINCT tok) AS v
+    FROM (SELECT unnest(w) AS tok FROM w WHERE doc_id % 11 = 0)
+),
+hb AS (
+    SELECT doc_id, w[i] AS w1, w[i+1] AS w2, COUNT(*) AS tf
+    FROM w, unnest(range(1, len(w))) AS t(i)
+    WHERE doc_id % 11 <> 0
+    GROUP BY 1, 2, 3
+),
+lq AS (
+    SELECT hb.doc_id, hb.tf,
+           CAST(floor(log2(
+               CASE WHEN rbg.cnt IS NOT NULL THEN
+                        (CAST(rbg.cnt AS DOUBLE) + 1.0)
+                        / (CAST(rl.lcnt AS DOUBLE) + CAST(rv.v AS DOUBLE))
+                    WHEN rl.lcnt IS NOT NULL THEN
+                        1.0 / (CAST(rl.lcnt AS DOUBLE) + CAST(rv.v AS DOUBLE))
+                    ELSE 1.0 / CAST(rv.v AS DOUBLE) END
+           ) * 1000000.0 + 0.5) AS BIGINT) AS lq
+    FROM hb
+    LEFT JOIN rbg USING (w1, w2)
+    LEFT JOIN rl USING (w1)
+    CROSS JOIN rv
+),
+sc AS (
+    SELECT doc_id,
+           CAST(floor(CAST(SUM(tf * lq) AS DOUBLE)
+                      / CAST(SUM(tf) AS DOUBLE)) AS BIGINT) AS score
+    FROM lq GROUP BY 1
+),
+cuts AS (
+    SELECT quantile_cont(score, 1.0/3) AS t1,
+           quantile_cont(score, 2.0/3) AS t2
+    FROM sc
+)
+SELECT doc_id, score,
+       CASE WHEN score < t1 THEN 'tail'
+            WHEN score < t2 THEN 'middle'
+            ELSE 'head' END AS bucket
+FROM sc, cuts
+"""
+
+
+@query("docs_perplexity_bucket", _PPL_BUCKET_ORACLE)
+def q_docs_perplexity_bucket(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """CCNet perplexity buckets proper (Wenzek et al. 2020): a
+    Laplace-smoothed bigram LM is trained on the deterministic
+    reference split (doc_id % 11 == 0 — the Wikipedia proxy), every
+    held-out doc is scored by mean log2 P(w2|w1) with the standard
+    unseen-event backoff (uniform 1/V for unseen contexts), and the
+    corpus is cut at global terciles into head / middle / tail →
+    (doc_id, score, bucket). Complements docs_ccnet_buckets, whose
+    commonness score is the log-free stand-in.
+
+    Determinism: per-bigram smoothed log-probs quantize to int64
+    micro-bits before any aggregation; the per-doc mean is ONE double
+    division floored back to int64; tercile cutoffs reproduce DuckDB's
+    quantile_cont bit-for-bit via bucket_refine_quantiles.
+
+    Scale shape: the LM is vocab-bounded (bigram-keyed aggregates,
+    never collected); scoring is two key-shuffled joins on (w1,w2)
+    and (w1); V is a 1-row broadcast; terciles are bounded-memory
+    (no global sort). Linear in corpus size.
+    """
+    from ..operators import aggregate
+
+    docs = _docs(spark, sf_dir)
+    is_ref = F.col("doc_id") % _PPL_REF_MOD == 0
+
+    def bigrams(df: DataFrame) -> DataFrame:
+        toks = TX.tokens("text")
+        cnt = F.size(toks) - 1
+        z = F.arrays_zip(F.slice(toks, 1, cnt), F.slice(toks, 2, cnt))
+        return df.select("doc_id", F.explode(z).alias("s")).select(
+            "doc_id",
+            F.col("s")["0"].alias("w1"),
+            F.col("s")["1"].alias("w2"),
+        )
+
+    rbg = (
+        bigrams(docs.filter(is_ref))
+        .groupBy("w1", "w2")
+        .agg(F.count("*").alias("cnt"))
+    )
+    rl = rbg.groupBy("w1").agg(F.sum("cnt").alias("lcnt"))
+    rv = (
+        docs.filter(is_ref)
+        .select(F.explode(TX.tokens("text")).alias("tok"))
+        .agg(F.count_distinct("tok").alias("v"))
+    )
+    hb = (
+        bigrams(docs.filter(~is_ref))
+        .groupBy("doc_id", "w1", "w2")
+        .agg(F.count("*").alias("tf"))
+    )
+    denom = F.col("lcnt").cast("double") + F.col("v").cast("double")
+    p = (
+        F.when(
+            F.col("cnt").isNotNull(),
+            (F.col("cnt").cast("double") + F.lit(1.0)) / denom,
+        )
+        .when(F.col("lcnt").isNotNull(), F.lit(1.0) / denom)
+        .otherwise(F.lit(1.0) / F.col("v").cast("double"))
+    )
+    lq = (
+        hb.join(rbg, ["w1", "w2"], "left")
+        .join(rl, ["w1"], "left")
+        .crossJoin(F.broadcast(rv))
+        .select(
+            "doc_id",
+            "tf",
+            F.floor(F.log2(p) * F.lit(1_000_000.0) + F.lit(0.5))
+            .cast("bigint")
+            .alias("lq"),
+        )
+    )
+    sc = (
+        lq.groupBy("doc_id")
+        .agg(
+            F.floor(
+                F.sum(F.col("tf") * F.col("lq")).cast("double")
+                / F.sum("tf").cast("double")
+            )
+            .cast("bigint")
+            .alias("score")
+        )
+        .localCheckpoint(eager=False)
+    )
+    cuts = aggregate.bucket_refine_quantiles(
+        sc, [], "score", {"t1": 1.0 / 3, "t2": 2.0 / 3},
+        materialize=False,
+    )
+    return sc.crossJoin(F.broadcast(cuts)).select(
+        "doc_id",
+        "score",
+        F.when(F.col("score") < F.col("t1"), "tail")
+        .when(F.col("score") < F.col("t2"), "middle")
+        .otherwise("head")
+        .alias("bucket"),
+    )
+
+
+# -- Graded decontamination: overlap fraction + severity band ----------------
+# decontaminate_ngram is binary (≥1 shared 4-gram → flagged). Real
+# decontamination policies grade: a doc sharing 1 of 500 n-grams is
+# "touched" (keep, maybe down-weight); one sharing 30% is contaminated
+# (drop). This query emits the per-doc overlap fraction and band.
+
+_OVERLAP_FRAC_ORACLE = r"""
+WITH w AS (
+    SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w
+    FROM documents
+),
+ng AS (
+    SELECT DISTINCT doc_id,
+           w[i]||' '||w[i+1]||' '||w[i+2]||' '||w[i+3] AS ngram
+    FROM w, unnest(range(1, len(w) - 2)) AS t(i)
+),
+ev AS (SELECT DISTINCT ngram FROM ng WHERE doc_id % 97 = 0),
+tr AS (
+    SELECT ng.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_ngrams,
+           CAST(SUM(CASE WHEN ev.ngram IS NOT NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_hits
+    FROM ng LEFT JOIN ev USING (ngram)
+    WHERE ng.doc_id % 97 <> 0
+    GROUP BY 1
+)
+SELECT doc_id, n_ngrams, n_hits,
+       CAST(floor(1000.0 * CAST(n_hits AS DOUBLE)
+                  / CAST(n_ngrams AS DOUBLE)) AS BIGINT) AS permille,
+       CASE WHEN n_hits = 0 THEN 'clean'
+            WHEN 1000.0 * CAST(n_hits AS DOUBLE)
+                 / CAST(n_ngrams AS DOUBLE) < 100.0 THEN 'touched'
+            ELSE 'contaminated' END AS band
+FROM tr
+"""
+
+
+@query("decontaminate_overlap_frac", _OVERLAP_FRAC_ORACLE)
+def q_decontaminate_overlap_frac(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Graded benchmark decontamination: per training doc, the
+    DISTINCT word-4-gram count, how many of those appear in the
+    (deterministic doc_id%97) eval split, the overlap permille, and a
+    severity band (clean / touched <10% / contaminated ≥10%) →
+    (doc_id, n_ngrams, n_hits, permille, band). The policy knob
+    decontaminate_ngram's binary flag can't express.
+
+    Scale shape: the per-doc distinct n-gram count needs NO shuffle at
+    all — array_distinct over the row's own shingle array (the per-doc
+    dedup is row-local by construction). Only eval-admitted n-grams
+    ever reach an exchange: the exploded distinct stream is cut by the
+    broadcast eval set FIRST, then one doc_id-keyed count. The
+    full corpus n-gram relation never shuffles (the
+    operators/decontaminate.py invariant, kept).
+    """
+    from ..operators import decontaminate
+
+    docs = _docs(spark, sf_dir)
+    is_eval = F.col("doc_id") % 97 == 0
+    ev = (
+        decontaminate.raw_ngrams(docs.filter(is_eval), 4)
+        .select("ngram")
+        .distinct()
+    )
+    sh = docs.filter(~is_eval).select(
+        "doc_id",
+        F.array_distinct(TX.word_shingles(TX.tokens("text"), 4)).alias(
+            "sh"
+        ),
+    )
+    base = sh.select(
+        "doc_id", F.size("sh").cast("bigint").alias("n_ngrams")
+    ).filter(F.col("n_ngrams") > 0)
+    hits = (
+        sh.select("doc_id", F.explode("sh").alias("ngram"))
+        .join(F.broadcast(ev), "ngram")
+        .groupBy("doc_id")
+        .agg(F.count("*").cast("bigint").alias("n_hits"))
+    )
+    j = base.join(hits, "doc_id", "left").select(
+        "doc_id",
+        "n_ngrams",
+        F.coalesce(F.col("n_hits"), F.lit(0)).cast("bigint").alias(
+            "n_hits"
+        ),
+    )
+    frac = (
+        F.lit(1000.0)
+        * F.col("n_hits").cast("double")
+        / F.col("n_ngrams").cast("double")
+    )
+    return j.select(
+        "doc_id",
+        "n_ngrams",
+        "n_hits",
+        F.floor(frac).cast("bigint").alias("permille"),
+        F.when(F.col("n_hits") == 0, "clean")
+        .when(frac < 100.0, "touched")
+        .otherwise("contaminated")
+        .alias("band"),
+    )
+
+
+# -- Tokenizer fertility by language -----------------------------------------
+# Tokenizer-prep diagnostic: tokens-per-character (fertility) by
+# language, under BOTH the whitespace tokenizer and the BPE-ish
+# pre-tokenizer — the per-language compression budget check run before
+# committing a vocab (high-fertility languages eat the context window).
+
+_FERTILITY_ORACLE = r"""
+WITH t AS (
+    SELECT lang,
+           length(text) AS ch,
+           len(regexp_split_to_array(trim(text), '\s+')) AS wt,
+           len(regexp_extract_all(lower(text),
+               '[a-z]+|[0-9]+|[^a-z0-9\s]')) AS bt
+    FROM documents
+)
+SELECT lang,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(ch) AS BIGINT) AS chars,
+       CAST(SUM(wt) AS BIGINT) AS ws_tokens,
+       CAST(SUM(bt) AS BIGINT) AS bpe_tokens,
+       CAST(floor(1000000.0 * CAST(SUM(wt) AS DOUBLE)
+                  / CAST(SUM(ch) AS DOUBLE)) AS BIGINT) AS ws_per_mchar,
+       CAST(floor(1000000.0 * CAST(SUM(bt) AS DOUBLE)
+                  / CAST(SUM(ch) AS DOUBLE)) AS BIGINT) AS bpe_per_mchar
+FROM t GROUP BY lang
+"""
+
+
+@query("tokenizer_fertility_by_lang", _FERTILITY_ORACLE)
+def q_tokenizer_fertility_by_lang(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Tokenizer fertility by language: per lang, document count,
+    total characters, whitespace-token and BPE-ish-subword totals, and
+    both fertilities as integer tokens-per-million-chars → (lang,
+    n_docs, chars, ws_tokens, bpe_tokens, ws_per_mchar,
+    bpe_per_mchar). The vocabulary-budget check a multilingual
+    pipeline runs per candidate tokenizer.
+
+    Scale shape: three narrow per-row counters (length / split-size /
+    regexp_count — all whole-stage codegen) into ONE map-side-combined
+    groupBy over ≤ |languages| keys. The exchange carries one row per
+    language per task. Linear, no text ever shuffles.
+    """
+    docs = _docs(spark, sf_dir)
+    t = docs.select(
+        "lang",
+        F.length("text").alias("ch"),
+        TX.ws_token_count("text").alias("wt"),
+        TX.bpe_token_count("text").alias("bt"),
+    )
+    g = t.groupBy("lang").agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.sum("ch").cast("bigint").alias("chars"),
+        F.sum("wt").cast("bigint").alias("ws_tokens"),
+        F.sum("bt").cast("bigint").alias("bpe_tokens"),
+    )
+    return g.select(
+        "lang",
+        "n_docs",
+        "chars",
+        "ws_tokens",
+        "bpe_tokens",
+        F.floor(
+            F.lit(1_000_000.0)
+            * F.col("ws_tokens").cast("double")
+            / F.col("chars").cast("double")
+        )
+        .cast("bigint")
+        .alias("ws_per_mchar"),
+        F.floor(
+            F.lit(1_000_000.0)
+            * F.col("bpe_tokens").cast("double")
+            / F.col("chars").cast("double")
+        )
+        .cast("bigint")
+        .alias("bpe_per_mchar"),
+    )
+
+
+# -- Cosine calibration histogram ---------------------------------------------
+# Dedup/similarity thresholds (dedup_embedding_cosine's 0.45,
+# sim_range_search's 0.3) are corpus-dependent: the right value sits
+# where the pairwise-cosine background distribution's upper tail ends.
+# This query materializes that distribution over a FIXED-SIZE
+# deterministic sample, so the histogram costs the same at any corpus
+# scale.
+
+_CAL_SAMPLE = 128
+
+
+def _cal_oracle() -> str:
+    from .queries_ext import _duck_cos
+
+    return f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+s AS (
+    SELECT vec_id, v FROM e
+    ORDER BY md5(CAST(vec_id AS VARCHAR)) LIMIT {_CAL_SAMPLE}
+),
+p AS (
+    SELECT floor({_duck_cos('a.v', 'b.v')} * 20.0) AS bin
+    FROM s a JOIN s b ON a.vec_id < b.vec_id
+)
+SELECT CAST(bin AS BIGINT) AS bin,
+       CAST(COUNT(*) AS BIGINT) AS n_pairs
+FROM p GROUP BY 1
+"""
+
+
+@query("emb_cosine_calibration", _cal_oracle())
+def q_emb_cosine_calibration(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Pairwise-cosine background distribution for threshold
+    calibration: a deterministic md5-ordered sample of {n} vectors,
+    all {n}·({n}-1)/2 pairwise cosines, binned at 0.05 → (bin,
+    n_pairs). Read the histogram's upper tail to place
+    dedup_embedding_cosine / sim_range_search thresholds above the
+    background noise floor.
+
+    Scale shape: the sample is a TakeOrderedAndProject top-k on
+    md5(vec_id) — no full sort, no RNG — and the pair stage is a
+    broadcast self-join over a CONSTANT-size relation ({n}² plan-time
+    bound), so cost is independent of corpus size; the only
+    corpus-wide work is the top-k scan. Cosines use the ordered
+    double fold (functions/vectors.py) mirrored bit-identically by
+    the oracle.
+    """.format(n=_CAL_SAMPLE)
+    from ..functions import vectors as V
+
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", V.as_double(F.col("embedding")).alias("v")
+    )
+    s = (
+        e.orderBy(F.md5(F.col("vec_id").cast("string")))
+        .limit(_CAL_SAMPLE)
+        .select("vec_id", "v")
+    )
+    a = s.alias("a")
+    b = s.alias("b")
+    pairs = a.join(
+        F.broadcast(b), F.col("a.vec_id") < F.col("b.vec_id")
+    ).select(
+        F.floor(
+            V.cosine(F.col("a.v"), F.col("b.v")) * F.lit(20.0)
+        )
+        .cast("bigint")
+        .alias("bin")
+    )
+    return pairs.groupBy("bin").agg(
+        F.count("*").cast("bigint").alias("n_pairs")
+    )
