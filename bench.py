@@ -219,6 +219,10 @@ EXT_HEADLINE = [
     "docs_bpe_train_merges",
     "docs_url_dedup_cap",
     "docs_snapshot_curation_diff",
+    "docs_perplexity_bucket",
+    "decontaminate_overlap_frac",
+    "tokenizer_fertility_by_lang",
+    "emb_cosine_calibration",
 ]
 
 
