@@ -33,6 +33,9 @@ ALLOWED_UNPARTITIONED = {
     "agg_bootstrap_ci_mean",
     # tercile thresholds over per-bucket totals (<= n_buckets rows)
     "docs_ccnet_buckets",
+    # same bucket_refine tercile shape over per-bucket score totals
+    # (<= n_buckets rows; the LM-score relation never enters a window)
+    "docs_perplexity_bucket",
     # calibration bins over a bounded margin-histogram relation
     "docs_nb_margin_calibration",
     # exclusive byte prefix sums over per-shard totals
