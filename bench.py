@@ -223,6 +223,9 @@ EXT_HEADLINE = [
     "decontaminate_overlap_frac",
     "tokenizer_fertility_by_lang",
     "emb_cosine_calibration",
+    "dedup_minhash_band_sweep",
+    "decontaminate_multi_benchmark",
+    "docs_dup_source_matrix",
 ]
 
 

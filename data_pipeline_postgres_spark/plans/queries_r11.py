@@ -933,3 +933,340 @@ def q_emb_cosine_calibration(
     return pairs.groupBy("bin").agg(
         F.count("*").cast("bigint").alias("n_pairs")
     )
+
+
+# -- MinHash band-shape sweep -------------------------------------------------
+# The LSH tuning decision is HOW TO SPEND a fixed signature budget:
+# the same 8 minhash slots banded (8x1) admit aggressively (any single
+# slot match), (2x4) conservatively (4 consecutive slots must agree).
+# This query measures all three shapes against exact Jaccard ground
+# truth in one pass — candidate volume vs precision, the table you
+# read before fixing (bands, rows) for a corpus. The signature is
+# computed ONCE; the three bandings are just regroupings of its 8
+# columns.
+
+_SWEEP_CFGS = (("8x1", 8, 1), ("4x2", 4, 2), ("2x4", 2, 4))
+
+
+def _sweep_oracle() -> str:
+    from ..operators.dedup import MINHASH_A, MINHASH_B, MINHASH_P
+    from .queries_ext import _JACCARD_TAIL, _SHINGLES, _TOKS
+
+    slot_mins = ",\n           ".join(
+        f"MIN(({MINHASH_A[i]} * h + {MINHASH_B[i]}) % {MINHASH_P})"
+        f" AS s_{i}"
+        for i in range(8)
+    )
+    bk_selects = []
+    for cfg, bands, rows in _SWEEP_CFGS:
+        for b in range(bands):
+            cols = ", ".join(f"s_{b * rows + r}" for r in range(rows))
+            bk_selects.append(
+                f"SELECT doc_id, '{cfg}' AS cfg,"
+                f" concat_ws('|', '{b}', {cols}) AS band_key FROM slots"
+            )
+    band_keys = "\n    UNION ALL ".join(bk_selects)
+    return f"""
+WITH {_TOKS}, {_SHINGLES},
+base AS (
+    SELECT doc_id,
+           ('0x' || substr(md5(shingle), 1, 15))::BIGINT % {MINHASH_P} AS h
+    FROM sh
+),
+slots AS (
+    SELECT doc_id,
+           {slot_mins}
+    FROM base GROUP BY 1
+),
+bk AS (
+    {band_keys}
+),
+cand AS (
+    SELECT DISTINCT a.cfg, a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM bk a JOIN bk b
+      ON a.cfg = b.cfg AND a.band_key = b.band_key
+     AND a.doc_id < b.doc_id
+),
+{_JACCARD_TAIL.lstrip()},
+j AS (
+    SELECT i.doc_a, i.doc_b,
+           CAST(n_common AS DOUBLE) / (sa.n + sb.n - n_common) AS jac
+    FROM inter i
+    JOIN sizes sa ON sa.doc_id = i.doc_a
+    JOIN sizes sb ON sb.doc_id = i.doc_b
+)
+SELECT cand.cfg,
+       CAST(COUNT(*) AS BIGINT) AS n_candidates,
+       CAST(SUM(CASE WHEN j.jac >= 0.8e0 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_true,
+       CAST(floor(1000.0 * CAST(SUM(CASE WHEN j.jac >= 0.8e0
+                                         THEN 1 ELSE 0 END) AS DOUBLE)
+                  / CAST(COUNT(*) AS DOUBLE)) AS BIGINT)
+           AS precision_permille
+FROM cand LEFT JOIN j USING (doc_a, doc_b)
+GROUP BY 1
+"""
+
+
+@query("dedup_minhash_band_sweep", _sweep_oracle())
+def q_dedup_minhash_band_sweep(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """MinHash band-shape sweep: the SAME 8-slot signature banded
+    three ways — 8 bands x 1 row (aggressive), 4 x 2 (the production
+    default), 2 x 4 (conservative) — each measured against exact
+    shingle Jaccard at the 0.8 near-dup threshold → (cfg,
+    n_candidates, n_true, precision_permille). The candidate-volume /
+    precision tradeoff table behind dedup_minhash's banding choice.
+
+    Scale shape: ONE shingle scan and ONE groupBy(doc_id) computes
+    all 8 slot minima (the affine universal-hash family shares one
+    md5 per shingle); the three bandings posexplode the tiny per-doc
+    signature relation (docs x bands rows, never the shingle stream);
+    exact verification is candidate-driven (jaccard_pairs with the
+    admitted-pair union driving the join), so verify cost scales with
+    what the bands admitted, never corpus^2.
+    """
+    from ..operators import dedup
+    from ..operators.dedup import _minhash_sig, minhash_base
+
+    docs = _docs(spark, sf_dir)
+    sh_raw = dedup.doc_shingles(docs, distinct=False)
+    base = sh_raw.select(
+        "doc_id", minhash_base(F.col("shingle")).alias("h")
+    )
+    sig = base.groupBy("doc_id").agg(
+        *[
+            F.min(_minhash_sig(i, F.col("h"))).alias(f"s_{i}")
+            for i in range(8)
+        ]
+    )
+    sig = sig.localCheckpoint(eager=False)
+
+    def candidates(cfg: str, bands: int, rows: int) -> DataFrame:
+        keys = F.array(
+            *[
+                F.concat_ws(
+                    "|",
+                    F.lit(str(b)),
+                    *[F.col(f"s_{b * rows + r}") for r in range(rows)],
+                )
+                for b in range(bands)
+            ]
+        )
+        bk = sig.select(
+            "doc_id", F.explode(keys).alias("band_key")
+        )
+        return dedup.minhash_candidates(bk).withColumn(
+            "cfg", F.lit(cfg)
+        )
+    cand = candidates(*_SWEEP_CFGS[0])
+    for c in _SWEEP_CFGS[1:]:
+        cand = cand.unionByName(candidates(*c))
+    cand = cand.localCheckpoint(eager=False)
+    all_pairs = cand.select("doc_a", "doc_b").distinct()
+    sh = dedup.doc_shingles(docs)  # distinct, for exact Jaccard
+    jac = dedup.jaccard_pairs(sh, all_pairs, threshold=0.0).select(
+        "doc_a", "doc_b", F.col("jaccard").alias("jac")
+    )
+    hit = F.when(F.col("jac") >= 0.8, 1).otherwise(0)
+    return (
+        cand.join(jac, ["doc_a", "doc_b"], "left")
+        .groupBy("cfg")
+        .agg(
+            F.count("*").cast("bigint").alias("n_candidates"),
+            F.sum(hit).cast("bigint").alias("n_true"),
+            F.floor(
+                F.lit(1000.0)
+                * F.sum(hit).cast("double")
+                / F.count("*").cast("double")
+            )
+            .cast("bigint")
+            .alias("precision_permille"),
+        )
+    )
+
+
+# -- Multi-benchmark decontamination ------------------------------------------
+# Production decontamination screens against MANY benchmarks at once
+# (GPT-3 appendix C sweeps dozens). Scanning the corpus once per
+# benchmark is the naive shape; the right one is a single pass against
+# the UNION of tagged benchmark n-gram sets. Three deterministic eval
+# splits stand in for three benchmarks.
+
+_MB_SPLITS = (("b0", 97), ("b1", 89), ("b2", 83))
+
+
+def _mb_oracle() -> str:
+    ev_union = "\n    UNION ALL ".join(
+        f"SELECT '{tag}' AS bench, ngram FROM ng WHERE doc_id % {m} = 0"
+        for tag, m in _MB_SPLITS
+    )
+    not_eval = " AND ".join(f"doc_id % {m} <> 0" for _, m in _MB_SPLITS)
+    hit_cols = ",\n       ".join(
+        f"CAST(SUM(CASE WHEN bench = '{tag}' THEN 1 ELSE 0 END) AS BIGINT)"
+        f" AS hits_{tag}"
+        for tag, _ in _MB_SPLITS
+    )
+    return f"""
+WITH w AS (
+    SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS w
+    FROM documents
+),
+ng AS (
+    SELECT DISTINCT doc_id,
+           w[i]||' '||w[i+1]||' '||w[i+2]||' '||w[i+3] AS ngram
+    FROM w, unnest(range(1, len(w) - 2)) AS t(i)
+),
+ev AS (
+    SELECT DISTINCT bench, ngram FROM (
+    {ev_union}
+    )
+),
+hits AS (
+    SELECT ng.doc_id, ev.bench, ev.ngram
+    FROM ng JOIN ev USING (ngram)
+    WHERE {not_eval}
+)
+SELECT doc_id,
+       {hit_cols},
+       CAST(COUNT(DISTINCT bench) AS BIGINT) AS n_benchmarks_hit
+FROM hits GROUP BY doc_id
+"""
+
+
+@query("decontaminate_multi_benchmark", _mb_oracle())
+def q_decontaminate_multi_benchmark(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Single-pass decontamination against THREE benchmarks (the
+    deterministic doc_id % 97/89/83 eval splits): per training doc,
+    the distinct overlapping 4-gram count per benchmark and how many
+    benchmarks it touches → (doc_id, hits_b0, hits_b1, hits_b2,
+    n_benchmarks_hit). The one-scan screening shape for a benchmark
+    battery — never one corpus pass per benchmark.
+
+    Scale shape: the tagged benchmark n-gram sets UNION into one
+    broadcast relation (eval sets are tiny by definition); the corpus
+    n-gram stream — per-doc deduped row-locally via array_distinct,
+    no shuffle — is filtered by that broadcast FIRST, so the only
+    exchange carries (doc, bench, admitted-ngram) rows. Adding a
+    benchmark grows the broadcast, not the corpus-side cost.
+    """
+    docs = _docs(spark, sf_dir)
+    sh4 = F.array_distinct(TX.word_shingles(TX.tokens("text"), 4))
+    ng = docs.select("doc_id", F.explode(sh4).alias("ngram"))
+    ev = None
+    for tag, m in _MB_SPLITS:
+        e = (
+            ng.filter(F.col("doc_id") % m == 0)
+            .select(F.lit(tag).alias("bench"), "ngram")
+            .distinct()
+        )
+        ev = e if ev is None else ev.unionByName(e)
+    train = ng
+    for _, m in _MB_SPLITS:
+        train = train.filter(F.col("doc_id") % m != 0)
+    hits = train.join(F.broadcast(ev), "ngram")
+    aggs = [
+        F.sum(F.when(F.col("bench") == tag, 1).otherwise(0))
+        .cast("bigint")
+        .alias(f"hits_{tag}")
+        for tag, _ in _MB_SPLITS
+    ]
+    return hits.groupBy("doc_id").agg(
+        *aggs,
+        F.count_distinct("bench").cast("bigint").alias(
+            "n_benchmarks_hit"
+        ),
+    )
+
+
+# -- Cross-source duplication matrix ------------------------------------------
+# Which sources mirror each other? Shared 10-word blocks (the
+# dedup_paragraph unit — whole-doc exact dups are too rare to profile
+# at small SF) broken down into source-pair co-occurrence counts —
+# computed ARITHMETICALLY from per-block per-source tallies (c_a*c_b
+# across sources, C(c,2) within), never by exploding pairs, so a
+# million-copy boilerplate block costs one row per source it
+# appears in.
+
+_DUP_MATRIX_ORACLE = r"""
+WITH tk AS (
+    SELECT doc_id, source, regexp_split_to_array(trim(text), '\s+') AS w
+    FROM documents
+),
+blk AS (
+    SELECT source,
+           md5(array_to_string(list_slice(w, i*10 + 1, i*10 + 10), ' '))
+               AS h
+    FROM tk,
+         unnest(range(0, CAST(ceil(len(w) / 10.0) AS BIGINT))) AS t(i)
+),
+g AS (
+    SELECT h, source, CAST(COUNT(*) AS BIGINT) AS c
+    FROM blk GROUP BY 1, 2
+),
+p AS (
+    SELECT a.source AS source_a, b.source AS source_b,
+           SUM(CASE WHEN a.source = b.source
+                    THEN CAST(a.c * (a.c - 1) / 2 AS BIGINT)
+                    ELSE a.c * b.c END) AS n_pairs
+    FROM g a JOIN g b
+      ON a.h = b.h AND a.source <= b.source
+    GROUP BY 1, 2
+)
+SELECT source_a, source_b, CAST(n_pairs AS BIGINT) AS n_pairs
+FROM p WHERE n_pairs > 0
+"""
+
+
+@query("docs_dup_source_matrix", _DUP_MATRIX_ORACLE)
+def q_docs_dup_source_matrix(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Cross-source duplication matrix: for every source pair, the
+    number of duplicated 10-word-block pairs (same block md5, the
+    dedup_paragraph unit) spanning them — C(c,2) within a source,
+    c_a*c_b across → (source_a, source_b, n_pairs). The provenance
+    diagnostic behind per-source dedup policy: a hot off-diagonal
+    cell means one source mirrors another's boilerplate and dedup
+    survivorship should prefer the canonical one.
+
+    Scale shape: one (block-hash, source) groupBy tallies copies; the
+    per-hash self-join fans out at most |sources| rows per hash (never
+    copies^2 — pair counts are closed-form from the tallies); the
+    final groupBy is over a bounded |sources|^2 key space. The sort
+    key is the fixed-width md5 digest, never the block text.
+    """
+    docs = _docs(spark, sf_dir)
+    toks = F.split(F.trim(F.col("text")), r"\s+")
+    nblk = F.ceil(F.size(toks) / F.lit(10)).cast("int")
+    blocks = F.transform(
+        F.sequence(F.lit(0), nblk - 1),
+        lambda i: F.array_join(F.slice(toks, i * 10 + 1, 10), " "),
+    )
+    blk = docs.select(
+        "source", F.explode(blocks).alias("blk")
+    ).select("source", F.md5("blk").alias("h"))
+    g = blk.groupBy("h", "source").agg(
+        F.count("*").cast("bigint").alias("c")
+    )
+    a = g.select(
+        "h", F.col("source").alias("source_a"), F.col("c").alias("ca")
+    )
+    b = g.select(
+        "h", F.col("source").alias("source_b"), F.col("c").alias("cb")
+    )
+    pairs = a.join(b, "h").filter(
+        F.col("source_a") <= F.col("source_b")
+    )
+    n = F.when(
+        F.col("source_a") == F.col("source_b"),
+        (F.col("ca") * (F.col("ca") - 1) / 2).cast("bigint"),
+    ).otherwise(F.col("ca") * F.col("cb"))
+    return (
+        pairs.groupBy("source_a", "source_b")
+        .agg(F.sum(n).cast("bigint").alias("n_pairs"))
+        .filter(F.col("n_pairs") > 0)
+    )
