@@ -947,6 +947,14 @@ def q_emb_cosine_calibration(
 
 _SWEEP_CFGS = (("8x1", 8, 1), ("4x2", 4, 2), ("2x4", 2, 4))
 
+# The sweep is a TUNING DIAGNOSTIC, so it runs over a bounded
+# deterministic sample (md5-ordered top-k of doc_ids): the aggressive
+# 8x1 banding's candidate volume grows super-linearly with corpus
+# size (any single slot match admits), and the point of the table is
+# to compare shapes, which a sample answers at fixed cost. At the
+# test SFs <= sf0.01 the sample IS the full corpus.
+_SWEEP_SAMPLE = 2048
+
 
 def _sweep_oracle() -> str:
     from ..operators.dedup import MINHASH_A, MINHASH_B, MINHASH_P
@@ -968,10 +976,14 @@ def _sweep_oracle() -> str:
     band_keys = "\n    UNION ALL ".join(bk_selects)
     return f"""
 WITH {_TOKS}, {_SHINGLES},
+samp AS (
+    SELECT doc_id FROM documents
+    ORDER BY md5(CAST(doc_id AS VARCHAR)) LIMIT {_SWEEP_SAMPLE}
+),
 base AS (
     SELECT doc_id,
            ('0x' || substr(md5(shingle), 1, 15))::BIGINT % {MINHASH_P} AS h
-    FROM sh
+    FROM sh JOIN samp USING (doc_id)
 ),
 slots AS (
     SELECT doc_id,
@@ -1019,18 +1031,27 @@ def q_dedup_minhash_band_sweep(
     n_candidates, n_true, precision_permille). The candidate-volume /
     precision tradeoff table behind dedup_minhash's banding choice.
 
-    Scale shape: ONE shingle scan and ONE groupBy(doc_id) computes
-    all 8 slot minima (the affine universal-hash family shares one
-    md5 per shingle); the three bandings posexplode the tiny per-doc
-    signature relation (docs x bands rows, never the shingle stream);
-    exact verification is candidate-driven (jaccard_pairs with the
-    admitted-pair union driving the join), so verify cost scales with
-    what the bands admitted, never corpus^2.
-    """
+    Scale shape: the sweep runs over a bounded deterministic sample
+    (md5-ordered top-{k} doc_ids — the full corpus at test SFs), so
+    the aggressive 8x1 shape's super-linear candidate growth is
+    capped by construction. ONE shingle scan and ONE groupBy(doc_id)
+    computes all 8 slot minima (the affine universal-hash family
+    shares one md5 per shingle); the three bandings explode the tiny
+    per-doc signature relation (docs x bands rows, never the shingle
+    stream); exact verification is candidate-driven (jaccard_pairs
+    with the admitted-pair union driving the join), so verify cost
+    scales with what the bands admitted.
+    """.format(k=_SWEEP_SAMPLE)
     from ..operators import dedup
     from ..operators.dedup import _minhash_sig, minhash_base
 
     docs = _docs(spark, sf_dir)
+    samp = (
+        docs.select("doc_id")
+        .orderBy(F.md5(F.col("doc_id").cast("string")))
+        .limit(_SWEEP_SAMPLE)
+    )
+    docs = docs.join(F.broadcast(samp), "doc_id", "left_semi")
     sh_raw = dedup.doc_shingles(docs, distinct=False)
     base = sh_raw.select(
         "doc_id", minhash_base(F.col("shingle")).alias("h")
