@@ -226,6 +226,7 @@ EXT_HEADLINE = [
     "dedup_minhash_band_sweep",
     "decontaminate_multi_benchmark",
     "docs_dup_source_matrix",
+    "events_holt_winters_forecast",
 ]
 
 

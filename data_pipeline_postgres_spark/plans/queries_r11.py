@@ -1291,3 +1291,147 @@ def q_docs_dup_source_matrix(
         .agg(F.sum(n).cast("bigint").alias("n_pairs"))
         .filter(F.col("n_pairs") > 0)
     )
+
+
+# -- Holt-Winters seasonal forecast -------------------------------------------
+# Completes the forecasting family: events_trend_ols (line),
+# orders_revenue_holt_forecast (level+trend), orders_holt_backtest
+# (accuracy) — none of which see SEASONALITY. Additive Holt-Winters
+# with a weekly period over the daily purchase-revenue series, as the
+# same ordered-fold-over-a-tiny-series shape as Holt: both engines
+# evaluate the identical expression tree left-to-right over the
+# identical day-sorted list, so the (level, trend, 7-slot seasonal
+# ring) recurrence is bit-identical with no quantization. The oracle
+# is a RECURSIVE CTE carrying the seasonal ring as a LIST column
+# (list_reduce cannot express a cross-referencing recurrence — the
+# struct_pack sequential-update trap documented at
+# orders_revenue_holt_forecast).
+
+_HW_ALPHA, _HW_BETA, _HW_GAMMA, _HW_P = 0.3, 0.1, 0.2, 7
+
+_HW_ORACLE = """
+WITH RECURSIVE d AS MATERIALIZED (
+    SELECT CAST(ts AS DATE) AS day,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS y
+    FROM events WHERE event_type = 'purchase' GROUP BY 1
+),
+ordered AS MATERIALIZED (
+    SELECT row_number() OVER (ORDER BY day) AS rn, y FROM d
+),
+fit(rn, l, b, seas) AS (
+    SELECT 1, y, 0e0, [0e0, 0e0, 0e0, 0e0, 0e0, 0e0, 0e0]
+    FROM ordered WHERE rn = 1
+    UNION ALL
+    SELECT o.rn,
+           0.3e0 * (o.y - f.seas[1]) + 0.7e0 * (f.l + f.b),
+           0.1e0 * ((0.3e0 * (o.y - f.seas[1]) + 0.7e0 * (f.l + f.b))
+                    - f.l) + 0.9e0 * f.b,
+           list_append(f.seas[2:],
+               0.2e0 * (o.y - (0.3e0 * (o.y - f.seas[1])
+                               + 0.7e0 * (f.l + f.b)))
+               + 0.8e0 * f.seas[1])
+    FROM fit f JOIN ordered o ON o.rn = f.rn + 1
+),
+last AS (
+    SELECT l, b, seas FROM fit
+    WHERE rn = (SELECT MAX(rn) FROM ordered)
+)
+SELECT CAST(h AS BIGINT) AS h,
+       l + CAST(h AS DOUBLE) * b + seas[h] AS forecast
+FROM last, unnest([1, 2, 3, 4, 5, 6, 7]) AS t(h)
+"""
+
+
+@query("events_holt_winters_forecast", _HW_ORACLE)
+def q_events_holt_winters_forecast(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Additive Holt-Winters (alpha=0.3, beta=0.1, gamma=0.2, weekly
+    period) over the daily purchase-revenue series, forecasting the
+    next 7 days → (h, forecast). The seasonal member of the
+    forecasting family: level and trend adapt as in Holt, and a
+    7-slot seasonal ring learns the day-of-week profile — zero-seeded
+    (no lookahead), so the first week's steps smooth against zeros.
+
+    Shape: one decimal-exact day aggregate (map-side combined, ~D rows
+    for D days regardless of event count), then the recurrence folds
+    over that tiny sorted array in a single task — the series, not
+    the table, is sequential. Forecast h uses seasonal slot h of the
+    final ring (slot 1 = s[t-6] = the (t+1)-aligned day-of-week).
+    Bit-identical across engines via the ordered-fold contract: both
+    evaluate the same expression tree left-to-right, with the shared
+    level term textually repeated (never bound) on both sides.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    d = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy(F.col("ts").cast("date").alias("day"))
+        .agg(
+            F.sum(F.col("value").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("y")
+        )
+    )
+    xs = d.agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("day", "y"))),
+            lambda e: e["y"],
+        ).alias("xs")
+    )
+    a, bt, g, p = _HW_ALPHA, _HW_BETA, _HW_GAMMA, _HW_P
+
+    def merge(acc, y):
+        s0 = F.element_at(acc["seas"], 1)
+        lnew = F.lit(a) * (y - s0) + F.lit(1 - a) * (
+            acc["l"] + acc["b"]
+        )
+        return F.struct(
+            lnew.alias("l"),
+            (
+                F.lit(bt)
+                * (
+                    F.lit(a) * (y - s0)
+                    + F.lit(1 - a) * (acc["l"] + acc["b"])
+                    - acc["l"]
+                )
+                + F.lit(1 - bt) * acc["b"]
+            ).alias("b"),
+            F.concat(
+                F.slice(acc["seas"], 2, p - 1),
+                F.array(
+                    F.lit(g)
+                    * (
+                        y
+                        - (
+                            F.lit(a) * (y - s0)
+                            + F.lit(1 - a) * (acc["l"] + acc["b"])
+                        )
+                    )
+                    + F.lit(1 - g) * s0
+                ),
+            ).alias("seas"),
+        )
+
+    seed = F.struct(
+        F.element_at(F.col("xs"), 1).alias("l"),
+        F.lit(0.0).alias("b"),
+        F.array(*[F.lit(0.0) for _ in range(p)]).alias("seas"),
+    )
+    fit = xs.select(
+        F.aggregate(
+            F.slice(F.col("xs"), 2, F.size("xs") - 1), seed, merge
+        ).alias("st")
+    )
+    return fit.select(
+        F.explode(
+            F.array(*[F.lit(h) for h in range(1, p + 1)])
+        ).alias("h"),
+        "st",
+    ).select(
+        F.col("h").cast("long").alias("h"),
+        (
+            F.col("st.l")
+            + F.col("h").cast("double") * F.col("st.b")
+            + F.element_at(F.col("st.seas"), F.col("h"))
+        ).alias("forecast"),
+    )

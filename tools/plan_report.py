@@ -144,6 +144,18 @@ SHOWCASE = [
     "events_burst_range_join",
     "docs_nb_margin_calibration",
     "docs_ngram_novelty_curve",
+    # round-11 additions
+    "docs_bpe_train_merges",
+    "docs_url_dedup_cap",
+    "docs_snapshot_curation_diff",
+    "docs_perplexity_bucket",
+    "decontaminate_overlap_frac",
+    "tokenizer_fertility_by_lang",
+    "emb_cosine_calibration",
+    "dedup_minhash_band_sweep",
+    "decontaminate_multi_benchmark",
+    "docs_dup_source_matrix",
+    "events_holt_winters_forecast",
 ]
 
 
