@@ -227,6 +227,7 @@ EXT_HEADLINE = [
     "decontaminate_multi_benchmark",
     "docs_dup_source_matrix",
     "events_holt_winters_forecast",
+    "demand_croston_forecast",
 ]
 
 

@@ -1435,3 +1435,184 @@ def q_events_holt_winters_forecast(
             + F.element_at(F.col("st.seas"), F.col("h"))
         ).alias("forecast"),
     )
+
+
+# -- Croston intermittent-demand forecast -------------------------------------
+# The reference is a retail demand pipeline (flagship.py), and retail
+# demand at shop granularity is INTERMITTENT — many zero days between
+# sales. Exponential smoothing over such a series chases zeros;
+# Croston's method (1972) smooths the nonzero demand SIZES and the
+# inter-demand INTERVALS separately and forecasts their ratio. Per
+# shop, over the flagship view's 'expensive' product (the sparsest
+# bucket), zero-filled on the global calendar.
+#
+# All three state updates (size z, interval p, periods-since q) read
+# only the PREVIOUS state — no cross-referencing recurrence, so both
+# the Spark fold and the oracle's per-shop recursive CTE evaluate the
+# same independent expressions step-by-step, bit-identically.
+
+_CROSTON_ALPHA = 0.1
+
+_CROSTON_ORACLE = r"""
+WITH RECURSIVE pd AS MATERIALIZED (
+    SELECT 'shop_' || CAST(user_id % 20 AS VARCHAR) AS shop_id,
+           CAST(ts AS DATE) AS day,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS y
+    FROM events
+    WHERE CASE ascii(event_type) % 3 WHEN 0 THEN 'cheap'
+              WHEN 1 THEN 'medium' ELSE 'expensive' END = 'expensive'
+    GROUP BY 1, 2
+),
+cal AS (
+    SELECT UNNEST(generate_series(MIN(day), MAX(day),
+                                  INTERVAL 1 DAY))::DATE AS day
+    FROM pd
+),
+shops AS (SELECT DISTINCT shop_id FROM pd),
+grid AS MATERIALIZED (
+    SELECT s.shop_id,
+           row_number() OVER (PARTITION BY s.shop_id
+                              ORDER BY c.day) AS rn,
+           COALESCE(pd.y, 0e0) AS y
+    FROM shops s CROSS JOIN cal c
+    LEFT JOIN pd ON pd.shop_id = s.shop_id AND pd.day = c.day
+),
+fit(shop_id, rn, z, p, q, seen) AS (
+    SELECT shop_id, 0, 0e0, 0e0, CAST(1 AS BIGINT), FALSE FROM shops
+    UNION ALL
+    SELECT g.shop_id, g.rn,
+           CASE WHEN g.y > 0e0 THEN
+                CASE WHEN f.seen THEN 0.1e0 * g.y + 0.9e0 * f.z
+                     ELSE g.y END
+           ELSE f.z END,
+           CASE WHEN g.y > 0e0 THEN
+                CASE WHEN f.seen
+                     THEN 0.1e0 * CAST(f.q AS DOUBLE) + 0.9e0 * f.p
+                     ELSE CAST(f.q AS DOUBLE) END
+           ELSE f.p END,
+           CASE WHEN g.y > 0e0 THEN 1 ELSE f.q + 1 END,
+           f.seen OR g.y > 0e0
+    FROM fit f JOIN grid g ON g.shop_id = f.shop_id AND g.rn = f.rn + 1
+),
+last AS (
+    SELECT shop_id, z, p, seen FROM fit
+    WHERE rn = (SELECT MAX(rn) FROM grid)
+),
+nd AS (
+    SELECT shop_id,
+           CAST(SUM(CASE WHEN y > 0e0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_demand_days
+    FROM grid GROUP BY 1
+)
+SELECT l.shop_id, nd.n_demand_days,
+       CASE WHEN l.seen THEN l.z / l.p ELSE NULL END AS croston_forecast
+FROM last l JOIN nd USING (shop_id)
+"""
+
+
+@query("demand_croston_forecast", _CROSTON_ORACLE)
+def q_demand_croston_forecast(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Croston intermittent-demand forecast (alpha=0.1) per shop over
+    the flagship view's 'expensive'-product daily demand, zero-filled
+    on the global calendar → (shop_id, n_demand_days,
+    croston_forecast). Smooths nonzero demand sizes and inter-demand
+    intervals separately and forecasts their ratio — the correct
+    estimator where plain exponential smoothing chases zeros, i.e.
+    exactly the reference's retail-demand domain at shop granularity.
+
+    Shape: one decimal-exact (shop, day) aggregate (map-side
+    combined), the calendar zero-fill is a broadcast of the tiny
+    (min, max) scalar exploded to a day sequence, and the recurrence
+    folds per shop over its day-sorted array — |shops| independent
+    single-task folds over calendar-bounded series; the table's row
+    count never enters the sequential stage. Cross-engine
+    determinism: every state update reads only the previous state
+    (no nested recurrence), same expression tree both engines.
+    """
+    from .flagship import product_demand_view
+
+    pd_ = (
+        product_demand_view(spark, sf_dir)
+        .filter(F.col("product_name") == "expensive")
+        .groupBy("shop_id", F.col("date").alias("day"))
+        .agg(
+            F.sum(F.col("demand").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("y")
+        )
+    )
+    pd_ = pd_.localCheckpoint(eager=False)
+    cal = pd_.agg(
+        F.explode(
+            F.sequence(
+                F.min("day"), F.max("day"), F.expr("interval 1 day")
+            )
+        ).alias("day")
+    )
+    shops = pd_.select("shop_id").distinct()
+    grid = (
+        shops.crossJoin(F.broadcast(cal))
+        .join(pd_, ["shop_id", "day"], "left")
+        .select(
+            "shop_id", "day", F.coalesce(F.col("y"), F.lit(0.0)).alias("y")
+        )
+    )
+    xs = grid.groupBy("shop_id").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("day", "y"))),
+            lambda e: e["y"],
+        ).alias("xs"),
+        F.sum(F.when(F.col("y") > 0.0, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_demand_days"),
+    )
+    a = _CROSTON_ALPHA
+
+    def merge(acc, y):
+        pos = y > F.lit(0.0)
+        return F.struct(
+            F.when(
+                pos,
+                F.when(
+                    acc["seen"],
+                    F.lit(a) * y + F.lit(1 - a) * acc["z"],
+                ).otherwise(y),
+            )
+            .otherwise(acc["z"])
+            .alias("z"),
+            F.when(
+                pos,
+                F.when(
+                    acc["seen"],
+                    F.lit(a) * acc["q"].cast("double")
+                    + F.lit(1 - a) * acc["p"],
+                ).otherwise(acc["q"].cast("double")),
+            )
+            .otherwise(acc["p"])
+            .alias("p"),
+            F.when(pos, F.lit(1).cast("bigint"))
+            .otherwise(acc["q"] + 1)
+            .alias("q"),
+            (acc["seen"] | pos).alias("seen"),
+        )
+
+    seed = F.struct(
+        F.lit(0.0).alias("z"),
+        F.lit(0.0).alias("p"),
+        F.lit(1).cast("bigint").alias("q"),
+        F.lit(False).alias("seen"),
+    )
+    fit = xs.select(
+        "shop_id",
+        "n_demand_days",
+        F.aggregate(F.col("xs"), seed, merge).alias("st"),
+    )
+    return fit.select(
+        "shop_id",
+        "n_demand_days",
+        F.when(
+            F.col("st.seen"), F.col("st.z") / F.col("st.p")
+        ).alias("croston_forecast"),
+    )

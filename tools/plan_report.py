@@ -156,6 +156,7 @@ SHOWCASE = [
     "decontaminate_multi_benchmark",
     "docs_dup_source_matrix",
     "events_holt_winters_forecast",
+    "demand_croston_forecast",
 ]
 
 
