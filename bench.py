@@ -228,6 +228,7 @@ EXT_HEADLINE = [
     "docs_dup_source_matrix",
     "events_holt_winters_forecast",
     "demand_croston_forecast",
+    "docs_dsir_gumbel_select",
 ]
 
 

@@ -1616,3 +1616,92 @@ def q_demand_croston_forecast(
             F.col("st.seen"), F.col("st.z") / F.col("st.p")
         ).alias("croston_forecast"),
     )
+
+
+# -- DSIR Gumbel top-k selection ----------------------------------------------
+# docs_dsir_weights scores; this SELECTS — the importance-resampling
+# step of DSIR (Xie et al.): Gumbel top-k over the log-weights draws
+# a without-replacement sample proportional to importance. The Gumbel
+# noise is md5-derived (u = 52 md5 bits of doc_id / 2^52, G =
+# -ln(-ln u)), so the draw is reproducible and oracle-checkable; keys
+# are floor-quantized to micro-units before the rank cut so a sub-ulp
+# libm divergence cannot flip the selection.
+
+_GUMBEL_K = 64
+_LN2 = "0.6931471805599453"  # ln 2 as a shared literal, never computed
+_U_DENOM = "4503599627370496"  # 2^52
+
+
+def _gumbel_oracle() -> str:
+    from .queries_r9 import _DSIR_ORACLE
+
+    head, tail = _DSIR_ORACLE.rsplit("SELECT b.doc_id,", 1)
+    assert "GROUP BY 1" in tail  # splice point contract
+    return (
+        head
+        + ", dw AS (\nSELECT b.doc_id,"
+        + tail
+        + f"""
+),
+g AS (
+    SELECT doc_id, n_tokens,
+           CAST(floor((dsir_logweight * {_LN2}e0
+               - ln(-ln(('0x' || substr(md5(CAST(doc_id AS VARCHAR)),
+                                        1, 13))::BIGINT
+                        / {_U_DENOM}e0))) * 1000000.0) AS BIGINT)
+               AS gumbel_key
+    FROM dw
+)
+SELECT doc_id, n_tokens, gumbel_key
+FROM g ORDER BY gumbel_key DESC, doc_id LIMIT {_GUMBEL_K}
+"""
+    )
+
+
+@query("docs_dsir_gumbel_select", _gumbel_oracle())
+def q_docs_dsir_gumbel_select(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """DSIR importance RESAMPLING: Gumbel top-{k} over the
+    docs_dsir_weights log-weights → (doc_id, n_tokens, gumbel_key) —
+    the actual selection step the weights exist for. Gumbel-key
+    sampling (w + G, G = -ln(-ln u)) draws a without-replacement
+    sample with inclusion odds proportional to importance; here u is
+    md5-derived from doc_id, so the draw is a pure function of the
+    corpus and both engines select the identical set.
+
+    Determinism: the log2 weights convert to nats via a shared ln-2
+    LITERAL (never a computed ln(2)); keys floor-quantize to integer
+    micro-units BEFORE the rank cut, so a sub-ulp ln() divergence
+    between JVMs and libm cannot flip the top-k; ties break on
+    doc_id. Scale: one map-side expression on the weights relation +
+    TakeOrderedAndProject — selection adds nothing to the DSIR
+    scoring cost.
+    """.format(k=_GUMBEL_K)
+    from .queries_r9 import q_docs_dsir_weights
+
+    dw = q_docs_dsir_weights(spark, sf_dir)
+    u = (
+        F.conv(
+            F.substring(F.md5(F.col("doc_id").cast("string")), 1, 13),
+            16,
+            10,
+        ).cast("bigint")
+        / F.lit(float(_U_DENOM))
+    )
+    key = (
+        F.floor(
+            (
+                F.col("dsir_logweight") * F.lit(float(_LN2))
+                - F.log(-F.log(u))
+            )
+            * F.lit(1_000_000.0)
+        )
+        .cast("bigint")
+        .alias("gumbel_key")
+    )
+    return (
+        dw.select("doc_id", "n_tokens", key)
+        .orderBy(F.desc("gumbel_key"), F.asc("doc_id"))
+        .limit(_GUMBEL_K)
+    )

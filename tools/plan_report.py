@@ -157,6 +157,7 @@ SHOWCASE = [
     "docs_dup_source_matrix",
     "events_holt_winters_forecast",
     "demand_croston_forecast",
+    "docs_dsir_gumbel_select",
 ]
 
 
