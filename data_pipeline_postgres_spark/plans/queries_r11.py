@@ -1705,3 +1705,151 @@ def q_docs_dsir_gumbel_select(
         .orderBy(F.desc("gumbel_key"), F.asc("doc_id"))
         .limit(_GUMBEL_K)
     )
+
+
+# -- SCD2 apply: type-2 MERGE of a change batch -------------------------------
+# scd2_intervals BUILDS history from a full log; cdc_merge keeps
+# latest-state only (type 1). The missing warehouse op is applying a
+# CHANGE BATCH to a STANDING type-2 dimension: close each changed
+# key's current row at the change timestamp, insert the new version
+# as current, pass everything else through — the Delta/Iceberg
+# "MERGE ... WHEN MATCHED UPDATE SET valid_to / WHEN NOT MATCHED
+# INSERT" idiom, expressed join-first.
+
+_SCD2_CUTOFF = "2000-01-01"
+
+
+_SCD2_APPLY_ORACLE = f"""
+WITH pre AS (
+    SELECT o_custkey, o_orderkey,
+           CAST(o_totalprice AS DECIMAL(18,2)) AS o_totalprice,
+           CAST(o_orderdate AS DATE) AS d
+    FROM orders WHERE CAST(o_orderdate AS DATE) < DATE '{_SCD2_CUTOFF}'
+),
+dim0 AS (
+    SELECT o_custkey, o_orderkey, o_totalprice,
+           d AS valid_from,
+           lead(d) OVER (PARTITION BY o_custkey
+                         ORDER BY d, o_orderkey) AS valid_to,
+           lead(d) OVER (PARTITION BY o_custkey
+                         ORDER BY d, o_orderkey) IS NULL AS is_current
+    FROM pre
+),
+post AS (
+    SELECT o_custkey, o_orderkey,
+           CAST(o_totalprice AS DECIMAL(18,2)) AS o_totalprice,
+           CAST(o_orderdate AS DATE) AS d,
+           row_number() OVER (PARTITION BY o_custkey
+                              ORDER BY CAST(o_orderdate AS DATE),
+                                       o_orderkey) AS rn
+    FROM orders WHERE CAST(o_orderdate AS DATE) >= DATE '{_SCD2_CUTOFF}'
+),
+ch AS (SELECT o_custkey, o_orderkey, o_totalprice, d FROM post WHERE rn = 1),
+closed AS (
+    SELECT dim0.o_custkey, dim0.o_orderkey, dim0.o_totalprice,
+           dim0.valid_from, ch.d AS valid_to, FALSE AS is_current
+    FROM dim0 JOIN ch USING (o_custkey) WHERE dim0.is_current
+),
+unchanged AS (
+    SELECT dim0.o_custkey, dim0.o_orderkey, dim0.o_totalprice,
+           dim0.valid_from, dim0.valid_to, dim0.is_current
+    FROM dim0 LEFT JOIN ch USING (o_custkey)
+    WHERE NOT (dim0.is_current AND ch.o_custkey IS NOT NULL)
+),
+inserts AS (
+    SELECT o_custkey, o_orderkey, o_totalprice,
+           d AS valid_from, CAST(NULL AS DATE) AS valid_to,
+           TRUE AS is_current
+    FROM ch
+)
+SELECT * FROM closed
+UNION ALL SELECT * FROM unchanged
+UNION ALL SELECT * FROM inserts
+"""
+
+
+@query("cdc_scd2_apply", _SCD2_APPLY_ORACLE)
+def q_cdc_scd2_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Type-2 MERGE: apply a change batch (each customer's first
+    post-{c} order) to the standing SCD2 dimension built from
+    pre-{c} history → the post-apply history table (o_custkey,
+    o_orderkey, o_totalprice, valid_from, valid_to, is_current).
+    Changed keys' current rows CLOSE at the change date, the new
+    versions insert as current, history rows pass through — the
+    warehouse MERGE idiom scd2_intervals (build) and cdc_merge
+    (type-1 latest-state) both leave unexpressed.
+
+    Scale shape: the dimension build is one key-shuffled lead window;
+    the change batch (one row per changed key — small by CDC nature)
+    joins the dimension twice (close + pass-through filter), both
+    broadcastable; inserts are map-only. The dimension is never
+    shuffled beyond its own build.
+    """.format(c=_SCD2_CUTOFF)
+    o = load_table(spark, sf_dir, "orders")
+    price = F.col("o_totalprice").cast("decimal(18,2)")
+    d = F.col("o_orderdate").cast("date")
+    cutoff = F.lit(_SCD2_CUTOFF).cast("date")
+    base = o.select(
+        "o_custkey",
+        "o_orderkey",
+        price.alias("o_totalprice"),
+        d.alias("d"),
+    )
+    w = Window.partitionBy("o_custkey").orderBy("d", "o_orderkey")
+    nxt = F.lead("d").over(w)
+    dim0 = base.filter(F.col("d") < cutoff).select(
+        "o_custkey",
+        "o_orderkey",
+        "o_totalprice",
+        F.col("d").alias("valid_from"),
+        nxt.alias("valid_to"),
+        nxt.isNull().alias("is_current"),
+    )
+    ch = (
+        base.filter(F.col("d") >= cutoff)
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "o_custkey",
+            F.col("o_orderkey").alias("c_orderkey"),
+            F.col("o_totalprice").alias("c_totalprice"),
+            F.col("d").alias("c_d"),
+        )
+    )
+    closed = (
+        dim0.filter("is_current")
+        .join(F.broadcast(ch), "o_custkey")
+        .select(
+            "o_custkey",
+            "o_orderkey",
+            "o_totalprice",
+            "valid_from",
+            F.col("c_d").alias("valid_to"),
+            F.lit(False).alias("is_current"),
+        )
+    )
+    unchanged = (
+        dim0.join(
+            F.broadcast(ch.select("o_custkey", F.lit(1).alias("__hit"))),
+            "o_custkey",
+            "left",
+        )
+        .filter(~(F.col("is_current") & F.col("__hit").isNotNull()))
+        .select(
+            "o_custkey",
+            "o_orderkey",
+            "o_totalprice",
+            "valid_from",
+            "valid_to",
+            "is_current",
+        )
+    )
+    inserts = ch.select(
+        "o_custkey",
+        F.col("c_orderkey").alias("o_orderkey"),
+        F.col("c_totalprice").alias("o_totalprice"),
+        F.col("c_d").alias("valid_from"),
+        F.lit(None).cast("date").alias("valid_to"),
+        F.lit(True).alias("is_current"),
+    )
+    return closed.unionByName(unchanged).unionByName(inserts)

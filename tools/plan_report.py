@@ -158,6 +158,7 @@ SHOWCASE = [
     "events_holt_winters_forecast",
     "demand_croston_forecast",
     "docs_dsir_gumbel_select",
+    "cdc_scd2_apply",
 ]
 
 
