@@ -230,6 +230,7 @@ EXT_HEADLINE = [
     "demand_croston_forecast",
     "docs_dsir_gumbel_select",
     "cdc_scd2_apply",
+    "sim_ivf_nprobe_recall_curve",
 ]
 
 

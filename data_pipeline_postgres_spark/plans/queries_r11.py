@@ -1853,3 +1853,169 @@ def q_cdc_scd2_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(True).alias("is_current"),
     )
     return closed.unionByName(unchanged).unionByName(inserts)
+
+
+# -- IVF nprobe recall curve --------------------------------------------------
+# The ANN twin of dedup_minhash_band_sweep: sim_ann_ivf fixes
+# nprobe=2; the tuning decision is how many inverted lists to probe.
+# This query measures recall@10 against the exact brute-force top-10
+# for nprobe in {1, 2, 4, 8} in ONE pass — centroid assignment is
+# computed once and only the (tiny) probe set varies per config.
+
+_IVF_CURVE_NPROBES = (1, 2, 4, 8)
+_IVF_CURVE_K = 10
+_IVF_CURVE_NLIST = 8
+
+
+def _ivf_curve_oracle() -> str:
+    from .queries_ext import _duck_cos
+
+    cfg_sql = "\nUNION ALL\n".join(
+        f"""SELECT {np} AS nprobe, vec_id FROM (
+    SELECT e.vec_id,
+           row_number() OVER (
+               ORDER BY round({_duck_cos('e.v', 'qv')}, 6) DESC, e.vec_id
+           ) AS rn
+    FROM e
+    JOIN assign USING (vec_id)
+    JOIN (SELECT centroid_id FROM pr WHERE rn <= {np})
+      USING (centroid_id), q
+) WHERE rn <= {_IVF_CURVE_K}"""
+        for np in _IVF_CURVE_NPROBES
+    )
+    return f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+cents AS (
+    SELECT row_number() OVER (ORDER BY vec_id) - 1 AS centroid_id, v AS cv
+    FROM e ORDER BY vec_id LIMIT {_IVF_CURVE_NLIST}
+),
+assign AS (
+    SELECT vec_id, centroid_id FROM (
+        SELECT e.vec_id, c.centroid_id,
+               row_number() OVER (
+                   PARTITION BY e.vec_id
+                   ORDER BY {_duck_cos('e.v', 'c.cv')} DESC, c.centroid_id
+               ) AS rn
+        FROM e, cents c
+    ) WHERE rn = 1
+),
+q AS (SELECT v AS qv FROM e ORDER BY vec_id LIMIT 1),
+pr AS (
+    SELECT c.centroid_id,
+           row_number() OVER (
+               ORDER BY {_duck_cos('c.cv', 'qv')} DESC, c.centroid_id
+           ) AS rn
+    FROM cents c, q
+),
+exact AS (
+    SELECT vec_id FROM (
+        SELECT e.vec_id,
+               row_number() OVER (
+                   ORDER BY round({_duck_cos('e.v', 'qv')}, 6) DESC,
+                            e.vec_id
+               ) AS rn
+        FROM e, q
+    ) WHERE rn <= {_IVF_CURVE_K}
+),
+ivf AS (
+{cfg_sql}
+)
+SELECT ivf.nprobe,
+       CAST(COUNT(exact.vec_id) AS BIGINT) AS n_hits,
+       CAST(floor(1000.0 * CAST(COUNT(exact.vec_id) AS DOUBLE)
+                  / {_IVF_CURVE_K}.0) AS BIGINT) AS recall_permille
+FROM ivf LEFT JOIN exact USING (vec_id)
+GROUP BY 1
+"""
+
+
+@query("sim_ivf_nprobe_recall_curve", _ivf_curve_oracle())
+def q_sim_ivf_nprobe_recall_curve(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """IVF probe-budget tuning curve: recall@10 of the IVF path vs
+    the exact brute-force top-10 for nprobe in {np}, in one pass →
+    (nprobe, n_hits, recall_permille). The ANN twin of the MinHash
+    band sweep: how much probe budget buys how much recall, measured
+    before fixing sim_ann_ivf's default.
+
+    Scale shape: centroid assignment runs ONCE (the narrow broadcast
+    argmax map — no exchange) and is lineage-cut so all four configs
+    read the same tagged relation; each config differs only in its
+    probe set (a <= nlist-row broadcast) and its WindowGroupLimit
+    top-k; the exact baseline is one TakeOrderedAndProject. Recall
+    joins are over k-row relations.
+    """.format(np=list(_IVF_CURVE_NPROBES))
+    from ..functions import vectors as V
+    from ..operators import similarity
+    from ..operators.similarity import (
+        _centroid_array,
+        _nearest_centroid,
+        _vecs,
+        ivf_centroids,
+        query_vector,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = ivf_centroids(emb, _IVF_CURVE_NLIST)
+    q = query_vector(emb)
+    scored = (
+        _vecs(emb)
+        .crossJoin(F.broadcast(_centroid_array(cents)))
+        .withColumn(
+            "centroid_id",
+            _nearest_centroid(F.col("v"), F.col("cents")),
+        )
+        .drop("cents")
+        .crossJoin(F.broadcast(q))
+        .select(
+            "vec_id",
+            "centroid_id",
+            F.round(V.cosine(F.col("v"), F.col("qv")), 6).alias("cs"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    pr = cents.crossJoin(F.broadcast(q)).select(
+        "centroid_id",
+        V.cosine(F.col("cv"), F.col("qv")).alias("pcs"),
+    )
+    exact = (
+        scored.orderBy(F.desc("cs"), F.asc("vec_id"))
+        .limit(_IVF_CURVE_K)
+        .select("vec_id")
+    )
+    ivf = None
+    for np_ in _IVF_CURVE_NPROBES:
+        # per-config probe set: TakeOrdered over the <= nlist-row
+        # centroid relation — no window anywhere in the plan
+        probe = (
+            pr.orderBy(F.desc("pcs"), F.asc("centroid_id"))
+            .limit(np_)
+            .select("centroid_id")
+        )
+        top = (
+            scored.join(F.broadcast(probe), "centroid_id", "left_semi")
+            .orderBy(F.desc("cs"), F.asc("vec_id"))
+            .limit(_IVF_CURVE_K)
+            .select(F.lit(np_).alias("nprobe"), "vec_id")
+        )
+        ivf = top if ivf is None else ivf.unionByName(top)
+    hit = exact.withColumn("__hit", F.lit(1))
+    return (
+        ivf.join(F.broadcast(hit), "vec_id", "left")
+        .groupBy("nprobe")
+        .agg(
+            F.sum(F.coalesce(F.col("__hit"), F.lit(0)))
+            .cast("bigint")
+            .alias("n_hits"),
+            F.floor(
+                F.lit(1000.0)
+                * F.sum(F.coalesce(F.col("__hit"), F.lit(0))).cast(
+                    "double"
+                )
+                / F.lit(float(_IVF_CURVE_K))
+            )
+            .cast("bigint")
+            .alias("recall_permille"),
+        )
+    )

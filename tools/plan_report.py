@@ -159,6 +159,7 @@ SHOWCASE = [
     "demand_croston_forecast",
     "docs_dsir_gumbel_select",
     "cdc_scd2_apply",
+    "sim_ivf_nprobe_recall_curve",
 ]
 
 
