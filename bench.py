@@ -231,6 +231,7 @@ EXT_HEADLINE = [
     "docs_dsir_gumbel_select",
     "cdc_scd2_apply",
     "sim_ivf_nprobe_recall_curve",
+    "text_textrank_keywords",
 ]
 
 

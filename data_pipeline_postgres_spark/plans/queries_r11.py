@@ -2019,3 +2019,143 @@ def q_sim_ivf_nprobe_recall_curve(
             .alias("recall_permille"),
         )
     )
+
+
+# -- TextRank keywords --------------------------------------------------------
+# The graph family's PageRank applied to TEXT: TextRank (Mihalcea &
+# Tarau 2004) ranks words by centrality in the adjacency
+# co-occurrence graph — the graph-global complement to RAKE's
+# degree/frequency heuristic (text_rake_keywords). Node set bounded
+# to the top-200 vocabulary so the graph is constant-size at any
+# corpus scale; the 8 quantized supersteps reuse the
+# graph_pagerank_copurchase machinery verbatim (operators/graph.py
+# pagerank, quantize_bits=30 → order-free exact contribution sums).
+
+_TEXTRANK_VOCAB = 200
+_TEXTRANK_TOPK = 30
+
+
+def _textrank_oracle() -> str:
+    from .queries_analytics import _PR_Q, _PR_STEP
+
+    steps = ",".join(
+        _PR_STEP.format(cur=i, next=i + 1, q=_PR_Q) for i in range(8)
+    )
+    return rf"""
+WITH toks AS (
+    SELECT regexp_split_to_array(trim(text), '\s+') AS w FROM documents
+),
+tok AS (SELECT unnest(w) AS t FROM toks),
+vocab AS (
+    SELECT t FROM (
+        SELECT t, COUNT(*) AS c FROM tok GROUP BY 1
+        ORDER BY c DESC, t LIMIT {_TEXTRANK_VOCAB}
+    )
+),
+bg AS (
+    SELECT w[i] AS a, w[i+1] AS b
+    FROM toks, unnest(range(1, len(w))) AS s(i)
+    WHERE w[i] <> w[i+1]
+),
+bgv AS (
+    SELECT a, b FROM bg
+    JOIN vocab va ON va.t = bg.a
+    JOIN vocab vb ON vb.t = bg.b
+),
+pw AS (
+    SELECT src, dst, CAST(COUNT(*) AS DOUBLE) AS w
+    FROM (SELECT a AS src, b AS dst FROM bgv
+          UNION ALL SELECT b, a FROM bgv)
+    GROUP BY 1, 2
+),
+e AS (SELECT src, dst, w / SUM(w) OVER (PARTITION BY src) AS p FROM pw),
+nn AS (SELECT COUNT(DISTINCT src) AS n FROM e),
+deg AS (
+    SELECT src AS node, CAST(COUNT(*) AS BIGINT) AS n_neighbors
+    FROM e GROUP BY 1
+),
+r0 AS (
+    SELECT src AS node, 1e0 / CAST(nn.n AS DOUBLE) AS rank
+    FROM (SELECT DISTINCT src FROM e), nn
+),{steps}
+SELECT r8.node AS word, r8.rank, deg.n_neighbors
+FROM r8 JOIN deg USING (node)
+ORDER BY rank DESC, word LIMIT {_TEXTRANK_TOPK}
+"""
+
+
+@query("text_textrank_keywords", _textrank_oracle())
+def q_text_textrank_keywords(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """TextRank corpus keywords: PageRank centrality over the
+    word-adjacency co-occurrence graph, node set bounded to the
+    top-{v} vocabulary → the {k} most central words (word, rank,
+    n_neighbors). The graph-global keyword extractor next to RAKE's
+    local degree heuristic: a word ranks high when its NEIGHBORS are
+    central, not merely when it is frequent.
+
+    Scale shape: the vocabulary cut is a TakeOrderedAndProject over
+    token counts; edges filter the bigram stream through the
+    broadcast vocab BEFORE any exchange, and the graph itself is
+    constant-size (≤ vocab² edges) at any corpus scale — the 8
+    synchronous supersteps run on that bounded relation with
+    broadcast ranks. Hash-exact across engines via the
+    quantize_bits=30 binary-fixed-point contract
+    (operators/graph.pagerank — same machinery, same oracle step SQL
+    as graph_pagerank_copurchase).
+    """.format(v=_TEXTRANK_VOCAB, k=_TEXTRANK_TOPK)
+    from ..operators import graph
+
+    docs = _docs(spark, sf_dir)
+    toks = TX.tokens("text")
+    tok = docs.select(F.explode(toks).alias("t"))
+    vocab = (
+        tok.groupBy("t")
+        .agg(F.count("*").alias("c"))
+        .orderBy(F.desc("c"), F.asc("t"))
+        .limit(_TEXTRANK_VOCAB)
+        .select("t")
+    )
+    cnt = F.size(toks) - 1
+    z = F.arrays_zip(F.slice(toks, 1, cnt), F.slice(toks, 2, cnt))
+    bg = (
+        docs.select(F.explode(z).alias("s"))
+        .select(
+            F.col("s")["0"].alias("a"), F.col("s")["1"].alias("b")
+        )
+        .filter(F.col("a") != F.col("b"))
+    )
+    bgv = bg.join(
+        F.broadcast(vocab.withColumnRenamed("t", "a")), "a", "left_semi"
+    ).join(
+        F.broadcast(vocab.withColumnRenamed("t", "b")), "b", "left_semi"
+    )
+    sym = bgv.select(
+        F.col("a").alias("src"), F.col("b").alias("dst")
+    ).unionByName(
+        bgv.select(F.col("b").alias("src"), F.col("a").alias("dst"))
+    )
+    pw = sym.groupBy("src", "dst").agg(
+        F.count("*").cast("double").alias("weight")
+    )
+    ow = pw.groupBy(F.col("src").alias("_s")).agg(
+        F.sum("weight").alias("outw")
+    )
+    edges = pw.join(ow, pw["src"] == ow["_s"]).select(
+        "src",
+        "dst",
+        "weight",
+        (F.col("weight") / F.col("outw")).alias("p"),
+    )
+    edges = edges.localCheckpoint(eager=False)
+    deg = edges.groupBy(F.col("src").alias("node")).agg(
+        F.count("*").cast("bigint").alias("n_neighbors")
+    )
+    return (
+        graph.pagerank(edges, prenormalized=True, quantize_bits=30)
+        .join(deg, "node")
+        .select(F.col("node").alias("word"), "rank", "n_neighbors")
+        .orderBy(F.desc("rank"), F.asc("word"))
+        .limit(_TEXTRANK_TOPK)
+    )

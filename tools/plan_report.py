@@ -160,6 +160,7 @@ SHOWCASE = [
     "docs_dsir_gumbel_select",
     "cdc_scd2_apply",
     "sim_ivf_nprobe_recall_curve",
+    "text_textrank_keywords",
 ]
 
 
