@@ -232,6 +232,7 @@ EXT_HEADLINE = [
     "cdc_scd2_apply",
     "sim_ivf_nprobe_recall_curve",
     "text_textrank_keywords",
+    "join_asof_tolerance",
 ]
 
 

@@ -2159,3 +2159,82 @@ def q_text_textrank_keywords(
         .orderBy(F.desc("rank"), F.asc("word"))
         .limit(_TEXTRANK_TOPK)
     )
+
+
+# -- As-of join with tolerance ------------------------------------------------
+# pandas merge_asof's third knob after direction and key: a match
+# older than `tolerance` is no match (a quote from last year should
+# not price today's trade). Same single-shuffle merge-asof carry —
+# the right timestamp rides the carried payload struct and a final
+# narrow CASE nulls out stale matches, so tolerance costs zero extra
+# exchanges. DuckDB has no native tolerance; the oracle applies the
+# identical post-filter over its ASOF JOIN.
+
+_ASOF_TOL_DAYS = 30
+
+_ASOF_TOL_ORACLE = f"""
+WITH od AS (
+    SELECT o_custkey, o_orderdate, o_orderkey, o_totalprice FROM (
+        SELECT *, row_number() OVER (
+            PARTITION BY o_custkey, o_orderdate
+            ORDER BY o_orderkey DESC) AS rn
+        FROM orders
+    ) WHERE rn = 1
+)
+SELECT e.event_id, e.user_id, CAST(e.ts AS TIMESTAMP) AS ts,
+       CASE WHEN o.o_orderdate >= e.ts - INTERVAL {_ASOF_TOL_DAYS} DAY
+            THEN o.o_orderkey END AS o_orderkey,
+       CASE WHEN o.o_orderdate >= e.ts - INTERVAL {_ASOF_TOL_DAYS} DAY
+            THEN o.o_totalprice END AS o_totalprice
+FROM events e
+ASOF LEFT JOIN od o
+  ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate
+"""
+
+
+@query("join_asof_tolerance", _ASOF_TOL_ORACLE)
+def q_join_asof_tolerance(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """As-of join with a {d}-day tolerance: each event picks up the
+    newest at-or-before order of its key ONLY if that order is within
+    {d} days — older matches null out (pandas merge_asof's tolerance
+    semantics; a stale quote must not price today's trade).
+
+    Scale shape: identical to join_asof — ONE key shuffle for the
+    union + sorted last-value carry — because the right timestamp
+    rides the carried payload struct and the tolerance check is a
+    final narrow CASE; no second join, no extra exchange. The oracle
+    applies the same post-filter over DuckDB's native ASOF JOIN
+    (which has no tolerance knob).
+    """.format(d=_ASOF_TOL_DAYS)
+    from ..operators import join_ext
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "ts"
+    )
+    orders = join_ext.dedup_right_for_asof(
+        load_table(spark, sf_dir, "orders"),
+        "o_custkey",
+        "o_orderdate",
+        "o_orderkey",
+    )
+    j = join_ext.asof_join(
+        ev,
+        orders,
+        key="user_id",
+        left_ts="ts",
+        right_ts="o_orderdate",
+        payload=["o_orderkey", "o_totalprice", "o_orderdate"],
+        right_key="o_custkey",
+    )
+    fresh = F.col("o_orderdate") >= F.col("ts") - F.expr(
+        f"interval {_ASOF_TOL_DAYS} days"
+    )
+    return j.select(
+        "event_id",
+        "user_id",
+        F.col("ts").cast("timestamp").alias("ts"),
+        F.when(fresh, F.col("o_orderkey")).alias("o_orderkey"),
+        F.when(fresh, F.col("o_totalprice")).alias("o_totalprice"),
+    )

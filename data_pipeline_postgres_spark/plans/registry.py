@@ -50,7 +50,7 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 # 19 rows whose latest driver evidence is round 3; (d) the 20
 # alphabetically-first of the 39 round-5 rows. 10+1+19+20 = 50.
 #
-# Round-12 rotation queue (committed now): the 16 round-11 net-new
+# Round-12 rotation queue (committed now): the 17 round-11 net-new
 # queries, never driver-checked (docs_bpe_train_merges,
 # docs_url_dedup_cap, docs_snapshot_curation_diff,
 # docs_perplexity_bucket, decontaminate_overlap_frac,
@@ -58,7 +58,8 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 # dedup_minhash_band_sweep, decontaminate_multi_benchmark,
 # docs_dup_source_matrix, events_holt_winters_forecast,
 # demand_croston_forecast, docs_dsir_gumbel_select, cdc_scd2_apply,
-# sim_ivf_nprobe_recall_curve, text_textrank_keywords — all locally
+# sim_ivf_nprobe_recall_curve, text_textrank_keywords,
+# join_asof_tolerance (17 total) — all locally
 # oracle-verified at sf0.01 + sf0.001 and Arrow-type-audited), then
 # the 19 remaining r5 rows — sim_topk_batch, str_funcs_suite,
 # text_rarity_score, text_tfidf_topterms, tpch_q4/q6/q7/q8/q10/q13/

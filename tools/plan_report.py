@@ -161,6 +161,7 @@ SHOWCASE = [
     "cdc_scd2_apply",
     "sim_ivf_nprobe_recall_curve",
     "text_textrank_keywords",
+    "join_asof_tolerance",
 ]
 
 
