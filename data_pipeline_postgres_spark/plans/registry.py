@@ -41,86 +41,83 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 # ``queries()`` in dict-insertion order (verified: CORRECTNESS_r01..r10
 # keys == list(QUERIES)[:50]).
 #
-# Round-11 rotation, per VERDICT r10 items 1-2: (a) the 10 round-9
-# additions never driver-checked (all locally oracle-verified); (b) the
-# re-drive of ``multimodal_shard_manifest`` — r10's only hash-fail,
-# root-caused to the oracle's uncast HUGEINT shard_id surfacing as
-# decimal128 through Arrow (fixed queries_r9.py; tools/type_audit.py
-# now gates the whole registry on Arrow-level type identity); (c) the
-# 19 rows whose latest driver evidence is round 3; (d) the 20
-# alphabetically-first of the 39 round-5 rows. 10+1+19+20 = 50.
+# Round-12 rotation (committed as VERDICT r11 item 1, first commit of
+# the round): (a) the 17 round-11 net-new queries, never
+# driver-checked (all locally oracle-verified at sf0.01 + sf0.001 and
+# Arrow-type-audited); (b) the 19 remaining round-5 rows; (c) the
+# alphabetically-first 14 of the 49 round-6 rows. 17+19+14 = 50.
 #
-# Round-12 rotation queue (committed now): the 17 round-11 net-new
-# queries, never driver-checked (docs_bpe_train_merges,
-# docs_url_dedup_cap, docs_snapshot_curation_diff,
-# docs_perplexity_bucket, decontaminate_overlap_frac,
-# tokenizer_fertility_by_lang, emb_cosine_calibration,
-# dedup_minhash_band_sweep, decontaminate_multi_benchmark,
-# docs_dup_source_matrix, events_holt_winters_forecast,
-# demand_croston_forecast, docs_dsir_gumbel_select, cdc_scd2_apply,
-# sim_ivf_nprobe_recall_curve, text_textrank_keywords,
-# join_asof_tolerance (17 total) — all locally
-# oracle-verified at sf0.01 + sf0.001 and Arrow-type-audited), then
-# the 19 remaining r5 rows — sim_topk_batch, str_funcs_suite,
-# text_rarity_score, text_tfidf_topterms, tpch_q4/q6/q7/q8/q10/q13/
-# q14/q15/q17/q18/q19/q21/q22 suites, window_first_last_nth,
-# window_rank_suite — then the oldest r6 rows to fill 50.
+# Round-13 rotation queue (to be committed at the start of round 13,
+# kept honest here per VERDICT r11 item 5): any round-12 net-new
+# queries first, then the remaining 35 round-6 rows
+# (dedup_shuffle_shard onward alphabetically: docs_split_train_val,
+# emb_quantize, emb_random_projection, events_forward_fill,
+# events_funnel_batch, join_asof, join_asof_forward,
+# join_range_banded, join_salted_skew, layout_zorder, material_demand,
+# orc_roundtrip, partitioned_write_prune, pipeline_incremental_day,
+# profile_heavy_hitters, profile_table_approx, sim_ann_ivf_kmeans,
+# sim_topk_lsh, stream_cdc_latest, stream_dedup_watermark,
+# stream_incremental_agg, stream_session_1h, stream_sliding_3d1d,
+# stream_static_join, stream_stream_funnel, stream_tumbling_daily,
+# stream_tumbling_watermark, text_inverted_index,
+# tpch_q12_priority_class, window_lead_lag, window_moving_avg_rows,
+# window_rolling_7d, window_session_1h, window_sliding_3d1d,
+# window_tumbling_daily), then oldest-r7 fill to 50.
 
 DRIVER_PRIORITY: tuple[str, ...] = (
-    # (a) never driver-checked (round-9 additions)
-    "docs_naive_bayes_source",
-    "docs_nb_margin_calibration",
-    "docs_ngram_novelty_curve",
-    "docs_winnowing_fingerprints",
-    "emb_matryoshka_agreement",
-    "events_burst_range_join",
-    "orders_holt_backtest",
-    "orders_theil_sen_trend",
-    "text_pmi_collocations",
-    "text_rake_keywords",
-    # (b) r10 hash-fail re-drive (oracle HUGEINT cast fix)
-    "multimodal_shard_manifest",
-    # (c) latest driver evidence round 3
-    "dedup_embedding_cosine",
-    "dedup_simhash_pairs",
-    "doc_fingerprint",
-    "emb_centroid_per_label",
-    "emb_normalize",
-    "lang_id",
-    "multimodal_meta",
-    "pii_redact",
-    "profile_table",
-    "sim_ann_ivf",
-    "sim_topk",
-    "text_normalize",
-    "text_quality",
-    "text_repetition_filter",
-    "text_stats",
-    "token_count",
-    "tpch_q1_pricing_summary",
-    "tpch_q3_shipping_priority",
-    "tpch_q5_local_supplier",
-    # (d) oldest round-5 rows (alphabetical first 20 of 39)
-    "agg_corr_exact",
-    "agg_histogram",
-    "agg_zscore_exact",
-    "bucket_global_quantile",
-    "dataset_mixture",
-    "date_funcs_suite",
-    "ddl_create_schema",
-    "ddl_drop_create",
-    "decontaminate_ngram",
-    "dedup_cluster_cc_star",
-    "dedup_semantic",
-    "docs_cap_per_source",
-    "docs_curation_incremental",
-    "docs_curation_pipeline",
-    "join_left_outer",
-    "multimodal_framesample",
-    "parquet_schema_merge",
-    "set_union_distinct",
-    "sim_ann_ivf_batch",
-    "sim_range_search",
+    # (a) round-11 net-new, never driver-checked
+    "docs_bpe_train_merges",
+    "docs_url_dedup_cap",
+    "docs_snapshot_curation_diff",
+    "docs_perplexity_bucket",
+    "decontaminate_overlap_frac",
+    "tokenizer_fertility_by_lang",
+    "emb_cosine_calibration",
+    "dedup_minhash_band_sweep",
+    "decontaminate_multi_benchmark",
+    "docs_dup_source_matrix",
+    "events_holt_winters_forecast",
+    "demand_croston_forecast",
+    "docs_dsir_gumbel_select",
+    "cdc_scd2_apply",
+    "sim_ivf_nprobe_recall_curve",
+    "text_textrank_keywords",
+    "join_asof_tolerance",
+    # (b) latest driver evidence round 5
+    "sim_topk_batch",
+    "str_funcs_suite",
+    "text_rarity_score",
+    "text_tfidf_topterms",
+    "tpch_q4_order_priority",
+    "tpch_q6_forecast_revenue",
+    "tpch_q7_volume_shipping",
+    "tpch_q8_market_share",
+    "tpch_q10_returned_items",
+    "tpch_q13_order_counts",
+    "tpch_q14_promo_revenue",
+    "tpch_q15_top_supplier",
+    "tpch_q17_small_qty_revenue",
+    "tpch_q18_large_orders",
+    "tpch_q19_discounted_revenue",
+    "tpch_q21_waiting_supplier",
+    "tpch_q22_sales_opportunity",
+    "window_first_last_nth",
+    "window_rank_suite",
+    # (c) oldest round-6 rows (alphabetical first 14 of 49)
+    "agg_approx_distinct",
+    "agg_approx_quantile",
+    "agg_percentile",
+    "agg_winsorize",
+    "array_funcs_suite",
+    "dedup_cluster_keep_best",
+    "dedup_embedding_incremental",
+    "dedup_embedding_lsh",
+    "dedup_minhash_incremental",
+    "dedup_minhash_ml",
+    "dedup_paragraph",
+    "docs_pack_sequences",
+    "docs_sample_weighted",
+    "docs_shuffle_shard",
 )
 
 
