@@ -315,7 +315,7 @@ def q_docs_url_dedup_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
     lower-cases, strips query/fragment, trailing slash, and the
     'www.' host prefix; one survivor per canonical URL (min doc_id —
     the crawl's canonical fetch); then each domain contributes at
-    most {cap} docs ranked by length (n_chars DESC, doc_id
+    most 5 docs ranked by length (n_chars DESC, doc_id
     tie-break). kept_id_sum pins the EXACT survivor set in the hash,
     not just its size.
 
@@ -324,7 +324,7 @@ def q_docs_url_dedup_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
     domain top-k compiles to WindowGroupLimit pre-shuffle heaps);
     COUNT(DISTINCT) is two-phase partial aggregation. Linear; no
     global window, no collect.
-    """.format(cap=_URL_CAP)
+    """
     d0 = _docs(spark, sf_dir)
     path = F.substring(F.md5(F.col("text")), 1, 2)
     base = F.concat(
@@ -443,7 +443,7 @@ def q_docs_snapshot_curation_diff(
     """Cross-snapshot curation diff: per (source, change_type,
     old_pass, new_pass) document counts between two corpus snapshots,
     where change_type ∈ added/removed/changed/same and the pass flags
-    are a deterministic quality gate (length >= {ln} chars AND >= {wc}
+    are a deterministic quality gate (length >= 200 chars AND >= 30
     tokens) evaluated on each snapshot's own text. The refresh-audit a
     training pipeline runs before re-mixing: how many docs entered,
     left, and — for re-crawled content — flipped quality verdicts.
@@ -453,7 +453,7 @@ def q_docs_snapshot_curation_diff(
     map-side-combined groupBy over a bounded key space (sources ×
     4 change types × 3x3 pass states). Linear; the gate never
     shuffles text.
-    """.format(ln=_SNAP_GATE_LEN, wc=_SNAP_GATE_WC)
+    """
     d0 = _docs(spark, sf_dir)
 
     def gate(tcol):
@@ -895,20 +895,20 @@ def q_emb_cosine_calibration(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
     """Pairwise-cosine background distribution for threshold
-    calibration: a deterministic md5-ordered sample of {n} vectors,
-    all {n}·({n}-1)/2 pairwise cosines, binned at 0.05 → (bin,
+    calibration: a deterministic md5-ordered sample of 128 vectors,
+    all 128·(128-1)/2 pairwise cosines, binned at 0.05 → (bin,
     n_pairs). Read the histogram's upper tail to place
     dedup_embedding_cosine / sim_range_search thresholds above the
     background noise floor.
 
     Scale shape: the sample is a TakeOrderedAndProject top-k on
     md5(vec_id) — no full sort, no RNG — and the pair stage is a
-    broadcast self-join over a CONSTANT-size relation ({n}² plan-time
+    broadcast self-join over a CONSTANT-size relation (128² plan-time
     bound), so cost is independent of corpus size; the only
     corpus-wide work is the top-k scan. Cosines use the ordered
     double fold (functions/vectors.py) mirrored bit-identically by
     the oracle.
-    """.format(n=_CAL_SAMPLE)
+    """
     from ..functions import vectors as V
 
     e = load_table(spark, sf_dir, "embeddings").select(
@@ -1032,7 +1032,7 @@ def q_dedup_minhash_band_sweep(
     precision tradeoff table behind dedup_minhash's banding choice.
 
     Scale shape: the sweep runs over a bounded deterministic sample
-    (md5-ordered top-{k} doc_ids — the full corpus at test SFs), so
+    (md5-ordered top-2048 doc_ids — the full corpus at test SFs), so
     the aggressive 8x1 shape's super-linear candidate growth is
     capped by construction. ONE shingle scan and ONE groupBy(doc_id)
     computes all 8 slot minima (the affine universal-hash family
@@ -1041,7 +1041,7 @@ def q_dedup_minhash_band_sweep(
     stream); exact verification is candidate-driven (jaccard_pairs
     with the admitted-pair union driving the join), so verify cost
     scales with what the bands admitted.
-    """.format(k=_SWEEP_SAMPLE)
+    """
     from ..operators import dedup
     from ..operators.dedup import _minhash_sig, minhash_base
 
@@ -1231,7 +1231,7 @@ g AS (
 p AS (
     SELECT a.source AS source_a, b.source AS source_b,
            SUM(CASE WHEN a.source = b.source
-                    THEN CAST(a.c * (a.c - 1) / 2 AS BIGINT)
+                    THEN (a.c * (a.c - 1)) // 2
                     ELSE a.c * b.c END) AS n_pairs
     FROM g a JOIN g b
       ON a.h = b.h AND a.source <= b.source
@@ -1282,9 +1282,12 @@ def q_docs_dup_source_matrix(
     pairs = a.join(b, "h").filter(
         F.col("source_a") <= F.col("source_b")
     )
+    # integer DIV, not float `/`: long/long in Spark (and DuckDB) is
+    # double division, exact only below 2^53 — a block with ~1.35e8
+    # within-source copies would silently round (r11-advisory fix)
     n = F.when(
         F.col("source_a") == F.col("source_b"),
-        (F.col("ca") * (F.col("ca") - 1) / 2).cast("bigint"),
+        F.expr("(ca * (ca - 1)) DIV 2"),
     ).otherwise(F.col("ca") * F.col("cb"))
     return (
         pairs.groupBy("source_a", "source_b")
@@ -1662,7 +1665,7 @@ FROM g ORDER BY gumbel_key DESC, doc_id LIMIT {_GUMBEL_K}
 def q_docs_dsir_gumbel_select(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
-    """DSIR importance RESAMPLING: Gumbel top-{k} over the
+    """DSIR importance RESAMPLING: Gumbel top-64 over the
     docs_dsir_weights log-weights → (doc_id, n_tokens, gumbel_key) —
     the actual selection step the weights exist for. Gumbel-key
     sampling (w + G, G = -ln(-ln u)) draws a without-replacement
@@ -1672,12 +1675,14 @@ def q_docs_dsir_gumbel_select(
 
     Determinism: the log2 weights convert to nats via a shared ln-2
     LITERAL (never a computed ln(2)); keys floor-quantize to integer
-    micro-units BEFORE the rank cut, so a sub-ulp ln() divergence
-    between JVMs and libm cannot flip the top-k; ties break on
-    doc_id. Scale: one map-side expression on the weights relation +
+    micro-units BEFORE the rank cut, which shrinks the cross-engine
+    flip risk to values landing within one ulp of a micro-unit
+    boundary (~1e-10 per doc — same residual-risk posture as the
+    other quantized-float oracles, not an impossibility); ties break
+    on doc_id. Scale: one map-side expression on the weights relation +
     TakeOrderedAndProject — selection adds nothing to the DSIR
     scoring cost.
-    """.format(k=_GUMBEL_K)
+    """
     from .queries_r9 import q_docs_dsir_weights
 
     dw = q_docs_dsir_weights(spark, sf_dir)
@@ -1771,8 +1776,8 @@ UNION ALL SELECT * FROM inserts
 @query("cdc_scd2_apply", _SCD2_APPLY_ORACLE)
 def q_cdc_scd2_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Type-2 MERGE: apply a change batch (each customer's first
-    post-{c} order) to the standing SCD2 dimension built from
-    pre-{c} history → the post-apply history table (o_custkey,
+    post-2000-01-01 order) to the standing SCD2 dimension built from
+    pre-2000-01-01 history → the post-apply history table (o_custkey,
     o_orderkey, o_totalprice, valid_from, valid_to, is_current).
     Changed keys' current rows CLOSE at the change date, the new
     versions insert as current, history rows pass through — the
@@ -1780,11 +1785,17 @@ def q_cdc_scd2_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     (type-1 latest-state) both leave unexpressed.
 
     Scale shape: the dimension build is one key-shuffled lead window;
-    the change batch (one row per changed key — small by CDC nature)
-    joins the dimension twice (close + pass-through filter), both
-    broadcastable; inserts are map-only. The dimension is never
-    shuffled beyond its own build.
-    """.format(c=_SCD2_CUTOFF)
+    the change batch joins the dimension twice (close + pass-through
+    filter); inserts are map-only. The batch here is a DATE-SPLIT of
+    the fact table — one row per customer with a post-cutoff order,
+    i.e. a large fraction of the dimension, NOT a bounded CDC trickle
+    — so the joins carry no broadcast hint: AQE picks broadcast when
+    the batch is genuinely small and falls back to a shuffled hash
+    join when it is not (a forced broadcast would OOM at scale;
+    r11-advisory fix). Both batch-side joins reuse the o_custkey
+    partitioning the batch's own row_number window already
+    established.
+    """
     o = load_table(spark, sf_dir, "orders")
     price = F.col("o_totalprice").cast("decimal(18,2)")
     d = F.col("o_orderdate").cast("date")
@@ -1818,7 +1829,7 @@ def q_cdc_scd2_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     closed = (
         dim0.filter("is_current")
-        .join(F.broadcast(ch), "o_custkey")
+        .join(ch, "o_custkey")
         .select(
             "o_custkey",
             "o_orderkey",
@@ -1830,7 +1841,7 @@ def q_cdc_scd2_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     unchanged = (
         dim0.join(
-            F.broadcast(ch.select("o_custkey", F.lit(1).alias("__hit"))),
+            ch.select("o_custkey", F.lit(1).alias("__hit")),
             "o_custkey",
             "left",
         )
@@ -1934,7 +1945,7 @@ def q_sim_ivf_nprobe_recall_curve(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
     """IVF probe-budget tuning curve: recall@10 of the IVF path vs
-    the exact brute-force top-10 for nprobe in {np}, in one pass →
+    the exact brute-force top-10 for nprobe in [1, 2, 4, 8], in one pass →
     (nprobe, n_hits, recall_permille). The ANN twin of the MinHash
     band sweep: how much probe budget buys how much recall, measured
     before fixing sim_ann_ivf's default.
@@ -1945,7 +1956,7 @@ def q_sim_ivf_nprobe_recall_curve(
     probe set (a <= nlist-row broadcast) and its WindowGroupLimit
     top-k; the exact baseline is one TakeOrderedAndProject. Recall
     joins are over k-row relations.
-    """.format(np=list(_IVF_CURVE_NPROBES))
+    """
     from ..functions import vectors as V
     from ..operators import similarity
     from ..operators.similarity import (
@@ -2090,7 +2101,7 @@ def q_text_textrank_keywords(
 ) -> DataFrame:
     """TextRank corpus keywords: PageRank centrality over the
     word-adjacency co-occurrence graph, node set bounded to the
-    top-{v} vocabulary → the {k} most central words (word, rank,
+    top-200 vocabulary → the 30 most central words (word, rank,
     n_neighbors). The graph-global keyword extractor next to RAKE's
     local degree heuristic: a word ranks high when its NEIGHBORS are
     central, not merely when it is frequent.
@@ -2104,7 +2115,7 @@ def q_text_textrank_keywords(
     quantize_bits=30 binary-fixed-point contract
     (operators/graph.pagerank — same machinery, same oracle step SQL
     as graph_pagerank_copurchase).
-    """.format(v=_TEXTRANK_VOCAB, k=_TEXTRANK_TOPK)
+    """
     from ..operators import graph
 
     docs = _docs(spark, sf_dir)
@@ -2169,72 +2180,92 @@ def q_text_textrank_keywords(
 # narrow CASE nulls out stale matches, so tolerance costs zero extra
 # exchanges. DuckDB has no native tolerance; the oracle applies the
 # identical post-filter over its ASOF JOIN.
+#
+# Round-12 rework per the r11 advisory: the original shape (events →
+# orders) had an unfalsifiable tolerance branch — events.ts is all
+# Jan-2024 while o_orderdate ends 1998, so EVERY raw match was stale
+# and a query that unconditionally nulls the payload would have
+# passed. Now each purchase event attributes to the same user's
+# newest at-or-before click within 24 h: at sf0.01 the raw carry
+# matches 1838 of 1981 purchases and the tolerance keeps 683 / nulls
+# 1155 — both branches populated, and the pytest asserts both.
 
-_ASOF_TOL_DAYS = 30
+_ASOF_TOL_HOURS = 24
 
 _ASOF_TOL_ORACLE = f"""
-WITH od AS (
-    SELECT o_custkey, o_orderdate, o_orderkey, o_totalprice FROM (
+WITH p AS (
+    SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'
+), c AS (
+    SELECT user_id, ts, event_id, value FROM (
         SELECT *, row_number() OVER (
-            PARTITION BY o_custkey, o_orderdate
-            ORDER BY o_orderkey DESC) AS rn
-        FROM orders
+            PARTITION BY user_id, ts ORDER BY event_id DESC) AS rn
+        FROM events WHERE event_type = 'click'
     ) WHERE rn = 1
 )
-SELECT e.event_id, e.user_id, CAST(e.ts AS TIMESTAMP) AS ts,
-       CASE WHEN o.o_orderdate >= e.ts - INTERVAL {_ASOF_TOL_DAYS} DAY
-            THEN o.o_orderkey END AS o_orderkey,
-       CASE WHEN o.o_orderdate >= e.ts - INTERVAL {_ASOF_TOL_DAYS} DAY
-            THEN o.o_totalprice END AS o_totalprice
-FROM events e
-ASOF LEFT JOIN od o
-  ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate
+SELECT p.event_id, p.user_id, CAST(p.ts AS TIMESTAMP) AS ts,
+       CASE WHEN c.ts >= p.ts - INTERVAL {_ASOF_TOL_HOURS} HOUR
+            THEN c.event_id END AS click_event_id,
+       CASE WHEN c.ts >= p.ts - INTERVAL {_ASOF_TOL_HOURS} HOUR
+            THEN c.value END AS click_value
+FROM p
+ASOF LEFT JOIN c
+  ON p.user_id = c.user_id AND p.ts >= c.ts
 """
 
-
-@query("join_asof_tolerance", _ASOF_TOL_ORACLE)
-def q_join_asof_tolerance(
-    spark: SparkSession, sf_dir: str
-) -> DataFrame:
-    """As-of join with a {d}-day tolerance: each event picks up the
-    newest at-or-before order of its key ONLY if that order is within
-    {d} days — older matches null out (pandas merge_asof's tolerance
-    semantics; a stale quote must not price today's trade).
+_ASOF_TOL_DOC = f"""As-of join with a {_ASOF_TOL_HOURS}-hour
+    tolerance: each purchase event picks up the same user's newest
+    at-or-before click ONLY if that click is within
+    {_ASOF_TOL_HOURS} h — older matches null out (pandas
+    merge_asof's tolerance semantics; last week's click does not get
+    attribution for today's purchase).
 
     Scale shape: identical to join_asof — ONE key shuffle for the
     union + sorted last-value carry — because the right timestamp
     rides the carried payload struct and the tolerance check is a
     final narrow CASE; no second join, no extra exchange. The oracle
     applies the same post-filter over DuckDB's native ASOF JOIN
-    (which has no tolerance knob).
-    """.format(d=_ASOF_TOL_DAYS)
+    (which has no tolerance knob)."""
+
+
+@query("join_asof_tolerance", _ASOF_TOL_ORACLE)
+def q_join_asof_tolerance(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
     from ..operators import join_ext
 
-    ev = load_table(spark, sf_dir, "events").select(
+    ev = load_table(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
         "event_id", "user_id", "ts"
     )
-    orders = join_ext.dedup_right_for_asof(
-        load_table(spark, sf_dir, "orders"),
-        "o_custkey",
-        "o_orderdate",
-        "o_orderkey",
+    clicks = join_ext.dedup_right_for_asof(
+        ev.filter(F.col("event_type") == "click").select(
+            "user_id",
+            "ts",
+            F.col("event_id").alias("click_event_id"),
+            F.col("value").alias("click_value"),
+        ),
+        "user_id",
+        "ts",
+        "click_event_id",
     )
     j = join_ext.asof_join(
-        ev,
-        orders,
+        purchases,
+        clicks.withColumn("click_ts", F.col("ts")),
         key="user_id",
         left_ts="ts",
-        right_ts="o_orderdate",
-        payload=["o_orderkey", "o_totalprice", "o_orderdate"],
-        right_key="o_custkey",
+        right_ts="ts",
+        payload=["click_event_id", "click_value", "click_ts"],
     )
-    fresh = F.col("o_orderdate") >= F.col("ts") - F.expr(
-        f"interval {_ASOF_TOL_DAYS} days"
+    fresh = F.col("click_ts") >= F.col("ts") - F.expr(
+        f"interval {_ASOF_TOL_HOURS} hours"
     )
     return j.select(
         "event_id",
         "user_id",
         F.col("ts").cast("timestamp").alias("ts"),
-        F.when(fresh, F.col("o_orderkey")).alias("o_orderkey"),
-        F.when(fresh, F.col("o_totalprice")).alias("o_totalprice"),
+        F.when(fresh, F.col("click_event_id")).alias("click_event_id"),
+        F.when(fresh, F.col("click_value")).alias("click_value"),
     )
+
+
+q_join_asof_tolerance.__doc__ = _ASOF_TOL_DOC

@@ -153,27 +153,53 @@ class TestGumbelSelect:
 
 
 class TestAsofTolerance:
-    def test_tolerance_only_removes_matches(self, spark):
+    def test_tolerance_distinguishes_both_branches(self, spark):
+        """r11 advisory fix: the old events->orders shape admitted
+        ZERO matches within tolerance (events are 2024, orders end
+        1998), so unconditionally nulling the payload passed. The
+        reworked purchase->click query must populate BOTH branches:
+        some purchases keep a fresh click, some lose a stale one."""
+        from data_pipeline_postgres_spark.operators import join_ext
+
         tol = registry.QUERIES["join_asof_tolerance"](spark, SF)
-        plain = registry.QUERIES["join_asof"](spark, SF)
-        n_tol_null = tol.filter(F.col("o_orderkey").isNull()).count()
-        n_plain_null = plain.filter(
-            F.col("o_orderkey").isNull()
-        ).count()
-        assert n_tol_null >= n_plain_null
-        # and it genuinely bites on this corpus (events span years)
-        assert n_tol_null > n_plain_null
-        # every surviving match is within the 30-day bound
-        stale = tol.join(
-            plain.select(
-                "event_id", F.col("o_orderkey").alias("p_key")
+        n_kept = tol.filter(F.col("click_event_id").isNotNull()).count()
+        assert n_kept > 0, "tolerance branch unfalsifiable: no survivor"
+        # raw carry (no tolerance) for identity + staleness comparison
+        ev = spark.read.parquet(f"{SF}/events.parquet")
+        purchases = ev.filter(F.col("event_type") == "purchase").select(
+            "event_id", "user_id", "ts"
+        )
+        clicks = join_ext.dedup_right_for_asof(
+            ev.filter(F.col("event_type") == "click").select(
+                "user_id",
+                "ts",
+                F.col("event_id").alias("click_event_id"),
+            ),
+            "user_id",
+            "ts",
+            "click_event_id",
+        )
+        raw = join_ext.asof_join(
+            purchases,
+            clicks,
+            key="user_id",
+            left_ts="ts",
+            right_ts="ts",
+            payload=["click_event_id"],
+        )
+        n_raw = raw.filter(F.col("click_event_id").isNotNull()).count()
+        assert n_raw > n_kept, "tolerance never bit: nothing nulled"
+        # tolerance only nulls — it never changes a match's identity
+        changed = tol.join(
+            raw.select(
+                "event_id", F.col("click_event_id").alias("raw_click")
             ),
             "event_id",
         ).filter(
-            F.col("o_orderkey").isNotNull()
-            & (F.col("o_orderkey") != F.col("p_key"))
+            F.col("click_event_id").isNotNull()
+            & (F.col("click_event_id") != F.col("raw_click"))
         )
-        assert stale.count() == 0, "tolerance changed a match identity"
+        assert changed.count() == 0, "tolerance changed a match identity"
 
 
 class TestTextrank:

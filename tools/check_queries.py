@@ -1,12 +1,13 @@
 """Targeted subset of tools/drive_contract.py: check only the named
 queries against their DuckDB oracles (rows-only queries get a count).
 
-NOTE: this checker compares canonicalized VALUES (row-sorted equality).
-That is NECESSARY but not SUFFICIENT for a driver hash-green: the
-driver's hasher is sensitive to Arrow-level types (DuckDB HUGEINT →
-decimal128 vs Spark int64 — the multimodal_shard_manifest r10 failure,
-value-equal yet hash-red). Run `python tools/type_audit.py <name>` as
-well for any new oracle; full contract in FIXTURES.md §F6.
+Each oracle-backed check ALSO runs the Arrow-level type audit inline
+(the tools/type_audit.py comparison): value equality is NECESSARY but
+not SUFFICIENT for a driver hash-green — the driver's hasher is
+sensitive to Arrow-level types (DuckDB HUGEINT → decimal128 vs Spark
+int64 — the multimodal_shard_manifest r10 failure, value-equal yet
+hash-red). A type-family mismatch fails the query here even when the
+values match. Full contract in FIXTURES.md §F6.
 
 Usage: python tools/check_queries.py [--sf DIR] name [name ...]
 """
@@ -46,6 +47,24 @@ def canon(v):
     return str(v)
 
 
+from tests.oracle_util import (  # noqa: E402  (shared with type_audit)
+    arrow_type_family,
+    spark_type_family,
+)
+
+
+def type_mismatches(sdf, oracle_sql):
+    """Inline tools/type_audit.py check: Arrow type family per column."""
+    tbl = con.sql(oracle_sql).fetch_arrow_table()
+    d_fam = {f.name: arrow_type_family(f.type) for f in tbl.schema}
+    s_fam = {f.name: spark_type_family(f.dataType) for f in sdf.schema}
+    return [
+        (c, s_fam[c], d_fam[c])
+        for c in sorted(set(d_fam) & set(s_fam))
+        if d_fam[c] != s_fam[c]
+    ]
+
+
 fails = []
 for name in names:
     if name not in qs:
@@ -67,9 +86,12 @@ for name in names:
     rel = con.sql(os_[name]); dcols = sorted(rel.columns)
     idx = [rel.columns.index(c) for c in dcols]
     drows = sorted(tuple(canon(r[i]) for i in idx) for r in rel.fetchall())
-    ok = scols == dcols and srows == drows
+    tdiffs = type_mismatches(sdf, os_[name]) if scols == dcols else []
+    ok = scols == dcols and srows == drows and not tdiffs
     print(f"{name}: cols={'OK' if scols==dcols else (scols, dcols)} "
-          f"n={len(srows)}/{len(drows)} match={ok} {time.time()-t0:.1f}s")
+          f"n={len(srows)}/{len(drows)} "
+          f"types={'OK' if not tdiffs else tdiffs} match={ok} "
+          f"{time.time()-t0:.1f}s")
     if not ok:
         fails.append(name)
         for a, b in list(zip(srows, drows))[:3]:
