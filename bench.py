@@ -233,6 +233,11 @@ EXT_HEADLINE = [
     "sim_ivf_nprobe_recall_curve",
     "text_textrank_keywords",
     "join_asof_tolerance",
+    # round-12 additions
+    "docs_pack_bestfit",
+    "docs_pack_efficiency",
+    "dedup_payload_shingle",
+    "docs_mix_capped_alloc",
 ]
 
 

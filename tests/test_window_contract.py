@@ -42,6 +42,12 @@ ALLOWED_UNPARTITIONED = {
     "docs_pack_fragmentation",
     "docs_pack_manifest",
     "docs_pack_sequences",
+    # global_rank's prefix sum over <=32-row partition totals + class
+    # offsets/bin bases over the <=7-row length-class relation
+    "docs_pack_bestfit",
+    # shelf-bin count windows over the same <=7-row class relation;
+    # chunk side reuses the pack_sequences prefix-sum shape
+    "docs_pack_efficiency",
     # greedy budget scan over per-doc token totals ranked by score,
     # limited upstream
     "docs_token_budget_select",
