@@ -238,6 +238,9 @@ EXT_HEADLINE = [
     "docs_pack_efficiency",
     "dedup_payload_shingle",
     "docs_mix_capped_alloc",
+    "dedup_payload_incremental",
+    "docs_dup_spectrum",
+    "stream_payload_dedup",
 ]
 
 

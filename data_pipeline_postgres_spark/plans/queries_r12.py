@@ -663,3 +663,344 @@ def q_docs_mix_capped_alloc(
     for fr in frozen:
         out = out.unionByName(fr)
     return out
+
+
+# -- Incremental payload dedup -------------------------------------------------
+# Completes the incremental-dedup family across all FIVE signatures:
+# exact hash (dedup_incremental), MinHash (dedup_minhash_incremental),
+# embedding (dedup_embedding_incremental), SimHash
+# (dedup_simhash_incremental) — and now raw bytes. The day's batch
+# (source 'src0', the family's split convention) probes the corpus's
+# rare-gram inventory; the ingest question is CONTAINMENT ("how much
+# of this new file's discriminative bytes already exist in its
+# closest corpus partner"), not symmetric Jaccard — a small re-encode
+# of a large stored asset should still flag.
+#
+# In production the corpus side is a STORED (gram, doc_id) index over
+# corpus-rare grams (write-once per ingested partition, same
+# append-only discipline as the simhash fingerprint index); rarity is
+# a corpus-side statistic, so the batch never changes the index it
+# probes.
+
+_PAYLOAD_INCR_MIN_CONTAIN = 0.5
+
+_PAYLOAD_INCR_ORACLE = f"""
+WITH b AS (
+    SELECT doc_id, source, encode(text) AS p FROM documents
+    WHERE octet_length(encode(text)) >= 8
+),
+sh AS (
+    SELECT DISTINCT doc_id, source,
+           substr(to_hex(p), i * 2 + 1, 16) AS g
+    FROM b,
+         unnest(range(0, CAST(octet_length(p) AS BIGINT) - 7)) AS t(i)
+),
+corpus AS (SELECT doc_id, g FROM sh WHERE source <> 'src0'),
+freq AS (SELECT g FROM corpus GROUP BY g
+         HAVING COUNT(*) <= {_PAYLOAD_DF_CAP}),
+crare AS (SELECT c.doc_id, c.g FROM corpus c JOIN freq USING (g)),
+brare AS (
+    SELECT s.doc_id, s.g FROM sh s JOIN freq USING (g)
+    WHERE s.source = 'src0'
+),
+na AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n FROM brare GROUP BY 1),
+inter AS (
+    SELECT b.doc_id, c.doc_id AS doc_b,
+           CAST(COUNT(*) AS BIGINT) AS c
+    FROM brare b JOIN crare c ON b.g = c.g GROUP BY 1, 2
+)
+SELECT i.doc_id,
+       CAST(min_by(doc_b, (na.n - i.c) * 281474976710656 + doc_b)
+           AS BIGINT) AS dup_of,
+       MAX(i.c) AS n_common,
+       CAST(MAX(i.c) AS DOUBLE) / CAST(MIN(na.n) AS DOUBLE)
+           AS containment
+FROM inter i JOIN na ON na.doc_id = i.doc_id
+GROUP BY i.doc_id
+HAVING CAST(MAX(i.c) AS DOUBLE) / CAST(MIN(na.n) AS DOUBLE)
+       >= {_PAYLOAD_INCR_MIN_CONTAIN}e0
+"""
+
+
+@query("dedup_payload_incremental", _PAYLOAD_INCR_ORACLE)
+def q_dedup_payload_incremental(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Daily-ingest byte-payload near-dup: the batch's (source 'src0')
+    rare byte 8-grams probe the corpus's rare-gram inventory; per
+    batch doc the corpus partner covering the most of its
+    discriminative grams, kept when containment >= 0.5 →
+    (doc_id, dup_of, n_common, containment). Containment (not
+    Jaccard) is the ingest-side score: a small re-encode of a large
+    stored asset still flags. Completes the incremental-dedup family
+    (exact / MinHash / embedding / SimHash / bytes).
+
+    Scale shape: rarity (df <= 10) is a corpus-side statistic — the
+    stored-index production shape — so every join bucket fans out
+    <= df_cap corpus partners per batch gram; standing per-day cost
+    is batch-grams vs the index projection, the corpus is never
+    re-shingled. Winner per batch doc is min_by on a composite
+    scalar ((na - c) in the high bits: maximize coverage, tie ->
+    smallest partner id) through map-side partial merges — no window
+    over candidates."""
+    from ..operators import multimodal
+
+    b = (
+        multimodal.attach_payload(
+            _docs(spark, sf_dir).select("doc_id", "text", "source")
+        )
+        .join(
+            _docs(spark, sf_dir).select("doc_id", "source"), "doc_id"
+        )
+        .select("doc_id", "source", "payload")
+        .filter(F.length("payload") >= 8)
+    )
+    hx = b.select("doc_id", "source", F.hex("payload").alias("hx"))
+    sh = (
+        hx.select(
+            "doc_id",
+            "source",
+            F.explode(
+                F.transform(
+                    F.sequence(
+                        F.lit(0),
+                        (F.length("hx") / 2 - 8).cast("int"),
+                    ),
+                    lambda i: F.substring(
+                        F.col("hx"), i * 2 + 1, 16
+                    ),
+                )
+            ).alias("g"),
+        )
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    corpus = sh.filter(F.col("source") != "src0").select("doc_id", "g")
+    freq = (
+        corpus.groupBy("g")
+        .agg(F.count("*").alias("df"))
+        .filter(F.col("df") <= _PAYLOAD_DF_CAP)
+        .select("g")
+    )
+    crare = corpus.join(freq, "g").localCheckpoint(eager=False)
+    brare = (
+        sh.filter(F.col("source") == "src0")
+        .select("doc_id", "g")
+        .join(freq, "g")
+        .localCheckpoint(eager=False)
+    )
+    na = brare.groupBy("doc_id").agg(
+        F.count("*").cast("bigint").alias("n")
+    )
+    inter = (
+        brare.join(
+            crare.select(F.col("doc_id").alias("doc_b"), "g"), "g"
+        )
+        .groupBy("doc_id", "doc_b")
+        .agg(F.count("*").cast("bigint").alias("c"))
+    )
+    key = (F.col("n") - F.col("c")) * F.lit(281474976710656) + F.col(
+        "doc_b"
+    )
+    return (
+        inter.join(na, "doc_id")
+        .groupBy("doc_id")
+        .agg(
+            F.min_by("doc_b", key).alias("dup_of"),
+            F.max("c").alias("n_common"),
+            (
+                F.max("c").cast("double")
+                / F.min("n").cast("double")
+            ).alias("containment"),
+        )
+        .filter(F.col("containment") >= _PAYLOAD_INCR_MIN_CONTAIN)
+    )
+
+
+# -- Corpus duplication spectrum (hash doubling) -------------------------------
+# The suffix-array dedup diagnostic (the "deduplicating training data"
+# exact-substring line of work): for every window length 2^k, how much
+# of the corpus token stream is part of a duplicated window. Naive
+# evaluation re-shingles the corpus per k (sum_k N*2^k tokens touched);
+# HASH DOUBLING computes every level in O(N) per round: a 2^k-window
+# fingerprint is md5(h_{k-1}(pos) || h_{k-1}(pos + 2^(k-1))), so each
+# round is ONE position-shift self-join of an N-row relation — the
+# text is never touched again after round 0. Rank-style prefix
+# doubling would need a dense-rank (two extra shuffles) per round;
+# md5 doubling gets content-identity modulo collisions (~2^-64,
+# identical in both engines, the repo-wide digest posture).
+#
+# Per-doc unique sentinels (chr(1) || doc_id) terminate each doc, so
+# windows spanning a document boundary contain a globally unique
+# token and can never count as duplicated — the generalized-suffix-
+# array trick.
+
+_SPECTRUM_ROUNDS = 8  # windows 2^0 .. 2^8 = 256 tokens
+
+
+def _spectrum_oracle() -> str:
+    head = r"""
+WITH d AS (
+    SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w,
+           len(regexp_split_to_array(trim(text), '\s+')) AS n
+    FROM documents
+),
+off AS (
+    SELECT doc_id, w, n,
+           SUM(n + 1) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING)
+               - (n + 1) AS cb
+    FROM d
+),
+h0 AS MATERIALIZED (
+    SELECT cb + i - 1 AS pos, md5(w[i]) AS h
+    FROM off, unnest(range(1, CAST(n AS BIGINT) + 1)) AS t(i)
+    UNION ALL
+    SELECT cb + n AS pos, md5(chr(1) || CAST(doc_id AS VARCHAR))
+    FROM off
+)"""
+    rounds = "".join(
+        f""",
+h{k} AS MATERIALIZED (
+    SELECT a.pos, md5(a.h || COALESCE(b.h, 'E')) AS h
+    FROM h{k - 1} a LEFT JOIN h{k - 1} b ON b.pos = a.pos + {1 << (k - 1)}
+)"""
+        for k in range(1, _SPECTRUM_ROUNDS + 1)
+    )
+    per_k = "\n  UNION ALL ".join(
+        f"SELECT {k} AS k, h, COUNT(*) AS cnt FROM h{k} GROUP BY 1, 2"
+        for k in range(_SPECTRUM_ROUNDS + 1)
+    )
+    return (
+        head
+        + rounds
+        + f"""
+SELECT CAST(k AS BIGINT) AS k, CAST(1 << k AS BIGINT) AS win_tokens,
+       CAST(COALESCE(SUM(cnt) FILTER (cnt >= 2), 0) AS BIGINT)
+           AS n_dup_positions,
+       CAST(COUNT(*) FILTER (cnt >= 2) AS BIGINT) AS n_dup_windows,
+       CAST(MAX(cnt) AS BIGINT) AS max_multiplicity
+FROM (
+  {per_k}
+) GROUP BY k
+"""
+    )
+
+
+@query("docs_dup_spectrum", _spectrum_oracle())
+def q_docs_dup_spectrum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-substring duplication spectrum: for every window length
+    2^k (k = 0..8), the number of corpus positions whose 2^k-token
+    window occurs elsewhere, the number of distinct duplicated
+    windows, and the worst multiplicity → (k, win_tokens,
+    n_dup_positions, n_dup_windows, max_multiplicity). THE
+    suffix-array-dedup tuning curve: pick the removal threshold where
+    the spectrum's mass collapses (here 2 -> 4 tokens drops ~10x).
+
+    Scale shape: hash doubling — round k is ONE equi-join of the
+    N-row (pos, digest) relation onto itself shifted by 2^(k-1)
+    (position is the join key; range partitioning keeps the shift
+    join co-located), so all 9 levels cost O(9N) joins and the TEXT
+    is scanned exactly once (round 0). Per-doc sentinel tokens make
+    cross-document windows unique, so no window survives a doc
+    boundary. Corpus positions come from the same two-level prefix
+    sum as docs_pack_sequences — no single-partition window."""
+    docs = _docs(spark, sf_dir).select(
+        "doc_id", F.split(F.trim("text"), r"\s+").alias("w")
+    ).withColumn("n", F.size("w").cast("bigint"))
+    b = docs.withColumn("bucket", F.expr("doc_id div 1000"))
+    w_in = (
+        Window.partitionBy("bucket")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    within = b.withColumn(
+        "cum_in", F.sum(F.col("n") + 1).over(w_in)
+    )
+    totals = b.groupBy("bucket").agg(
+        F.sum(F.col("n") + 1).alias("btot")
+    )
+    w_b = Window.orderBy("bucket").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    offsets = totals.select(
+        "bucket",
+        F.coalesce(F.sum("btot").over(w_b), F.lit(0)).alias("boff"),
+    )
+    placed = within.join(F.broadcast(offsets), "bucket").withColumn(
+        "cb",
+        F.col("boff") + F.col("cum_in") - (F.col("n") + 1),
+    )
+    toks = placed.select(
+        "cb", "n", "doc_id", F.posexplode("w").alias("i", "tok")
+    ).select(
+        (F.col("cb") + F.col("i")).alias("pos"),
+        F.md5("tok").alias("h"),
+    )
+    sent = placed.select(
+        (F.col("cb") + F.col("n")).alias("pos"),
+        F.md5(
+            F.concat(
+                F.lit("\x01"), F.col("doc_id").cast("string")
+            )
+        ).alias("h"),
+    )
+    h = toks.unionByName(sent).localCheckpoint(eager=False)
+    levels = [h]
+    for k in range(1, _SPECTRUM_ROUNDS + 1):
+        delta = 1 << (k - 1)
+        prev = levels[-1]
+        nxt = (
+            prev.alias("a")
+            .join(
+                prev.select(
+                    (F.col("pos") - delta).alias("pos"),
+                    F.col("h").alias("h2"),
+                ),
+                "pos",
+                "left",
+            )
+            .select(
+                "pos",
+                F.md5(
+                    F.concat(
+                        F.col("h"), F.coalesce(F.col("h2"), F.lit("E"))
+                    )
+                ).alias("h"),
+            )
+            .localCheckpoint(eager=False)
+        )
+        levels.append(nxt)
+    out = None
+    for k, lvl in enumerate(levels):
+        cnt = lvl.groupBy("h").agg(F.count("*").alias("cnt"))
+        row = cnt.agg(
+            F.lit(k).cast("bigint").alias("k"),
+            F.lit(1 << k).cast("bigint").alias("win_tokens"),
+            F.coalesce(
+                F.sum(F.when(F.col("cnt") >= 2, F.col("cnt"))),
+                F.lit(0),
+            )
+            .cast("bigint")
+            .alias("n_dup_positions"),
+            F.sum(F.when(F.col("cnt") >= 2, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_dup_windows"),
+            F.max("cnt").cast("bigint").alias("max_multiplicity"),
+        )
+        out = row if out is None else out.unionByName(row)
+    return out
+
+
+@query("stream_payload_dedup", _PAYLOAD_DEDUP_ORACLE)
+def q_stream_payload_dedup(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Streaming twin of dedup_payload_shingle: 3-batch AvailableNow
+    ingest maintaining an append-only payload-gram index; candidates
+    admitted per batch under the sound grows-only df-cap prune;
+    post-drain exact verify off the index (text shingled once, per
+    batch). Equals the batch query after the drain, so the batch SQL
+    oracle applies verbatim (streaming/jobs.payload_dedup_stream)."""
+    from ..streaming import jobs as stream_jobs
+
+    return stream_jobs.payload_dedup_stream(spark, sf_dir)

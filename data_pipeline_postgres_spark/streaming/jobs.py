@@ -1105,3 +1105,161 @@ def cms_rollup_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         "bucket",
         F.col("counter").cast("long").alias("counter"),
     )
+
+
+def payload_dedup_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming byte-payload near-dup — incremental gram-index
+    maintenance, the ingest shape ``dedup_payload_incremental``
+    assumes as its corpus side:
+
+    Documents arrive as a 3-file stream. Each ``foreachBatch``
+    shingles ONLY the batch (stride-1 byte 8-grams over the binary
+    payload), emits candidate pairs (new x indexed plus new x new via
+    one gram equi-join), and appends the batch's grams to the
+    standing index. The join is admission-capped by the gram's
+    CURRENT document frequency (standing + batch): df only grows, so
+    a gram over the cap now can never be rare in the final corpus —
+    pruning is sound — while a gram under the cap now might exceed it
+    later, so admission yields a SUPERSET of the final-rare
+    candidates; the post-drain verify (exact rare-gram Jaccard over
+    the final index, never the text) filters those, the standard
+    LSH candidates-superset / verify-exact discipline.
+
+    After the AvailableNow drain every pair sharing a final-rare gram
+    has been admitted (when its later doc arrived), so verify ==
+    the batch ``dedup_payload_shingle`` result — the same SQL oracle
+    applies: (doc_a, doc_b, n_common, jaccard >= 0.5)."""
+    from ..operators import multimodal
+
+    df_cap = 10
+    j_min = 0.5
+
+    src = _scratch("payload_src")
+    docs = load_table(spark, sf_dir, "documents")
+    for i in range(3):
+        docs.filter(F.col("doc_id") % 3 == i).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+
+    index_dir = os.path.join(_SCRATCH, "payload_gram_index")
+    pairs_dir = os.path.join(_SCRATCH, "payload_cand_pairs")
+    for d in (index_dir, pairs_dir):
+        if os.path.exists(d):
+            shutil.rmtree(d)
+
+    def _grams(batch: DataFrame) -> DataFrame:
+        b = (
+            multimodal.attach_payload(batch)
+            .select("doc_id", "payload")
+            .filter(F.length("payload") >= 8)
+        )
+        hx = b.select("doc_id", F.hex("payload").alias("hx"))
+        return (
+            hx.select(
+                "doc_id",
+                F.explode(
+                    F.transform(
+                        F.sequence(
+                            F.lit(0),
+                            (F.length("hx") / 2 - 8).cast("int"),
+                        ),
+                        lambda i: F.substring(
+                            F.col("hx"), i * 2 + 1, 16
+                        ),
+                    )
+                ).alias("g"),
+            )
+            .distinct()
+        )
+
+    def step(batch_df: DataFrame, batch_id: int) -> None:
+        bg = _grams(batch_df).localCheckpoint()  # feeds joins + append
+        if os.path.exists(index_dir):
+            idx = spark.read.parquet(index_dir)
+        else:
+            idx = bg.limit(0)
+        # df so far (standing + batch): a gram past the cap can never
+        # become rare again — joins on it are pruned forever
+        df_now = (
+            idx.select("g")
+            .unionByName(bg.select("g"))
+            .groupBy("g")
+            .agg(F.count("*").alias("df"))
+            .filter(F.col("df") <= df_cap)
+            .select("g")
+        )
+        a = bg.join(df_now, "g").localCheckpoint()
+        new_new = (
+            a.select(F.col("doc_id").alias("doc_a"), "g")
+            .join(a.select(F.col("doc_id").alias("doc_b"), "g"), "g")
+            .filter(F.col("doc_a") < F.col("doc_b"))
+            .select("doc_a", "doc_b")
+        )
+        cross = (
+            a.join(idx.withColumnRenamed("doc_id", "doc_b"), "g")
+            .select(
+                F.least("doc_id", "doc_b").alias("doc_a"),
+                F.greatest("doc_id", "doc_b").alias("doc_b"),
+            )
+        )
+        new_new.unionByName(cross).distinct().write.mode(
+            "append"
+        ).parquet(pairs_dir)
+        bg.write.mode("append").parquet(index_dir)
+
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    with _shuffle_partitions(spark, 8):
+        q = (
+            stream.writeStream.foreachBatch(step)
+            .option("checkpointLocation", _scratch("payload_ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    # verify OFF THE INDEX: final rarity + exact Jaccard over the
+    # admitted pairs' rare-gram sets — the corpus text is never
+    # re-shingled
+    idx = spark.read.parquet(index_dir)
+    rare = (
+        idx.groupBy("g")
+        .agg(F.count("*").alias("df"))
+        .filter(F.col("df") <= df_cap)
+        .select("g")
+    )
+    rgrams = idx.join(rare, "g").localCheckpoint(eager=False)
+    sz = rgrams.groupBy("doc_id").agg(F.count("*").alias("n"))
+    cands = spark.read.parquet(pairs_dir).distinct()
+    inter = (
+        cands.join(
+            rgrams.withColumnRenamed("doc_id", "doc_a"), "doc_a"
+        )
+        .join(
+            rgrams.withColumnRenamed("doc_id", "doc_b"),
+            ["doc_b", "g"],  # equi-join on the gram too: the
+            # intersection never fans out past the shared grams
+        )
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").cast("bigint").alias("n_common"))
+    )
+    return (
+        inter.join(
+            sz.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na")),
+            "doc_a",
+        )
+        .join(
+            sz.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb")),
+            "doc_b",
+        )
+        .withColumn(
+            "jaccard",
+            F.col("n_common").cast("double")
+            / (F.col("na") + F.col("nb") - F.col("n_common")),
+        )
+        .filter(F.col("jaccard") >= j_min)
+        .select("doc_a", "doc_b", "n_common", "jaccard")
+    )
