@@ -241,6 +241,8 @@ EXT_HEADLINE = [
     "dedup_payload_incremental",
     "docs_dup_spectrum",
     "stream_payload_dedup",
+    "docs_dup_maxrun",
+    "events_attribution_models",
 ]
 
 

@@ -839,40 +839,14 @@ _SPECTRUM_ROUNDS = 8  # windows 2^0 .. 2^8 = 256 tokens
 
 
 def _spectrum_oracle() -> str:
-    head = r"""
-WITH d AS (
-    SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w,
-           len(regexp_split_to_array(trim(text), '\s+')) AS n
-    FROM documents
-),
-off AS (
-    SELECT doc_id, w, n,
-           SUM(n + 1) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING)
-               - (n + 1) AS cb
-    FROM d
-),
-h0 AS MATERIALIZED (
-    SELECT cb + i - 1 AS pos, md5(w[i]) AS h
-    FROM off, unnest(range(1, CAST(n AS BIGINT) + 1)) AS t(i)
-    UNION ALL
-    SELECT cb + n AS pos, md5(chr(1) || CAST(doc_id AS VARCHAR))
-    FROM off
-)"""
-    rounds = "".join(
-        f""",
-h{k} AS MATERIALIZED (
-    SELECT a.pos, md5(a.h || COALESCE(b.h, 'E')) AS h
-    FROM h{k - 1} a LEFT JOIN h{k - 1} b ON b.pos = a.pos + {1 << (k - 1)}
-)"""
-        for k in range(1, _SPECTRUM_ROUNDS + 1)
-    )
+    from ..operators.textdup import oracle_level_ctes
+
     per_k = "\n  UNION ALL ".join(
         f"SELECT {k} AS k, h, COUNT(*) AS cnt FROM h{k} GROUP BY 1, 2"
         for k in range(_SPECTRUM_ROUNDS + 1)
     )
     return (
-        head
-        + rounds
+        oracle_level_ctes(_SPECTRUM_ROUNDS)
         + f"""
 SELECT CAST(k AS BIGINT) AS k, CAST(1 << k AS BIGINT) AS win_tokens,
        CAST(COALESCE(SUM(cnt) FILTER (cnt >= 2), 0) AS BIGINT)
@@ -904,72 +878,10 @@ def q_docs_dup_spectrum(spark: SparkSession, sf_dir: str) -> DataFrame:
     cross-document windows unique, so no window survives a doc
     boundary. Corpus positions come from the same two-level prefix
     sum as docs_pack_sequences — no single-partition window."""
-    docs = _docs(spark, sf_dir).select(
-        "doc_id", F.split(F.trim("text"), r"\s+").alias("w")
-    ).withColumn("n", F.size("w").cast("bigint"))
-    b = docs.withColumn("bucket", F.expr("doc_id div 1000"))
-    w_in = (
-        Window.partitionBy("bucket")
-        .orderBy("doc_id")
-        .rowsBetween(Window.unboundedPreceding, 0)
-    )
-    within = b.withColumn(
-        "cum_in", F.sum(F.col("n") + 1).over(w_in)
-    )
-    totals = b.groupBy("bucket").agg(
-        F.sum(F.col("n") + 1).alias("btot")
-    )
-    w_b = Window.orderBy("bucket").rowsBetween(
-        Window.unboundedPreceding, -1
-    )
-    offsets = totals.select(
-        "bucket",
-        F.coalesce(F.sum("btot").over(w_b), F.lit(0)).alias("boff"),
-    )
-    placed = within.join(F.broadcast(offsets), "bucket").withColumn(
-        "cb",
-        F.col("boff") + F.col("cum_in") - (F.col("n") + 1),
-    )
-    toks = placed.select(
-        "cb", "n", "doc_id", F.posexplode("w").alias("i", "tok")
-    ).select(
-        (F.col("cb") + F.col("i")).alias("pos"),
-        F.md5("tok").alias("h"),
-    )
-    sent = placed.select(
-        (F.col("cb") + F.col("n")).alias("pos"),
-        F.md5(
-            F.concat(
-                F.lit("\x01"), F.col("doc_id").cast("string")
-            )
-        ).alias("h"),
-    )
-    h = toks.unionByName(sent).localCheckpoint(eager=False)
-    levels = [h]
-    for k in range(1, _SPECTRUM_ROUNDS + 1):
-        delta = 1 << (k - 1)
-        prev = levels[-1]
-        nxt = (
-            prev.alias("a")
-            .join(
-                prev.select(
-                    (F.col("pos") - delta).alias("pos"),
-                    F.col("h").alias("h2"),
-                ),
-                "pos",
-                "left",
-            )
-            .select(
-                "pos",
-                F.md5(
-                    F.concat(
-                        F.col("h"), F.coalesce(F.col("h2"), F.lit("E"))
-                    )
-                ).alias("h"),
-            )
-            .localCheckpoint(eager=False)
-        )
-        levels.append(nxt)
+    from ..operators import textdup
+
+    level0, _ = textdup.position_stream(_docs(spark, sf_dir))
+    levels = textdup.hash_doubling_levels(level0, _SPECTRUM_ROUNDS)
     out = None
     for k, lvl in enumerate(levels):
         cnt = lvl.groupBy("h").agg(F.count("*").alias("cnt"))
@@ -1004,3 +916,246 @@ def q_stream_payload_dedup(
     from ..streaming import jobs as stream_jobs
 
     return stream_jobs.payload_dedup_stream(spark, sf_dir)
+
+
+# -- Per-document longest duplicated run ---------------------------------------
+# The spectrum aggregates corpus-wide; the REMOVAL decision is
+# per-document: the longest (power-of-two-resolved) window in each
+# doc that occurs elsewhere in the corpus. Exact-substring dedup
+# policies delete or trim docs whose longest duplicated run exceeds a
+# threshold — this is that triage column. Any duplicated window
+# starting inside a doc lies entirely within it (a window crossing
+# the boundary contains the doc's unique sentinel and cannot be
+# duplicated), so the per-doc max is exact, not clipped.
+
+
+def _maxrun_oracle() -> str:
+    from ..operators.textdup import oracle_level_ctes
+
+    per_k = "\n    UNION ALL ".join(
+        f"""SELECT dp.doc_id, {k} AS k
+    FROM h{k} l JOIN dup{k} USING (h) JOIN docpos dp USING (pos)"""
+        for k in range(_SPECTRUM_ROUNDS + 1)
+    )
+    dups = "".join(
+        f""",
+dup{k} AS MATERIALIZED (
+    SELECT h FROM h{k} GROUP BY h HAVING COUNT(*) >= 2
+)"""
+        for k in range(_SPECTRUM_ROUNDS + 1)
+    )
+    return (
+        oracle_level_ctes(_SPECTRUM_ROUNDS)
+        + dups
+        + f""",
+flags AS (
+    {per_k}
+)
+SELECT d.doc_id,
+       CAST(COALESCE(1 << MAX(f.k), 0) AS BIGINT) AS max_dup_win
+FROM d LEFT JOIN flags f USING (doc_id)
+GROUP BY d.doc_id
+"""
+    )
+
+
+@query("docs_dup_maxrun", _maxrun_oracle())
+def q_docs_dup_maxrun(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document longest duplicated window (power-of-two
+    resolution): for each doc the largest 2^k such that some
+    2^k-token window of the doc occurs elsewhere in the corpus →
+    (doc_id, max_dup_win; 0 when even its 1-grams are unique). The
+    per-document removal criterion behind exact-substring dedup
+    ("drop/trim docs sharing a >= 64-token run with anything else"),
+    resolved from the SAME hash-doubling levels as docs_dup_spectrum
+    — the text is scanned once, each level once.
+
+    Scale shape: per level, duplicated digests come from one
+    groupBy(h) (map-side combined); flagged positions join back to
+    the position->doc map (both sides shrink with k); the final
+    per-doc max is one groupBy. Nothing rescans text; no data-sized
+    window."""
+    from ..operators import textdup
+
+    level0, docmap = textdup.position_stream(_docs(spark, sf_dir))
+    levels = textdup.hash_doubling_levels(level0, _SPECTRUM_ROUNDS)
+    flags = None
+    for k, lvl in enumerate(levels):
+        dup = (
+            lvl.groupBy("h")
+            .agg(F.count("*").alias("cnt"))
+            .filter(F.col("cnt") >= 2)
+            .select("h")
+        )
+        f_k = (
+            lvl.join(dup, "h")
+            .join(docmap, "pos")
+            .select("doc_id", F.lit(k).alias("k"))
+            .distinct()
+        )
+        flags = f_k if flags is None else flags.unionByName(f_k)
+    all_docs = _docs(spark, sf_dir).select("doc_id")
+    best = flags.groupBy("doc_id").agg(F.max("k").alias("mk"))
+    return (
+        all_docs.join(best, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(
+                F.expr("cast(1 as bigint) * (1 << mk)"),
+                F.lit(0),
+            )
+            .cast("bigint")
+            .alias("max_dup_win"),
+        )
+    )
+
+
+# -- Multi-model marketing attribution -----------------------------------------
+# The events analytics family has funnels, sessions, and sequence
+# patterns; ATTRIBUTION is the decision layer on top: when a purchase
+# closes a journey, which touch channels get the credit? The three
+# standard position rules in ONE pass: first-touch, last-touch, and
+# linear (1/n per touch, floor-quantized to integer micro-credits so
+# the sums are order-free exact int64 — the repo-wide posture for
+# cross-engine additive floats).
+#
+# A journey = a user's events since their previous purchase; the
+# purchase that closes it carries the conversion. Zero-touch
+# conversions (a purchase with no preceding touch) credit nobody.
+
+_ATTR_ORACLE = """
+WITH e AS (
+    SELECT user_id, event_type, ts, event_id,
+           COUNT(*) FILTER (event_type = 'purchase') OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+           ) AS jid
+    FROM events
+),
+j AS (
+    SELECT user_id, jid,
+           COUNT(*) FILTER (event_type <> 'purchase') AS n_touch,
+           COUNT(*) FILTER (event_type = 'purchase') AS closed,
+           min_by(event_type, CASE WHEN event_type <> 'purchase'
+                  THEN epoch_us(CAST(ts AS TIMESTAMP)) END) AS first_ch,
+           max_by(event_type, CASE WHEN event_type <> 'purchase'
+                  THEN epoch_us(CAST(ts AS TIMESTAMP)) END) AS last_ch
+    FROM e GROUP BY 1, 2
+),
+conv AS (SELECT * FROM j WHERE closed > 0 AND n_touch > 0),
+touches AS (
+    SELECT e.event_type AS channel, c.n_touch
+    FROM e JOIN conv c
+      ON e.user_id = c.user_id AND e.jid = c.jid
+    WHERE e.event_type <> 'purchase'
+)
+SELECT ch.channel,
+       CAST(COALESCE(f.n, 0) AS BIGINT) AS first_touch,
+       CAST(COALESCE(l.n, 0) AS BIGINT) AS last_touch,
+       CAST(COALESCE(t.micro, 0) AS BIGINT) AS linear_micro
+FROM (SELECT DISTINCT event_type AS channel FROM events
+      WHERE event_type <> 'purchase') ch
+LEFT JOIN (SELECT first_ch AS channel, COUNT(*) AS n FROM conv
+           GROUP BY 1) f USING (channel)
+LEFT JOIN (SELECT last_ch AS channel, COUNT(*) AS n FROM conv
+           GROUP BY 1) l USING (channel)
+LEFT JOIN (SELECT channel, SUM(1000000 // n_touch) AS micro
+           FROM touches GROUP BY 1) t USING (channel)
+"""
+
+
+@query("events_attribution_models", _ATTR_ORACLE)
+def q_events_attribution_models(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Multi-model conversion attribution in one pass: per channel,
+    conversions credited first-touch, last-touch, and linearly
+    (integer micro-credits: floor(1e6 / n_touches) per touch, an
+    order-free exact int64 sum) → (channel, first_touch, last_touch,
+    linear_micro). A journey is a user's events since their previous
+    purchase; the closing purchase converts it; zero-touch
+    conversions credit nobody.
+
+    Timestamp ties within a journey break on event_id for the
+    journey SPLIT; first/last election keys on the event timestamp in
+    microseconds (min_by/max_by over a scalar — ties impossible on
+    this corpus's microsecond grid, and a tie would surface as a
+    hash mismatch, not silent drift).
+
+    Scale shape: one user-keyed shuffle feeds both the running
+    purchase count and the journey rollup (same partitioning reused);
+    journeys relation ~ #purchases; the per-channel rollups are
+    bounded by |channels|. No data-sized unpartitioned window."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        "event_type",
+        F.col("ts").cast("timestamp").alias("ts"),
+        "event_id",
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    e = ev.withColumn(
+        "jid",
+        F.coalesce(
+            F.sum(
+                F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+            ).over(w),
+            F.lit(0),
+        ),
+    )
+    tkey = F.when(
+        F.col("event_type") != "purchase", F.unix_micros("ts")
+    )
+    j = e.groupBy("user_id", "jid").agg(
+        F.sum(
+            F.when(F.col("event_type") != "purchase", 1).otherwise(0)
+        ).alias("n_touch"),
+        F.sum(
+            F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+        ).alias("closed"),
+        F.min_by("event_type", tkey).alias("first_ch"),
+        F.max_by("event_type", tkey).alias("last_ch"),
+    )
+    conv = j.filter((F.col("closed") > 0) & (F.col("n_touch") > 0))
+    touches = (
+        e.filter(F.col("event_type") != "purchase")
+        .join(
+            conv.select("user_id", "jid", "n_touch"),
+            ["user_id", "jid"],
+        )
+        .select(F.col("event_type").alias("channel"), "n_touch")
+    )
+    channels = (
+        ev.filter(F.col("event_type") != "purchase")
+        .select(F.col("event_type").alias("channel"))
+        .distinct()
+    )
+    f = conv.groupBy(F.col("first_ch").alias("channel")).agg(
+        F.count("*").alias("fn")
+    )
+    l = conv.groupBy(F.col("last_ch").alias("channel")).agg(
+        F.count("*").alias("ln")
+    )
+    t = touches.groupBy("channel").agg(
+        F.sum(F.expr("1000000 DIV n_touch")).alias("micro")
+    )
+    return (
+        channels.join(f, "channel", "left")
+        .join(l, "channel", "left")
+        .join(t, "channel", "left")
+        .select(
+            "channel",
+            F.coalesce("fn", F.lit(0)).cast("bigint").alias(
+                "first_touch"
+            ),
+            F.coalesce("ln", F.lit(0)).cast("bigint").alias(
+                "last_touch"
+            ),
+            F.coalesce("micro", F.lit(0)).cast("bigint").alias(
+                "linear_micro"
+            ),
+        )
+    )

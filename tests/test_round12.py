@@ -279,3 +279,53 @@ class TestStreamPayloadDedup:
             ).collect()
         }
         assert got == want
+
+
+class TestDupMaxrun:
+    def test_consistent_with_spectrum(self, spark):
+        runs = registry.QUERIES["docs_dup_maxrun"](spark, SF).cache()
+        spec = {
+            r["win_tokens"]: r["n_dup_positions"]
+            for r in registry.QUERIES["docs_dup_spectrum"](
+                spark, SF
+            ).collect()
+        }
+        rows = runs.collect()
+        assert len(rows) == 500
+        wins = sorted({r["max_dup_win"] for r in rows})
+        # every reported run length is a spectrum level with mass
+        for w in wins:
+            if w > 0:
+                assert spec[w] > 0
+        # the corpus-wide longest duplicated window agrees: the max
+        # per-doc run equals the largest level with any mass
+        top_level = max(w for w, n in spec.items() if n > 0)
+        assert max(wins) == top_level
+        # near-dup docs (payload pairs at J>=0.5 share >=8-token runs
+        # on this corpus) must report a long run
+        pairs = registry.QUERIES["dedup_payload_shingle"](
+            spark, SF
+        ).collect()
+        flagged = {p["doc_a"] for p in pairs} | {
+            p["doc_b"] for p in pairs
+        }
+        by_doc = {r["doc_id"]: r["max_dup_win"] for r in rows}
+        for d in flagged:
+            assert by_doc[d] >= 8
+
+
+class TestAttribution:
+    def test_credit_conservation(self, spark):
+        rows = registry.QUERIES["events_attribution_models"](
+            spark, SF
+        ).collect()
+        assert len(rows) == 4  # view/click/signup/error
+        tot_first = sum(r["first_touch"] for r in rows)
+        tot_last = sum(r["last_touch"] for r in rows)
+        # every converting journey has exactly one first and one last
+        assert tot_first == tot_last
+        assert tot_first > 0
+        # linear micro-credits: each converting journey distributes
+        # n_touch * floor(1e6/n_touch) <= 1e6, > 1e6 - n_touch
+        tot_linear = sum(r["linear_micro"] for r in rows)
+        assert tot_first * 900_000 < tot_linear <= tot_first * 1_000_000
