@@ -243,6 +243,7 @@ EXT_HEADLINE = [
     "stream_payload_dedup",
     "docs_dup_maxrun",
     "events_attribution_models",
+    "events_attribution_markov",
 ]
 
 

@@ -1159,3 +1159,238 @@ def q_events_attribution_models(
             ),
         )
     )
+
+
+# -- Markov removal-effect attribution -----------------------------------------
+# The data-driven complement to the position rules
+# (events_attribution_models): build the journey transition chain
+# (START -> touches -> purchase/NULL), and score each channel by its
+# REMOVAL EFFECT — how much the chain's conversion probability drops
+# when paths through that channel are cut (redirected to the NULL
+# absorber), the standard Markov attribution construction.
+#
+# Conversion probability is the K-step absorption probability
+# (K = 8 unrolled value-iteration steps — a pinned, deterministic
+# metric rather than an iterate-to-tolerance fixpoint; the journey
+# length distribution makes the K-step and exact absorption rankings
+# agree). Both engines fold each state's update IN DESTINATION ORDER
+# (sorted-list fold == list_reduce ORDER BY dst), so every double is
+# the same IEEE op sequence.
+#
+# Scale shape: the data-sized work is ONE user-keyed shuffle (journey
+# split + consecutive-pair extraction); the transition matrix is
+# <= (|channels|+2)^2 rows — a bounded driver artifact (the PCA d x d
+# Gram precedent) — and the 5 chains x 8 steps run on it driver-side,
+# mirrored step-for-step by the oracle's unrolled CTEs.
+
+_MARKOV_K = 8
+_MARKOV_CHANNELS = ("click", "error", "signup", "view")
+
+_MARKOV_TRANS_SQL = """
+e AS (
+    SELECT user_id, event_type, ts, event_id,
+           COUNT(*) FILTER (event_type = 'purchase') OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS jid
+    FROM events
+),
+seq AS (
+    SELECT user_id, jid, event_type,
+           row_number() OVER w AS rn,
+           lead(event_type) OVER w AS nxt
+    FROM e
+    WINDOW w AS (PARTITION BY user_id, jid ORDER BY ts, event_id)
+),
+tr AS (
+    SELECT 'START' AS src, event_type AS dst FROM seq WHERE rn = 1
+    UNION ALL
+    SELECT event_type, nxt FROM seq WHERE nxt IS NOT NULL
+    UNION ALL
+    SELECT event_type, 'NULL' FROM seq
+    WHERE nxt IS NULL AND event_type <> 'purchase'
+),
+cnts AS MATERIALIZED (
+    SELECT src, dst, CAST(COUNT(*) AS BIGINT) AS cnt
+    FROM tr GROUP BY 1, 2
+),
+bigt AS MATERIALIZED (
+    SELECT src, dst,
+           CAST(cnt AS DOUBLE)
+               / CAST(SUM(cnt) OVER (PARTITION BY src) AS DOUBLE) AS p
+    FROM cnts
+)"""
+
+
+def _markov_chain_ctes(tag: str, removed: str | None) -> str:
+    """CTEs for one chain: redirected transitions + K unrolled
+    value-iteration steps. p{tag}{K} holds (state, p)."""
+    if removed is None:
+        redirect = "SELECT src, dst, SUM(p) AS p FROM bigt GROUP BY 1, 2"
+    else:
+        redirect = f"""
+    SELECT src,
+           CASE WHEN dst = '{removed}' THEN 'NULL' ELSE dst END AS dst,
+           SUM(p) AS p
+    FROM bigt WHERE src <> '{removed}' GROUP BY 1, 2"""
+    out = f""",
+t{tag} AS MATERIALIZED ({redirect}),
+p{tag}0 AS MATERIALIZED (
+    SELECT DISTINCT src AS state, 0e0 AS p FROM t{tag}
+)"""
+    for k in range(1, _MARKOV_K + 1):
+        out += f""",
+p{tag}{k} AS MATERIALIZED (
+    SELECT t.src AS state,
+           list_reduce(
+               list(t.p * CASE WHEN t.dst = 'purchase' THEN 1e0
+                               WHEN t.dst = 'NULL' THEN 0e0
+                               ELSE COALESCE(pk.p, 0e0) END
+                    ORDER BY t.dst),
+               (a, b) -> a + b) AS p
+    FROM t{tag} t LEFT JOIN p{tag}{k - 1} pk ON pk.state = t.dst
+    GROUP BY 1
+)"""
+    return out
+
+
+def _markov_oracle() -> str:
+    K = _MARKOV_K
+    chains = _markov_chain_ctes("f", None) + "".join(
+        _markov_chain_ctes(f"r{i}", c)
+        for i, c in enumerate(_MARKOV_CHANNELS)
+    )
+    rows = "\nUNION ALL\n".join(
+        f"""SELECT '{c}' AS channel,
+       (SELECT p FROM pf{K} WHERE state = 'START') AS p_conv_base,
+       (SELECT p FROM pr{i}{K} WHERE state = 'START') AS p_conv_removed,
+       1e0 - (SELECT p FROM pr{i}{K} WHERE state = 'START')
+           / (SELECT p FROM pf{K} WHERE state = 'START')
+           AS removal_effect"""
+        for i, c in enumerate(_MARKOV_CHANNELS)
+    )
+    return f"WITH {_MARKOV_TRANS_SQL}{chains}\n{rows}"
+
+
+def _markov_pconv(
+    T: dict[tuple[str, str], float], removed: str | None
+) -> float:
+    """Driver-side mirror of the oracle's unrolled value iteration:
+    identical redirect, identical sorted-destination fold, identical
+    IEEE op sequence per step."""
+    trans: dict[tuple[str, str], float] = {}
+    for (s, d), p in T.items():
+        if s == removed:
+            continue
+        dd = "NULL" if d == removed else d
+        # the redirect merges at most two terms; IEEE addition of two
+        # floats is commutative, so dict order cannot matter
+        trans[(s, dd)] = trans.get((s, dd), 0.0) + p
+    states = sorted({s for s, _ in trans})
+    cur = {s: 0.0 for s in states}
+    for _ in range(_MARKOV_K):
+        nxt = {}
+        for s in states:
+            tot = 0.0
+            for d in sorted(d for (ss, d) in trans if ss == s):
+                pd = (
+                    1.0
+                    if d == "purchase"
+                    else (0.0 if d == "NULL" else cur.get(d, 0.0))
+                )
+                tot += trans[(s, d)] * pd
+            nxt[s] = tot
+        cur = nxt
+    return cur["START"]
+
+
+@query("events_attribution_markov", _markov_oracle())
+def q_events_attribution_markov(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Markov removal-effect attribution: per channel, the drop in
+    the journey chain's 8-step conversion probability when paths
+    through that channel are cut → (channel, p_conv_base,
+    p_conv_removed, removal_effect). The data-driven counterpart of
+    events_attribution_models' position rules: a channel earns credit
+    for being LOAD-BEARING in converting paths, not for where it
+    happens to sit.
+
+    Scale shape: one user-keyed shuffle extracts journey transitions
+    (the same split as the position models); the transition matrix is
+    a <= (|channels|+2)^2-row bounded driver artifact (the PCA Gram
+    precedent), and the 5 chains x 8 value-iteration steps run on it
+    driver-side — mirrored step-for-step (same redirect, same
+    sorted-destination IEEE fold) by the oracle's unrolled CTEs."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        "event_type",
+        F.col("ts").cast("timestamp").alias("ts"),
+        "event_id",
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    e = ev.withColumn(
+        "jid",
+        F.coalesce(
+            F.sum(
+                F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+            ).over(w),
+            F.lit(0),
+        ),
+    )
+    wj = Window.partitionBy("user_id", "jid").orderBy("ts", "event_id")
+    seq = e.select(
+        "event_type",
+        F.row_number().over(wj).alias("rn"),
+        F.lead("event_type").over(wj).alias("nxt"),
+    )
+    trans = (
+        seq.filter(F.col("rn") == 1)
+        .select(
+            F.lit("START").alias("src"),
+            F.col("event_type").alias("dst"),
+        )
+        .unionByName(
+            seq.filter(F.col("nxt").isNotNull()).select(
+                F.col("event_type").alias("src"),
+                F.col("nxt").alias("dst"),
+            )
+        )
+        .unionByName(
+            seq.filter(
+                F.col("nxt").isNull()
+                & (F.col("event_type") != "purchase")
+            ).select(
+                F.col("event_type").alias("src"),
+                F.lit("NULL").alias("dst"),
+            )
+        )
+        .groupBy("src", "dst")
+        .agg(F.count("*").cast("bigint").alias("cnt"))
+    )
+    rows = trans.collect()  # bounded: <= (|channels|+2)^2 rows
+    out_tot: dict[str, float] = {}
+    for r in rows:
+        out_tot[r["src"]] = out_tot.get(r["src"], 0) + r["cnt"]
+    T = {
+        (r["src"], r["dst"]): r["cnt"] / out_tot[r["src"]]
+        for r in rows
+    }
+    base = _markov_pconv(T, None)
+    data = [
+        (
+            c,
+            base,
+            _markov_pconv(T, c),
+            1.0 - _markov_pconv(T, c) / base,
+        )
+        for c in _MARKOV_CHANNELS
+    ]
+    return spark.createDataFrame(
+        data,
+        "channel string, p_conv_base double, "
+        "p_conv_removed double, removal_effect double",
+    )

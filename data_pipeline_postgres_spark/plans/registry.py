@@ -52,10 +52,11 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 # queries first (docs_pack_bestfit, docs_pack_efficiency,
 # dedup_payload_shingle, docs_mix_capped_alloc,
 # dedup_payload_incremental, docs_dup_spectrum, stream_payload_dedup,
-# docs_dup_maxrun, events_attribution_models — all locally
+# docs_dup_maxrun, events_attribution_models,
+# events_attribution_markov — all locally
 # oracle-verified at sf0.001 + sf0.01 with the inline Arrow type
-# audit), then the remaining 35 round-6 rows (9 + 35 = 44)
-# (dedup_shuffle_shard onward alphabetically: docs_split_train_val,
+# audit), then the remaining 35 round-6 rows (10 + 35 = 45)
+# (docs_shuffle_shard onward alphabetically: docs_split_train_val,
 # emb_quantize, emb_random_projection, events_forward_fill,
 # events_funnel_batch, join_asof, join_asof_forward,
 # join_range_banded, join_salted_skew, layout_zorder, material_demand,

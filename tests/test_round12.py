@@ -329,3 +329,22 @@ class TestAttribution:
         # n_touch * floor(1e6/n_touch) <= 1e6, > 1e6 - n_touch
         tot_linear = sum(r["linear_micro"] for r in rows)
         assert tot_first * 900_000 < tot_linear <= tot_first * 1_000_000
+
+
+class TestMarkovAttribution:
+    def test_removal_effects_sane(self, spark):
+        rows = registry.QUERIES["events_attribution_markov"](
+            spark, SF
+        ).collect()
+        assert len(rows) == 4
+        base = rows[0]["p_conv_base"]
+        assert 0.0 < base < 1.0
+        effects = {}
+        for r in rows:
+            assert r["p_conv_base"] == base
+            # cutting a channel can only remove converting paths
+            assert 0.0 < r["p_conv_removed"] < base
+            assert 0.0 < r["removal_effect"] < 1.0
+            effects[r["channel"]] = r["removal_effect"]
+        # falsifiability: the chain is data-driven, so effects differ
+        assert len(set(effects.values())) > 1
