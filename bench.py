@@ -244,6 +244,7 @@ EXT_HEADLINE = [
     "docs_dup_maxrun",
     "events_attribution_models",
     "events_attribution_markov",
+    "multimodal_cdc_chunks",
 ]
 
 

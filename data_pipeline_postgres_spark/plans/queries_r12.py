@@ -1394,3 +1394,172 @@ def q_events_attribution_markov(
         "channel string, p_conv_base double, "
         "p_conv_removed double, removal_effect double",
     )
+
+
+# -- Content-defined chunking (gear hash) ---------------------------------------
+# The production byte-dedup primitive the stride-1 8-gram queries
+# approximate: cut the payload at positions where a rolling GEAR hash
+# of the last 32 bytes hits a mask (h % 64 == 0 → ~64-byte average
+# chunks). Boundaries are a pure LOCAL function of the trailing
+# window — an insertion shifts content but every boundary outside the
+# edited neighborhood re-synchronizes, so near-identical payloads
+# share almost all chunk hashes (the rsync/LBFS/backup-dedup
+# property). Because the window is fixed at 32 bytes, h(pos) is
+# expressible WITHOUT sequential recursion as a 32-term fold per
+# position — both engines evaluate the identical nested
+# transform/aggregate HOFs (O(32·n_bytes) per doc, linear, JVM-side).
+#
+# The gear table is md5-derived per byte value (first 8 hex chars →
+# int32 range), identical in both engines; all arithmetic is mod 2^32
+# (explicit `% 4294967296` — no engine-specific shift-overflow
+# semantics in play).
+
+import hashlib as _hashlib
+
+_GEAR = tuple(
+    int(_hashlib.md5(str(b).encode()).hexdigest()[:8], 16)
+    for b in range(256)
+)
+
+_CDC_ORACLE = r"""
+WITH gear AS (
+    SELECT list_transform(range(0, 256),
+        b -> ('0x' || substr(md5(CAST(b AS VARCHAR)), 1, 8))::BIGINT
+    ) AS g
+),
+d AS (
+    SELECT doc_id, lower(to_hex(encode(text))) AS hx,
+           CAST(octet_length(encode(text)) AS BIGINT) AS nb
+    FROM documents
+),
+bytes AS MATERIALIZED (
+    SELECT doc_id, nb, hx, g,
+           list_transform(range(0, nb),
+               i -> ('0x' || substr(hx, CAST(i*2+1 AS INT), 2))::BIGINT
+           ) AS bv
+    FROM d, gear
+),
+bounds AS MATERIALIZED (
+    SELECT doc_id, nb, hx,
+           list_filter(range(0, nb),
+               p -> list_reduce(
+                        list_transform(
+                            range(0, CAST(LEAST(p + 1, 32) AS BIGINT)),
+                            j -> (g[CAST(bv[CAST(p - j + 1 AS INT)]
+                                         AS INT) + 1]
+                                  * (1 << j)) % 4294967296),
+                        (a, b) -> (a + b) % 4294967296) % 64 = 0
+                    AND p >= 31) AS cuts
+    FROM bytes
+)
+SELECT doc_id, CAST(ci AS BIGINT) AS chunk_idx,
+       CAST(s AS BIGINT) AS start_byte,
+       CAST(e - s + 1 AS BIGINT) AS chunk_len,
+       md5(substr(hx, CAST(s * 2 + 1 AS INT),
+                  CAST((e - s + 1) * 2 AS INT))) AS chunk_md5
+FROM (
+    SELECT doc_id, nb, hx, cuts, ci,
+           CASE WHEN ci = 0 THEN 0
+                ELSE cuts[CAST(ci AS INT)] + 1 END AS s,
+           CASE WHEN ci = len(cuts) THEN nb - 1
+                ELSE cuts[CAST(ci + 1 AS INT)] END AS e
+    FROM bounds, unnest(range(0, len(cuts) + 1)) AS t(ci)
+)
+"""
+
+
+@query("multimodal_cdc_chunks", _CDC_ORACLE)
+def q_multimodal_cdc_chunks(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Content-defined chunk manifest over the opaque binary payload:
+    gear-hash boundaries (32-byte rolling window, mask 64 → ~64-byte
+    chunks) → (doc_id, chunk_idx, start_byte, chunk_len, chunk_md5).
+    Boundaries re-synchronize after an edit, so near-identical
+    payloads share almost all chunk hashes — the
+    rsync/LBFS/backup-dedup primitive, and the production scale path
+    the stride-1 8-gram dedup queries name.
+
+    Scale shape: entirely map-side — per doc one nested HOF pass
+    (O(32·n_bytes), JVM-evaluated, no Python) and one explode to
+    ~n_bytes/64 manifest rows; zero exchanges before any downstream
+    chunk-hash groupBy. The 32-byte fixed window is what makes each
+    boundary a pure local function (no sequential scan, no
+    recursion)."""
+    from ..operators import multimodal
+
+    b = multimodal.attach_payload(_docs(spark, sf_dir)).select(
+        "doc_id", "payload"
+    )
+    d = b.select(
+        "doc_id",
+        F.lower(F.hex("payload")).alias("hx"),
+        F.length("payload").cast("bigint").alias("nb"),
+    )
+    # The gear table embeds as 256 int64 LITERALS (python md5 ==
+    # engine md5 of the same decimal strings). A transform()-built
+    # array column here would be project-collapsed into the lambda
+    # below and re-evaluated PER ELEMENT ACCESS (the round-9
+    # HOF-closure trap: 8M accesses x 256 md5 calls hung the first
+    # version); literals constant-fold instead.
+    g_lit = "array(" + ", ".join(f"{v}L" for v in _GEAR) + ")"
+    withbv = d.withColumn(
+        "bv",
+        F.expr(
+            "transform(sequence(0, cast(nb as int) - 1), "
+            "i -> cast(conv(substr(hx, i*2+1, 2), 16, 10) as bigint))"
+        ),
+        # localCheckpoint materializes bv as a physical array column —
+        # without the barrier CollapseProject inlines the transform()
+        # into every element_at() below (same trap as the gear table)
+    ).localCheckpoint(eager=False)
+    cuts = withbv.withColumn(
+        "cuts",
+        F.expr(
+            f"""
+filter(sequence(0, cast(nb as int) - 1),
+  p -> aggregate(
+         transform(sequence(0, cast(least(p + 1, 32) as int) - 1),
+           j -> (element_at({g_lit},
+                            cast(element_at(bv, p - j + 1) as int) + 1)
+                 * shiftleft(1L, j)) % 4294967296L),
+         0L, (a, b) -> (a + b) % 4294967296L) % 64 = 0
+       AND p >= 31)
+"""
+        ),
+    ).select("doc_id", "hx", "nb", "cuts")
+    spans = cuts.select(
+        "doc_id",
+        "hx",
+        "nb",
+        "cuts",
+        F.explode(
+            F.sequence(F.lit(0), F.size("cuts"))
+        ).alias("ci"),
+    ).select(
+        "doc_id",
+        "hx",
+        F.col("ci").cast("bigint").alias("chunk_idx"),
+        F.when(F.col("ci") == 0, F.lit(0))
+        .otherwise(F.get("cuts", F.col("ci") - 1) + 1)
+        .cast("bigint")
+        .alias("s"),
+        F.when(
+            F.col("ci") == F.size("cuts"), F.col("nb") - 1
+        )
+        .otherwise(F.get("cuts", F.col("ci")))
+        .cast("bigint")
+        .alias("e"),
+    )
+    return spans.select(
+        "doc_id",
+        "chunk_idx",
+        F.col("s").alias("start_byte"),
+        (F.col("e") - F.col("s") + 1).alias("chunk_len"),
+        F.md5(
+            F.expr(
+                "substr(hx, cast(s * 2 + 1 as int), "
+                "cast((e - s + 1) * 2 as int))"
+            )
+        ).alias("chunk_md5"),
+    )

@@ -348,3 +348,64 @@ class TestMarkovAttribution:
             effects[r["channel"]] = r["removal_effect"]
         # falsifiability: the chain is data-driven, so effects differ
         assert len(set(effects.values())) > 1
+
+
+class TestCdcChunks:
+    @pytest.fixture(scope="class")
+    def chunks(self, spark):
+        return registry.QUERIES["multimodal_cdc_chunks"](
+            spark, SF
+        ).cache()
+
+    def test_chunks_tile_each_payload(self, spark, chunks):
+        docs = spark.read.parquet(f"{SF}/documents.parquet")
+        sizes = {
+            r["doc_id"]: len(r["text"].encode())
+            for r in docs.collect()
+        }
+        agg = chunks.groupBy("doc_id").agg(
+            F.sum("chunk_len").alias("tot"),
+            F.count("*").alias("n"),
+            F.min("start_byte").alias("mn"),
+        ).collect()
+        assert len(agg) == len(sizes)
+        for r in agg:
+            assert r["tot"] == sizes[r["doc_id"]]
+            assert r["mn"] == 0
+        # consecutive chunks abut: start_{i+1} = start_i + len_i
+        rows = chunks.orderBy("doc_id", "chunk_idx").collect()
+        prev = None
+        for r in rows:
+            if prev and prev["doc_id"] == r["doc_id"]:
+                assert (
+                    r["start_byte"]
+                    == prev["start_byte"] + prev["chunk_len"]
+                )
+            prev = r
+
+    def test_mean_chunk_near_mask_target(self, chunks):
+        row = chunks.agg(F.avg("chunk_len")).collect()[0]
+        assert 32 <= row[0] <= 128  # mask 64, window 32 floor
+
+    def test_near_dup_payloads_share_chunks(self, spark, chunks):
+        """The CDC selling point: boundaries re-synchronize after an
+        edit, so a near-dup pair shares most chunk hashes — where
+        fixed-offset blocks would diverge after the first edit."""
+        pairs = registry.QUERIES["dedup_payload_shingle"](
+            spark, SF
+        ).orderBy(F.desc("jaccard")).limit(1).collect()
+        top = pairs[0]
+        by_doc = {
+            d: {
+                r["chunk_md5"]
+                for r in chunks.filter(
+                    F.col("doc_id") == d
+                ).collect()
+            }
+            for d in (top["doc_a"], top["doc_b"])
+        }
+        a, b = by_doc[top["doc_a"]], by_doc[top["doc_b"]]
+        shared = len(a & b) / min(len(a), len(b))
+        assert shared >= 0.5, (
+            f"near-dup pair shares only {shared:.0%} of chunks"
+        )
