@@ -162,6 +162,17 @@ SHOWCASE = [
     "sim_ivf_nprobe_recall_curve",
     "text_textrank_keywords",
     "join_asof_tolerance",
+    # round-12 additions
+    "docs_pack_bestfit",
+    "docs_pack_efficiency",
+    "dedup_payload_shingle",
+    "docs_mix_capped_alloc",
+    "dedup_payload_incremental",
+    "docs_dup_spectrum",
+    "docs_dup_maxrun",
+    "events_attribution_models",
+    "events_attribution_markov",
+    "multimodal_cdc_chunks",
 ]
 
 
