@@ -245,6 +245,7 @@ EXT_HEADLINE = [
     "events_attribution_models",
     "events_attribution_markov",
     "multimodal_cdc_chunks",
+    "multimodal_cdc_dedup_ratio",
 ]
 
 

@@ -1563,3 +1563,67 @@ filter(sequence(0, cast(nb as int) - 1),
             )
         ).alias("chunk_md5"),
     )
+
+
+# -- CDC chunk-store dedup ratio ------------------------------------------------
+# The backup-dedup headline number the chunk manifest exists for:
+# store every chunk once, keyed by content hash — how many bytes does
+# the chunk store hold vs the logical corpus? (The multimodal twin of
+# docs_dedup_impact_tokens.) Unique-chunk bytes charge each distinct
+# chunk_md5 its first occurrence's length (lengths are equal for
+# equal content — md5 collision posture as everywhere).
+
+_CDC_DEDUP_ORACLE = f"""
+WITH manifest AS MATERIALIZED (
+{_CDC_ORACLE}
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_chunks,
+       CAST(COUNT(DISTINCT chunk_md5) AS BIGINT) AS n_unique_chunks,
+       CAST(SUM(chunk_len) AS BIGINT) AS logical_bytes,
+       CAST((SELECT SUM(l) FROM (
+            SELECT MIN(chunk_len) AS l FROM manifest GROUP BY chunk_md5
+       )) AS BIGINT) AS stored_bytes,
+       CAST(SUM(chunk_len) AS DOUBLE) / CAST((SELECT SUM(l) FROM (
+            SELECT MIN(chunk_len) AS l FROM manifest GROUP BY chunk_md5
+       )) AS DOUBLE) AS dedup_ratio
+FROM manifest
+"""
+
+
+@query("multimodal_cdc_dedup_ratio", _CDC_DEDUP_ORACLE)
+def q_multimodal_cdc_dedup_ratio(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Chunk-store deduplication ratio over the CDC manifest: store
+    every distinct chunk once → (n_chunks, n_unique_chunks,
+    logical_bytes, stored_bytes, dedup_ratio). The headline number a
+    content-addressed blob store reports, and the payoff measurement
+    for multimodal_cdc_chunks' boundary re-synchronization: near-dup
+    payloads collapse onto shared chunks, so dedup_ratio > 1 exactly
+    when the corpus carries byte-level redundancy.
+
+    Scale shape: the manifest pass (map-only) + ONE chunk_md5-keyed
+    groupBy (map-side combined) + one-row aggregates. Nothing else."""
+    m = q_multimodal_cdc_chunks(spark, sf_dir).localCheckpoint(
+        eager=False
+    )
+    stored = m.groupBy("chunk_md5").agg(
+        F.min("chunk_len").alias("l")
+    ).agg(F.sum("l").cast("bigint").alias("stored_bytes"))
+    tot = m.agg(
+        F.count("*").cast("bigint").alias("n_chunks"),
+        F.count_distinct("chunk_md5").cast("bigint").alias(
+            "n_unique_chunks"
+        ),
+        F.sum("chunk_len").cast("bigint").alias("logical_bytes"),
+    )
+    return tot.crossJoin(F.broadcast(stored)).select(
+        "n_chunks",
+        "n_unique_chunks",
+        "logical_bytes",
+        "stored_bytes",
+        (
+            F.col("logical_bytes").cast("double")
+            / F.col("stored_bytes").cast("double")
+        ).alias("dedup_ratio"),
+    )

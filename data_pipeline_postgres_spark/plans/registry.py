@@ -53,9 +53,10 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 # dedup_payload_shingle, docs_mix_capped_alloc,
 # dedup_payload_incremental, docs_dup_spectrum, stream_payload_dedup,
 # docs_dup_maxrun, events_attribution_models,
-# events_attribution_markov, multimodal_cdc_chunks — all locally
+# events_attribution_markov, multimodal_cdc_chunks,
+# multimodal_cdc_dedup_ratio — all locally
 # oracle-verified at sf0.001 + sf0.01 with the inline Arrow type
-# audit), then the remaining 35 round-6 rows (11 + 35 = 46)
+# audit), then the remaining 35 round-6 rows (12 + 35 = 47)
 # (docs_shuffle_shard onward alphabetically: docs_split_train_val,
 # emb_quantize, emb_random_projection, events_forward_fill,
 # events_funnel_batch, join_asof, join_asof_forward,

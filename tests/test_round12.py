@@ -409,3 +409,21 @@ class TestCdcChunks:
         assert shared >= 0.5, (
             f"near-dup pair shares only {shared:.0%} of chunks"
         )
+
+
+class TestCdcDedupRatio:
+    def test_ratio_consistent_with_manifest(self, spark):
+        row = registry.QUERIES["multimodal_cdc_dedup_ratio"](
+            spark, SF
+        ).collect()[0]
+        assert row["n_unique_chunks"] <= row["n_chunks"]
+        assert row["stored_bytes"] <= row["logical_bytes"]
+        # the corpus plants near-dup payloads, so byte-level
+        # redundancy must exist — the ratio is falsifiably > 1
+        assert row["dedup_ratio"] > 1.0
+        m = registry.QUERIES["multimodal_cdc_chunks"](spark, SF)
+        assert row["n_chunks"] == m.count()
+        assert (
+            row["n_unique_chunks"]
+            == m.select("chunk_md5").distinct().count()
+        )

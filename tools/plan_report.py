@@ -173,6 +173,7 @@ SHOWCASE = [
     "events_attribution_models",
     "events_attribution_markov",
     "multimodal_cdc_chunks",
+    "multimodal_cdc_dedup_ratio",
 ]
 
 
