@@ -1,20 +1,26 @@
-"""Round-12 query additions (SURVEY.md §2.11 [EXT]): the three
-highest-value items from the round-11 verdict's unfreeze list —
+"""Round-12 query additions (SURVEY.md §2.11/§2.12 [EXT]) — the
+round-11 verdict's unfreeze list plus the families it opened:
 
 - ``docs_pack_bestfit`` + ``docs_pack_efficiency``: first-fit-
-  decreasing sequence packing over power-of-two length classes (shelf
-  packing — no document ever splits), and the one-row layout
-  comparison against concatenate-and-chunk that
-  ``docs_pack_fragmentation`` exists to motivate;
-- ``dedup_payload_shingle``: PAYLOAD-level near-duplicate detection
-  over the opaque binary column — byte 8-gram Jaccard with a
-  document-frequency cap — completing the dedup matrix
-  (text / embedding / URL / **bytes**);
-- ``docs_mix_capped_alloc``: the constrained mixture-weight solver —
-  temperature allocation (docs_mix_temperature_alloc) iterated under
-  per-source availability caps with excess redistribution
-  (water-filling), unrolled to a fixed round count like the graph
-  fixpoints.
+  decreasing shelf packing over power-of-two length classes (no
+  document ever splits) and the layout-decision row against
+  concatenate-and-chunk;
+- the BYTES tier of the dedup matrix: ``dedup_payload_shingle``
+  (rare byte-8-gram Jaccard pairs), ``dedup_payload_incremental``
+  (batch-vs-corpus containment), ``stream_payload_dedup`` (streaming
+  gram-index twin), ``multimodal_cdc_chunks`` (content-defined
+  gear-hash chunk manifest — the production byte-dedup primitive),
+  and ``multimodal_cdc_dedup_ratio`` (chunk-store payoff number);
+- exact-substring dedup diagnostics by HASH DOUBLING
+  (operators/textdup.py): ``docs_dup_spectrum`` (corpus duplication
+  mass per window length 2^k) and ``docs_dup_maxrun`` (per-doc
+  removal criterion);
+- ``docs_mix_capped_alloc``: the constrained mixture-weight solver
+  (water-filling under per-source caps, unrolled + convergence-
+  asserted);
+- attribution: ``events_attribution_models`` (first/last/linear in
+  one pass) and ``events_attribution_markov`` (removal effects over
+  the journey chain).
 
 Conventions identical to queries_r9/r11: every computed column
 aliased the same in the Spark plan and the DuckDB oracle; counts CAST
