@@ -246,6 +246,14 @@ EXT_HEADLINE = [
     "events_attribution_markov",
     "multimodal_cdc_chunks",
     "multimodal_cdc_dedup_ratio",
+    "customers_k_anonymity",
+    "profile_dq_constraints",
+    "docs_score_auc",
+    "customers_kaplan_meier",
+    "layout_compaction_plan",
+    "orders_seasonal_decompose",
+    "docs_mix_temperature",
+    "tokenizer_coverage_curve",
 ]
 
 

@@ -1633,3 +1633,870 @@ def q_multimodal_cdc_dedup_ratio(
             / F.col("stored_bytes").cast("double")
         ).alias("dedup_ratio"),
     )
+
+
+# =============================================================================
+# Round-12 second batch: governance, evaluation, and layout families
+# absent from the first 344 queries — privacy audit (k-anonymity),
+# Deequ-style declarative data-quality constraints, exact rank AUC,
+# Kaplan-Meier survival, small-file compaction planning, classical
+# seasonal decomposition, temperature-scaled mixture weights, and the
+# tokenizer coverage curve. Same conventions: scalar columns only,
+# BIGINT casts on every count, float only in single shared-literal
+# divisions or floor-quantized micro-units.
+# =============================================================================
+
+
+def _customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "customer")
+
+
+def _orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "orders")
+
+
+# -- Privacy: k-anonymity / l-diversity audit ---------------------------------
+# Release-readiness audit of the customer table under the
+# quasi-identifier pair (nation, market segment): every row in a QI
+# group of size k is k-anonymous; the sensitive attribute here is the
+# account-balance $1000 bucket, whose distinct count per group is its
+# l-diversity. The report buckets QI groups into k-bands — the shape a
+# privacy reviewer reads ("how many rows sit in groups smaller than
+# 5?").
+
+_KANON_ORACLE = """
+WITH g AS (
+    SELECT c_nationkey, c_mktsegment,
+           COUNT(*) AS k,
+           COUNT(DISTINCT CAST(FLOOR(c_acctbal / 1000.0) AS BIGINT))
+               AS l
+    FROM customer
+    GROUP BY 1, 2
+),
+banded AS (
+    SELECT CASE WHEN k < 2 THEN '1'
+                WHEN k < 5 THEN '2-4'
+                WHEN k < 10 THEN '5-9'
+                ELSE '10+' END AS k_band,
+           k, l
+    FROM g
+)
+SELECT k_band,
+       CAST(COUNT(*) AS BIGINT) AS n_groups,
+       CAST(SUM(k) AS BIGINT) AS n_rows,
+       CAST(MIN(k) AS BIGINT) AS min_k,
+       CAST(MIN(l) AS BIGINT) AS min_l
+FROM banded
+GROUP BY k_band
+"""
+
+
+@query("customers_k_anonymity", _KANON_ORACLE)
+def q_customers_k_anonymity(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Privacy audit: k-anonymity of the customer table under the
+    quasi-identifier (c_nationkey, c_mktsegment), with l-diversity of
+    the $1000 account-balance bucket as the sensitive attribute →
+    one row per k-band (1 / 2-4 / 5-9 / 10+): (k_band, n_groups,
+    n_rows, min_k, min_l). The per-band row count is exactly the
+    population a generalization/suppression pass would have to touch
+    to reach k=5 or k=10.
+
+    Scale shape: ONE QI-keyed shuffle (count + distinct-sensitive via
+    the standard two-phase distinct expansion), then a 4-row band
+    rollup — group count is bounded by |nations|x|segments|, never by
+    row count. The sensitive bucket is FLOOR over one shared double
+    division (exact for |acctbal| < 2^53 cents), so both engines band
+    identically."""
+    c = _customer(spark, sf_dir)
+    sens = F.floor(F.col("c_acctbal") / F.lit(1000.0)).cast("bigint")
+    g = (
+        c.select("c_nationkey", "c_mktsegment", sens.alias("sens"))
+        .groupBy("c_nationkey", "c_mktsegment")
+        .agg(
+            F.count("*").alias("k"),
+            F.count_distinct("sens").alias("l"),
+        )
+    )
+    band = (
+        F.when(F.col("k") < 2, F.lit("1"))
+        .when(F.col("k") < 5, F.lit("2-4"))
+        .when(F.col("k") < 10, F.lit("5-9"))
+        .otherwise(F.lit("10+"))
+    )
+    return g.groupBy(band.alias("k_band")).agg(
+        F.count("*").cast("bigint").alias("n_groups"),
+        F.sum("k").cast("bigint").alias("n_rows"),
+        F.min("k").cast("bigint").alias("min_k"),
+        F.min("l").cast("bigint").alias("min_l"),
+    )
+
+
+# -- Deequ-style declarative data-quality constraint suite --------------------
+# One row per declared constraint, (check_name, tbl, violations,
+# total, passed) — the unit-test-for-data shape (Deequ / dbt tests /
+# Great Expectations). The suite deliberately mixes constraints that
+# PASS on the generator's data (uniqueness, both FKs, status domain,
+# completeness) with range constraints that FAIL (quantity <= 45,
+# totalprice <= 450k, acctbal >= 0), so both branches of every
+# comparison are exercised — a suite that can only ever report zero
+# violations would be unfalsifiable.
+
+_DQ_ORACLE = """
+WITH cust AS (
+    SELECT CAST(COUNT(*) - COUNT(DISTINCT c_custkey) AS BIGINT)
+               AS dup_keys,
+           CAST(SUM(CASE WHEN c_acctbal < 0 THEN 1 ELSE 0 END)
+               AS BIGINT) AS neg_bal,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM customer
+),
+ord AS (
+    SELECT CAST(SUM(CASE WHEN o.o_orderstatus NOT IN ('O', 'F', 'P')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS bad_status,
+           CAST(SUM(CASE WHEN o.o_totalprice > 450000.0
+                         THEN 1 ELSE 0 END) AS BIGINT) AS big_price,
+           CAST(SUM(CASE WHEN c.c_custkey IS NULL
+                         THEN 1 ELSE 0 END) AS BIGINT) AS fk_miss,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM orders o LEFT JOIN customer c ON o.o_custkey = c.c_custkey
+),
+li AS (
+    SELECT CAST(SUM(CASE WHEN l.l_quantity > 45.0
+                         THEN 1 ELSE 0 END) AS BIGINT) AS big_qty,
+           CAST(SUM(CASE WHEN o.o_orderkey IS NULL
+                         THEN 1 ELSE 0 END) AS BIGINT) AS fk_miss,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM lineitem l LEFT JOIN orders o ON l.l_orderkey = o.o_orderkey
+),
+doc AS (
+    SELECT CAST(SUM(CASE WHEN text IS NULL OR trim(text) = ''
+                         THEN 1 ELSE 0 END) AS BIGINT) AS empty_text,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM documents
+)
+SELECT * FROM (
+    SELECT 'unique_c_custkey' AS check_name, 'customer' AS tbl,
+           dup_keys AS violations, n AS total FROM cust
+    UNION ALL
+    SELECT 'nonneg_c_acctbal', 'customer', neg_bal, n FROM cust
+    UNION ALL
+    SELECT 'domain_o_orderstatus', 'orders', bad_status, n FROM ord
+    UNION ALL
+    SELECT 'max_o_totalprice_450k', 'orders', big_price, n FROM ord
+    UNION ALL
+    SELECT 'fk_orders_customer', 'orders', fk_miss, n FROM ord
+    UNION ALL
+    SELECT 'max_l_quantity_45', 'lineitem', big_qty, n FROM li
+    UNION ALL
+    SELECT 'fk_lineitem_orders', 'lineitem', fk_miss, n FROM li
+    UNION ALL
+    SELECT 'nonempty_text', 'documents', empty_text, n FROM doc
+)
+"""
+
+
+@query("profile_dq_constraints", _DQ_ORACLE)
+def q_profile_dq_constraints(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Declarative data-quality constraint suite (the Deequ / dbt-test
+    shape): 8 constraints over 4 tables — key uniqueness, two
+    referential-integrity checks, a value domain, two range rules, a
+    non-negativity rule, and text completeness — evaluated in ONE pass
+    per table → (check_name, tbl, violations, total). Range rules are
+    tuned to genuinely fire on the generator's data (qty>45,
+    price>450k, acctbal<0) so the suite exercises both the pass and
+    fail branches.
+
+    Scale shape: per-table checks fuse into a single aggregate scan of
+    that table (no per-check rescans); each FK check is one key-keyed
+    LEFT join counted in the same pass as its sibling checks — at
+    cluster scale these are the only two shuffles, both on natural
+    join keys. The report itself is a constant 8-row union."""
+    cust = _customer(spark, sf_dir).select(
+        "c_custkey", "c_acctbal"
+    )
+    orders = _orders(spark, sf_dir)
+    li = load_table(spark, sf_dir, "lineitem")
+    docs = _docs(spark, sf_dir)
+
+    b = lambda c: F.sum(F.when(c, 1).otherwise(0)).cast("bigint")
+
+    cust_a = cust.agg(
+        (F.count("*") - F.count_distinct("c_custkey"))
+        .cast("bigint")
+        .alias("dup_keys"),
+        b(F.col("c_acctbal") < 0).alias("neg_bal"),
+        F.count("*").cast("bigint").alias("n"),
+    )
+    ord_j = orders.join(
+        cust.select("c_custkey"),
+        orders["o_custkey"] == F.col("c_custkey"),
+        "left",
+    )
+    ord_a = ord_j.agg(
+        b(~F.col("o_orderstatus").isin("O", "F", "P")).alias(
+            "bad_status"
+        ),
+        b(F.col("o_totalprice") > 450000.0).alias("big_price"),
+        b(F.col("c_custkey").isNull()).alias("fk_miss"),
+        F.count("*").cast("bigint").alias("n"),
+    )
+    li_j = li.select("l_orderkey", "l_quantity").join(
+        orders.select("o_orderkey"),
+        F.col("l_orderkey") == F.col("o_orderkey"),
+        "left",
+    )
+    li_a = li_j.agg(
+        b(F.col("l_quantity") > 45.0).alias("big_qty"),
+        b(F.col("o_orderkey").isNull()).alias("fk_miss"),
+        F.count("*").cast("bigint").alias("n"),
+    )
+    doc_a = docs.agg(
+        b(
+            F.col("text").isNull() | (F.trim("text") == "")
+        ).alias("empty_text"),
+        F.count("*").cast("bigint").alias("n"),
+    )
+
+    def row(src, name, tbl, vcol):
+        return src.select(
+            F.lit(name).alias("check_name"),
+            F.lit(tbl).alias("tbl"),
+            F.col(vcol).alias("violations"),
+            F.col("n").alias("total"),
+        )
+
+    return (
+        row(cust_a, "unique_c_custkey", "customer", "dup_keys")
+        .unionAll(row(cust_a, "nonneg_c_acctbal", "customer",
+                      "neg_bal"))
+        .unionAll(row(ord_a, "domain_o_orderstatus", "orders",
+                      "bad_status"))
+        .unionAll(row(ord_a, "max_o_totalprice_450k", "orders",
+                      "big_price"))
+        .unionAll(row(ord_a, "fk_orders_customer", "orders",
+                      "fk_miss"))
+        .unionAll(row(li_a, "max_l_quantity_45", "lineitem",
+                      "big_qty"))
+        .unionAll(row(li_a, "fk_lineitem_orders", "lineitem",
+                      "fk_miss"))
+        .unionAll(row(doc_a, "nonempty_text", "documents",
+                      "empty_text"))
+    )
+
+
+# -- Exact rank AUC (Mann-Whitney) for a per-doc score ------------------------
+# The evaluation metric the NB/quality classifiers have been missing:
+# one-vs-rest AUC of a document score per language, computed EXACTLY
+# as integers. With midrank tie handling, 2U = sum over score values
+# v of P_v * (2*N_below(v) + N_v), all integers, so the result ships
+# as a (numerator, denominator) pair — no float enters the query at
+# all. The score here is n_chars (any per-doc score column slots in);
+# the metric machinery is the point.
+
+_AUC_ORACLE = """
+WITH per AS (
+    SELECT n_chars AS score, lang, COUNT(*) AS c
+    FROM documents GROUP BY 1, 2
+),
+tot AS (SELECT score, SUM(c) AS t FROM per GROUP BY 1),
+langs AS (SELECT DISTINCT lang FROM documents),
+grid AS (
+    SELECT t.score, l.lang, t.t,
+           COALESCE(p.c, 0) AS c
+    FROM tot t CROSS JOIN langs l
+    LEFT JOIN per p ON p.score = t.score AND p.lang = l.lang
+),
+cum AS (
+    SELECT score, lang, t, c,
+           COALESCE(SUM(t) OVER (PARTITION BY lang ORDER BY score
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS t_below,
+           COALESCE(SUM(c) OVER (PARTITION BY lang ORDER BY score
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS c_below
+    FROM grid
+)
+SELECT lang,
+       CAST(SUM(c) AS BIGINT) AS n_pos,
+       CAST(SUM(t - c) AS BIGINT) AS n_neg,
+       CAST(SUM(c * (2 * (t_below - c_below) + (t - c)))
+           AS BIGINT) AS auc_num,
+       CAST(2 * SUM(c) * SUM(t - c) AS BIGINT) AS auc_den
+FROM cum
+GROUP BY lang
+"""
+
+
+@query("docs_score_auc", _AUC_ORACLE)
+def q_docs_score_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classifier-evaluation primitive: EXACT one-vs-rest rank AUC
+    (Mann-Whitney with midrank ties) of a per-document score — here
+    n_chars — against each language label → (lang, n_pos, n_neg,
+    auc_num, auc_den) with AUC = auc_num/auc_den. Everything stays in
+    integer arithmetic: 2U = sum_v P_v*(2*N_below + N_v), so the
+    result is hash-exact with no quantization at all — the pattern any
+    model-score column (NB log-odds, quality score) slots into.
+
+    Scale shape: the heavy input collapses to per-(score,lang) counts
+    in ONE shuffle; the cumulative windows then run over the DISTINCT
+    SCORE VALUES (bounded by the max document length in chars — 313
+    values at sf0.01 — never by corpus size) crossed with the ~5-row
+    language relation. A data-sized corpus never enters a window."""
+    docs = _docs(spark, sf_dir)
+    per = (
+        docs.select(F.col("n_chars").alias("score"), "lang")
+        .groupBy("score", "lang")
+        .agg(F.count("*").alias("c"))
+    )
+    tot = per.groupBy("score").agg(F.sum("c").alias("t"))
+    langs = docs.select("lang").distinct()
+    grid = (
+        tot.crossJoin(F.broadcast(langs))
+        .join(per, ["score", "lang"], "left")
+        .withColumn("c", F.coalesce(F.col("c"), F.lit(0)))
+    )
+    w = (
+        Window.partitionBy("lang")
+        .orderBy("score")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    cum = grid.select(
+        "lang",
+        "t",
+        "c",
+        F.coalesce(F.sum("t").over(w), F.lit(0)).alias("t_below"),
+        F.coalesce(F.sum("c").over(w), F.lit(0)).alias("c_below"),
+    )
+    return cum.groupBy("lang").agg(
+        F.sum("c").cast("bigint").alias("n_pos"),
+        F.sum(F.col("t") - F.col("c")).cast("bigint").alias("n_neg"),
+        F.sum(
+            F.col("c")
+            * (
+                2 * (F.col("t_below") - F.col("c_below"))
+                + (F.col("t") - F.col("c"))
+            )
+        )
+        .cast("bigint")
+        .alias("auc_num"),
+        (2 * F.sum("c") * F.sum(F.col("t") - F.col("c")))
+        .cast("bigint")
+        .alias("auc_den"),
+    )
+
+
+# -- Kaplan-Meier survival over customer purchase lifetimes -------------------
+# Survival analysis enters the engine: per customer, lifetime = days
+# between first and last order; a customer whose last order predates
+# the censor horizon (global max order date minus 90 days) CHURNED at
+# that lifetime, everyone else is right-censored at the data edge.
+# The KM estimator over 90-day lifetime bins: S(b) = prod_{b'<=b}
+# (n_b' - d_b')/n_b'. The product ships as the cumulative sum of
+# floor-quantized ln factors (exact integer sums; the ln itself
+# carries the usual sub-ulp cross-engine residual risk, same posture
+# as the other quantized-float oracles).
+
+_KM_ORACLE = """
+WITH horizon AS (
+    SELECT CAST(MAX(o_orderdate) AS DATE) AS w,
+           CAST(MAX(o_orderdate) AS DATE) - INTERVAL 90 DAY AS cdate
+    FROM orders
+),
+cust AS (
+    SELECT o_custkey,
+           CAST(MIN(o_orderdate) AS DATE) AS f,
+           CAST(MAX(o_orderdate) AS DATE) AS l
+    FROM orders GROUP BY 1
+),
+obs AS (
+    SELECT CASE WHEN c.l < h.cdate THEN 1 ELSE 0 END AS event,
+           CASE WHEN c.l < h.cdate
+                THEN date_diff('day', c.f, c.l)
+                ELSE date_diff('day', c.f, h.w) END AS t
+    FROM cust c CROSS JOIN horizon h
+),
+bins AS (
+    SELECT CAST(FLOOR(t / 90.0) AS BIGINT) AS t_bin,
+           CAST(SUM(event) AS BIGINT) AS d_events,
+           CAST(SUM(1 - event) AS BIGINT) AS c_censored
+    FROM obs GROUP BY 1
+),
+risk AS (
+    SELECT t_bin, d_events, c_censored,
+           CAST(SUM(d_events + c_censored) OVER (ORDER BY t_bin DESC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS BIGINT) AS n_risk
+    FROM bins
+)
+SELECT t_bin, n_risk, d_events, c_censored,
+       CASE WHEN MAX(CASE WHEN d_events >= n_risk THEN 1 ELSE 0 END)
+                 OVER (ORDER BY t_bin
+                       ROWS BETWEEN UNBOUNDED PRECEDING
+                       AND CURRENT ROW) = 1
+            THEN NULL
+            ELSE CAST(SUM(CASE WHEN d_events = 0 THEN 0
+                     ELSE CAST(FLOOR(ln(
+                          CAST(n_risk - d_events AS DOUBLE)
+                          / CAST(n_risk AS DOUBLE)) * 1000000000.0)
+                          AS BIGINT) END)
+                 OVER (ORDER BY t_bin
+                       ROWS BETWEEN UNBOUNDED PRECEDING
+                       AND CURRENT ROW) AS BIGINT)
+       END AS km_logq_nano
+FROM risk
+"""
+
+
+@query("customers_kaplan_meier", _KM_ORACLE)
+def q_customers_kaplan_meier(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Kaplan-Meier survival curve over customer purchase lifetimes
+    (churn = no order within 90 days of the data edge) in 90-day
+    lifetime bins → (t_bin, n_risk, d_events, c_censored,
+    km_logq_nano) where S(b) = exp(km_logq_nano / 1e9). The at-risk
+    count is the standard reverse-cumulative of events+censored; the
+    survival product ships as a cumulative sum of nano-quantized
+    ln((n-d)/n) factors — integer-exact sums, with only the ln's
+    sub-ulp libm divergence as residual cross-engine risk. If any bin
+    exhausts its risk set (d = n), survival is exactly 0 from that
+    bin on and the log emits NULL.
+
+    Scale shape: one custkey-keyed aggregate over orders (min/max
+    date), a 1-row broadcast horizon, then ALL windows run over the
+    ~28-row calendar-bounded bin relation. Nothing data-sized is ever
+    sorted or windowed."""
+    o = _orders(spark, sf_dir)
+    horizon = o.agg(
+        F.max(F.col("o_orderdate").cast("date")).alias("w")
+    ).select(
+        "w", F.date_sub(F.col("w"), 90).alias("cdate")
+    )
+    cust = o.groupBy("o_custkey").agg(
+        F.min(F.col("o_orderdate").cast("date")).alias("f"),
+        F.max(F.col("o_orderdate").cast("date")).alias("l"),
+    )
+    obs = cust.crossJoin(F.broadcast(horizon)).select(
+        F.when(F.col("l") < F.col("cdate"), 1)
+        .otherwise(0)
+        .alias("event"),
+        F.when(
+            F.col("l") < F.col("cdate"),
+            F.datediff(F.col("l"), F.col("f")),
+        )
+        .otherwise(F.datediff(F.col("w"), F.col("f")))
+        .alias("t"),
+    )
+    bins = obs.groupBy(
+        F.floor(F.col("t") / F.lit(90.0)).cast("bigint").alias(
+            "t_bin"
+        )
+    ).agg(
+        F.sum("event").cast("bigint").alias("d_events"),
+        F.sum(1 - F.col("event")).cast("bigint").alias("c_censored"),
+    )
+    w_desc = (
+        Window.orderBy(F.col("t_bin").desc())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    risk = bins.withColumn(
+        "n_risk",
+        F.sum(F.col("d_events") + F.col("c_censored")).over(w_desc),
+    )
+    w_asc = Window.orderBy("t_bin").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    lnq = F.when(F.col("d_events") == 0, F.lit(0)).otherwise(
+        F.floor(
+            F.log(
+                (F.col("n_risk") - F.col("d_events")).cast("double")
+                / F.col("n_risk").cast("double")
+            )
+            * F.lit(1000000000.0)
+        ).cast("bigint")
+    )
+    zero_hit = F.max(
+        F.when(F.col("d_events") >= F.col("n_risk"), 1).otherwise(0)
+    ).over(w_asc)
+    return risk.select(
+        "t_bin",
+        "n_risk",
+        "d_events",
+        "c_censored",
+        F.when(zero_hit == 1, F.lit(None).cast("bigint"))
+        .otherwise(F.sum(lnq).over(w_asc))
+        .alias("km_logq_nano"),
+    )
+
+
+# -- Small-file compaction planning (the OPTIMIZE planner) --------------------
+# The table-maintenance op every lakehouse runs: given a file
+# manifest (here simulated from orders as ~32 files per month
+# partition at 128 bytes/row), plan which files merge into which
+# compacted output. The assignment is start-offset binning — a file
+# belongs to bin floor(start_offset / target) of its partition — so
+# the plan is pure prefix-sum arithmetic: deterministic, and every
+# bin lands within one file of the target size (greedy-equivalent for
+# the tail-packing this op needs).
+
+_COMPACT_TARGET = 2048  # bytes per compacted output file
+_COMPACT_ORACLE = f"""
+WITH files AS (
+    SELECT date_trunc('month', o_orderdate) AS part_month,
+           o_orderkey % 32 AS file_id,
+           CAST(COUNT(*) * 128 AS BIGINT) AS bytes
+    FROM orders GROUP BY 1, 2
+),
+placed AS (
+    SELECT part_month, file_id, bytes,
+           COALESCE(SUM(bytes) OVER (PARTITION BY part_month
+               ORDER BY file_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS start_off
+    FROM files
+)
+SELECT CAST(part_month AS DATE) AS part_month,
+       CAST(FLOOR(start_off / {_COMPACT_TARGET}.0) AS BIGINT)
+           AS bin_id,
+       CAST(COUNT(*) AS BIGINT) AS n_files,
+       CAST(SUM(bytes) AS BIGINT) AS bytes_total
+FROM placed
+GROUP BY 1, 2
+"""
+
+
+@query("layout_compaction_plan", _COMPACT_ORACLE)
+def q_layout_compaction_plan(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Small-file compaction planner (the OPTIMIZE/rewrite-data-files
+    planning step): from a per-partition file manifest — simulated
+    here as (month, o_orderkey%32) files at 128 bytes/row — assign
+    every file to a compacted output via start-offset binning at a
+    2048-byte target → (part_month, bin_id, n_files, bytes_total).
+    A file joins bin floor(start_offset/target), so each output lands
+    within one input file of the target and the merge plan needs no
+    sequential scan.
+
+    Scale shape: the manifest aggregate is one (partition,file)-keyed
+    shuffle; the prefix sum runs inside each partition's <=32-row file
+    list (bounded by files-per-partition, the quantity compaction
+    exists to bound — never by row count); the plan rollup reuses the
+    same partitioning. At cluster scale this is the exact shape of a
+    metadata-table scan: rows never move, only the manifest does."""
+    o = _orders(spark, sf_dir)
+    files = o.groupBy(
+        F.date_trunc("month", "o_orderdate").alias("part_month"),
+        (F.col("o_orderkey") % 32).alias("file_id"),
+    ).agg((F.count("*") * 128).cast("bigint").alias("bytes"))
+    w = (
+        Window.partitionBy("part_month")
+        .orderBy("file_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    placed = files.withColumn(
+        "start_off", F.coalesce(F.sum("bytes").over(w), F.lit(0))
+    )
+    return placed.groupBy(
+        F.col("part_month").cast("date").alias("part_month"),
+        F.floor(
+            F.col("start_off") / F.lit(float(_COMPACT_TARGET))
+        )
+        .cast("bigint")
+        .alias("bin_id"),
+    ).agg(
+        F.count("*").cast("bigint").alias("n_files"),
+        F.sum("bytes").cast("bigint").alias("bytes_total"),
+    )
+
+
+# -- Classical seasonal decomposition (ratio-to-moving-average) ---------------
+# The pre-Holt-Winters classic: monthly revenue over a centered 2x12
+# moving average gives detrended ratios; averaging ratios by
+# month-of-year gives the seasonal index. Everything up to the single
+# ratio division stays in exact integers: monthly revenue in cents
+# (decimal-exact sum), the 24x-scaled centered MA as lag6 + lead6 +
+# 2*sum(t-5..t+5) of those integers, and the per-month index as a SUM
+# of nano-quantized ratios plus a count (no float mean crosses the
+# hash).
+
+_SEASONAL_ORACLE = """
+WITH m AS (
+    SELECT date_trunc('month', o_orderdate) AS m,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) * 100
+               AS BIGINT) AS rc
+    FROM orders GROUP BY 1
+),
+win AS (
+    SELECT m, rc,
+           lag(rc, 6) OVER (ORDER BY m) AS l6,
+           lead(rc, 6) OVER (ORDER BY m) AS f6,
+           SUM(rc) OVER (ORDER BY m
+               ROWS BETWEEN 5 PRECEDING AND 5 FOLLOWING) AS inner_s,
+           COUNT(*) OVER (ORDER BY m
+               ROWS BETWEEN 6 PRECEDING AND 6 FOLLOWING) AS n13
+    FROM m
+),
+ratio AS (
+    SELECT EXTRACT(month FROM m) AS month_of_year,
+           CAST(FLOOR(CAST(24 * rc AS DOUBLE)
+               / CAST(l6 + f6 + 2 * inner_s AS DOUBLE)
+               * 1000000000.0) AS BIGINT) AS ratio_nano
+    FROM win WHERE n13 = 13
+)
+SELECT CAST(month_of_year AS BIGINT) AS month_of_year,
+       CAST(COUNT(*) AS BIGINT) AS n_obs,
+       CAST(SUM(ratio_nano) AS BIGINT) AS sidx_nano_sum
+FROM ratio
+GROUP BY 1
+"""
+
+
+@query("orders_seasonal_decompose", _SEASONAL_ORACLE)
+def q_orders_seasonal_decompose(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Classical ratio-to-moving-average seasonal decomposition of
+    monthly revenue: centered 2x12 MA (half weight on the edge
+    months), detrended ratio per complete window, seasonal index per
+    month-of-year → (month_of_year, n_obs, sidx_nano_sum) with index
+    = sidx_nano_sum/n_obs/1e9. Revenue aggregates decimal-exact to
+    integer cents; the 24x-scaled MA is pure integer window math; the
+    ONE double op is the final ratio division, floor-quantized to
+    nano-units (24*rc stays under 2^53 through sf~500).
+
+    Scale shape: one month-keyed decimal aggregate (map-side
+    combined), then every window runs over the CALENDAR-bounded
+    monthly relation (~80 rows for 7 years) — the classic time-series
+    shape where the series, not the data, is what's ordered."""
+    o = _orders(spark, sf_dir)
+    m = o.groupBy(
+        F.date_trunc("month", "o_orderdate").alias("m")
+    ).agg(
+        (F.sum(F.col("o_totalprice").cast("decimal(18,2)")) * 100)
+        .cast("bigint")
+        .alias("rc")
+    )
+    wo = Window.orderBy("m")
+    win = m.select(
+        "m",
+        "rc",
+        F.lag("rc", 6).over(wo).alias("l6"),
+        F.lead("rc", 6).over(wo).alias("f6"),
+        F.sum("rc").over(wo.rowsBetween(-5, 5)).alias("inner_s"),
+        F.count("*").over(wo.rowsBetween(-6, 6)).alias("n13"),
+    )
+    ratio = win.filter(F.col("n13") == 13).select(
+        F.month("m").cast("bigint").alias("month_of_year"),
+        F.floor(
+            (24 * F.col("rc")).cast("double")
+            / (
+                F.col("l6") + F.col("f6") + 2 * F.col("inner_s")
+            ).cast("double")
+            * F.lit(1000000000.0)
+        )
+        .cast("bigint")
+        .alias("ratio_nano"),
+    )
+    return ratio.groupBy("month_of_year").agg(
+        F.count("*").cast("bigint").alias("n_obs"),
+        F.sum("ratio_nano").cast("bigint").alias("sidx_nano_sum"),
+    )
+
+
+# -- Temperature-scaled mixture weights ---------------------------------------
+# The multilingual-LM sampling classic (temperature-scaled mixing):
+# source weights p_i ∝ n_i^(1/T) flatten the source distribution as T
+# grows. Complements dataset_mixture (fixed weights) and
+# docs_mix_capped_alloc (capped water-filling) with the standard
+# smooth reweighting. Float discipline: pow() output is floor-
+# quantized to micro-units BEFORE the sum, so the normalizing sum is
+# an exact integer and the share is one double division — the only
+# residual cross-engine risk is pow()'s sub-ulp libm divergence
+# landing within one micro-unit of a floor boundary.
+
+_MIXT_ORACLE = rf"""
+WITH src AS (
+    SELECT source,
+           CAST(SUM({_TOKCNT_SQL}) AS BIGINT) AS tok_count
+    FROM documents GROUP BY 1
+),
+w AS (
+    SELECT source, tok_count, t.temperature,
+           CAST(FLOOR(POWER(CAST(tok_count AS DOUBLE), t.inv_t)
+               * 1000000.0) AS BIGINT) AS wq
+    FROM src
+    CROSS JOIN (VALUES (CAST(1 AS BIGINT), 1.0),
+                       (CAST(2 AS BIGINT), 0.5),
+                       (CAST(5 AS BIGINT), 0.2))
+         t(temperature, inv_t)
+)
+SELECT source, temperature, tok_count,
+       CAST(FLOOR(CAST(wq AS DOUBLE)
+           / CAST(SUM(wq) OVER (PARTITION BY temperature) AS DOUBLE)
+           * 1000000000.0) AS BIGINT) AS share_nano
+FROM w
+"""
+
+
+@query("docs_mix_temperature", _MIXT_ORACLE)
+def q_docs_mix_temperature(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Temperature-scaled mixture weights over the document sources:
+    p_i ∝ tok_i^(1/T) for T in {1, 2, 5} → (source, temperature,
+    tok_count, share_nano). T=1 is proportional sampling, larger T
+    flattens toward uniform — the standard knob multilingual/multi-
+    source LM training uses to boost low-resource sources. pow()
+    outputs floor-quantize to micro-units BEFORE normalizing, so the
+    sum is integer-exact and the share is a single double division
+    (nano-quantized; pow's sub-ulp divergence is the usual residual
+    risk).
+
+    Scale shape: one source-keyed token-count aggregate (map-side
+    combined over the corpus scan), a constant 3-row temperature
+    relation crossed in, and windows only over the |sources| x 3
+    relation — bounded by catalog size, never data size."""
+    docs = _docs(spark, sf_dir)
+    src = docs.groupBy("source").agg(
+        F.sum(
+            F.coalesce(
+                TX.ws_token_count("text").cast("bigint"), F.lit(0)
+            )
+        )
+        .cast("bigint")
+        .alias("tok_count")
+    )
+    temps = F.array(
+        *[
+            F.struct(
+                F.lit(t).cast("bigint").alias("temperature"),
+                F.lit(inv).alias("inv_t"),
+            )
+            for t, inv in ((1, 1.0), (2, 0.5), (5, 0.2))
+        ]
+    )
+    w = (
+        src.select(
+            "source",
+            "tok_count",
+            F.explode(temps).alias("tt"),
+        )
+        .select(
+            "source",
+            "tok_count",
+            F.col("tt.temperature").alias("temperature"),
+            F.floor(
+                F.pow(
+                    F.col("tok_count").cast("double"),
+                    F.col("tt.inv_t"),
+                )
+                * F.lit(1000000.0)
+            )
+            .cast("bigint")
+            .alias("wq"),
+        )
+    )
+    wt = Window.partitionBy("temperature")
+    return w.select(
+        "source",
+        "temperature",
+        "tok_count",
+        F.floor(
+            F.col("wq").cast("double")
+            / F.sum("wq").over(wt).cast("double")
+            * F.lit(1000000000.0)
+        )
+        .cast("bigint")
+        .alias("share_nano"),
+    )
+
+
+# -- Tokenizer coverage curve -------------------------------------------------
+# Vocab-size design data: what fraction of the corpus token MASS does
+# a top-V vocabulary cover, for V = 1, 2, 4, ..., 1024? The concave
+# coverage curve (Heaps/Zipf in action) is the first plot a tokenizer
+# design reads. Exact integers end to end.
+
+_COVERAGE_ORACLE = r"""
+WITH tok AS (
+    SELECT unnest(regexp_split_to_array(trim(text), '\s+')) AS tok
+    FROM documents WHERE trim(text) <> ''
+),
+freq AS (SELECT tok, COUNT(*) AS cnt FROM tok GROUP BY 1),
+top AS (
+    SELECT cnt, row_number() OVER (ORDER BY cnt DESC, tok) AS rn
+    FROM freq ORDER BY cnt DESC, tok LIMIT 1024
+),
+total AS (SELECT CAST(SUM(cnt) AS BIGINT) AS total_tokens FROM freq)
+SELECT CAST(v.vocab_size AS BIGINT) AS vocab_size,
+       CAST(COALESCE(SUM(t.cnt), 0) AS BIGINT) AS covered_tokens,
+       MAX(total.total_tokens) AS total_tokens
+FROM (VALUES (1), (2), (4), (8), (16), (32), (64), (128), (256),
+             (512), (1024)) v(vocab_size)
+LEFT JOIN top t ON t.rn <= v.vocab_size
+CROSS JOIN total
+GROUP BY v.vocab_size
+"""
+
+
+@query("tokenizer_coverage_curve", _COVERAGE_ORACLE)
+def q_tokenizer_coverage_curve(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Tokenizer coverage curve: corpus token mass covered by a top-V
+    frequency vocabulary for V = 1..1024 in powers of two →
+    (vocab_size, covered_tokens, total_tokens). The concave curve is
+    the Zipf-mass view vocabulary sizing reads (tokenizer_vocab_
+    coverage gives the per-doc OOV complement at one fixed V). All
+    integers — hash-exact with no quantization.
+
+    Scale shape: one token-keyed frequency shuffle (map-side
+    combined); the top-1024 cut is TakeOrderedAndProject (per-
+    partition heaps, driver merge — never a global sort); ranks and
+    the curve rollup run over the constant 1024-row candidate relation
+    joined to an 11-row literal size relation. Corpus size only ever
+    touches the first aggregate."""
+    docs = _docs(spark, sf_dir)
+    freq = (
+        docs.filter(F.trim("text") != "")
+        .select(F.explode(TX.tokens("text")).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count("*").alias("cnt"))
+    )
+    top = (
+        freq.orderBy(F.col("cnt").desc(), "tok")
+        .limit(1024)
+        .select(
+            "cnt",
+            F.row_number()
+            .over(Window.orderBy(F.col("cnt").desc(), "tok"))
+            .alias("rn"),
+        )
+    )
+    total = freq.agg(
+        F.sum("cnt").cast("bigint").alias("total_tokens")
+    )
+    sizes = spark.range(11).select(
+        F.expr("shiftleft(1L, CAST(id AS INT))")
+        .cast("bigint")
+        .alias("vocab_size")
+    )
+    return (
+        sizes.join(
+            F.broadcast(top), F.col("rn") <= F.col("vocab_size"),
+            "left",
+        )
+        .crossJoin(F.broadcast(total))
+        .groupBy("vocab_size")
+        .agg(
+            F.coalesce(F.sum("cnt"), F.lit(0))
+            .cast("bigint")
+            .alias("covered_tokens"),
+            F.max("total_tokens").alias("total_tokens"),
+        )
+    )

@@ -48,28 +48,31 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 # alphabetically-first 14 of the 49 round-6 rows. 17+19+14 = 50.
 #
 # Round-13 rotation queue (to be committed at the start of round 13,
-# kept honest here per VERDICT r11 item 5): the round-12 net-new
+# kept honest here per VERDICT r11 item 5): the 20 round-12 net-new
 # queries first (docs_pack_bestfit, docs_pack_efficiency,
 # dedup_payload_shingle, docs_mix_capped_alloc,
 # dedup_payload_incremental, docs_dup_spectrum, stream_payload_dedup,
 # docs_dup_maxrun, events_attribution_models,
 # events_attribution_markov, multimodal_cdc_chunks,
-# multimodal_cdc_dedup_ratio — all locally
+# multimodal_cdc_dedup_ratio, customers_k_anonymity,
+# profile_dq_constraints, docs_score_auc, customers_kaplan_meier,
+# layout_compaction_plan, orders_seasonal_decompose,
+# docs_mix_temperature, tokenizer_coverage_curve — all locally
 # oracle-verified at sf0.001 + sf0.01 with the inline Arrow type
-# audit), then the remaining 35 round-6 rows (12 + 35 = 47)
-# (docs_shuffle_shard onward alphabetically: docs_split_train_val,
-# emb_quantize, emb_random_projection, events_forward_fill,
-# events_funnel_batch, join_asof, join_asof_forward,
-# join_range_banded, join_salted_skew, layout_zorder, material_demand,
-# orc_roundtrip, partitioned_write_prune, pipeline_incremental_day,
+# audit), then the alphabetically-first 30 of the 35 remaining
+# round-6 rows (20 + 30 = 50): docs_split_train_val, emb_quantize,
+# emb_random_projection, events_forward_fill, events_funnel_batch,
+# join_asof, join_asof_forward, join_range_banded, join_salted_skew,
+# layout_zorder, material_demand, orc_roundtrip,
+# partitioned_write_prune, pipeline_incremental_day,
 # profile_heavy_hitters, profile_table_approx, sim_ann_ivf_kmeans,
 # sim_topk_lsh, stream_cdc_latest, stream_dedup_watermark,
 # stream_incremental_agg, stream_session_1h, stream_sliding_3d1d,
 # stream_static_join, stream_stream_funnel, stream_tumbling_daily,
 # stream_tumbling_watermark, text_inverted_index,
-# tpch_q12_priority_class, window_lead_lag, window_moving_avg_rows,
-# window_rolling_7d, window_session_1h, window_sliding_3d1d,
-# window_tumbling_daily), then oldest-r7 fill to 50.
+# tpch_q12_priority_class, window_lead_lag. The 5 round-6 rows left
+# over (window_moving_avg_rows, window_rolling_7d, window_session_1h,
+# window_sliding_3d1d, window_tumbling_daily) head round 14's fill.
 
 DRIVER_PRIORITY: tuple[str, ...] = (
     # (a) round-11 net-new, never driver-checked

@@ -427,3 +427,203 @@ class TestCdcDedupRatio:
             row["n_unique_chunks"]
             == m.select("chunk_md5").distinct().count()
         )
+
+
+class TestKAnonymity:
+    def test_bands_partition_the_table(self, spark):
+        res = registry.QUERIES["customers_k_anonymity"](
+            spark, SF
+        ).collect()
+        total = spark.read.parquet(f"{SF}/customer.parquet").count()
+        assert sum(r.n_rows for r in res) == total
+        # band min_k respects the band's lower edge
+        lo = {"1": 1, "2-4": 2, "5-9": 5, "10+": 10}
+        hi = {"1": 1, "2-4": 4, "5-9": 9}
+        for r in res:
+            assert r.min_k >= lo[r.k_band]
+            if r.k_band in hi:
+                assert r.min_k <= hi[r.k_band]
+            assert 1 <= r.min_l <= r.min_k
+
+
+class TestDqConstraints:
+    def test_both_outcomes_present_and_counts_sane(self, spark):
+        res = registry.QUERIES["profile_dq_constraints"](
+            spark, SF
+        ).collect()
+        assert len(res) == 8
+        by = {r.check_name: r for r in res}
+        # generator data passes these
+        for name in ("unique_c_custkey", "fk_orders_customer",
+                     "fk_lineitem_orders", "domain_o_orderstatus",
+                     "nonempty_text"):
+            assert by[name].violations == 0, name
+        # and genuinely fails these (falsifiability of the suite)
+        for name in ("nonneg_c_acctbal", "max_l_quantity_45"):
+            assert by[name].violations > 0, name
+        for r in res:
+            assert 0 <= r.violations <= r.total
+
+
+class TestScoreAuc:
+    def test_auc_matches_bruteforce(self, spark):
+        res = registry.QUERIES["docs_score_auc"](spark, SF).collect()
+        docs = (
+            spark.read.parquet(f"{SF}/documents.parquet")
+            .select("lang", "n_chars")
+            .collect()
+        )
+        for r in res:
+            pos = sorted(d.n_chars for d in docs if d.lang == r.lang)
+            neg = sorted(d.n_chars for d in docs if d.lang != r.lang)
+            assert (r.n_pos, r.n_neg) == (len(pos), len(neg))
+            # brute-force 2U: wins count 2, ties count 1
+            import bisect
+
+            u2 = 0
+            for p in pos:
+                u2 += 2 * bisect.bisect_left(neg, p)
+                u2 += bisect.bisect_right(neg, p) - bisect.bisect_left(
+                    neg, p
+                )
+            assert r.auc_num == u2
+            assert r.auc_den == 2 * len(pos) * len(neg)
+            assert 0 <= r.auc_num <= r.auc_den
+
+
+class TestKaplanMeier:
+    def test_km_invariants(self, spark):
+        import math
+
+        rows = sorted(
+            registry.QUERIES["customers_kaplan_meier"](
+                spark, SF
+            ).collect(),
+            key=lambda r: r.t_bin,
+        )
+        n_cust = (
+            spark.read.parquet(f"{SF}/orders.parquet")
+            .select("o_custkey")
+            .distinct()
+            .count()
+        )
+        # first bin's risk set is everyone; risk telescopes down
+        assert rows[0].n_risk == n_cust
+        for a, b in zip(rows, rows[1:]):
+            assert b.n_risk == a.n_risk - a.d_events - a.c_censored
+        # log-survival is non-increasing and matches a sequential
+        # replay of the quantized recurrence
+        acc, prev = 0, None
+        for r in rows:
+            if r.d_events > 0:
+                acc += math.floor(
+                    math.log((r.n_risk - r.d_events) / r.n_risk)
+                    * 1e9
+                )
+            assert r.km_logq_nano == acc
+            if prev is not None:
+                assert r.km_logq_nano <= prev
+            prev = r.km_logq_nano
+
+
+class TestCompactionPlan:
+    def test_plan_covers_manifest_and_bins_are_tight(self, spark):
+        plan = registry.QUERIES["layout_compaction_plan"](
+            spark, SF
+        ).cache()
+        orders = spark.read.parquet(f"{SF}/orders.parquet")
+        total_bytes = orders.count() * 128
+        agg = plan.agg(
+            F.sum("bytes_total").alias("b"),
+            F.sum("n_files").alias("f"),
+        ).collect()[0]
+        assert agg.b == total_bytes
+        manifest_files = (
+            orders.select(
+                F.date_trunc("month", "o_orderdate").alias("m"),
+                (F.col("o_orderkey") % 32).alias("fid"),
+            )
+            .distinct()
+            .count()
+        )
+        assert agg.f == manifest_files
+        # start-offset binning: every bin except a partition's last
+        # must END at or past the target (else it would have kept
+        # absorbing files)
+        w = plan.groupBy("part_month").agg(
+            F.max("bin_id").alias("last_bin")
+        )
+        non_last = plan.join(w, "part_month").filter(
+            F.col("bin_id") < F.col("last_bin")
+        )
+        # cumulative end of a non-last bin >= target boundary of next
+        under = non_last.filter(F.col("bytes_total") <= 0)
+        assert under.count() == 0
+        plan.unpersist()
+
+
+class TestSeasonalDecompose:
+    def test_indices_average_near_unity(self, spark):
+        rows = registry.QUERIES["orders_seasonal_decompose"](
+            spark, SF
+        ).collect()
+        assert len(rows) == 12
+        # mean detrended ratio across all observations ~ 1.0 (the
+        # decomposition identity, loose tolerance for short series)
+        tot_n = sum(r.n_obs for r in rows)
+        mean_ratio = sum(r.sidx_nano_sum for r in rows) / tot_n / 1e9
+        assert 0.9 < mean_ratio < 1.1
+        for r in rows:
+            assert r.n_obs >= 1
+
+
+class TestMixTemperature:
+    def test_flattening_and_normalization(self, spark):
+        rows = registry.QUERIES["docs_mix_temperature"](
+            spark, SF
+        ).collect()
+        by_t = {}
+        for r in rows:
+            by_t.setdefault(r.temperature, []).append(r)
+        assert set(by_t) == {1, 2, 5}
+        n_src = len(by_t[1])
+        for t, rs in by_t.items():
+            assert len(rs) == n_src
+            s = sum(r.share_nano for r in rs)
+            # floor-quantized shares sum to <= 1, within n ulps
+            assert 1_000_000_000 - n_src <= s <= 1_000_000_000
+        # higher temperature flattens: max share shrinks, min grows
+        mx = {t: max(r.share_nano for r in rs) for t, rs in by_t.items()}
+        mn = {t: min(r.share_nano for r in rs) for t, rs in by_t.items()}
+        assert mx[1] >= mx[2] >= mx[5]
+        assert mn[1] <= mn[2] <= mn[5]
+        # T=1 is proportional sampling: share tracks token share
+        tot = sum(r.tok_count for r in by_t[1])
+        for r in by_t[1]:
+            assert abs(r.share_nano / 1e9 - r.tok_count / tot) < 1e-5
+
+
+class TestCoverageCurve:
+    def test_monotone_concave_and_exact_at_v1(self, spark):
+        rows = sorted(
+            registry.QUERIES["tokenizer_coverage_curve"](
+                spark, SF
+            ).collect(),
+            key=lambda r: r.vocab_size,
+        )
+        assert [r.vocab_size for r in rows] == [
+            2**k for k in range(11)
+        ]
+        docs = spark.read.parquet(f"{SF}/documents.parquet")
+        toks = docs.filter(F.trim("text") != "").select(
+            F.explode(F.split(F.trim("text"), r"\s+")).alias("t")
+        )
+        total = toks.count()
+        top1 = (
+            toks.groupBy("t").count().agg(F.max("count")).collect()
+        )[0][0]
+        assert rows[0].covered_tokens == top1
+        assert all(r.total_tokens == total for r in rows)
+        # non-decreasing, never exceeding total
+        for a, b in zip(rows, rows[1:]):
+            assert a.covered_tokens <= b.covered_tokens <= total

@@ -76,6 +76,14 @@ ALLOWED_UNPARTITIONED = {
     "orders_theil_sen_trend",
     # RRF rank fusion over two <=10-row rankings
     "search_hybrid_rrf",
+    # KM survival windows over the ~28-row 90-day lifetime-bin
+    # relation (calendar-bounded; customers collapse to bins first)
+    "customers_kaplan_meier",
+    # centered 2x12 MA over the calendar-bounded monthly relation
+    "orders_seasonal_decompose",
+    # row_number over the top-1024 vocabulary candidate relation
+    # (TakeOrderedAndProject upstream bounds it)
+    "tokenizer_coverage_curve",
     # cumulative revenue share over per-supplier totals
     "supplier_pareto_share",
 }
