@@ -254,6 +254,9 @@ EXT_HEADLINE = [
     "orders_seasonal_decompose",
     "docs_mix_temperature",
     "tokenizer_coverage_curve",
+    "sim_mmr_rerank",
+    "stream_dq_constraints",
+    "emb_knn_label_accuracy",
 ]
 
 

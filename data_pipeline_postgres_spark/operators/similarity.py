@@ -1156,3 +1156,105 @@ def int8_recall_vs_float(
             ).alias("recall"),
         )
     )
+
+
+def mmr_rerank(
+    emb: DataFrame,
+    n_cand: int = 20,
+    k: int = 10,
+    lam: float = 0.7,
+    one_minus_lam: float = 0.3,
+    round_digits: int = 6,
+) -> DataFrame:
+    """Maximal Marginal Relevance rerank of the exact top-``n_cand``
+    retrieval: greedily pick ``k`` results maximizing
+    ``lam*rel(d) - (1-lam)*max_{s in S} sim(d, s)`` →
+    (mmr_rank, vec_id, relevance, mmr_score_micro) — the diversity-
+    aware second stage (Carbonell & Goldstein '98) every retrieval
+    stack runs after the similarity cut.
+
+    Execution: candidate scoring and the candidate-pair similarity
+    matrix are distributed (one corpus scan → TakeOrderedAndProject
+    top-``n_cand``; the pair matrix is a constant n_cand^2/2-row
+    self-join of the checkpointed candidate relation). The greedy
+    selection itself runs driver-side over those <=n_cand^2/2
+    collected rows — a BOUNDED driver artifact (constant in corpus
+    size), mirroring the oracle's unrolled float ops term for term
+    (0.7*rel - 0.3*maxsim over round-6-snapped doubles, then
+    micro-floor), so the result hashes bit-identically.
+    """
+    import math
+
+    vs = _vecs(emb)
+    q = query_vector(emb)
+    cand = (
+        vs.crossJoin(F.broadcast(q))
+        .select(
+            "vec_id",
+            "v",
+            F.round(
+                V.cosine(F.col("v"), F.col("qv")), round_digits
+            ).alias("rel"),
+        )
+        .orderBy(F.desc("rel"), F.asc("vec_id"))
+        .limit(n_cand)
+        .localCheckpoint(eager=False)
+    )
+    a = cand.select(
+        F.col("vec_id").alias("ia"), F.col("v").alias("va")
+    )
+    b = cand.select(
+        F.col("vec_id").alias("ib"), F.col("v").alias("vb")
+    )
+    sims = (
+        a.join(b, F.col("ia") < F.col("ib"))
+        .select(
+            "ia",
+            "ib",
+            F.round(
+                V.cosine(F.col("va"), F.col("vb")), round_digits
+            ).alias("s"),
+        )
+        .collect()
+    )
+    rel_rows = cand.select("vec_id", "rel").collect()
+
+    rel = {r.vec_id: r.rel for r in rel_rows}
+    sim: dict[tuple[int, int], float] = {}
+    for r in sims:
+        sim[(r.ia, r.ib)] = r.s
+        sim[(r.ib, r.ia)] = r.s
+    maxsim = {vid: 0.0 for vid in rel}
+    out = []
+    selected: list[int] = []
+    for rank in range(1, k + 1):
+        best = None
+        for vid in sorted(rel):
+            if vid in selected:
+                continue
+            score = lam * rel[vid] - one_minus_lam * maxsim[vid]
+            key = (-score, vid)
+            if best is None or key < best[0]:
+                best = (key, vid, score)
+        _, pick, score = best
+        selected.append(pick)
+        out.append(
+            (
+                rank,
+                pick,
+                rel[pick],
+                int(math.floor(score * 1000000.0)),
+            )
+        )
+        for vid in rel:
+            if vid in selected:
+                continue
+            s = sim.get((pick, vid), 0.0)
+            if s > maxsim[vid]:
+                maxsim[vid] = s
+    spark = emb.sparkSession
+    return spark.createDataFrame(
+        out,
+        "mmr_rank bigint, vec_id bigint, relevance double, "
+        "mmr_score_micro bigint",
+    )

@@ -2351,8 +2351,11 @@ def q_docs_mix_temperature(
     p_i ∝ tok_i^(1/T) for T in {1, 2, 5} → (source, temperature,
     tok_count, share_nano). T=1 is proportional sampling, larger T
     flattens toward uniform — the standard knob multilingual/multi-
-    source LM training uses to boost low-resource sources. pow()
-    outputs floor-quantize to micro-units BEFORE normalizing, so the
+    source LM training uses to boost low-resource sources —
+    docs_mix_temperature_alloc fixes tau=1/2 and allocates a token
+    budget; THIS query sweeps the temperature knob itself and
+    publishes shares. pow() outputs floor-quantize to micro-units
+    BEFORE normalizing, so the
     sum is integer-exact and the share is a single double division
     (nano-quantized; pow's sub-ulp divergence is the usual residual
     risk).
@@ -2499,4 +2502,272 @@ def q_tokenizer_coverage_curve(
             .alias("covered_tokens"),
             F.max("total_tokens").alias("total_tokens"),
         )
+    )
+
+
+# -- MMR diversity rerank -----------------------------------------------------
+# The retrieval second stage the similarity family lacked: after the
+# exact cosine cut, Maximal Marginal Relevance greedily trades
+# relevance against redundancy (lam*rel - (1-lam)*max-sim-to-
+# selected). The greedy recurrence is inherently sequential but runs
+# over a CONSTANT candidate set (top-20), so the engine computes the
+# candidate scores and the pair matrix distributed and folds the
+# selection driver-side, mirroring the oracle's unrolled-CTE float
+# ops exactly (the events_attribution_markov driver-mirror pattern).
+
+_MMR_NCAND, _MMR_K = 20, 10
+
+
+def _mmr_oracle() -> str:
+    from .queries_ext import _duck_cos
+
+    head = f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+q AS (SELECT v AS qv FROM e ORDER BY vec_id LIMIT 1),
+cand AS MATERIALIZED (
+    SELECT vec_id, v, round({_duck_cos('v', 'qv')}, 6) AS rel
+    FROM e, q
+    ORDER BY rel DESC, vec_id LIMIT {_MMR_NCAND}
+),
+sp AS MATERIALIZED (
+    SELECT a.vec_id AS ia, b.vec_id AS ib,
+           round({_duck_cos('a.v', 'b.v')}, 6) AS s
+    FROM cand a JOIN cand b ON a.vec_id < b.vec_id
+),
+sym AS MATERIALIZED (
+    SELECT ia, ib, s FROM sp UNION ALL SELECT ib, ia, s FROM sp
+),
+p1 AS MATERIALIZED (
+    SELECT vec_id, rel, 0.7e0 * rel - 0.3e0 * 0e0 AS score
+    FROM cand ORDER BY score DESC, vec_id LIMIT 1
+),
+sel1 AS MATERIALIZED (SELECT vec_id FROM p1)"""
+    blocks, finals = [], [
+        "SELECT CAST(1 AS BIGINT) AS mmr_rank, vec_id, "
+        "rel AS relevance, CAST(FLOOR(score * 1000000.0) AS BIGINT) "
+        "AS mmr_score_micro FROM p1"
+    ]
+    for i in range(2, _MMR_K + 1):
+        prev = i - 1
+        blocks.append(f"""
+p{i} AS MATERIALIZED (
+    SELECT c.vec_id, c.rel,
+           0.7e0 * c.rel - 0.3e0 * COALESCE(mx.m, 0e0) AS score
+    FROM cand c
+    LEFT JOIN (
+        SELECT sym.ia AS vid, MAX(sym.s) AS m
+        FROM sym JOIN sel{prev} ON sym.ib = sel{prev}.vec_id
+        GROUP BY 1
+    ) mx ON mx.vid = c.vec_id
+    WHERE c.vec_id NOT IN (SELECT vec_id FROM sel{prev})
+    ORDER BY score DESC, c.vec_id LIMIT 1
+),
+sel{i} AS MATERIALIZED (
+    SELECT vec_id FROM sel{prev}
+    UNION ALL SELECT vec_id FROM p{i}
+)""")
+        finals.append(
+            f"SELECT CAST({i} AS BIGINT), vec_id, rel, "
+            f"CAST(FLOOR(score * 1000000.0) AS BIGINT) FROM p{i}"
+        )
+    return (
+        head
+        + ","
+        + ",".join(blocks)
+        + "\n"
+        + "\nUNION ALL\n".join(finals)
+    )
+
+
+@query("sim_mmr_rerank", _mmr_oracle())
+def q_sim_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximal Marginal Relevance rerank (Carbonell & Goldstein):
+    greedy top-10 from the exact cosine top-20, score = 0.7*rel -
+    0.3*max-sim-to-selected → (mmr_rank, vec_id, relevance,
+    mmr_score_micro). The diversity-aware second stage that keeps a
+    result page from being ten copies of the same near-duplicate —
+    the retrieval family's missing post-cut step (sim_topk →
+    THIS → the result page).
+
+    Determinism: relevance and pair similarities snap to round-6
+    doubles (the sim_topk precedent), so the greedy fold is a pure
+    function of snapped values; scores floor-quantize to micro-units.
+    Scale shape: one corpus scan for the top-20 cut
+    (TakeOrderedAndProject), a constant 190-row pair matrix off the
+    checkpointed candidate relation, and a driver-side greedy fold
+    over that BOUNDED artifact — corpus size never touches the
+    sequential part. Oracle: the identical recurrence as 10 unrolled
+    CTE steps."""
+    from ..operators import similarity
+
+    from .queries_ext import _emb
+
+    return similarity.mmr_rerank(
+        _emb(spark, sf_dir), n_cand=_MMR_NCAND, k=_MMR_K
+    )
+
+
+# -- Streaming DQ twin --------------------------------------------------------
+
+_DQ_STREAM_ORACLE = """
+WITH ord AS (
+    SELECT CAST(SUM(CASE WHEN o.o_orderstatus NOT IN ('O', 'F', 'P')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS bad_status,
+           CAST(SUM(CASE WHEN o.o_totalprice > 450000.0
+                         THEN 1 ELSE 0 END) AS BIGINT) AS big_price,
+           CAST(SUM(CASE WHEN c.c_custkey IS NULL
+                         THEN 1 ELSE 0 END) AS BIGINT) AS fk_miss,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM orders o LEFT JOIN customer c ON o.o_custkey = c.c_custkey
+)
+SELECT 'domain_o_orderstatus' AS check_name, 'orders' AS tbl,
+       bad_status AS violations, n AS total FROM ord
+UNION ALL
+SELECT 'max_o_totalprice_450k', 'orders', big_price, n FROM ord
+UNION ALL
+SELECT 'fk_orders_customer', 'orders', fk_miss, n FROM ord
+"""
+
+
+@query("stream_dq_constraints", _DQ_STREAM_ORACLE)
+def q_stream_dq_constraints(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Streaming twin of profile_dq_constraints' orders checks: a
+    3-batch AvailableNow ingest evaluates the status-domain,
+    price-range, and FK-into-static-customer constraints per
+    micro-batch (the stream-static join) and publishes the exact
+    column-sum of the batch counters — associative counts, so the
+    post-drain report equals the batch suite restricted to orders and
+    the batch SQL oracle applies verbatim
+    (streaming/jobs.dq_constraints_stream)."""
+    from ..streaming import jobs as stream_jobs
+
+    return stream_jobs.dq_constraints_stream(spark, sf_dir)
+
+
+# -- kNN leave-one-out label accuracy -----------------------------------------
+# Embedding-quality eval: if the embedding space is any good, a
+# vector's nearest neighbors share its label. Leave-one-out 5-NN
+# majority vote over the labeled relation, accuracy per label — the
+# standard representation-quality probe run on the (bounded) labeled
+# eval set, and the acceptance metric for the retrieval stack: ANN
+# recall means nothing if exact neighbors don't agree on labels.
+
+_KNN_K = 5
+
+
+def _knn_oracle() -> str:
+    from .queries_ext import _duck_cos
+
+    return f"""
+WITH e AS MATERIALIZED (
+    SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings
+),
+nn AS MATERIALIZED (
+    SELECT * FROM (
+        SELECT a.vec_id AS qid, a.label AS qlabel,
+               b.label AS nlabel,
+               row_number() OVER (
+                   PARTITION BY a.vec_id
+                   ORDER BY round({_duck_cos('a.v', 'b.v')}, 6) DESC,
+                            b.vec_id
+               ) AS rn
+        FROM e a JOIN e b ON a.vec_id <> b.vec_id
+    ) WHERE rn <= {_KNN_K}
+),
+votes AS (
+    SELECT qid, qlabel, nlabel, COUNT(*) AS c
+    FROM nn GROUP BY 1, 2, 3
+),
+pred AS (
+    SELECT qid, qlabel, nlabel AS plabel FROM (
+        SELECT qid, qlabel, nlabel,
+               row_number() OVER (
+                   PARTITION BY qid ORDER BY c DESC, nlabel
+               ) AS rv
+        FROM votes
+    ) WHERE rv = 1
+)
+SELECT CAST(qlabel AS BIGINT) AS label,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(CASE WHEN plabel = qlabel THEN 1 ELSE 0 END)
+           AS BIGINT) AS n_correct
+FROM pred
+GROUP BY 1
+"""
+
+
+@query("emb_knn_label_accuracy", _knn_oracle())
+def q_emb_knn_label_accuracy(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Leave-one-out 5-NN label accuracy over the labeled embedding
+    relation: each vector's 5 nearest neighbors (round-6 cosine,
+    vec_id tiebreak) vote; majority (smallest label on vote ties)
+    vs the vector's own label → (label, n, n_correct). The
+    representation-quality probe every embedding pipeline publishes —
+    and the semantic acceptance test behind the ANN family: recall@k
+    against exact neighbors only matters if those neighbors agree on
+    labels. (On the synthetic corpus the labels are independent of
+    the geometry, so the honest reading is chance-level accuracy —
+    asserted as such in tests/test_round12.py; the metric's own
+    correctness is what the oracle checks.)
+
+    Scale shape: the labeled relation is an EVAL SET (bounded by
+    labeling budget, not corpus size), so the exact all-pairs score —
+    one broadcast-able self-join, neighbor cut via per-partition
+    WindowGroupLimit heaps — is the intended production shape; corpus-
+    scale retrieval uses sim_ann_ivf and this query is its judge.
+    Votes, predictions, and the per-label rollup are integer-exact."""
+    from ..functions import vectors as V
+
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", V.as_double(F.col("embedding")).alias("v")
+    )
+    a = e.select(
+        F.col("vec_id").alias("qid"),
+        F.col("label").alias("qlabel"),
+        F.col("v").alias("va"),
+    )
+    b = e.select(
+        F.col("vec_id").alias("nid"),
+        F.col("label").alias("nlabel"),
+        F.col("v").alias("vb"),
+    )
+    scored = a.join(b, F.col("qid") != F.col("nid")).select(
+        "qid",
+        "qlabel",
+        "nid",
+        "nlabel",
+        F.round(V.cosine(F.col("va"), F.col("vb")), 6).alias("cos"),
+    )
+    wn = Window.partitionBy("qid").orderBy(
+        F.col("cos").desc(), F.col("nid")
+    )
+    nn = (
+        scored.withColumn("rn", F.row_number().over(wn))
+        .filter(F.col("rn") <= _KNN_K)
+        .select("qid", "qlabel", "nlabel")
+    )
+    votes = nn.groupBy("qid", "qlabel", "nlabel").agg(
+        F.count("*").alias("c")
+    )
+    wv = Window.partitionBy("qid").orderBy(
+        F.col("c").desc(), F.col("nlabel")
+    )
+    pred = (
+        votes.withColumn("rv", F.row_number().over(wv))
+        .filter(F.col("rv") == 1)
+        .select("qid", "qlabel", F.col("nlabel").alias("plabel"))
+    )
+    return pred.groupBy(
+        F.col("qlabel").cast("bigint").alias("label")
+    ).agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum(
+            F.when(F.col("plabel") == F.col("qlabel"), 1).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("n_correct"),
     )

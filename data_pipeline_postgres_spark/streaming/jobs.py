@@ -1263,3 +1263,94 @@ def payload_dedup_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("jaccard") >= j_min)
         .select("doc_a", "doc_b", "n_common", "jaccard")
     )
+
+
+def dq_constraints_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming data-quality firewall — the ingest-side twin of
+    ``profile_dq_constraints``'s orders checks.
+
+    Orders arrive as a 3-file AvailableNow stream. Each micro-batch
+    evaluates the orders constraint trio IN THE BATCH — status-domain
+    and price-range rules (stateless map-side counters) and
+    referential integrity against the STATIC customer dimension (the
+    stream-static LEFT join, the shape a production DQ monitor uses to
+    catch orphan keys at ingest) — and appends one counter row.
+    Violation/total counts are associative, so the published report is
+    the exact column-sum of the batch counters: after the drain it
+    equals the batch suite restricted to orders, and that SQL oracle
+    applies verbatim.
+
+    At scale each micro-batch does one broadcast-or-shuffle key join
+    plus a single aggregate — no state store at all; the standing
+    state is three integers per check.
+    """
+    src = _scratch("dq_src")
+    orders = load_table(spark, sf_dir, "orders")
+    for i in range(3):
+        orders.filter(F.col("o_orderkey") % 3 == i).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey")
+    counters_dir = os.path.join(_SCRATCH, "dq_counters")
+    if os.path.exists(counters_dir):
+        shutil.rmtree(counters_dir)
+
+    def step(batch_df: DataFrame, batch_id: int) -> None:
+        j = batch_df.join(
+            cust, batch_df["o_custkey"] == cust["c_custkey"], "left"
+        )
+        j.agg(
+            F.sum(
+                F.when(
+                    ~F.col("o_orderstatus").isin("O", "F", "P"), 1
+                ).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("bad_status"),
+            F.sum(
+                F.when(F.col("o_totalprice") > 450000.0, 1).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("big_price"),
+            F.sum(
+                F.when(F.col("c_custkey").isNull(), 1).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("fk_miss"),
+            F.count("*").cast("bigint").alias("n"),
+        ).write.mode("append").parquet(counters_dir)
+
+    stream = (
+        spark.readStream.schema(orders.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    with _shuffle_partitions(spark, 8):
+        q = (
+            stream.writeStream.foreachBatch(step)
+            .option("checkpointLocation", _scratch("dq_ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    tot = spark.read.parquet(counters_dir).agg(
+        F.sum("bad_status").cast("bigint").alias("bad_status"),
+        F.sum("big_price").cast("bigint").alias("big_price"),
+        F.sum("fk_miss").cast("bigint").alias("fk_miss"),
+        F.sum("n").cast("bigint").alias("n"),
+    )
+
+    def row(name: str, vcol: str) -> DataFrame:
+        return tot.select(
+            F.lit(name).alias("check_name"),
+            F.lit("orders").alias("tbl"),
+            F.col(vcol).alias("violations"),
+            F.col("n").alias("total"),
+        )
+
+    return (
+        row("domain_o_orderstatus", "bad_status")
+        .unionAll(row("max_o_totalprice_450k", "big_price"))
+        .unionAll(row("fk_orders_customer", "fk_miss"))
+    )

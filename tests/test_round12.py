@@ -627,3 +627,70 @@ class TestCoverageCurve:
         # non-decreasing, never exceeding total
         for a, b in zip(rows, rows[1:]):
             assert a.covered_tokens <= b.covered_tokens <= total
+
+
+class TestMmrRerank:
+    def test_diversity_tradeoff_and_validity(self, spark):
+        rows = sorted(
+            registry.QUERIES["sim_mmr_rerank"](spark, SF).collect(),
+            key=lambda r: r.mmr_rank,
+        )
+        assert [r.mmr_rank for r in rows] == list(range(1, 11))
+        # no repeats; first pick is the relevance argmax
+        ids = [r.vec_id for r in rows]
+        assert len(set(ids)) == 10
+        assert rows[0].relevance == max(r.relevance for r in rows)
+        # mmr score never exceeds pure-relevance score and is
+        # non-increasing down the ranking only for the greedy pick
+        # sequence's own scores
+        for r in rows:
+            assert r.mmr_score_micro <= int(0.7 * r.relevance * 1e6) + 1
+        for a, b in zip(rows, rows[1:]):
+            # greedy: the later pick scored no higher at its turn than
+            # the earlier pick did at its turn is NOT guaranteed (the
+            # penalty set grows), but the first pick dominates all
+            assert rows[0].mmr_score_micro >= b.mmr_score_micro
+
+
+class TestStreamDqConstraints:
+    def test_stream_equals_batch_orders_subset(self, spark):
+        stream = {
+            r.check_name: r
+            for r in registry.QUERIES["stream_dq_constraints"](
+                spark, SF
+            ).collect()
+        }
+        batch = {
+            r.check_name: r
+            for r in registry.QUERIES["profile_dq_constraints"](
+                spark, SF
+            ).collect()
+            if r.tbl == "orders"
+        }
+        assert set(stream) == set(batch)
+        for name in batch:
+            assert stream[name].violations == batch[name].violations
+            assert stream[name].total == batch[name].total
+
+
+class TestKnnLabelAccuracy:
+    def test_counts_and_better_than_chance(self, spark):
+        rows = registry.QUERIES["emb_knn_label_accuracy"](
+            spark, SF
+        ).collect()
+        emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+        per_label = {
+            r.label: r["count"]
+            for r in emb.groupBy("label").count().collect()
+        }
+        assert {r.label for r in rows} == set(per_label)
+        for r in rows:
+            assert r.n == per_label[r.label]
+            assert 0 <= r.n_correct <= r.n
+        # the synthetic labels are independent of the embedding
+        # geometry (measured: 1-NN agreement ~0.096 at sf0.01), so a
+        # CORRECT LOO metric must sit at the 10-class chance level.
+        # The classic bug this bounds out is self-inclusion in the
+        # neighbor set, which drags accuracy toward 1.0.
+        acc = sum(r.n_correct for r in rows) / sum(r.n for r in rows)
+        assert 0.01 <= acc <= 0.35
