@@ -257,6 +257,10 @@ EXT_HEADLINE = [
     "sim_mmr_rerank",
     "stream_dq_constraints",
     "emb_knn_label_accuracy",
+    "graph_assortativity",
+    "orders_benford_audit",
+    "orders_runs_test",
+    "graph_modularity",
 ]
 
 

@@ -1258,3 +1258,107 @@ def mmr_rerank(
         "mmr_rank bigint, vec_id bigint, relevance double, "
         "mmr_score_micro bigint",
     )
+
+
+def knn_block_topk(emb: DataFrame, k: int = 5) -> DataFrame:
+    """Exact k-nearest-neighbor candidates by blocked all-pairs:
+    (qid, nid, cosine) — for every vector, a SUPERSET cover of its
+    global top-k built from per-block-pair local top-k cuts, to be
+    reduced by one (qid)-keyed WindowGroupLimit.
+
+    Same execution scheme as ``dedup.embedding_near_dup`` (hash
+    blocks, broadcast B(B+1)/2 block-pair relation, ``applyInPandas``
+    int64-quantized matmul per pair — every task holds <= 2/B of the
+    corpus), but instead of thresholding, each task emits each side's
+    LOCAL top-k against the other side (self-matches excluded). A
+    vector's global top-k is contained in the union of its B local
+    top-k lists, so the shuffled candidate relation is k*B rows per
+    vector — LINEAR in corpus size; the O(n^2) matmul work stays
+    inside the kernels and never materializes as rows. Cosine is the
+    quantized-int64 half-up-rounded value of the near-dup family, so
+    the same oracle formulation applies.
+    """
+    from .dedup import quantize_np
+
+    n_blocks = 4
+    src = emb.select(
+        "vec_id", V.as_double(F.col("embedding")).alias("v")
+    )
+    spark = emb.sparkSession
+    bp = spark.createDataFrame(
+        [
+            (bi, bj)
+            for bi in range(n_blocks)
+            for bj in range(bi, n_blocks)
+        ],
+        "bi int, bj int",
+    )
+    blocked = src.withColumn(
+        "blk", F.pmod(F.col("vec_id"), F.lit(n_blocks)).cast("int")
+    )
+    rep = blocked.join(
+        F.broadcast(bp),
+        (F.col("blk") == F.col("bi")) | (F.col("blk") == F.col("bj")),
+    )
+    out_schema = "qid bigint, nid bigint, cosine double"
+    scale = 1000000.0
+
+    def local_topk(pdf):
+        import numpy as np
+        import pandas as pd
+
+        empty = pd.DataFrame(
+            {
+                "qid": pd.Series(dtype="int64"),
+                "nid": pd.Series(dtype="int64"),
+                "cosine": pd.Series(dtype="float64"),
+            }
+        )
+        if pdf.empty:
+            return empty
+        bi, bj = int(pdf["bi"].iloc[0]), int(pdf["bj"].iloc[0])
+        a_pdf = pdf[pdf["blk"] == bi]
+        b_pdf = a_pdf if bi == bj else pdf[pdf["blk"] == bj]
+        if a_pdf.empty or b_pdf.empty:
+            return empty
+        a_ids = a_pdf["vec_id"].to_numpy(dtype=np.int64)
+        b_ids = b_pdf["vec_id"].to_numpy(dtype=np.int64)
+        A = quantize_np(list(a_pdf["v"]))
+        B = A if bi == bj else quantize_np(list(b_pdf["v"]))
+        an = np.sqrt((A * A).sum(axis=1).astype(np.float64))
+        bn = np.sqrt((B * B).sum(axis=1).astype(np.float64))
+        cos = (A @ B.T).astype(np.float64) / np.outer(an, bn)
+        cos = np.floor(cos * scale + 0.5) / scale
+
+        def side(q_ids, n_ids, mat):
+            # per row: top-k by (cosine desc, neighbor id asc),
+            # excluding self-matches
+            out_q, out_n, out_c = [], [], []
+            kk = min(k, mat.shape[1])
+            for r in range(mat.shape[0]):
+                row = mat[r]
+                mask = n_ids != q_ids[r]
+                cand_n = n_ids[mask]
+                cand_c = row[mask]
+                if cand_n.size == 0:
+                    continue
+                order = np.lexsort((cand_n, -cand_c))[:kk]
+                out_q.extend([q_ids[r]] * len(order))
+                out_n.extend(cand_n[order])
+                out_c.extend(cand_c[order])
+            return pd.DataFrame(
+                {
+                    "qid": np.asarray(out_q, dtype=np.int64),
+                    "nid": np.asarray(out_n, dtype=np.int64),
+                    "cosine": np.asarray(out_c, dtype=np.float64),
+                }
+            )
+
+        parts = [side(a_ids, b_ids, cos)]
+        if bi != bj:
+            parts.append(side(b_ids, a_ids, cos.T))
+        return pd.concat(parts, ignore_index=True)
+
+    return rep.groupBy("bi", "bj").applyInPandas(
+        local_topk, out_schema
+    )

@@ -2658,11 +2658,23 @@ _KNN_K = 5
 
 
 def _knn_oracle() -> str:
-    from .queries_ext import _duck_cos
-
     return f"""
 WITH e AS MATERIALIZED (
     SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings
+),
+qv AS MATERIALIZED (
+    SELECT vec_id, label,
+           list_transform(v, x -> CAST(floor(
+               x / sqrt(list_reduce(list_transform(v, y -> y*y),
+                                    (a,b) -> a+b)) * 1048576.0 + 0.5
+           ) AS BIGINT)) AS q
+    FROM e
+),
+nq AS MATERIALIZED (
+    SELECT vec_id, label, q,
+           sqrt(CAST(list_reduce(list_transform(q, x -> x*x),
+                                 (a,b) -> a+b) AS DOUBLE)) AS nrm
+    FROM qv
 ),
 nn AS MATERIALIZED (
     SELECT * FROM (
@@ -2670,10 +2682,16 @@ nn AS MATERIALIZED (
                b.label AS nlabel,
                row_number() OVER (
                    PARTITION BY a.vec_id
-                   ORDER BY round({_duck_cos('a.v', 'b.v')}, 6) DESC,
+                   ORDER BY floor(
+                       CAST(list_reduce(
+                            list_transform(range(64),
+                                           i -> a.q[i+1] * b.q[i+1]),
+                            (x,y) -> x+y) AS DOUBLE)
+                       / (a.nrm * b.nrm) * 1000000.0 + 0.5)
+                       / 1000000.0 DESC,
                             b.vec_id
                ) AS rn
-        FROM e a JOIN e b ON a.vec_id <> b.vec_id
+        FROM nq a JOIN nq b ON a.vec_id <> b.vec_id
     ) WHERE rn <= {_KNN_K}
 ),
 votes AS (
@@ -2714,40 +2732,39 @@ def q_emb_knn_label_accuracy(
     asserted as such in tests/test_round12.py; the metric's own
     correctness is what the oracle checks.)
 
-    Scale shape: the labeled relation is an EVAL SET (bounded by
-    labeling budget, not corpus size), so the exact all-pairs score —
-    one broadcast-able self-join, neighbor cut via per-partition
-    WindowGroupLimit heaps — is the intended production shape; corpus-
-    scale retrieval uses sim_ann_ivf and this query is its judge.
-    Votes, predictions, and the per-label rollup are integer-exact."""
-    from ..functions import vectors as V
+    Scale shape: the O(n^2) scoring runs INSIDE the blocked int64
+    matmul kernels (dedup.embedding_near_dup's scheme: B(B+1)/2
+    independent block-pair tasks, each holding <= 2/B of the
+    relation); only each vector's B local top-k lists ever
+    materialize as rows (LINEAR), reduced by one qid-keyed
+    WindowGroupLimit. Cosine is the family's quantized-int64
+    half-up value, mirrored verbatim in the oracle. Votes,
+    predictions, and the per-label rollup are integer-exact."""
+    from ..operators import similarity
 
-    e = load_table(spark, sf_dir, "embeddings").select(
-        "vec_id", "label", V.as_double(F.col("embedding")).alias("v")
-    )
-    a = e.select(
-        F.col("vec_id").alias("qid"),
-        F.col("label").alias("qlabel"),
-        F.col("v").alias("va"),
-    )
-    b = e.select(
-        F.col("vec_id").alias("nid"),
-        F.col("label").alias("nlabel"),
-        F.col("v").alias("vb"),
-    )
-    scored = a.join(b, F.col("qid") != F.col("nid")).select(
-        "qid",
-        "qlabel",
-        "nid",
-        "nlabel",
-        F.round(V.cosine(F.col("va"), F.col("vb")), 6).alias("cos"),
-    )
+    emb = load_table(spark, sf_dir, "embeddings")
+    cand = similarity.knn_block_topk(emb, k=_KNN_K)
     wn = Window.partitionBy("qid").orderBy(
-        F.col("cos").desc(), F.col("nid")
+        F.col("cosine").desc(), F.col("nid")
     )
+    lab = emb.select("vec_id", "label")
     nn = (
-        scored.withColumn("rn", F.row_number().over(wn))
+        cand.withColumn("rn", F.row_number().over(wn))
         .filter(F.col("rn") <= _KNN_K)
+        .join(
+            lab.select(
+                F.col("vec_id").alias("qid"),
+                F.col("label").alias("qlabel"),
+            ),
+            "qid",
+        )
+        .join(
+            lab.select(
+                F.col("vec_id").alias("nid"),
+                F.col("label").alias("nlabel"),
+            ),
+            "nid",
+        )
         .select("qid", "qlabel", "nlabel")
     )
     votes = nn.groupBy("qid", "qlabel", "nlabel").agg(
@@ -2770,4 +2787,465 @@ def q_emb_knn_label_accuracy(
         )
         .cast("bigint")
         .alias("n_correct"),
+    )
+
+
+# -- Degree assortativity of the co-purchase graph ----------------------------
+# Network-science structure metric the graph family lacked: do
+# high-degree parts co-purchase with other high-degree parts
+# (assortative, r>0) or with the periphery (disassortative, r<0)?
+# Over the symmetric directed edge list, r = (M*Sjk - Sj^2) /
+# (M*Sj2 - Sj^2) — every sum an exact int64, ONE double division,
+# micro-floored (int64 holds the products through ~sf100 of this
+# graph's density; the raise-don't-wrap audit is the CAST itself).
+
+_ASSORT_ORACLE = """
+WITH basket AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+e AS (
+    SELECT a.l_partkey AS src, b.l_partkey AS dst
+    FROM basket a JOIN basket b
+      ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    GROUP BY 1, 2 HAVING COUNT(*) >= 2
+),
+und AS (
+    SELECT src AS u, dst AS v FROM e
+    UNION ALL SELECT dst, src FROM e
+),
+deg AS (SELECT u, COUNT(*) AS d FROM und GROUP BY 1),
+ed AS (
+    SELECT da.d AS j, db.d AS k
+    FROM und JOIN deg da ON da.u = und.u
+    JOIN deg db ON db.u = und.v
+),
+s AS (
+    SELECT CAST(COUNT(*) AS BIGINT) AS m,
+           CAST(SUM(j) AS BIGINT) AS sj,
+           CAST(SUM(j * k) AS BIGINT) AS sjk,
+           CAST(SUM(j * j) AS BIGINT) AS sj2
+    FROM ed
+)
+SELECT m AS m_directed, sj, sjk, sj2,
+       CAST(FLOOR(CAST(m * sjk - sj * sj AS DOUBLE)
+           / CAST(m * sj2 - sj * sj AS DOUBLE)
+           * 1000000.0) AS BIGINT) AS r_micro
+FROM s
+"""
+
+
+@query("graph_assortativity", _ASSORT_ORACLE)
+def q_graph_assortativity(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Degree assortativity coefficient of the weight>=2 co-purchase
+    graph → (m_directed, sj, sjk, sj2, r_micro): the Pearson
+    correlation of endpoint degrees over edges, in Newman's
+    symmetric-edge-list simplification r = (M*Sjk - Sj^2)/(M*Sj2 -
+    Sj^2). Positive r = hubs prefer hubs (assortative mixing),
+    negative = hub-and-spoke. All four power sums are exact int64
+    aggregates; the numerator/denominator products stay in int64 and
+    the single double division is micro-floored.
+
+    Scale shape: degrees = one node-keyed count over the stored edge
+    relation; attaching both endpoint degrees = two key-shuffled
+    joins; the moment rollup is one map-side-combined aggregate to a
+    1-row relation. Nothing holds more than (edge, j, k) rows."""
+    from .queries_analytics import _copurchase_edge_index
+
+    e = _copurchase_edge_index(spark, sf_dir).filter(
+        (F.col("weight") >= 2) & (F.col("src") < F.col("dst"))
+    ).select("src", "dst")
+    und = e.select(
+        F.col("src").alias("u"), F.col("dst").alias("v")
+    ).unionAll(
+        e.select(F.col("dst").alias("u"), F.col("src").alias("v"))
+    )
+    deg = und.groupBy("u").agg(F.count("*").alias("d"))
+    ed = (
+        und.join(deg.select(F.col("u"), F.col("d").alias("j")), "u")
+        .join(
+            deg.select(
+                F.col("u").alias("v"), F.col("d").alias("k")
+            ),
+            "v",
+        )
+        .select("j", "k")
+    )
+    s = ed.agg(
+        F.count("*").cast("bigint").alias("m"),
+        F.sum("j").cast("bigint").alias("sj"),
+        F.sum(F.col("j") * F.col("k")).cast("bigint").alias("sjk"),
+        F.sum(F.col("j") * F.col("j")).cast("bigint").alias("sj2"),
+    )
+    return s.select(
+        F.col("m").alias("m_directed"),
+        "sj",
+        "sjk",
+        "sj2",
+        F.floor(
+            (
+                F.col("m") * F.col("sjk")
+                - F.col("sj") * F.col("sj")
+            ).cast("double")
+            / (
+                F.col("m") * F.col("sj2")
+                - F.col("sj") * F.col("sj")
+            ).cast("double")
+            * F.lit(1000000.0)
+        )
+        .cast("bigint")
+        .alias("r_micro"),
+    )
+
+
+# -- Benford first-digit audit ------------------------------------------------
+# The forensic-accounting / data-quality classic: naturally-occurring
+# multi-scale amounts follow log10(1 + 1/d) first-digit frequencies;
+# fabricated or range-clamped data does not. The audit publishes
+# per-digit observed counts vs the Benford expectation and the chi^2
+# contribution — on TPC-H's uniform-ish totalprice the deviation is
+# ENORMOUS, which is exactly what the audit should say about
+# synthetic amounts. Expected shares are shared literals (never a
+# computed log10), so both engines use bit-identical constants.
+
+_BENFORD_P = (
+    (1, 0.3010299956639812),
+    (2, 0.17609125905568124),
+    (3, 0.12493873660829992),
+    (4, 0.09691001300805642),
+    (5, 0.07918124604762482),
+    (6, 0.06694678963061322),
+    (7, 0.05799194697768673),
+    (8, 0.05115252244738129),
+    (9, 0.04575749056067514),
+)
+
+
+def _benford_oracle() -> str:
+    vals = ",\n                   ".join(
+        f"({d}, {p!r}e0)" for d, p in _BENFORD_P
+    )
+    return f"""
+WITH d AS (
+    SELECT CAST(substr(CAST(CAST(FLOOR(o_totalprice) AS BIGINT)
+        AS VARCHAR), 1, 1) AS BIGINT) AS digit
+    FROM orders
+),
+cnt AS (
+    SELECT digit, CAST(COUNT(*) AS BIGINT) AS n_obs FROM d GROUP BY 1
+),
+tot AS (SELECT CAST(SUM(n_obs) AS BIGINT) AS n FROM cnt),
+bf(digit, p) AS (VALUES {vals})
+SELECT CAST(bf.digit AS BIGINT) AS digit,
+       COALESCE(cnt.n_obs, 0) AS n_obs,
+       CAST(FLOOR(CAST(tot.n AS DOUBLE) * bf.p * 1000000.0)
+           AS BIGINT) AS expected_micro,
+       CAST(FLOOR(
+           (CAST(COALESCE(cnt.n_obs, 0) AS DOUBLE)
+            - CAST(tot.n AS DOUBLE) * bf.p)
+           * (CAST(COALESCE(cnt.n_obs, 0) AS DOUBLE)
+              - CAST(tot.n AS DOUBLE) * bf.p)
+           / (CAST(tot.n AS DOUBLE) * bf.p) * 1000000.0)
+           AS BIGINT) AS chi2_micro
+FROM bf LEFT JOIN cnt USING (digit) CROSS JOIN tot
+"""
+
+
+@query("orders_benford_audit", _benford_oracle())
+def q_orders_benford_audit(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Benford's-law first-digit audit of order amounts → one row per
+    digit 1-9: (digit, n_obs, expected_micro, chi2_micro). The
+    forensic-accounting screen: amounts spanning scales follow
+    log10(1+1/d); range-clamped or fabricated figures don't, and the
+    per-digit chi^2 contribution says WHERE the distribution breaks.
+    First digit extracted via integer-floor -> string (deterministic
+    in both engines — never a float log10 of the value); expected
+    shares are shared literal doubles; the two float outputs are
+    floor-quantized micro-units of identical expression trees.
+
+    Scale shape: one map-side-combined 9-key count aggregate over the
+    scan; the Benford table is a 9-row literal relation. Nothing else
+    moves."""
+    o = _orders(spark, sf_dir)
+    d = o.select(
+        F.substring(
+            F.floor(F.col("o_totalprice")).cast("bigint").cast(
+                "string"
+            ),
+            1,
+            1,
+        )
+        .cast("bigint")
+        .alias("digit")
+    )
+    cnt = d.groupBy("digit").agg(
+        F.count("*").cast("bigint").alias("n_obs")
+    )
+    tot = cnt.agg(F.sum("n_obs").cast("bigint").alias("n"))
+    bf = F.array(
+        *[
+            F.struct(
+                F.lit(dd).cast("bigint").alias("digit"),
+                F.lit(pp).alias("p"),
+            )
+            for dd, pp in _BENFORD_P
+        ]
+    )
+    bft = (
+        o.sparkSession.range(1)
+        .select(F.explode(bf).alias("b"))
+        .select(F.col("b.digit").alias("digit"), F.col("b.p").alias("p"))
+    )
+    g = (
+        bft.join(cnt, "digit", "left")
+        .withColumn("n_obs", F.coalesce(F.col("n_obs"), F.lit(0)))
+        .crossJoin(F.broadcast(tot))
+    )
+    dev = F.col("n_obs").cast("double") - F.col("n").cast(
+        "double"
+    ) * F.col("p")
+    return g.select(
+        "digit",
+        "n_obs",
+        F.floor(
+            F.col("n").cast("double") * F.col("p") * F.lit(1000000.0)
+        )
+        .cast("bigint")
+        .alias("expected_micro"),
+        F.floor(
+            dev
+            * dev
+            / (F.col("n").cast("double") * F.col("p"))
+            * F.lit(1000000.0)
+        )
+        .cast("bigint")
+        .alias("chi2_micro"),
+    )
+
+
+# -- Wald-Wolfowitz runs test on daily revenue --------------------------------
+# Randomness diagnostic for the forecasting family: is the sign of
+# the day-over-day revenue change a random sequence, or does it
+# trend/oscillate? R runs among n+ ups and n- downs; z compares R to
+# its null mean 2*n+*n-/(n)+1. Counts and the runs total are exact
+# integers; mu/sigma/z is ONE mirrored double expression,
+# micro-floored.
+
+_RUNS_ORACLE = """
+WITH daily AS (
+    SELECT CAST(date_trunc('day', o_orderdate) AS DATE) AS day,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) * 100
+               AS BIGINT) AS rc
+    FROM orders GROUP BY 1
+),
+diffs AS (
+    SELECT day, rc - lag(rc) OVER (ORDER BY day) AS d FROM daily
+),
+signs AS (
+    SELECT day, CASE WHEN d > 0 THEN 1 ELSE -1 END AS s
+    FROM diffs WHERE d IS NOT NULL AND d <> 0
+),
+flips AS (
+    SELECT s, CASE WHEN lag(s) OVER (ORDER BY day) IS NOT NULL
+                        AND s <> lag(s) OVER (ORDER BY day)
+              THEN 1 ELSE 0 END AS flip
+    FROM signs
+),
+agg AS (
+    SELECT CAST(SUM(CASE WHEN s = 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_plus,
+           CAST(SUM(CASE WHEN s = -1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_minus,
+           CAST(1 + SUM(flip) AS BIGINT) AS n_runs
+    FROM flips
+)
+SELECT n_plus, n_minus, n_runs,
+       CAST(FLOOR(
+           (CAST(n_runs AS DOUBLE)
+            - (2e0 * n_plus * n_minus
+               / CAST(n_plus + n_minus AS DOUBLE) + 1e0))
+           / sqrt(
+               (2e0 * n_plus * n_minus
+                / CAST(n_plus + n_minus AS DOUBLE))
+               * (2e0 * n_plus * n_minus
+                  / CAST(n_plus + n_minus AS DOUBLE) - 1e0)
+               / CAST(n_plus + n_minus - 1 AS DOUBLE))
+           * 1000000.0) AS BIGINT) AS z_micro
+FROM agg
+"""
+
+
+@query("orders_runs_test", _RUNS_ORACLE)
+def q_orders_runs_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wald-Wolfowitz runs test on the signs of day-over-day revenue
+    changes → (n_plus, n_minus, n_runs, z_micro). z far below 0 means
+    fewer runs than chance (trending/persistent days), far above
+    means oscillation — the randomness sanity check to run BEFORE
+    fitting the Holt/Holt-Winters family. Ties (zero deltas) drop,
+    the standard convention. Counts and runs are exact integers off
+    decimal-exact daily revenue; mu, sigma, z evaluate as ONE
+    identically-bracketed double expression, micro-floored.
+
+    Scale shape: one day-keyed decimal aggregate, then every window
+    (lag of revenue, lag of sign) runs over the CALENDAR-bounded
+    daily relation — the theil_sen/seasonal_decompose shape."""
+    o = _orders(spark, sf_dir)
+    daily = o.groupBy(
+        F.date_trunc("day", "o_orderdate").cast("date").alias("day")
+    ).agg(
+        (F.sum(F.col("o_totalprice").cast("decimal(18,2)")) * 100)
+        .cast("bigint")
+        .alias("rc")
+    )
+    wd = Window.orderBy("day")
+    diffs = daily.select(
+        "day", (F.col("rc") - F.lag("rc").over(wd)).alias("d")
+    )
+    signs = diffs.filter(
+        F.col("d").isNotNull() & (F.col("d") != 0)
+    ).select(
+        "day",
+        F.when(F.col("d") > 0, 1).otherwise(-1).alias("s"),
+    )
+    flips = signs.select(
+        "s",
+        F.when(
+            F.lag("s").over(wd).isNotNull()
+            & (F.col("s") != F.lag("s").over(wd)),
+            1,
+        )
+        .otherwise(0)
+        .alias("flip"),
+    )
+    agg = flips.agg(
+        F.sum(F.when(F.col("s") == 1, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_plus"),
+        F.sum(F.when(F.col("s") == -1, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_minus"),
+        (1 + F.sum("flip")).cast("bigint").alias("n_runs"),
+    )
+    np_, nm, nr = F.col("n_plus"), F.col("n_minus"), F.col("n_runs")
+    denom = (np_ + nm).cast("double")
+    mu_term = F.lit(2.0) * np_ * nm / denom
+    return agg.select(
+        "n_plus",
+        "n_minus",
+        "n_runs",
+        F.floor(
+            (nr.cast("double") - (mu_term + F.lit(1.0)))
+            / F.sqrt(
+                mu_term
+                * (mu_term - F.lit(1.0))
+                / (np_ + nm - 1).cast("double")
+            )
+            * F.lit(1000000.0)
+        )
+        .cast("bigint")
+        .alias("z_micro"),
+    )
+
+
+# -- Modularity of the LPA communities ----------------------------------------
+# The quality number for graph_communities_lpa's partition: Newman
+# modularity Q = sum_c [ din_c/(2m) - (D_c/(2m))^2 ] over the same
+# weight>=2 co-purchase graph (unit edge weights, directed-symmetric
+# edge list). Scaled by (2m)^2 everything is integer: Q_num =
+# sum_c (din_c * 2m - D_c^2), Q_den = (2m)^2 — the oracle reuses the
+# LPA CTE chain verbatim (same 5 supersteps) and the engine reuses
+# the same label_propagation operator, so the partition is
+# bit-identical by construction.
+
+
+def _modularity_oracle() -> str:
+    from .queries_analytics import _LPA_ORACLE
+
+    prelude = _LPA_ORACLE.rsplit("SELECT label,", 1)[0]
+    assert prelude.rstrip().endswith(")")  # splice point contract
+    return (
+        prelude
+        + """,
+lab AS MATERIALIZED (SELECT node, label FROM l5),
+m2 AS MATERIALIZED (SELECT CAST(COUNT(*) AS BIGINT) AS m2 FROM e),
+din AS MATERIALIZED (
+    SELECT la.label, CAST(COUNT(*) AS BIGINT) AS din
+    FROM e JOIN lab la ON e.src = la.node
+    JOIN lab lb ON e.dst = lb.node
+    WHERE la.label = lb.label
+    GROUP BY 1
+),
+degc AS MATERIALIZED (
+    SELECT la.label, CAST(COUNT(*) AS BIGINT) AS dc
+    FROM e JOIN lab la ON e.src = la.node
+    GROUP BY 1
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_communities,
+       MAX(m2.m2) AS m_directed,
+       CAST(SUM(COALESCE(din.din, 0) * m2.m2 - degc.dc * degc.dc)
+           AS BIGINT) AS q_num,
+       CAST(MAX(m2.m2) * MAX(m2.m2) AS BIGINT) AS q_den
+FROM degc LEFT JOIN din USING (label) CROSS JOIN m2
+"""
+    )
+
+
+@query("graph_modularity", _modularity_oracle())
+def q_graph_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Newman modularity of the LPA community partition on the
+    weight>=2 co-purchase graph → (n_communities, m_directed, q_num,
+    q_den) with Q = q_num/q_den. The acceptance metric for
+    graph_communities_lpa: Q near 0 means the partition explains no
+    more intra-community mass than a degree-preserving random graph;
+    the integer scaling by (2m)^2 keeps the entire computation exact
+    (no float enters the query).
+
+    Scale shape: the partition comes from the same 5-superstep
+    label_propagation over the stored edge index (hash-exact since
+    round 8); modularity itself is two label-keyed joins of the edge
+    relation onto the label map (intra-edge count + community degree
+    mass) and a rollup over the <=|communities| relation."""
+    from ..operators import graph
+    from .queries_analytics import _copurchase_edge_index
+
+    edges = _copurchase_edge_index(spark, sf_dir).filter(
+        F.col("weight") >= 2
+    )
+    lab = graph.label_propagation(edges).select("node", "label")
+    lab = lab.localCheckpoint(eager=False)
+    e = edges.select("src", "dst")
+    m2 = e.agg(F.count("*").cast("bigint").alias("m2"))
+    la = lab.select(
+        F.col("node").alias("src"), F.col("label").alias("la")
+    )
+    lb = lab.select(
+        F.col("node").alias("dst"), F.col("label").alias("lb")
+    )
+    din = (
+        e.join(la, "src")
+        .join(lb, "dst")
+        .filter(F.col("la") == F.col("lb"))
+        .groupBy(F.col("la").alias("label"))
+        .agg(F.count("*").cast("bigint").alias("din"))
+    )
+    degc = (
+        e.join(la, "src")
+        .groupBy(F.col("la").alias("label"))
+        .agg(F.count("*").cast("bigint").alias("dc"))
+    )
+    g = (
+        degc.join(din, "label", "left")
+        .withColumn("din", F.coalesce(F.col("din"), F.lit(0)))
+        .crossJoin(F.broadcast(m2))
+    )
+    return g.agg(
+        F.count("*").cast("bigint").alias("n_communities"),
+        F.max("m2").alias("m_directed"),
+        F.sum(
+            F.col("din") * F.col("m2") - F.col("dc") * F.col("dc")
+        )
+        .cast("bigint")
+        .alias("q_num"),
+        (F.max("m2") * F.max("m2")).cast("bigint").alias("q_den"),
     )

@@ -81,6 +81,8 @@ ALLOWED_UNPARTITIONED = {
     "customers_kaplan_meier",
     # centered 2x12 MA over the calendar-bounded monthly relation
     "orders_seasonal_decompose",
+    # lag windows over the calendar-bounded daily revenue relation
+    "orders_runs_test",
     # row_number over the top-1024 vocabulary candidate relation
     # (TakeOrderedAndProject upstream bounds it)
     "tokenizer_coverage_curve",
