@@ -261,6 +261,8 @@ EXT_HEADLINE = [
     "orders_benford_audit",
     "orders_runs_test",
     "graph_modularity",
+    "emb_mutual_knn",
+    "pipeline_backfill_plan",
 ]
 
 

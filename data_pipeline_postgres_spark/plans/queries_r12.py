@@ -2657,7 +2657,20 @@ def q_stream_dq_constraints(
 _KNN_K = 5
 
 
-def _knn_oracle() -> str:
+def _knn_prelude(keep_cosine: bool = False) -> str:
+    """Shared CTE chain: quantized vectors -> all-pairs quantized
+    cosine -> per-query rank (the knn/mutual-knn oracle prelude)."""
+    cos_col = (
+        ",\n               floor(\n"
+        "                   CAST(list_reduce(\n"
+        "                        list_transform(range(64),\n"
+        "                                       i -> a.q[i+1] * b.q[i+1]),\n"
+        "                        (x,y) -> x+y) AS DOUBLE)\n"
+        "                   / (a.nrm * b.nrm) * 1000000.0 + 0.5)\n"
+        "                   / 1000000.0 AS cosine"
+        if keep_cosine
+        else ""
+    )
     return f"""
 WITH e AS MATERIALIZED (
     SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings
@@ -2679,7 +2692,7 @@ nq AS MATERIALIZED (
 nn AS MATERIALIZED (
     SELECT * FROM (
         SELECT a.vec_id AS qid, a.label AS qlabel,
-               b.label AS nlabel,
+               b.vec_id AS nid, b.label AS nlabel{cos_col},
                row_number() OVER (
                    PARTITION BY a.vec_id
                    ORDER BY floor(
@@ -2693,7 +2706,11 @@ nn AS MATERIALIZED (
                ) AS rn
         FROM nq a JOIN nq b ON a.vec_id <> b.vec_id
     ) WHERE rn <= {_KNN_K}
-),
+)"""
+
+
+def _knn_oracle() -> str:
+    return _knn_prelude() + """,
 votes AS (
     SELECT qid, qlabel, nlabel, COUNT(*) AS c
     FROM nn GROUP BY 1, 2, 3
@@ -3249,3 +3266,165 @@ def q_graph_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("q_num"),
         (F.max("m2") * F.max("m2")).cast("bigint").alias("q_den"),
     )
+
+
+# -- Reciprocal (mutual) kNN pairs --------------------------------------------
+# The high-precision neighbor filter: a pair survives only if each
+# vector sits in the OTHER's top-k — the reciprocal-NN criterion
+# image-dedup and re-ranking stacks use to kill hubness (a hub vector
+# appears in everyone's top-k; almost nobody appears in the hub's).
+# Pure composition: the same blocked-kernel candidate relation as
+# emb_knn_label_accuracy, intersected with its own transpose.
+
+
+def _mutual_knn_oracle() -> str:
+    return _knn_prelude(keep_cosine=True) + """
+SELECT n1.qid AS vec_id_a, n1.nid AS vec_id_b, n1.cosine
+FROM nn n1 JOIN nn n2 ON n1.qid = n2.nid AND n1.nid = n2.qid
+WHERE n1.qid < n1.nid
+"""
+
+
+@query("emb_mutual_knn", _mutual_knn_oracle())
+def q_emb_mutual_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reciprocal 5-NN pairs: (vec_id_a, vec_id_b, cosine) where each
+    vector is in the other's top-5 — the mutual-NN criterion that
+    suppresses hub vectors (in everyone's top-k, reciprocated by
+    almost nobody) and is the standard high-precision candidate
+    filter before expensive pairwise verification. Cosine is the
+    family's quantized-int64 half-up value (symmetric, so one value
+    per pair).
+
+    Scale shape: the candidate relation is the same LINEAR
+    per-block-local-top-k output as emb_knn_label_accuracy (quadratic
+    work stays inside the blocked matmul kernels); the reciprocity
+    check is ONE self-equi-join of that k·B-rows-per-vector relation
+    on the swapped key pair. No new scoring pass."""
+    from ..operators import similarity
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cand = similarity.knn_block_topk(emb, k=_KNN_K)
+    wn = Window.partitionBy("qid").orderBy(
+        F.col("cosine").desc(), F.col("nid")
+    )
+    nn = (
+        cand.withColumn("rn", F.row_number().over(wn))
+        .filter(F.col("rn") <= _KNN_K)
+        .select("qid", "nid", "cosine")
+        .localCheckpoint(eager=False)
+    )
+    swapped = nn.select(
+        F.col("nid").alias("qid"), F.col("qid").alias("nid")
+    )
+    return (
+        nn.join(swapped, ["qid", "nid"])
+        .filter(F.col("qid") < F.col("nid"))
+        .select(
+            F.col("qid").alias("vec_id_a"),
+            F.col("nid").alias("vec_id_b"),
+            "cosine",
+        )
+    )
+
+
+# -- Backfill range planner ---------------------------------------------------
+# The orchestration op every batch pipeline runs after an outage:
+# which daily partitions are missing-or-short, and what contiguous
+# date ranges should the backfill jobs cover? A day FAILS if its row
+# count is under 80% of the overall daily average (absent days count
+# as 0 — the calendar spine makes missing partitions visible);
+# contiguous failed days collapse into one backfill range via
+# gaps-and-islands. All decisions integer cross-multiplications.
+
+_BACKFILL_ORACLE = """
+WITH bounds AS (
+    SELECT CAST(MIN(o_orderdate) AS DATE) AS d0,
+           CAST(MAX(o_orderdate) AS DATE) AS d1,
+           CAST(COUNT(*) AS BIGINT) AS total
+    FROM orders
+),
+spine AS (
+    SELECT CAST(unnest(generate_series(d0, d1, INTERVAL 1 DAY))
+               AS DATE) AS day,
+           total,
+           CAST(date_diff('day', d0, d1) + 1 AS BIGINT) AS n_days
+    FROM bounds
+),
+daily AS (
+    SELECT CAST(o_orderdate AS DATE) AS day,
+           CAST(COUNT(*) AS BIGINT) AS cnt
+    FROM orders GROUP BY 1
+),
+status AS (
+    SELECT s.day, COALESCE(d.cnt, 0) AS cnt, s.total, s.n_days
+    FROM spine s LEFT JOIN daily d ON d.day = s.day
+),
+failed AS (
+    SELECT day,
+           row_number() OVER (ORDER BY day) AS rn
+    FROM status
+    WHERE cnt * n_days * 10 < total * 8
+),
+ranges AS (
+    SELECT day, day - CAST(rn AS INTEGER) AS grp FROM failed
+)
+SELECT MIN(day) AS start_day, MAX(day) AS end_day,
+       CAST(COUNT(*) AS BIGINT) AS n_days
+FROM ranges GROUP BY grp
+"""
+
+
+@query("pipeline_backfill_plan", _BACKFILL_ORACLE)
+def q_pipeline_backfill_plan(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Backfill range planner: daily partitions whose row count falls
+    under 80% of the overall daily average (absent days = 0, made
+    visible by a full calendar spine) grouped into contiguous date
+    ranges → (start_day, end_day, n_days) — one row per backfill job
+    an orchestrator would launch after an outage. The failure
+    predicate is an integer cross-multiplication (cnt·n_days·10 <
+    total·8): no float, no division.
+
+    Scale shape: one day-keyed count aggregate over the scan; the
+    spine, the join onto it, and the gaps-and-islands windows all run
+    over the CALENDAR-bounded day relation. The classic
+    row_number-difference island key groups runs without any
+    sequential scan."""
+    o = _orders(spark, sf_dir)
+    bounds = o.agg(
+        F.min(F.col("o_orderdate").cast("date")).alias("d0"),
+        F.max(F.col("o_orderdate").cast("date")).alias("d1"),
+        F.count("*").cast("bigint").alias("total"),
+    ).select(
+        "d0",
+        "d1",
+        "total",
+        (F.datediff("d1", "d0") + 1).cast("bigint").alias("n_days"),
+    )
+    spine = bounds.select(
+        F.explode(
+            F.sequence("d0", "d1", F.expr("interval 1 day"))
+        ).alias("day"),
+        "total",
+        "n_days",
+    )
+    daily = o.groupBy(
+        F.col("o_orderdate").cast("date").alias("day")
+    ).agg(F.count("*").cast("bigint").alias("cnt"))
+    status = spine.join(daily, "day", "left").withColumn(
+        "cnt", F.coalesce(F.col("cnt"), F.lit(0))
+    )
+    failed = status.filter(
+        F.col("cnt") * F.col("n_days") * 10 < F.col("total") * 8
+    ).select(
+        "day", F.row_number().over(Window.orderBy("day")).alias("rn")
+    )
+    ranges = failed.select(
+        "day", F.date_sub(F.col("day"), F.col("rn")).alias("grp")
+    )
+    return ranges.groupBy("grp").agg(
+        F.min("day").alias("start_day"),
+        F.max("day").alias("end_day"),
+        F.count("*").cast("bigint").alias("n_days"),
+    ).drop("grp")

@@ -814,3 +814,66 @@ class TestModularity:
         ).collect()[0]
         assert row2.n_communities > 1
         assert 0.0 < row2.q_num / row2.q_den <= 1.0
+
+
+class TestMutualKnn:
+    def test_reciprocity_and_subset_of_knn(self, spark):
+        pairs = registry.QUERIES["emb_mutual_knn"](spark, SF).cache()
+        rows = pairs.collect()
+        assert rows, "no reciprocal pairs: criterion unfalsifiable"
+        assert all(r.vec_id_a < r.vec_id_b for r in rows)
+        # mutual pairs are a strict subset of one-directional top-5
+        # relations: every vector appears at most 5 times per side
+        from collections import Counter
+
+        per = Counter()
+        for r in rows:
+            per[r.vec_id_a] += 1
+            per[r.vec_id_b] += 1
+        assert max(per.values()) <= 5
+        # hubness suppression: strictly fewer mutual pairs than
+        # directed top-5 edges
+        n_vec = spark.read.parquet(
+            f"{SF}/embeddings.parquet"
+        ).count()
+        assert len(rows) < 5 * n_vec / 2
+        pairs.unpersist()
+
+
+class TestBackfillPlan:
+    def test_ranges_cover_exactly_the_failed_days(self, spark):
+        plan = registry.QUERIES["pipeline_backfill_plan"](
+            spark, SF
+        ).collect()
+        assert plan, "no failed partitions: planner unfalsifiable"
+        # recompute failed days directly
+        daily = {
+            r.day: r.cnt
+            for r in spark.read.parquet(f"{SF}/orders.parquet")
+            .groupBy(F.col("o_orderdate").cast("date").alias("day"))
+            .agg(F.count("*").alias("cnt"))
+            .collect()
+        }
+        import datetime
+
+        d0, d1 = min(daily), max(daily)
+        total = sum(daily.values())
+        n_days = (d1 - d0).days + 1
+        failed = set()
+        d = d0
+        while d <= d1:
+            if daily.get(d, 0) * n_days * 10 < total * 8:
+                failed.add(d)
+            d += datetime.timedelta(days=1)
+        covered = set()
+        for r in plan:
+            assert (r.end_day - r.start_day).days + 1 == r.n_days
+            d = r.start_day
+            while d <= r.end_day:
+                covered.add(d)
+                d += datetime.timedelta(days=1)
+        assert covered == failed
+        # maximality: ranges don't touch (else they'd have merged)
+        ends = sorted((r.start_day, r.end_day) for r in plan)
+        for (_, e), (s, _) in zip(ends, ends[1:]):
+            assert (s - e).days > 1

@@ -83,6 +83,8 @@ ALLOWED_UNPARTITIONED = {
     "orders_seasonal_decompose",
     # lag windows over the calendar-bounded daily revenue relation
     "orders_runs_test",
+    # gaps-and-islands row_number over the calendar-bounded spine
+    "pipeline_backfill_plan",
     # row_number over the top-1024 vocabulary candidate relation
     # (TakeOrderedAndProject upstream bounds it)
     "tokenizer_coverage_curve",
