@@ -263,6 +263,7 @@ EXT_HEADLINE = [
     "graph_modularity",
     "emb_mutual_knn",
     "pipeline_backfill_plan",
+    "dedup_method_overlap",
 ]
 
 

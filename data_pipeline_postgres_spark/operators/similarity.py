@@ -1332,25 +1332,35 @@ def knn_block_topk(emb: DataFrame, k: int = 5) -> DataFrame:
 
         def side(q_ids, n_ids, mat):
             # per row: top-k by (cosine desc, neighbor id asc),
-            # excluding self-matches
-            out_q, out_n, out_c = [], [], []
+            # excluding self-matches — fully vectorized via a
+            # composite int64 key: cosine is quantized to 1e-6 so
+            # round(cos*1e6) is integer in [-1e6, 1e6]; key =
+            # c_int * 2^33 - nid orders exactly by (cos desc, nid
+            # asc) and argpartition/argsort over it is tie-correct.
             kk = min(k, mat.shape[1])
-            for r in range(mat.shape[0]):
-                row = mat[r]
-                mask = n_ids != q_ids[r]
-                cand_n = n_ids[mask]
-                cand_c = row[mask]
-                if cand_n.size == 0:
-                    continue
-                order = np.lexsort((cand_n, -cand_c))[:kk]
-                out_q.extend([q_ids[r]] * len(order))
-                out_n.extend(cand_n[order])
-                out_c.extend(cand_c[order])
+            c_int = np.rint(mat * 1000000.0).astype(np.int64)
+            key = c_int * (1 << 33) - n_ids[None, :]
+            # self-matches sink below everything
+            key[q_ids[:, None] == n_ids[None, :]] = np.int64(-(1 << 62))
+            take = min(kk, key.shape[1])
+            part = np.argpartition(-key, take - 1, axis=1)[:, :take]
+            pkeys = np.take_along_axis(key, part, axis=1)
+            order = np.argsort(-pkeys, axis=1, kind="stable")
+            top = np.take_along_axis(part, order, axis=1)
+            tkeys = np.take_along_axis(key, top, axis=1)
+            valid = tkeys > np.int64(-(1 << 62))
+            rows = np.repeat(q_ids, take).reshape(-1)[valid.ravel()]
+            cols = top.ravel()[valid.ravel()]
             return pd.DataFrame(
                 {
-                    "qid": np.asarray(out_q, dtype=np.int64),
-                    "nid": np.asarray(out_n, dtype=np.int64),
-                    "cosine": np.asarray(out_c, dtype=np.float64),
+                    "qid": rows,
+                    "nid": n_ids[cols],
+                    "cosine": mat[
+                        np.repeat(
+                            np.arange(mat.shape[0]), take
+                        )[valid.ravel()],
+                        cols,
+                    ],
                 }
             )
 

@@ -20,7 +20,24 @@ round-11 verdict's unfreeze list plus the families it opened:
   asserted);
 - attribution: ``events_attribution_models`` (first/last/linear in
   one pass) and ``events_attribution_markov`` (removal effects over
-  the journey chain).
+  the journey chain);
+- governance/evaluation/layout (second batch):
+  ``customers_k_anonymity`` (privacy audit), ``profile_dq_constraints``
+  + ``stream_dq_constraints`` (Deequ-style declarative checks, batch
+  and ingest-side), ``docs_score_auc`` (exact integer rank AUC),
+  ``customers_kaplan_meier`` (churn survival), ``layout_compaction_plan``
+  (OPTIMIZE planning), ``orders_seasonal_decompose`` +
+  ``orders_runs_test`` (classical decomposition + randomness check),
+  ``orders_benford_audit`` (forensic first-digit screen),
+  ``docs_mix_temperature`` (temperature-scaled mixture sweep),
+  ``tokenizer_coverage_curve`` (Zipf-mass vocab sizing),
+  ``pipeline_backfill_plan`` (gaps-and-islands outage recovery);
+- retrieval/embedding (second batch): ``sim_mmr_rerank`` (MMR
+  diversity rerank), ``emb_knn_label_accuracy`` (LOO 5-NN eval) and
+  ``emb_mutual_knn`` (reciprocal-NN filter) on a shared blocked
+  int64-matmul local-top-k kernel (operators/similarity.py), and
+  ``graph_assortativity`` + ``graph_modularity`` completing the
+  co-purchase graph's structure metrics.
 
 Conventions identical to queries_r9/r11: every computed column
 aliased the same in the Spark plan and the DuckDB oracle; counts CAST
@@ -3428,3 +3445,127 @@ def q_pipeline_backfill_plan(
         F.max("day").alias("end_day"),
         F.count("*").cast("bigint").alias("n_days"),
     ).drop("grp")
+
+
+# -- Dedup method-overlap matrix (the dedup-matrix capstone) ------------------
+# The engine ships three text near-dup detectors (exact hash, MinHash
+# +LSH verified Jaccard >= 0.8, SimHash hamming <= 3). Which docs does
+# each actually flag, and how much do they agree? The UpSet-style
+# overlap matrix — one row per (exact, minhash, simhash) flag combo —
+# is the report a curation owner reads before picking the production
+# detector stack, and the cross-method consistency check the three
+# families have not had in one relation.
+
+
+def _overlap_oracle() -> str:
+    from .queries_ext import _MINHASH_ORACLE, _SIMHASH_ORACLE
+
+    return f"""
+WITH mp AS (
+{_MINHASH_ORACLE}
+),
+sfp AS (
+{_SIMHASH_ORACLE}
+),
+sbands AS (
+    SELECT doc_id, simhash, b AS band,
+           (simhash >> (8 * b)) & 255 AS bv
+    FROM sfp, (SELECT unnest(range(4)) AS b)
+),
+sp AS (
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM sbands a
+    JOIN sbands b ON a.band = b.band AND a.bv = b.bv
+                 AND a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+),
+ex AS (
+    SELECT doc_id FROM (
+        SELECT doc_id,
+               COUNT(*) OVER (PARTITION BY lower(trim(text))) AS c
+        FROM documents
+    ) WHERE c >= 2
+),
+mflag AS (
+    SELECT doc_a AS doc_id FROM mp
+    UNION SELECT doc_b FROM mp
+),
+sflag AS (
+    SELECT doc_a AS doc_id FROM sp
+    UNION SELECT doc_b FROM sp
+)
+SELECT CASE WHEN ex.doc_id IS NOT NULL THEN 1 ELSE 0 END
+           AS exact_dup,
+       CASE WHEN mflag.doc_id IS NOT NULL THEN 1 ELSE 0 END
+           AS minhash_dup,
+       CASE WHEN sflag.doc_id IS NOT NULL THEN 1 ELSE 0 END
+           AS simhash_dup,
+       CAST(COUNT(*) AS BIGINT) AS n_docs
+FROM documents d
+LEFT JOIN ex ON ex.doc_id = d.doc_id
+LEFT JOIN mflag ON mflag.doc_id = d.doc_id
+LEFT JOIN sflag ON sflag.doc_id = d.doc_id
+GROUP BY 1, 2, 3
+"""
+
+
+@query("dedup_method_overlap", _overlap_oracle())
+def q_dedup_method_overlap(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Dedup method-overlap matrix: per (exact_dup, minhash_dup,
+    simhash_dup) flag combination, how many documents land there →
+    up to 8 rows including the all-zero "clean" row. Exact = shares a
+    normalized content hash with another doc; MinHash = member of a
+    verified Jaccard >= 0.8 pair; SimHash = member of a hamming <= 3
+    banded pair. The cross-method consistency report the three dedup
+    families feed: exact ⊆ minhash ⊆ (roughly) simhash is the
+    expected nesting, and the off-diagonal cells are where the
+    detectors genuinely disagree.
+
+    Scale shape: all three flag relations come from the STORED
+    indexes the individual queries already maintain (content-hash
+    groupBy, verified-pairs index, fingerprint index) — the matrix
+    adds three doc-keyed LEFT joins and an 8-key rollup; no detector
+    recomputes anything."""
+    from .queries_ext import (
+        _minhash_pairs_index,
+        q_dedup_simhash_pairs,
+    )
+    from ..operators.dedup import _content_hash
+
+    docs = _docs(spark, sf_dir)
+    ch = _content_hash(docs)
+    dup_hashes = (
+        ch.groupBy("text_hash")
+        .agg(F.count("*").alias("c"))
+        .filter(F.col("c") >= 2)
+        .select("text_hash")
+    )
+    ex = ch.join(dup_hashes, "text_hash").select("doc_id")
+    mp = _minhash_pairs_index(spark, sf_dir).filter(
+        F.col("jaccard") >= 0.8
+    )
+    mflag = (
+        mp.select(F.col("doc_a").alias("doc_id"))
+        .union(mp.select(F.col("doc_b").alias("doc_id")))
+        .distinct()
+    )
+    sp = q_dedup_simhash_pairs(spark, sf_dir)
+    sflag = (
+        sp.select(F.col("doc_a").alias("doc_id"))
+        .union(sp.select(F.col("doc_b").alias("doc_id")))
+        .distinct()
+    )
+    flag = lambda rel, name: rel.withColumn(name, F.lit(1))
+    j = (
+        docs.select("doc_id")
+        .join(flag(ex, "e"), "doc_id", "left")
+        .join(flag(mflag, "m"), "doc_id", "left")
+        .join(flag(sflag, "s"), "doc_id", "left")
+    )
+    return j.groupBy(
+        F.coalesce(F.col("e"), F.lit(0)).alias("exact_dup"),
+        F.coalesce(F.col("m"), F.lit(0)).alias("minhash_dup"),
+        F.coalesce(F.col("s"), F.lit(0)).alias("simhash_dup"),
+    ).agg(F.count("*").cast("bigint").alias("n_docs"))

@@ -877,3 +877,32 @@ class TestBackfillPlan:
         ends = sorted((r.start_day, r.end_day) for r in plan)
         for (_, e), (s, _) in zip(ends, ends[1:]):
             assert (s - e).days > 1
+
+
+class TestDedupMethodOverlap:
+    def test_matrix_partitions_corpus_and_nests(self, spark):
+        rows = registry.QUERIES["dedup_method_overlap"](
+            spark, SF
+        ).collect()
+        n = spark.read.parquet(f"{SF}/documents.parquet").count()
+        assert sum(r.n_docs for r in rows) == n
+        cells = {
+            (r.exact_dup, r.minhash_dup, r.simhash_dup): r.n_docs
+            for r in rows
+        }
+        # flags are 0/1 and the clean cell exists
+        assert all(
+            v in (0, 1) for key in cells for v in key
+        )
+        assert cells.get((0, 0, 0), 0) > 0
+        # detector agreement: every exact dup is also a verified
+        # MinHash pair member (identical text => jaccard 1.0 >= 0.8),
+        # so no cell may have exact=1, minhash=0
+        assert not any(
+            k[0] == 1 and k[1] == 0 for k in cells
+        ), f"exact-but-not-minhash cell present: {cells}"
+        # at least one non-exact near-dup cell (minhash or simhash
+        # catches something exact missed) keeps the report falsifiable
+        assert any(
+            k != (0, 0, 0) and k[0] == 0 for k in cells
+        ), f"near-dup detectors caught nothing beyond exact: {cells}"

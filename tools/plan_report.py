@@ -174,6 +174,23 @@ SHOWCASE = [
     "events_attribution_markov",
     "multimodal_cdc_chunks",
     "multimodal_cdc_dedup_ratio",
+    "customers_k_anonymity",
+    "profile_dq_constraints",
+    "docs_score_auc",
+    "customers_kaplan_meier",
+    "layout_compaction_plan",
+    "orders_seasonal_decompose",
+    "docs_mix_temperature",
+    "tokenizer_coverage_curve",
+    "sim_mmr_rerank",
+    "emb_knn_label_accuracy",
+    "emb_mutual_knn",
+    "graph_assortativity",
+    "graph_modularity",
+    "orders_benford_audit",
+    "orders_runs_test",
+    "pipeline_backfill_plan",
+    "dedup_method_overlap",
 ]
 
 
