@@ -1503,12 +1503,12 @@ def q_multimodal_cdc_chunks(
     rsync/LBFS/backup-dedup primitive, and the production scale path
     the stride-1 8-gram dedup queries name.
 
-    Scale shape: entirely map-side — per doc one nested HOF pass
-    (O(32·n_bytes), JVM-evaluated, no Python) and one explode to
+    Scale shape: entirely map-side — per doc ONE O(n_bytes) running
+    fold (the mod-2^32 weights make the 32-byte window self-expiring,
+    so the windowed hash equals the running recurrence h = (2h +
+    g[b]) mod 2^32 — see the in-code proof note) and one explode to
     ~n_bytes/64 manifest rows; zero exchanges before any downstream
-    chunk-hash groupBy. The 32-byte fixed window is what makes each
-    boundary a pure local function (no sequential scan, no
-    recursion)."""
+    chunk-hash groupBy."""
     from ..operators import multimodal
 
     b = multimodal.attach_payload(_docs(spark, sf_dir)).select(
@@ -1526,28 +1526,33 @@ def q_multimodal_cdc_chunks(
     # HOF-closure trap: 8M accesses x 256 md5 calls hung the first
     # version); literals constant-fold instead.
     g_lit = "array(" + ", ".join(f"{v}L" for v in _GEAR) + ")"
-    withbv = d.withColumn(
-        "bv",
-        F.expr(
-            "transform(sequence(0, cast(nb as int) - 1), "
-            "i -> cast(conv(substr(hx, i*2+1, 2), 16, 10) as bigint))"
-        ),
-        # localCheckpoint materializes bv as a physical array column —
-        # without the barrier CollapseProject inlines the transform()
-        # into every element_at() below (same trap as the gear table)
-    ).localCheckpoint(eager=False)
-    cuts = withbv.withColumn(
+    # O(n_bytes) running fold, not O(32*n_bytes) per-position windows:
+    # with weight 2^j and arithmetic mod 2^32, the 32-byte window is
+    # self-expiring — the j>=32 terms vanish (2^32 === 0), so the
+    # windowed hash EQUALS the full running recurrence h = (2h +
+    # g[b]) mod 2^32 at every position (for p < 31 the window is the
+    # whole prefix on both formulations). F.aggregate is a true
+    # functional fold (unlike DuckDB list_reduce's sequential
+    # struct_pack, which is why the ORACLE keeps the 32-term local
+    # form), and the fold reads its input array ONCE — no random
+    # element_at into a computed array, so no CollapseProject
+    # re-evaluation trap and no lineage cut needed. Measured: 27 s ->
+    # ~3 s at sf0.1.
+    cuts = d.withColumn(
         "cuts",
         F.expr(
             f"""
-filter(sequence(0, cast(nb as int) - 1),
-  p -> aggregate(
-         transform(sequence(0, cast(least(p + 1, 32) as int) - 1),
-           j -> (element_at({g_lit},
-                            cast(element_at(bv, p - j + 1) as int) + 1)
-                 * shiftleft(1L, j)) % 4294967296L),
-         0L, (a, b) -> (a + b) % 4294967296L) % 64 = 0
-       AND p >= 31)
+aggregate(
+  transform(sequence(0, cast(nb as int) - 1),
+            i -> cast(conv(substr(hx, i*2+1, 2), 16, 10) as int)),
+  named_struct('h', 0L, 'p', 0, 'c', cast(array() as array<int>)),
+  (acc, b) -> named_struct(
+    'h', (2L * acc.h + element_at({g_lit}, b + 1)) % 4294967296L,
+    'p', acc.p + 1,
+    'c', if(((2L * acc.h + element_at({g_lit}, b + 1))
+             % 4294967296L) % 64 = 0 and acc.p >= 31,
+            array_append(acc.c, acc.p), acc.c)),
+  acc -> acc.c)
 """
         ),
     ).select("doc_id", "hx", "nb", "cuts")
@@ -3530,8 +3535,9 @@ def q_dedup_method_overlap(
     recomputes anything."""
     from .queries_ext import (
         _minhash_pairs_index,
-        q_dedup_simhash_pairs,
+        _simhash_fp_index,
     )
+    from ..operators import dedup
     from ..operators.dedup import _content_hash
 
     docs = _docs(spark, sf_dir)
@@ -3551,10 +3557,47 @@ def q_dedup_method_overlap(
         .union(mp.select(F.col("doc_b").alias("doc_id")))
         .distinct()
     )
-    sp = q_dedup_simhash_pairs(spark, sf_dir)
+    # simhash flag WITHOUT the pair-level distinct: the banded
+    # candidate stream on this near-dup-rich corpus is ~n^2-ish, and
+    # dedup_simhash_pairs' DISTINCT(doc_a, doc_b) shuffles all of it;
+    # for the matrix only doc membership matters, so both endpoints
+    # stream straight into a doc-keyed distinct (the post-filter
+    # stream is a fraction of the candidates, and the distinct state
+    # is <= n docs, not <= n^2 pairs).
+    fp = _simhash_fp_index(spark, sf_dir)
+    bands = fp.select(
+        "doc_id",
+        "simhash",
+        F.posexplode(
+            F.array(
+                *[
+                    F.shiftright(F.col("simhash"), 8 * k).bitwiseAND(
+                        F.lit(255)
+                    )
+                    for k in range(dedup.SIMHASH_BANDS)
+                ]
+            )
+        ).alias("band", "bv"),
+    )
+    a = bands.alias("a")
+    b = bands.alias("b")
+    xor = F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bv") == F.col("b.bv"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .filter(F.bit_count(xor) <= 3)
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+        )
+    )
     sflag = (
-        sp.select(F.col("doc_a").alias("doc_id"))
-        .union(sp.select(F.col("doc_b").alias("doc_id")))
+        cand.select(F.col("doc_a").alias("doc_id"))
+        .union(cand.select(F.col("doc_b").alias("doc_id")))
         .distinct()
     )
     flag = lambda rel, name: rel.withColumn(name, F.lit(1))
