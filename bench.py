@@ -264,6 +264,8 @@ EXT_HEADLINE = [
     "emb_mutual_knn",
     "pipeline_backfill_plan",
     "dedup_method_overlap",
+    "customer_feature_snapshot",
+    "stream_feature_snapshot",
 ]
 
 

@@ -3612,3 +3612,125 @@ def q_dedup_method_overlap(
         F.coalesce(F.col("m"), F.lit(0)).alias("minhash_dup"),
         F.coalesce(F.col("s"), F.lit(0)).alias("simhash_dup"),
     ).agg(F.count("*").cast("bigint").alias("n_docs"))
+
+
+# -- Point-in-time customer feature snapshot ----------------------------------
+# The feature-store materialization every training pipeline runs:
+# as-of a cutoff date (90 days before the data edge, so post-cutoff
+# activity exists and leakage is testable), per-customer activity
+# windows, monetary totals, recency and tenure — computed in ONE
+# conditional-aggregation pass with no post-cutoff row ever entering
+# (the point-in-time-correctness discipline of a feature store; the
+# as-of join family covers the per-event variant).
+
+_FEATURE_ORACLE = """
+WITH horizon AS (
+    SELECT CAST(MAX(o_orderdate) AS DATE) - INTERVAL 90 DAY AS c
+    FROM orders
+),
+pit AS (
+    SELECT o.o_custkey, CAST(o.o_orderdate AS DATE) AS d,
+           CAST(o.o_totalprice AS DECIMAL(18,2)) AS p, h.c
+    FROM orders o CROSS JOIN horizon h
+    WHERE CAST(o.o_orderdate AS DATE) <= h.c
+)
+SELECT o_custkey AS customer_id,
+       CAST(SUM(CASE WHEN d > c - INTERVAL 30 DAY
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_orders_30d,
+       CAST(SUM(CASE WHEN d > c - INTERVAL 90 DAY
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_orders_90d,
+       CAST(SUM(CASE WHEN d > c - INTERVAL 365 DAY
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_orders_365d,
+       CAST(SUM(CASE WHEN d > c - INTERVAL 90 DAY
+                THEN p ELSE CAST(0 AS DECIMAL(18,2)) END) * 100
+           AS BIGINT) AS rev_cents_90d,
+       CAST(date_diff('day', MAX(d), MAX(c)) AS BIGINT)
+           AS recency_days,
+       CAST(date_diff('day', MIN(d), MAX(c)) AS BIGINT)
+           AS tenure_days,
+       CAST(COUNT(*) AS BIGINT) AS n_orders_total
+FROM pit
+GROUP BY 1
+"""
+
+
+@query("customer_feature_snapshot", _FEATURE_ORACLE)
+def q_customer_feature_snapshot(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Point-in-time feature-store snapshot: per customer, as of a
+    cutoff 90 days before the data edge — order counts over 30/90/365
+    day windows, 90-day revenue in exact cents, recency and tenure in
+    days, lifetime order count. No post-cutoff row enters the
+    aggregate (the leakage discipline; tests assert post-cutoff
+    activity exists and is excluded). Every feature is an integer or
+    decimal-exact cent value — nothing to quantize.
+
+    Scale shape: ONE customer-keyed conditional-aggregation pass over
+    the date-filtered scan (all windows are CASE arms of the same
+    aggregate, not separate scans); the cutoff is a 1-row broadcast.
+    This is the map-side-combine-friendly shape a 100 TB feature
+    materialization needs — a filter and one shuffle."""
+    o = _orders(spark, sf_dir)
+    horizon = o.agg(
+        F.date_sub(
+            F.max(F.col("o_orderdate").cast("date")), 90
+        ).alias("c")
+    )
+    pit = (
+        o.crossJoin(F.broadcast(horizon))
+        .withColumn("d", F.col("o_orderdate").cast("date"))
+        .filter(F.col("d") <= F.col("c"))
+        .select(
+            "o_custkey",
+            "d",
+            F.col("o_totalprice").cast("decimal(18,2)").alias("p"),
+            "c",
+        )
+    )
+    win = lambda days: F.sum(
+        F.when(
+            F.col("d") > F.date_sub(F.col("c"), days), 1
+        ).otherwise(0)
+    ).cast("bigint")
+    return pit.groupBy(
+        F.col("o_custkey").alias("customer_id")
+    ).agg(
+        win(30).alias("n_orders_30d"),
+        win(90).alias("n_orders_90d"),
+        win(365).alias("n_orders_365d"),
+        (
+            F.sum(
+                F.when(
+                    F.col("d") > F.date_sub(F.col("c"), 90),
+                    F.col("p"),
+                ).otherwise(F.lit(0).cast("decimal(18,2)"))
+            )
+            * 100
+        )
+        .cast("bigint")
+        .alias("rev_cents_90d"),
+        F.datediff(F.max("c"), F.max("d"))
+        .cast("bigint")
+        .alias("recency_days"),
+        F.datediff(F.max("c"), F.min("d"))
+        .cast("bigint")
+        .alias("tenure_days"),
+        F.count("*").cast("bigint").alias("n_orders_total"),
+    )
+
+
+@query("stream_feature_snapshot", _FEATURE_ORACLE)
+def q_stream_feature_snapshot(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Streaming twin of customer_feature_snapshot: a 3-batch
+    AvailableNow ingest maintains per-customer PARTIAL aggregates
+    (every feature a sum or min/max — associative and mergeable);
+    publishing is one merge rollup plus the derived recency/tenure
+    columns. Post-drain the snapshot equals the batch query bit for
+    bit, so the batch oracle applies verbatim
+    (streaming/jobs.feature_snapshot_stream)."""
+    from ..streaming import jobs as stream_jobs
+
+    return stream_jobs.feature_snapshot_stream(spark, sf_dir)

@@ -61,18 +61,18 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 # stream_dq_constraints, emb_knn_label_accuracy,
 # graph_assortativity, orders_benford_audit, orders_runs_test,
 # graph_modularity, emb_mutual_knn, pipeline_backfill_plan,
-# dedup_method_overlap — 30 in all, locally oracle-verified at
+# dedup_method_overlap, customer_feature_snapshot,
+# stream_feature_snapshot — 32 in all, locally oracle-verified at
 # sf0.001 + sf0.01 with the inline Arrow type audit), then the
-# alphabetically-first 20 of the 35 remaining round-6 rows
-# (30 + 20 = 50): docs_split_train_val, emb_quantize,
+# alphabetically-first 18 of the 35 remaining round-6 rows
+# (32 + 18 = 50): docs_split_train_val, emb_quantize,
 # emb_random_projection, events_forward_fill, events_funnel_batch,
 # join_asof, join_asof_forward, join_range_banded, join_salted_skew,
 # layout_zorder, material_demand, orc_roundtrip,
 # partitioned_write_prune, pipeline_incremental_day,
 # profile_heavy_hitters, profile_table_approx, sim_ann_ivf_kmeans,
-# sim_topk_lsh, stream_cdc_latest, stream_dedup_watermark.
-# The 15 round-6 rows left over (stream_incremental_agg,
-# stream_session_1h,
+# sim_topk_lsh. The 17 round-6 rows left over (stream_cdc_latest,
+# stream_dedup_watermark, stream_incremental_agg, stream_session_1h,
 # stream_sliding_3d1d, stream_static_join, stream_stream_funnel,
 # stream_tumbling_daily, stream_tumbling_watermark,
 # text_inverted_index, tpch_q12_priority_class, window_lead_lag,

@@ -1354,3 +1354,110 @@ def dq_constraints_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionAll(row("max_o_totalprice_450k", "big_price"))
         .unionAll(row("fk_orders_customer", "fk_miss"))
     )
+
+
+def feature_snapshot_stream(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Streaming feature-store maintenance — the ingest-side twin of
+    ``customer_feature_snapshot``.
+
+    Orders arrive as a 3-file AvailableNow stream; each micro-batch
+    reduces to PARTIAL per-customer aggregates (window counts, 90-day
+    revenue cents, min/max order date — every feature either a sum or
+    a min/max, i.e. associative and mergeable), appended to a compact
+    partials store. Publishing = one merge rollup of the partials:
+    sums of sums, min of mins, max of maxes, then the derived
+    recency/tenure columns. After the drain the snapshot equals the
+    batch query bit for bit, so the batch oracle applies verbatim.
+
+    The cutoff comes from the STATIC batch relation (a feature
+    snapshot is pinned to a cutoff; streaming maintains it as data
+    arrives — it does not move the cutoff per batch). At scale each
+    micro-batch is one map-side-combined partial aggregate of just
+    that batch; standing state is |customers| partial rows, and the
+    state never rescans history.
+    """
+    src = _scratch("feat_src")
+    orders = load_table(spark, sf_dir, "orders")
+    for i in range(3):
+        orders.filter(F.col("o_orderkey") % 3 == i).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+    cutoff = orders.agg(
+        F.date_sub(
+            F.max(F.col("o_orderdate").cast("date")), 90
+        ).alias("c")
+    )
+    partials_dir = os.path.join(_SCRATCH, "feat_partials")
+    if os.path.exists(partials_dir):
+        shutil.rmtree(partials_dir)
+
+    def step(batch_df: DataFrame, batch_id: int) -> None:
+        pit = (
+            batch_df.crossJoin(F.broadcast(cutoff))
+            .withColumn("d", F.col("o_orderdate").cast("date"))
+            .filter(F.col("d") <= F.col("c"))
+        )
+        win = lambda days: F.sum(
+            F.when(
+                F.col("d") > F.date_sub(F.col("c"), days), 1
+            ).otherwise(0)
+        ).cast("bigint")
+        pit.groupBy("o_custkey").agg(
+            win(30).alias("c30"),
+            win(90).alias("c90"),
+            win(365).alias("c365"),
+            F.sum(
+                F.when(
+                    F.col("d") > F.date_sub(F.col("c"), 90),
+                    F.col("o_totalprice").cast("decimal(18,2)"),
+                ).otherwise(F.lit(0).cast("decimal(18,2)"))
+            ).alias("rev90"),
+            F.min("d").alias("mind"),
+            F.max("d").alias("maxd"),
+            F.count("*").cast("bigint").alias("cnt"),
+        ).write.mode("append").parquet(partials_dir)
+
+    stream = (
+        spark.readStream.schema(orders.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    with _shuffle_partitions(spark, 8):
+        q = (
+            stream.writeStream.foreachBatch(step)
+            .option("checkpointLocation", _scratch("feat_ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    merged = (
+        spark.read.parquet(partials_dir)
+        .groupBy("o_custkey")
+        .agg(
+            F.sum("c30").cast("bigint").alias("n_orders_30d"),
+            F.sum("c90").cast("bigint").alias("n_orders_90d"),
+            F.sum("c365").cast("bigint").alias("n_orders_365d"),
+            F.sum("rev90").alias("rev90"),
+            F.min("mind").alias("mind"),
+            F.max("maxd").alias("maxd"),
+            F.sum("cnt").cast("bigint").alias("n_orders_total"),
+        )
+        .crossJoin(F.broadcast(cutoff))
+    )
+    return merged.select(
+        F.col("o_custkey").alias("customer_id"),
+        "n_orders_30d",
+        "n_orders_90d",
+        "n_orders_365d",
+        (F.col("rev90") * 100).cast("bigint").alias("rev_cents_90d"),
+        F.datediff(F.col("c"), F.col("maxd"))
+        .cast("bigint")
+        .alias("recency_days"),
+        F.datediff(F.col("c"), F.col("mind"))
+        .cast("bigint")
+        .alias("tenure_days"),
+        "n_orders_total",
+    )

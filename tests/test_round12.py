@@ -906,3 +906,55 @@ class TestDedupMethodOverlap:
         assert any(
             k != (0, 0, 0) and k[0] == 0 for k in cells
         ), f"near-dup detectors caught nothing beyond exact: {cells}"
+
+
+class TestFeatureSnapshot:
+    def test_pit_correctness_and_window_nesting(self, spark):
+        rows = registry.QUERIES["customer_feature_snapshot"](
+            spark, SF
+        ).collect()
+        assert rows
+        orders = spark.read.parquet(f"{SF}/orders.parquet")
+        import datetime
+
+        maxd = orders.agg(
+            F.max(F.col("o_orderdate").cast("date"))
+        ).collect()[0][0]
+        cutoff = maxd - datetime.timedelta(days=90)
+        # leakage is testable: post-cutoff activity exists...
+        post = orders.filter(
+            F.col("o_orderdate").cast("date") > F.lit(cutoff)
+        ).count()
+        assert post > 0
+        # ...and is excluded: total orders in the snapshot ==
+        # pre-cutoff orders
+        pre = orders.filter(
+            F.col("o_orderdate").cast("date") <= F.lit(cutoff)
+        ).count()
+        assert sum(r.n_orders_total for r in rows) == pre
+        for r in rows:
+            # windows nest and bound by the lifetime count
+            assert (
+                0
+                <= r.n_orders_30d
+                <= r.n_orders_90d
+                <= r.n_orders_365d
+                <= r.n_orders_total
+            )
+            assert 0 <= r.recency_days <= r.tenure_days
+            assert (r.rev_cents_90d > 0) == (r.n_orders_90d > 0)
+
+    def test_stream_twin_equals_batch(self, spark):
+        batch = {
+            r.customer_id: tuple(r)
+            for r in registry.QUERIES["customer_feature_snapshot"](
+                spark, SF
+            ).collect()
+        }
+        stream = {
+            r.customer_id: tuple(r)
+            for r in registry.QUERIES["stream_feature_snapshot"](
+                spark, SF
+            ).collect()
+        }
+        assert batch == stream

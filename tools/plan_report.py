@@ -191,6 +191,7 @@ SHOWCASE = [
     "orders_runs_test",
     "pipeline_backfill_plan",
     "dedup_method_overlap",
+    "customer_feature_snapshot",
 ]
 
 
