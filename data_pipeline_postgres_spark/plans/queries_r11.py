@@ -1767,9 +1767,15 @@ inserts AS (
            TRUE AS is_current
     FROM ch
 )
-SELECT * FROM closed
-UNION ALL SELECT * FROM unchanged
-UNION ALL SELECT * FROM inserts
+SELECT o_custkey, o_orderkey, o_totalprice,
+       CAST(valid_from AS TIMESTAMP) AS valid_from,
+       CAST(valid_to AS TIMESTAMP) AS valid_to,
+       is_current
+FROM (
+    SELECT * FROM closed
+    UNION ALL SELECT * FROM unchanged
+    UNION ALL SELECT * FROM inserts
+) u
 """
 
 
@@ -1795,6 +1801,15 @@ def q_cdc_scd2_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     r11-advisory fix). Both batch-side joins reuse the o_custkey
     partitioning the batch's own row_number window already
     established.
+
+    Hash pin (r13, FIXTURES.md F6): validity bounds surface as
+    TIMESTAMP, not DATE. The r12 driver row was hash-red while values
+    and Arrow type families were locally exact; the one structural
+    singularity was that this query emitted the FLEET'S ONLY
+    null-bearing DATE output column (valid_to), whereas null-bearing
+    TIMESTAMP (scd2_intervals' shape) is 10-round driver-green. Both
+    engines cast date→timestamp at midnight, so values are unchanged
+    modulo the type family.
     """
     o = load_table(spark, sf_dir, "orders")
     price = F.col("o_totalprice").cast("decimal(18,2)")
@@ -1863,7 +1878,18 @@ def q_cdc_scd2_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(None).cast("date").alias("valid_to"),
         F.lit(True).alias("is_current"),
     )
-    return closed.unionByName(unchanged).unionByName(inserts)
+    return (
+        closed.unionByName(unchanged)
+        .unionByName(inserts)
+        .select(
+            "o_custkey",
+            "o_orderkey",
+            "o_totalprice",
+            F.col("valid_from").cast("timestamp").alias("valid_from"),
+            F.col("valid_to").cast("timestamp").alias("valid_to"),
+            "is_current",
+        )
+    )
 
 
 # -- IVF nprobe recall curve --------------------------------------------------

@@ -38,101 +38,85 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 
 
 # The driver's correctness sweep checks exactly the first 50 entries of
-# ``queries()`` in dict-insertion order (verified: CORRECTNESS_r01..r10
+# ``queries()`` in dict-insertion order (verified: CORRECTNESS_r01..r12
 # keys == list(QUERIES)[:50]).
 #
-# Round-12 rotation (committed as VERDICT r11 item 1, first commit of
-# the round): (a) the 17 round-11 net-new queries, never
-# driver-checked (all locally oracle-verified at sf0.01 + sf0.001 and
-# Arrow-type-audited); (b) the 19 remaining round-5 rows; (c) the
-# alphabetically-first 14 of the 49 round-6 rows. 17+19+14 = 50.
+# Round-13 rotation (committed as VERDICT r12 item 1, first commit of
+# the round): (a) ``cdc_scd2_apply`` promoted to position 1 for the
+# re-drive of the r12 hash-red (locally value- and Arrow-type-exact;
+# the all-NULL DATE union arm is pinned this round — see
+# queries_r11.py and FIXTURES.md F6); (b) the 32 round-12 net-new
+# queries, never driver-checked (all locally oracle-verified at
+# sf0.001 + sf0.01 with the inline Arrow type audit); (c) the
+# alphabetically-first 17 of the 18 remaining round-6 rows.
+# 1 + 32 + 17 = 50.
 #
-# Round-13 rotation queue (to be committed at the start of round 13,
-# kept honest here per VERDICT r11 item 5): the 20 round-12 net-new
-# queries first (docs_pack_bestfit, docs_pack_efficiency,
-# dedup_payload_shingle, docs_mix_capped_alloc,
-# dedup_payload_incremental, docs_dup_spectrum, stream_payload_dedup,
-# docs_dup_maxrun, events_attribution_models,
-# events_attribution_markov, multimodal_cdc_chunks,
-# multimodal_cdc_dedup_ratio, customers_k_anonymity,
-# profile_dq_constraints, docs_score_auc, customers_kaplan_meier,
-# layout_compaction_plan, orders_seasonal_decompose,
-# docs_mix_temperature, tokenizer_coverage_curve, sim_mmr_rerank,
-# stream_dq_constraints, emb_knn_label_accuracy,
-# graph_assortativity, orders_benford_audit, orders_runs_test,
-# graph_modularity, emb_mutual_knn, pipeline_backfill_plan,
-# dedup_method_overlap, customer_feature_snapshot,
-# stream_feature_snapshot — 32 in all, locally oracle-verified at
-# sf0.001 + sf0.01 with the inline Arrow type audit), then the
-# alphabetically-first 18 of the 35 remaining round-6 rows
-# (32 + 18 = 50): docs_split_train_val, emb_quantize,
-# emb_random_projection, events_forward_fill, events_funnel_batch,
-# join_asof, join_asof_forward, join_range_banded, join_salted_skew,
-# layout_zorder, material_demand, orc_roundtrip,
-# partitioned_write_prune, pipeline_incremental_day,
-# profile_heavy_hitters, profile_table_approx, sim_ann_ivf_kmeans,
-# sim_topk_lsh. The 17 round-6 rows left over (stream_cdc_latest,
-# stream_dedup_watermark, stream_incremental_agg, stream_session_1h,
-# stream_sliding_3d1d, stream_static_join, stream_stream_funnel,
-# stream_tumbling_daily, stream_tumbling_watermark,
-# text_inverted_index, tpch_q12_priority_class, window_lead_lag,
-# window_moving_avg_rows, window_rolling_7d, window_session_1h,
-# window_sliding_3d1d, window_tumbling_daily) head round 14's fill.
+# Round-14 rotation queue (to be committed at the start of round 14,
+# kept honest here per the standing VERDICT discipline): the round-13
+# net-new queries first, then ``sim_topk_lsh`` (the one round-6 row
+# deferred from r13) and the 17 round-6 rows left over:
+# stream_cdc_latest, stream_dedup_watermark, stream_incremental_agg,
+# stream_session_1h, stream_sliding_3d1d, stream_static_join,
+# stream_stream_funnel, stream_tumbling_daily,
+# stream_tumbling_watermark, text_inverted_index,
+# tpch_q12_priority_class, window_lead_lag, window_moving_avg_rows,
+# window_rolling_7d, window_session_1h, window_sliding_3d1d,
+# window_tumbling_daily. Any slots beyond 50 spill to round 15.
 
 DRIVER_PRIORITY: tuple[str, ...] = (
-    # (a) round-11 net-new, never driver-checked
-    "docs_bpe_train_merges",
-    "docs_url_dedup_cap",
-    "docs_snapshot_curation_diff",
-    "docs_perplexity_bucket",
-    "decontaminate_overlap_frac",
-    "tokenizer_fertility_by_lang",
-    "emb_cosine_calibration",
-    "dedup_minhash_band_sweep",
-    "decontaminate_multi_benchmark",
-    "docs_dup_source_matrix",
-    "events_holt_winters_forecast",
-    "demand_croston_forecast",
-    "docs_dsir_gumbel_select",
+    # (a) the r12 red, re-driven first
     "cdc_scd2_apply",
-    "sim_ivf_nprobe_recall_curve",
-    "text_textrank_keywords",
-    "join_asof_tolerance",
-    # (b) latest driver evidence round 5
-    "sim_topk_batch",
-    "str_funcs_suite",
-    "text_rarity_score",
-    "text_tfidf_topterms",
-    "tpch_q4_order_priority",
-    "tpch_q6_forecast_revenue",
-    "tpch_q7_volume_shipping",
-    "tpch_q8_market_share",
-    "tpch_q10_returned_items",
-    "tpch_q13_order_counts",
-    "tpch_q14_promo_revenue",
-    "tpch_q15_top_supplier",
-    "tpch_q17_small_qty_revenue",
-    "tpch_q18_large_orders",
-    "tpch_q19_discounted_revenue",
-    "tpch_q21_waiting_supplier",
-    "tpch_q22_sales_opportunity",
-    "window_first_last_nth",
-    "window_rank_suite",
-    # (c) oldest round-6 rows (alphabetical first 14 of 49)
-    "agg_approx_distinct",
-    "agg_approx_quantile",
-    "agg_percentile",
-    "agg_winsorize",
-    "array_funcs_suite",
-    "dedup_cluster_keep_best",
-    "dedup_embedding_incremental",
-    "dedup_embedding_lsh",
-    "dedup_minhash_incremental",
-    "dedup_minhash_ml",
-    "dedup_paragraph",
-    "docs_pack_sequences",
-    "docs_sample_weighted",
-    "docs_shuffle_shard",
+    # (b) round-12 net-new, never driver-checked
+    "docs_pack_bestfit",
+    "docs_pack_efficiency",
+    "dedup_payload_shingle",
+    "docs_mix_capped_alloc",
+    "dedup_payload_incremental",
+    "docs_dup_spectrum",
+    "stream_payload_dedup",
+    "docs_dup_maxrun",
+    "events_attribution_models",
+    "events_attribution_markov",
+    "multimodal_cdc_chunks",
+    "multimodal_cdc_dedup_ratio",
+    "customers_k_anonymity",
+    "profile_dq_constraints",
+    "docs_score_auc",
+    "customers_kaplan_meier",
+    "layout_compaction_plan",
+    "orders_seasonal_decompose",
+    "docs_mix_temperature",
+    "tokenizer_coverage_curve",
+    "sim_mmr_rerank",
+    "stream_dq_constraints",
+    "emb_knn_label_accuracy",
+    "graph_assortativity",
+    "orders_benford_audit",
+    "orders_runs_test",
+    "graph_modularity",
+    "emb_mutual_knn",
+    "pipeline_backfill_plan",
+    "dedup_method_overlap",
+    "customer_feature_snapshot",
+    "stream_feature_snapshot",
+    # (c) oldest round-6 rows (alphabetical first 17 of 18)
+    "docs_split_train_val",
+    "emb_quantize",
+    "emb_random_projection",
+    "events_forward_fill",
+    "events_funnel_batch",
+    "join_asof",
+    "join_asof_forward",
+    "join_range_banded",
+    "join_salted_skew",
+    "layout_zorder",
+    "material_demand",
+    "orc_roundtrip",
+    "partitioned_write_prune",
+    "pipeline_incremental_day",
+    "profile_heavy_hitters",
+    "profile_table_approx",
+    "sim_ann_ivf_kmeans",
 )
 
 

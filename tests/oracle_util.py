@@ -109,6 +109,11 @@ def normalize(rows, columns):
     return [columns[i] for i in order], out
 
 
+# Queries allowed to emit null-bearing DATE columns (FIXTURES.md F6):
+# empty until the shape ever earns a green driver row.
+NULL_DATE_ALLOWED: frozenset = frozenset()
+
+
 def assert_matches_oracle(spark_df, con, sql: str, name: str = "?") -> None:
     s_rows = [tuple(r) for r in spark_df.collect()]
     s_cols = list(spark_df.columns)
@@ -132,6 +137,23 @@ def assert_matches_oracle(spark_df, con, sql: str, name: str = "?") -> None:
     assert not fam_diffs, (
         f"[{name}] Arrow type-family mismatch (driver-hasher contract, "
         f"see multimodal_shard_manifest r10): {fam_diffs}"
+    )
+    # FIXTURES.md F6 (round 13): null-bearing DATE output is the one
+    # shape ever driver-hash-red while value- AND type-family-exact
+    # (cdc_scd2_apply r12). Block it fleet-wide; a query that truly
+    # needs it goes on this allowlist after earning a green driver row.
+    import pyarrow.types as _pat
+
+    null_dates = {
+        f.name
+        for f in tbl.schema
+        if _pat.is_date(f.type) and tbl.column(f.name).null_count > 0
+        and name not in NULL_DATE_ALLOWED
+    }
+    assert not null_dates, (
+        f"[{name}] null-bearing DATE output column(s) {sorted(null_dates)} "
+        "— driver-hash-suspect shape, emit TIMESTAMP instead "
+        "(FIXTURES.md F6, cdc_scd2_apply r12 precedent)"
     )
     assert len(s_rows) == len(d_rows), (
         f"[{name}] row count: spark={len(s_rows)} duck={len(d_rows)}"

@@ -82,6 +82,21 @@ for name in names:
     if diffs:
         bad.append(name)
         print(f"{name}: TYPE MISMATCH {diffs}")
+        continue
+    # Null-bearing DATE sweep (FIXTURES.md F6, round 13): the only
+    # driver hash-red whose values AND type families were locally
+    # exact (cdc_scd2_apply, r12) was also the fleet's only query
+    # emitting a DATE column that contains NULLs; null-bearing
+    # TIMESTAMP is 10-round driver-green. Until a null-bearing DATE
+    # column gets a green driver row, flag the shape as a warning so
+    # new oracles don't reintroduce it unknowingly.
+    import pyarrow.types as pat
+    for f in tbl.schema:
+        if pat.is_date(f.type) and tbl.column(f.name).null_count > 0:
+            print(f"{name}: WARN null-bearing DATE column '{f.name}' "
+                  f"({tbl.column(f.name).null_count} nulls) — "
+                  "driver-hash-suspect shape, prefer TIMESTAMP "
+                  "(FIXTURES.md F6)")
 
 print(f"\naudited {len(names)}; type-mismatched {len(bad)}; errors {len(err)}")
 if bad:
