@@ -1236,6 +1236,11 @@ def mmr_rerank(
             key = (-score, vid)
             if best is None or key < best[0]:
                 best = (key, vid, score)
+        if best is None:
+            # corpus yielded fewer than k candidates: return the
+            # short ranking instead of unpacking None
+            # (r12-advisory fix)
+            break
         _, pick, score = best
         selected.append(pick)
         out.append(
@@ -1339,6 +1344,13 @@ def knn_block_topk(emb: DataFrame, k: int = 5) -> DataFrame:
             # asc) and argpartition/argsort over it is tie-correct.
             kk = min(k, mat.shape[1])
             c_int = np.rint(mat * 1000000.0).astype(np.int64)
+            # the composite key is tie-correct only while ids fit
+            # under the 2^33 shift — fail loudly rather than silently
+            # corrupt top-k order beyond ~8.6e9 ids (r12-advisory fix)
+            assert n_ids.max(initial=0) < (1 << 33), (
+                "vec_id >= 2^33 overflows the composite sort key; "
+                "widen the shift in knn_block_topk"
+            )
             key = c_int * (1 << 33) - n_ids[None, :]
             # self-matches sink below everything
             key[q_ids[:, None] == n_ids[None, :]] = np.int64(-(1 << 62))

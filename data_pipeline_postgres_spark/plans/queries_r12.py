@@ -2060,7 +2060,8 @@ SELECT t_bin, n_risk, d_events, c_censored,
                        ROWS BETWEEN UNBOUNDED PRECEDING
                        AND CURRENT ROW) = 1
             THEN NULL
-            ELSE CAST(SUM(CASE WHEN d_events = 0 THEN 0
+            ELSE CAST(SUM(CASE WHEN d_events = 0
+                               OR d_events >= n_risk THEN 0
                      ELSE CAST(FLOOR(ln(
                           CAST(n_risk - d_events AS DOUBLE)
                           / CAST(n_risk AS DOUBLE)) * 1000000000.0)
@@ -2132,7 +2133,15 @@ def q_customers_kaplan_meier(
     w_asc = Window.orderBy("t_bin").rowsBetween(
         Window.unboundedPreceding, 0
     )
-    lnq = F.when(F.col("d_events") == 0, F.lit(0)).otherwise(
+    # d_events >= n_risk would make the ln term ln(0): the inner term
+    # must stay defined even though the outer zero-hit mask NULLs the
+    # output from that bin on (r12-advisory fix — the oracle's window
+    # SUM evaluates every bin's term before the mask applies).
+    lnq = F.when(
+        (F.col("d_events") == 0)
+        | (F.col("d_events") >= F.col("n_risk")),
+        F.lit(0),
+    ).otherwise(
         F.floor(
             F.log(
                 (F.col("n_risk") - F.col("d_events")).cast("double")
@@ -3488,7 +3497,7 @@ ex AS (
     SELECT doc_id FROM (
         SELECT doc_id,
                COUNT(*) OVER (PARTITION BY lower(trim(text))) AS c
-        FROM documents
+        FROM documents WHERE text IS NOT NULL
     ) WHERE c >= 2
 ),
 mflag AS (
@@ -3541,7 +3550,12 @@ def q_dedup_method_overlap(
     from ..operators.dedup import _content_hash
 
     docs = _docs(spark, sf_dir)
-    ch = _content_hash(docs)
+    # NULL-text docs are excluded from the exact-dup relation on BOTH
+    # sides (here and the oracle's ex CTE): sha2(NULL) is NULL and
+    # never equi-joins, while the oracle's window partition would
+    # group NULLs together — the one NULL-semantics gap between the
+    # two formulations (r12-advisory fix; safe today, data-dependent).
+    ch = _content_hash(docs).filter(F.col("text_hash").isNotNull())
     dup_hashes = (
         ch.groupBy("text_hash")
         .agg(F.count("*").alias("c"))

@@ -1318,7 +1318,13 @@ def dq_constraints_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("bigint")
             .alias("fk_miss"),
             F.count("*").cast("bigint").alias("n"),
-        ).write.mode("append").parquet(counters_dir)
+        ).write.mode("overwrite").parquet(
+            # foreachBatch is at-least-once: a replayed micro-batch
+            # must land idempotently, so each batch OWNS a
+            # batch_id-keyed partition dir and overwrites it on retry
+            # instead of appending a double-count (r12-advisory fix).
+            os.path.join(counters_dir, f"batch_id={batch_id}")
+        )
 
     stream = (
         spark.readStream.schema(orders.schema)
@@ -1417,7 +1423,12 @@ def feature_snapshot_stream(
             F.min("d").alias("mind"),
             F.max("d").alias("maxd"),
             F.count("*").cast("bigint").alias("cnt"),
-        ).write.mode("append").parquet(partials_dir)
+        ).write.mode("overwrite").parquet(
+            # idempotent under foreachBatch's at-least-once replay:
+            # per-batch partition dir, overwritten on retry
+            # (r12-advisory fix, same as dq_constraints_stream)
+            os.path.join(partials_dir, f"batch_id={batch_id}")
+        )
 
     stream = (
         spark.readStream.schema(orders.schema)
