@@ -266,6 +266,8 @@ EXT_HEADLINE = [
     "dedup_method_overlap",
     "customer_feature_snapshot",
     "stream_feature_snapshot",
+    # round-13 additions
+    "dedup_payload_cdc",
 ]
 
 

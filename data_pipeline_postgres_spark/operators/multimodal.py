@@ -140,3 +140,79 @@ def decode_payloads(docs: DataFrame) -> DataFrame:
 
     payloads = attach_payload(docs).select("doc_id", "payload")
     return payloads.mapInPandas(run, DECODED_SCHEMA)
+
+
+def cdc_chunks_np(docs: DataFrame, mask: int) -> DataFrame:
+    """Content-defined chunk stream via a vectorized Arrow-batched
+    kernel: (doc_id, chunk binary) — the fast twin of the pure-SQL
+    gear fold in ``plans.queries_r12.q_multimodal_cdc_chunks``.
+
+    Identical boundary semantics, proven by construction: a position
+    p >= 31 is a cut iff the 32-byte windowed gear hash
+    ``sum_{j<32} G[b[p-j]] * 2^j (mod 2^32)`` hits the mask. Because
+    cut eligibility REQUIRES p >= 31, every evaluated window lies
+    wholly inside its document, so the kernel computes the hash for a
+    whole Arrow batch at once over the concatenated payload bytes —
+    32 shifted vector adds (uint64 wraparound is harmless: the final
+    ``& 0xFFFFFFFF`` is exact since 2^32 divides 2^64) — and masks
+    out each document's first 31 positions afterwards.
+    ``tests/test_round13.py`` asserts chunk-content equality against
+    the SQL fold per (doc, position).
+
+    The chunk travels as RAW BYTES, not an md5 string: downstream
+    consumers join on chunk content equality, and ~mask-byte binaries
+    are cheaper to shuffle than 32-char hex strings. Scale shape: one
+    map-side Arrow hop, zero exchanges, per-task memory bounded by
+    the Arrow batch size."""
+    import numpy as np
+    import pandas as pd
+
+    from ..plans.queries_r12 import _GEAR
+
+    gear = np.array(_GEAR, dtype=np.uint64)
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("chunk", T.BinaryType()),
+        ]
+    )
+
+    def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            payloads = [bytes(p) for p in pdf["payload"]]
+            lens = np.fromiter(
+                (len(p) for p in payloads), dtype=np.int64
+            )
+            if lens.sum() == 0:
+                continue
+            allb = np.frombuffer(b"".join(payloads), dtype=np.uint8)
+            gv = gear[allb]
+            h = gv.copy()
+            for j in range(1, 32):
+                h[j:] += gv[:-j] << np.uint64(j)
+            h &= np.uint64(0xFFFFFFFF)
+            is_cut = (h & np.uint64(mask - 1)) == 0
+            # positions within 31 of each doc start are ineligible
+            offs = np.concatenate(([0], np.cumsum(lens)))
+            pos = np.arange(len(allb), dtype=np.int64)
+            doc_ix = np.searchsorted(offs, pos, side="right") - 1
+            is_cut &= (pos - offs[doc_ix]) >= 31
+            out_ids, out_chunks = [], []
+            ids = pdf["doc_id"].to_numpy()
+            for k, p in enumerate(payloads):
+                if not len(p):
+                    continue
+                local = (
+                    np.flatnonzero(is_cut[offs[k]:offs[k + 1]]) + 1
+                )
+                starts = np.concatenate(([0], local))
+                ends = np.concatenate((local, [len(p)]))
+                for s, e in zip(starts, ends):
+                    out_ids.append(ids[k])
+                    out_chunks.append(p[s:e])
+            yield pd.DataFrame({"doc_id": out_ids, "chunk": out_chunks})
+
+    payloads = attach_payload(docs).select("doc_id", "payload")
+    return payloads.mapInPandas(run, schema)

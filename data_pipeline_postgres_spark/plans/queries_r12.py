@@ -399,12 +399,20 @@ def q_dedup_payload_shingle(
     (re-encodes, trailing-edit copies) score ~0.99 because stride-1
     grams are insertion-robust where fixed-offset blocks are not.
 
-    Scale shape: shingling is one map-side explode (linear in bytes;
-    a production variant swaps in content-defined chunks to cut the
-    stride-1 constant, same plan shape); the df cap bounds every
-    join bucket to <= C(10,2) pairs exactly like an LSH band; the
-    pair rollup and two size joins are candidate-driven. Nothing
-    quadratic outside the capped buckets."""
+    Scale shape: shingling is one map-side explode (linear in bytes);
+    the df cap bounds every join bucket to <= C(10,2) pairs exactly
+    like an LSH band; the pair rollup and two size joins are
+    candidate-driven. Nothing quadratic outside the capped buckets.
+
+    Known scale limit (r13, PLANS.md): the rare-gram signature
+    SATURATES as the corpus grows — at sf0.1 most 8-grams blow the df
+    cap, the surviving signatures are tiny, and coincidental overlaps
+    pass the 0.5 bar (precision 0.129 vs uncapped byte-8-gram truth;
+    recall 0.706). ``queries_r13.dedup_payload_cdc`` (content-defined
+    chunks, precision 1.000 / recall 0.992 at sf0.1, ~2.5x faster) is
+    the production path; this query remains the byte-granularity
+    calibration surface where it is bimodal-clean (sf0.001/sf0.01 —
+    their >= 0.5 pair sets are identical, pytest'd)."""
     from ..operators import multimodal
 
     b = (
@@ -1444,7 +1452,12 @@ _GEAR = tuple(
     for b in range(256)
 )
 
-_CDC_ORACLE = r"""
+# Boundary mask parameterized (round 13): mask 64 -> ~64-byte chunks
+# (the storage/backup manifest); mask 16 -> ~16-byte chunks (the
+# near-dup pair finder's resolution, queries_r13.dedup_payload_cdc —
+# at ~64 bytes a 2-chunk payload cannot separate an edited near-dup
+# from a coincidental 1-chunk overlap).
+_CDC_ORACLE_TMPL = r"""
 WITH gear AS (
     SELECT list_transform(range(0, 256),
         b -> ('0x' || substr(md5(CAST(b AS VARCHAR)), 1, 8))::BIGINT
@@ -1471,7 +1484,7 @@ bounds AS MATERIALIZED (
                             j -> (g[CAST(bv[CAST(p - j + 1 AS INT)]
                                          AS INT) + 1]
                                   * (1 << j)) % 4294967296),
-                        (a, b) -> (a + b) % 4294967296) % 64 = 0
+                        (a, b) -> (a + b) % 4294967296) % {mask} = 0
                     AND p >= 31) AS cuts
     FROM bytes
 )
@@ -1489,6 +1502,8 @@ FROM (
     FROM bounds, unnest(range(0, len(cuts) + 1)) AS t(ci)
 )
 """
+
+_CDC_ORACLE = _CDC_ORACLE_TMPL.format(mask=64)
 
 
 @query("multimodal_cdc_chunks", _CDC_ORACLE)
@@ -1509,6 +1524,16 @@ def q_multimodal_cdc_chunks(
     g[b]) mod 2^32 — see the in-code proof note) and one explode to
     ~n_bytes/64 manifest rows; zero exchanges before any downstream
     chunk-hash groupBy."""
+    return _cdc_manifest(spark, sf_dir, mask=64)
+
+
+def _cdc_manifest(
+    spark: SparkSession, sf_dir: str, mask: int = 64
+) -> DataFrame:
+    """Gear-hash CDC manifest at a caller-chosen boundary mask
+    (expected chunk length ~= mask bytes). Shared by
+    multimodal_cdc_chunks (mask 64) and queries_r13.dedup_payload_cdc
+    (mask 16)."""
     from ..operators import multimodal
 
     b = multimodal.attach_payload(_docs(spark, sf_dir)).select(
@@ -1550,7 +1575,7 @@ aggregate(
     'h', (2L * acc.h + element_at({g_lit}, b + 1)) % 4294967296L,
     'p', acc.p + 1,
     'c', if(((2L * acc.h + element_at({g_lit}, b + 1))
-             % 4294967296L) % 64 = 0 and acc.p >= 31,
+             % 4294967296L) % {mask} = 0 and acc.p >= 31,
             array_append(acc.c, acc.p), acc.c)),
   acc -> acc.c)
 """

@@ -140,6 +140,7 @@ def load_all() -> None:
     from . import queries_r9  # noqa: F401
     from . import queries_r11  # noqa: F401
     from . import queries_r12  # noqa: F401
+    from . import queries_r13  # noqa: F401
     from . import queries_tpch  # noqa: F401
 
     _reorder()

@@ -85,3 +85,66 @@ class TestKaplanMeierExhaustedRiskSet:
             registry.ORACLES["customers_kaplan_meier"],
             name="customers_kaplan_meier[km-edge]",
         )
+
+
+class TestCdcChunksKernel:
+    """The vectorized gear kernel (operators/multimodal.cdc_chunks_np)
+    must produce EXACTLY the SQL fold's chunks — same boundaries, same
+    content — at the storage mask."""
+
+    def test_kernel_equals_sql_fold_mask64(self, spark):
+        from data_pipeline_postgres_spark.operators import multimodal
+        from data_pipeline_postgres_spark.plans.queries_r12 import (
+            q_multimodal_cdc_chunks,
+        )
+
+        docs = spark.read.parquet(f"{SF}/documents.parquet")
+        got = sorted(
+            (r.doc_id, r.chunk.hex())
+            for r in multimodal.cdc_chunks_np(docs, mask=64).collect()
+        )
+        import hashlib
+
+        # SQL fold emits md5 over the lowercase-hex chunk string;
+        # re-derive the same key from the kernel's raw bytes
+        got_md5 = sorted(
+            (d, hashlib.md5(hx.encode()).hexdigest()) for d, hx in got
+        )
+        want = sorted(
+            (r.doc_id, r.chunk_md5)
+            for r in q_multimodal_cdc_chunks(spark, SF).collect()
+        )
+        assert got_md5 == want
+
+
+class TestPayloadCdcPairs:
+    def test_pair_set_equals_shingle_at_test_sf(self, spark):
+        """Verdict r12 item 5 gate: the CDC pair finder recovers the
+        same >= 0.5-Jaccard pair set as dedup_payload_shingle on the
+        test corpus. (At sf0.1 they deliberately DIVERGE: the shingle
+        query's rare-gram signature saturates — precision 0.129 vs the
+        CDC finder's 1.000 against uncapped byte-8-gram truth; see
+        PLANS.md accuracy table.)"""
+        sh = {
+            (r.doc_a, r.doc_b)
+            for r in registry.QUERIES["dedup_payload_shingle"](
+                spark, SF
+            ).collect()
+        }
+        cdc = {
+            (r.doc_a, r.doc_b)
+            for r in registry.QUERIES["dedup_payload_cdc"](
+                spark, SF
+            ).collect()
+        }
+        assert cdc == sh and len(cdc) > 0
+
+    def test_scores_and_bounds(self, spark):
+        rows = registry.QUERIES["dedup_payload_cdc"](
+            spark, SF
+        ).collect()
+        for r in rows:
+            assert r.doc_a < r.doc_b
+            assert 0.5 <= r.jaccard <= 1.0
+            assert r.jaccard <= r.containment <= 1.0
+            assert r.n_common >= 1
