@@ -268,6 +268,7 @@ EXT_HEADLINE = [
     "stream_feature_snapshot",
     # round-13 additions
     "dedup_payload_cdc",
+    "emb_mutual_knn_ann",
 ]
 
 

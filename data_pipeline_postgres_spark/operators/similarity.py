@@ -1384,3 +1384,126 @@ def knn_block_topk(emb: DataFrame, k: int = 5) -> DataFrame:
     return rep.groupBy("bi", "bj").applyInPandas(
         local_topk, out_schema
     )
+
+
+def ivf_knn_topk(
+    emb: DataFrame, k: int = 5, nlist: int = 8, nprobe: int = 2
+) -> DataFrame:
+    """Approximate all-vectors k-NN candidates via IVF probing:
+    (qid, nid, cosine) — each vector's local top-k against every
+    inverted list it probes; the global approximate top-k is one
+    (qid)-keyed WindowGroupLimit away. The ANN twin of
+    :func:`knn_block_topk` (verdict r12 item 6): same int64-quantized
+    cosine, same composite-key tie-break, but candidate generation is
+    IVF-bounded instead of exhaustive.
+
+    Scale shape: assignment and probe selection are NARROW per-row
+    array folds over the broadcast centroid array (no exchange); the
+    kernel relation shuffles each vector nprobe+1 times (its probe
+    rows + its membership row) keyed on centroid_id, so per-task
+    memory is one inverted list + its probers — at production scale
+    nlist grows ~sqrt(n) to keep lists bounded, the standard IVF
+    sizing. The quadratic scoring work stays inside the per-list
+    matmul kernels and materializes only k rows per (vector, probed
+    list)."""
+    from .dedup import quantize_np
+
+    src = _vecs(emb)
+    cents = ivf_centroids(emb, nlist)
+    carr = _centroid_array(cents)
+    scored = src.crossJoin(F.broadcast(carr)).select(
+        "vec_id",
+        "v",
+        F.transform(
+            F.col("cents"),
+            lambda s: F.struct(
+                (-(V.dot(F.col("v"), s["cv"]) / s["cn"])).alias(
+                    "negscore"
+                ),
+                s["centroid_id"].alias("centroid_id"),
+            ),
+        ).alias("scored"),
+    )
+    # membership = argmin(negscore) = the probe ranking's head, so
+    # one sorted array serves both: slice nprobe for probes, element
+    # 1 for the home list (struct order compares fields in sequence,
+    # ties to the lowest centroid_id — identical to ivf_assign)
+    ranked = scored.select(
+        "vec_id",
+        "v",
+        F.slice(F.array_sort("scored"), 1, nprobe).alias("probes"),
+    )
+    probers = ranked.select(
+        "vec_id",
+        "v",
+        F.explode("probes").alias("p"),
+    ).select(
+        "vec_id", "v", F.col("p.centroid_id").alias("centroid_id"),
+        F.lit(1).alias("is_q"),
+    )
+    members = ranked.select(
+        "vec_id",
+        "v",
+        F.element_at("probes", 1)["centroid_id"].alias("centroid_id"),
+        F.lit(0).alias("is_q"),
+    )
+    rep = probers.unionByName(members)
+    out_schema = "qid bigint, nid bigint, cosine double"
+    scale = 1000000.0
+
+    def list_topk(pdf):
+        import numpy as np
+        import pandas as pd
+
+        empty = pd.DataFrame(
+            {
+                "qid": pd.Series(dtype="int64"),
+                "nid": pd.Series(dtype="int64"),
+                "cosine": pd.Series(dtype="float64"),
+            }
+        )
+        q_pdf = pdf[pdf["is_q"] == 1]
+        m_pdf = pdf[pdf["is_q"] == 0]
+        if q_pdf.empty or m_pdf.empty:
+            return empty
+        q_ids = q_pdf["vec_id"].to_numpy(dtype=np.int64)
+        m_ids = m_pdf["vec_id"].to_numpy(dtype=np.int64)
+        Q = quantize_np(list(q_pdf["v"]))
+        M = quantize_np(list(m_pdf["v"]))
+        qn = np.sqrt((Q * Q).sum(axis=1).astype(np.float64))
+        mn = np.sqrt((M * M).sum(axis=1).astype(np.float64))
+        cos = (Q @ M.T).astype(np.float64) / np.outer(qn, mn)
+        cos = np.floor(cos * scale + 0.5) / scale
+        # identical tie-break contract as knn_block_topk
+        assert m_ids.max(initial=0) < (1 << 33), (
+            "vec_id >= 2^33 overflows the composite sort key; "
+            "widen the shift in ivf_knn_topk"
+        )
+        c_int = np.rint(cos * scale).astype(np.int64)
+        key = c_int * (1 << 33) - m_ids[None, :]
+        key[q_ids[:, None] == m_ids[None, :]] = np.int64(-(1 << 62))
+        take = min(k, key.shape[1])
+        part = np.argpartition(-key, take - 1, axis=1)[:, :take]
+        pkeys = np.take_along_axis(key, part, axis=1)
+        order = np.argsort(-pkeys, axis=1, kind="stable")
+        top = np.take_along_axis(part, order, axis=1)
+        tkeys = np.take_along_axis(key, top, axis=1)
+        valid = tkeys > np.int64(-(1 << 62))
+        rows = np.repeat(q_ids, take).reshape(-1)[valid.ravel()]
+        cols = top.ravel()[valid.ravel()]
+        return pd.DataFrame(
+            {
+                "qid": rows,
+                "nid": m_ids[cols],
+                "cosine": cos[
+                    np.repeat(np.arange(cos.shape[0]), take)[
+                        valid.ravel()
+                    ],
+                    cols,
+                ],
+            }
+        )
+
+    return rep.groupBy("centroid_id").applyInPandas(
+        list_topk, out_schema
+    )

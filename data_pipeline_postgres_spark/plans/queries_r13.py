@@ -21,7 +21,7 @@ divisions evaluated as the identical IEEE op sequence.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..catalog import load_table
@@ -177,4 +177,82 @@ def q_dedup_payload_cdc(
     )
     return j.filter(F.col("jaccard") >= _PAYLOAD_J_MIN).select(
         "doc_a", "doc_b", "n_common", "jaccard", "containment"
+    )
+
+
+# -- ANN-candidate mutual kNN ---------------------------------------------------
+# emb_mutual_knn is the exact baseline: reciprocal 5-NN pairs over
+# the blocked all-pairs kernel — correct, but the kernel's compute is
+# quadratic in corpus size (inside tasks). The production twin
+# generates each vector's candidate list by IVF probing instead
+# (verdict r12 item 6; the dedup_embedding_lsh exact-plus-approximate
+# precedent): assignment and probe selection are narrow broadcast-
+# array folds, per-list local top-k runs in the same int64-quantized
+# matmul kernel family, and the reciprocity join is unchanged.
+# Rows-only (the md5-free IVF fold is SQL-expressible but the
+# blocked kernel's quantized cosine is not worth mirroring twice —
+# same posture as emb_* kernel queries); accuracy-gated in
+# tests/test_round13.py and PLANS.md.
+#
+# Probe budget is REGIME-TUNED, honestly: this synthetic corpus has a
+# near-flat spectrum (the sim_topk_lsh / sim_ann_ivf_kmeans finding —
+# mutual-NN pairs live at weak cosine and scatter across lists), so
+# the measured recall curve is nprobe 4 -> 0.52, 6 -> 0.81,
+# 7 -> 0.92; finer quantizers do WORSE (nlist=16, nprobe=12: 0.85).
+# nprobe=7 of 8 meets the >= 0.9 gate with real (12.5%) pruning; on
+# production embeddings with genuine cluster structure the standard
+# nprobe/nlist ~ 1/4 budget applies and the knob is this constant.
+
+_MUTUAL_ANN_NPROBE = 7
+
+
+@query("emb_mutual_knn_ann")  # kernel cosine not SQL-expressible
+def q_emb_mutual_knn_ann(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Reciprocal 5-NN pairs via IVF-probed candidates:
+    (vec_id_a, vec_id_b, cosine) where each vector appears in the
+    other's APPROXIMATE top-5 — the corpus-scale twin of
+    ``emb_mutual_knn``, which stays as the exact baseline. Candidate
+    lists come from probing each vector's nprobe=7 nearest of 8
+    inverted lists with an exact per-list rerank (same quantized
+    cosine as the exact kernel), so a true mutual pair is missed only
+    when one endpoint's true neighbor hides in the unprobed list —
+    measured recall 0.92 / precision 0.96 vs the exact query at both
+    sf0.001 and sf0.01 (PLANS.md; pytest-gated >= 0.9; probe budget
+    regime-tuned — see the block comment above).
+
+    Scale shape: no exhaustive block pairing — each vector shuffles
+    nprobe+1 rows keyed on centroid_id, every task holds ONE inverted
+    list plus its probers, and at production scale nlist grows
+    ~sqrt(n) (standard IVF sizing) so list size stays bounded. The
+    reciprocity check is the same one self-equi-join on the swapped
+    key pair."""
+    from ..operators import similarity
+    from .queries_r12 import _KNN_K
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cand = similarity.ivf_knn_topk(
+        emb, k=_KNN_K, nlist=8, nprobe=_MUTUAL_ANN_NPROBE
+    )
+    wn = Window.partitionBy("qid").orderBy(
+        F.col("cosine").desc(), F.col("nid")
+    )
+    nn = (
+        cand.withColumn("rn", F.row_number().over(wn))
+        .filter(F.col("rn") <= _KNN_K)
+        .select("qid", "nid", "cosine")
+        .localCheckpoint(eager=False)
+    )
+    swapped = nn.select(
+        F.col("nid").alias("qid"), F.col("qid").alias("nid")
+    )
+    return (
+        nn.join(swapped, ["qid", "nid"])
+        .filter(F.col("qid") < F.col("nid"))
+        .select(
+            F.col("qid").alias("vec_id_a"),
+            F.col("nid").alias("vec_id_b"),
+            "cosine",
+        )
     )

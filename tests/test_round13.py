@@ -148,3 +148,27 @@ class TestPayloadCdcPairs:
             assert 0.5 <= r.jaccard <= 1.0
             assert r.jaccard <= r.containment <= 1.0
             assert r.n_common >= 1
+
+
+class TestMutualKnnAnn:
+    def test_recall_gate_vs_exact(self, spark):
+        """Verdict r12 item 6 gate: ANN-candidate mutual kNN recovers
+        >= 0.9 of the exact reciprocal pair set (dedup_embedding_lsh
+        precedent; regime notes in queries_r13)."""
+        exact = {
+            (r.vec_id_a, r.vec_id_b)
+            for r in registry.QUERIES["emb_mutual_knn"](
+                spark, SF
+            ).collect()
+        }
+        ann = {
+            (r.vec_id_a, r.vec_id_b)
+            for r in registry.QUERIES["emb_mutual_knn_ann"](
+                spark, SF
+            ).collect()
+        }
+        assert exact, "exact pair set empty"
+        recall = len(ann & exact) / len(exact)
+        precision = len(ann & exact) / len(ann)
+        assert recall >= 0.9, f"recall {recall:.3f} < 0.9"
+        assert precision >= 0.9, f"precision {precision:.3f} < 0.9"
