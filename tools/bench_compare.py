@@ -4,7 +4,16 @@ bench record and print per-query regressions — the measurement
 discipline behind "no query regressed >2x beyond its measured spread".
 
 Usage:
-    python tools/bench_compare.py [BASELINE] [CURRENT]
+    python tools/bench_compare.py [BASELINE] [CURRENT] [--clean[=PATH]]
+
+``--clean`` re-adjudicates against a clean same-code sidecar run
+(default BENCH_DETAIL.local.json — the builder's detached quiet-host
+run of the same commit): the common-set total and every flagged
+regression are re-read from the clean record, and a regression that
+vanishes there is reported as HOST NOISE rather than a plan change.
+(Motivating case: the official r12 record ran ~1.25x hot and flagged
+lang_id_confusion 0.42->1.25s; the clean run of the same code measured
+0.50s.)
 
 BASELINE / CURRENT may be file paths or round labels like ``r09`` —
 a label resolves to BENCH_DETAIL_r09.json (the full per-query archive
@@ -67,17 +76,26 @@ def _latest_baseline() -> tuple[str, dict] | None:
 
 
 def main() -> int:
+    args = list(sys.argv[1:])
+    clean_path = None
+    for a in list(args):
+        if a == "--clean":
+            clean_path = os.path.join(ROOT, "BENCH_DETAIL.local.json")
+            args.remove(a)
+        elif a.startswith("--clean="):
+            clean_path = a.split("=", 1)[1]
+            args.remove(a)
     cur_path = (
-        _resolve(sys.argv[2])
-        if len(sys.argv) > 2
+        _resolve(args[1])
+        if len(args) > 1
         else os.path.join(ROOT, "BENCH_DETAIL.json")
     )
     cur = _load_record(cur_path)
     if cur is None:
         print(f"no current record ({cur_path}) — run `python bench.py` first")
         return 2
-    if len(sys.argv) > 1:
-        base_path = _resolve(sys.argv[1])
+    if len(args) > 0:
+        base_path = _resolve(args[0])
         base = _load_record(base_path)
     else:
         found = _latest_baseline()
@@ -126,6 +144,41 @@ def main() -> int:
               f"{sum(qc[k] for k in new):.1f}s")
     if not regressions:
         print("  regressions: none")
+
+    if clean_path is not None:
+        clean = _load_record(clean_path)
+        if clean is None:
+            print(f"  --clean: no parseable record at {clean_path}")
+            return 2
+        qk = clean["queries"]
+        ccommon = sorted(set(qk) & set(qb))
+        print(
+            f"  clean {os.path.basename(clean_path)}: "
+            f"{len(ccommon)} common queries, total "
+            f"{sum(qb[k] for k in ccommon):.1f}s -> "
+            f"{sum(qk[k] for k in ccommon):.1f}s"
+        )
+        persisted = []
+        for k in regressions:
+            if k not in qk:
+                print(f"    {k}: not in clean record — UNRESOLVED")
+                persisted.append(k)
+                continue
+            slack = sb.get(k, 0.0) + clean.get("spread", {}).get(k, 0.0)
+            if qk[k] > 2 * qb[k] + slack and qk[k] - qb[k] > 0.15:
+                print(
+                    f"    {k}: persists in clean run "
+                    f"({qb[k]:.2f}s -> {qk[k]:.2f}s) — PLAN REGRESSION"
+                )
+                persisted.append(k)
+            else:
+                print(
+                    f"    {k}: clean run measures {qk[k]:.2f}s "
+                    f"(official {qc.get(k, float('nan')):.2f}s) — "
+                    f"HOST NOISE"
+                )
+        return 1 if persisted else 0
+
     return 1 if regressions else 0
 
 
