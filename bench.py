@@ -269,6 +269,13 @@ EXT_HEADLINE = [
     # round-13 additions
     "dedup_payload_cdc",
     "emb_mutual_knn_ann",
+    "orders_acf",
+    "orders_mann_kendall",
+    "customer_churn_training_set",
+    "docs_curriculum_pacing",
+    "layout_vacuum_plan",
+    "stream_curriculum_pacing",
+    "profile_drift_two_period",
 ]
 
 

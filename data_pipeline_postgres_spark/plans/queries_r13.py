@@ -11,7 +11,19 @@ round-12 verdict's build list:
   ``emb_mutual_knn`` (verdict r12 item 6) — IVF-probed candidate
   lists, exact rerank, reciprocity join unchanged; rows-only with a
   recall gate against the exact query (the dedup_embedding_lsh
-  precedent).
+  precedent);
+- time-series diagnostics: ``orders_acf`` (exact-integer
+  autocorrelation at lags 1..14) and ``orders_mann_kendall``
+  (monotone-trend test, integer S + tie-corrected variance);
+- ``customer_churn_training_set``: the leakage-safe (features |
+  label) matrix — point-in-time features, label from the disjoint
+  90-day post-cutoff window, perturbation-tested;
+- ``docs_curriculum_pacing`` + ``stream_curriculum_pacing``:
+  competence-based curriculum schedule over the bounded
+  difficulty-value relation (corpus never sorted), batch and
+  ingest-side;
+- ``layout_vacuum_plan``: expire_snapshots + vacuum planning over
+  the file manifest with commit lineage.
 
 Conventions identical to queries_r9/r11/r12: every computed column
 aliased the same in the Spark plan and the DuckDB oracle; counts CAST
@@ -254,5 +266,902 @@ def q_emb_mutual_knn_ann(
             F.col("qid").alias("vec_id_a"),
             F.col("nid").alias("vec_id_b"),
             "cosine",
+        )
+    )
+
+
+# =============================================================================
+# Round-13 second batch: time-series diagnostics (ACF, Mann-Kendall),
+# the leakage-safe training-set materialization, competence-based
+# curriculum pacing, and snapshot-retention vacuum planning. Same
+# conventions: scalar columns only, BIGINT casts on every count,
+# float only in single shared divisions of exact integers (IEEE
+# division and sqrt are correctly rounded, so identical int inputs
+# give bit-identical doubles on both engines).
+# =============================================================================
+
+
+def _orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "orders")
+
+
+# -- Autocorrelation function of daily revenue --------------------------------
+# The missing classical time-series diagnostic next to
+# orders_seasonal_decompose/orders_runs_test: ACF at lags 1..14 over
+# the daily revenue series. Exactness: center via integer
+# cross-multiplication c_t = n*x_t - T (so acf_k = sum(c_t*c_{t+k}) /
+# sum(c_t^2) — the 1/n^2 factors cancel), with the series pre-shifted
+# into 13 bits (x >> s, s = bit_length(max) - 13, both engines via
+# LENGTH(BIN(max))-1 — float log2 never touched) so every product and
+# sum stays inside int64: |c| <= n*2^13 ~ 2e7, sum of n c^2 terms
+# <= ~9.4e17 < 2^63 (measured at sf0.01; n is CALENDAR-bounded, so
+# the bound is SF-invariant up to the 13-bit cap).
+
+_ACF_MAX_LAG = 14
+
+_ACF_ORACLE = f"""
+WITH daily AS (
+    SELECT CAST(o_orderdate AS DATE) AS d,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) * 100
+               AS BIGINT) AS x
+    FROM orders GROUP BY 1
+),
+q AS (
+    SELECT CAST(POW(2.0e0, GREATEST(LENGTH(BIN(MAX(x))) - 1 - 13, 0))
+                AS BIGINT) AS p,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM daily
+),
+xq AS (SELECT d, x // p AS v, n FROM daily, q),
+tq AS (SELECT CAST(SUM(v) AS BIGINT) AS tq FROM xq),
+cen AS (
+    SELECT d, CAST(n * v - tq AS BIGINT) AS c
+    FROM xq, tq
+),
+den AS (SELECT CAST(SUM(c * c) AS BIGINT) AS dd FROM cen),
+lags AS (SELECT unnest(range(1, {_ACF_MAX_LAG + 1})) AS lag),
+num AS (
+    SELECT l.lag, CAST(SUM(a.c * b.c) AS BIGINT) AS nn,
+           CAST(COUNT(*) AS BIGINT) AS n_pairs
+    FROM lags l
+    JOIN cen a ON TRUE
+    JOIN cen b ON b.d = a.d + CAST(l.lag AS INT) * INTERVAL 1 DAY
+    GROUP BY 1
+)
+SELECT CAST(lag AS BIGINT) AS lag, n_pairs, nn AS acf_num,
+       dd AS acf_den,
+       CAST(nn AS DOUBLE) / CAST(dd AS DOUBLE) AS acf
+FROM num, den ORDER BY lag
+"""
+
+
+@query("orders_acf", _ACF_ORACLE)
+def q_orders_acf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Autocorrelation of the daily revenue series at lags 1..14 →
+    (lag, n_pairs, acf_num, acf_den, acf). Exact integer numerators
+    and denominator (see the centering/shift note above), one double
+    division at the end — the standard seasonality/memory diagnostic
+    a forecasting pipeline runs before picking model structure
+    (orders_seasonal_decompose's period choice, Holt-Winters'
+    seasonality flag).
+
+    Scale shape: ONE date-keyed groupBy over orders; everything after
+    runs on the ~2400-row CALENDAR-bounded daily relation (lag joins,
+    window-free integer sums). The 13-bit pre-shift keeps every
+    product in int64 at any SF because n is calendar-bounded."""
+    o = _orders(spark, sf_dir)
+    daily = o.groupBy(
+        F.col("o_orderdate").cast("date").alias("d")
+    ).agg(
+        (F.sum(F.col("o_totalprice").cast("decimal(18,2)")) * 100)
+        .cast("bigint")
+        .alias("x")
+    )
+    q = daily.agg(
+        F.greatest(
+            F.expr("length(bin(max(x))) - 1 - 13"), F.lit(0)
+        ).alias("s"),
+        F.count("*").cast("bigint").alias("n"),
+    ).select(
+        F.pow(F.lit(2.0), F.col("s")).cast("bigint").alias("p"),
+        "n",
+    )
+    xq = daily.crossJoin(F.broadcast(q)).select(
+        "d", F.expr("x div p").alias("v"), "n"
+    )
+    tq = xq.agg(F.sum("v").cast("bigint").alias("tq"))
+    cen = (
+        xq.crossJoin(F.broadcast(tq))
+        .select(
+            "d",
+            (F.col("n") * F.col("v") - F.col("tq"))
+            .cast("bigint")
+            .alias("c"),
+        )
+        .localCheckpoint(eager=False)  # feeds den + both lag sides
+    )
+    den = cen.agg(
+        F.sum(F.col("c") * F.col("c")).cast("bigint").alias("dd")
+    )
+    lags = spark.range(1, _ACF_MAX_LAG + 1).select(
+        F.col("id").cast("bigint").alias("lag")
+    )
+    a = cen.crossJoin(lags).select(
+        "lag", F.expr("date_add(d, cast(lag as int))").alias("d2"), "c"
+    )
+    b = cen.select(F.col("d").alias("d2"), F.col("c").alias("cb"))
+    num = (
+        a.join(b, "d2")
+        .groupBy("lag")
+        .agg(
+            F.sum(F.col("c") * F.col("cb"))
+            .cast("bigint")
+            .alias("acf_num"),
+            F.count("*").cast("bigint").alias("n_pairs"),
+        )
+    )
+    return (
+        num.crossJoin(F.broadcast(den))
+        .select(
+            "lag",
+            "n_pairs",
+            "acf_num",
+            F.col("dd").alias("acf_den"),
+            (
+                F.col("acf_num").cast("double")
+                / F.col("dd").cast("double")
+            ).alias("acf"),
+        )
+        .orderBy("lag")
+    )
+
+
+# -- Mann-Kendall trend test ----------------------------------------------------
+# The non-parametric monotone-trend test over the daily revenue
+# series — the inferential twin of orders_theil_sen_trend (which
+# estimates the slope; MK tests its significance) and the
+# runs-test's directional sibling. S = sum of sign(x_j - x_i) over
+# all day pairs i<j is integer-exact; the tie-corrected variance
+# numerator n(n-1)(2n+5) - sum t(t-1)(2t+5) is integer-exact; the
+# z-score is two correctly-rounded IEEE ops (one division, one sqrt)
+# over those exact ints, hence bit-identical across engines.
+
+_MK_ORACLE = """
+WITH daily AS (
+    SELECT CAST(o_orderdate AS DATE) AS d,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) * 100
+               AS BIGINT) AS x
+    FROM orders GROUP BY 1
+),
+n1 AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM daily),
+s AS (
+    SELECT CAST(SUM(CASE WHEN b.x > a.x THEN 1
+                         WHEN b.x < a.x THEN -1 ELSE 0 END) AS BIGINT)
+           AS s_stat
+    FROM daily a JOIN daily b ON b.d > a.d
+),
+ties AS (
+    SELECT CAST(COALESCE(SUM(t * (t - 1) * (2 * t + 5)), 0) AS BIGINT)
+           AS tie_term
+    FROM (SELECT CAST(COUNT(*) AS BIGINT) AS t FROM daily GROUP BY x)
+    WHERE t > 1
+)
+SELECT n AS n_days, s_stat,
+       CAST(n * (n - 1) * (2 * n + 5) - tie_term AS BIGINT)
+           AS var18_num,
+       CASE WHEN s_stat > 0 THEN
+                CAST(s_stat - 1 AS DOUBLE)
+                / SQRT(CAST(n * (n - 1) * (2 * n + 5) - tie_term
+                            AS DOUBLE) / 18.0e0)
+            WHEN s_stat < 0 THEN
+                CAST(s_stat + 1 AS DOUBLE)
+                / SQRT(CAST(n * (n - 1) * (2 * n + 5) - tie_term
+                            AS DOUBLE) / 18.0e0)
+            ELSE 0.0e0 END AS z
+FROM n1, s, ties
+"""
+
+
+@query("orders_mann_kendall", _MK_ORACLE)
+def q_orders_mann_kendall(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Mann-Kendall monotone-trend test over daily revenue →
+    (n_days, s_stat, var18_num, z): S as the exact pairwise sign sum,
+    tie-corrected variance numerator (18x-scaled, integer), and the
+    continuity-corrected z. |z| > 1.96 rejects no-trend at 5% — the
+    significance gate for orders_theil_sen_trend's slope estimate.
+
+    Scale shape: one date-keyed groupBy over orders; the pairwise
+    join runs over the CALENDAR-bounded daily relation (~2400 rows →
+    ~2.9M pairs inside one join, SF-invariant). At a multi-decade
+    horizon the rank-based O(n log n) formulation slots in; the pair
+    join is exact and bounded here."""
+    o = _orders(spark, sf_dir)
+    daily = o.groupBy(
+        F.col("o_orderdate").cast("date").alias("d")
+    ).agg(
+        (F.sum(F.col("o_totalprice").cast("decimal(18,2)")) * 100)
+        .cast("bigint")
+        .alias("x")
+    ).localCheckpoint(eager=False)  # feeds n, pairs (x2), ties
+    n1 = daily.agg(F.count("*").cast("bigint").alias("n"))
+    a = daily.select(F.col("d").alias("da"), F.col("x").alias("xa"))
+    b = daily.select(F.col("d").alias("db"), F.col("x").alias("xb"))
+    s = (
+        a.join(b, F.col("db") > F.col("da"))
+        .agg(
+            F.sum(
+                F.when(F.col("xb") > F.col("xa"), 1)
+                .when(F.col("xb") < F.col("xa"), -1)
+                .otherwise(0)
+            )
+            .cast("bigint")
+            .alias("s_stat")
+        )
+    )
+    ties = (
+        daily.groupBy("x")
+        .agg(F.count("*").cast("bigint").alias("t"))
+        .filter(F.col("t") > 1)
+        .agg(
+            F.coalesce(
+                F.sum(
+                    F.col("t")
+                    * (F.col("t") - 1)
+                    * (2 * F.col("t") + 5)
+                ),
+                F.lit(0),
+            )
+            .cast("bigint")
+            .alias("tie_term")
+        )
+    )
+    var18 = (
+        F.col("n") * (F.col("n") - 1) * (2 * F.col("n") + 5)
+        - F.col("tie_term")
+    ).cast("bigint")
+    zden = F.sqrt(var18.cast("double") / F.lit(18.0))
+    return (
+        n1.crossJoin(s)
+        .crossJoin(ties)
+        .select(
+            F.col("n").alias("n_days"),
+            "s_stat",
+            var18.alias("var18_num"),
+            F.when(
+                F.col("s_stat") > 0,
+                (F.col("s_stat") - 1).cast("double") / zden,
+            )
+            .when(
+                F.col("s_stat") < 0,
+                (F.col("s_stat") + 1).cast("double") / zden,
+            )
+            .otherwise(F.lit(0.0))
+            .alias("z"),
+        )
+    )
+
+
+# -- Leakage-safe churn training set --------------------------------------------
+# The materialization a training pipeline actually ships:
+# customer_feature_snapshot gives FEATURES as of a cutoff; a model
+# also needs the LABEL, and the label must come strictly AFTER the
+# cutoff (the leakage discipline the feature snapshot's pytest
+# enforces). Cutoff at max-180d so a full 90-day label window exists
+# with 90 days of slack; label churned=1 iff the customer (active at
+# or before the cutoff) places NO order in (cutoff, cutoff+90].
+
+_TRAIN_ORACLE = """
+WITH horizon AS (
+    SELECT CAST(MAX(o_orderdate) AS DATE) - INTERVAL 180 DAY AS c
+    FROM orders
+),
+pit AS (
+    SELECT o.o_custkey, CAST(o.o_orderdate AS DATE) AS d,
+           CAST(o.o_totalprice AS DECIMAL(18,2)) AS p, h.c
+    FROM orders o CROSS JOIN horizon h
+    WHERE CAST(o.o_orderdate AS DATE) <= h.c
+),
+feat AS (
+    SELECT o_custkey AS customer_id,
+           CAST(SUM(CASE WHEN d > c - INTERVAL 90 DAY
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_orders_90d,
+           CAST(SUM(CASE WHEN d > c - INTERVAL 365 DAY
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_orders_365d,
+           CAST(SUM(CASE WHEN d > c - INTERVAL 90 DAY
+                    THEN p ELSE CAST(0 AS DECIMAL(18,2)) END) * 100
+               AS BIGINT) AS rev_cents_90d,
+           CAST(date_diff('day', MAX(d), MAX(c)) AS BIGINT)
+               AS recency_days,
+           CAST(date_diff('day', MIN(d), MAX(c)) AS BIGINT)
+               AS tenure_days,
+           CAST(COUNT(*) AS BIGINT) AS n_orders_total
+    FROM pit GROUP BY 1
+),
+future AS (
+    SELECT DISTINCT o.o_custkey AS customer_id
+    FROM orders o CROSS JOIN horizon h
+    WHERE CAST(o.o_orderdate AS DATE) > h.c
+      AND CAST(o.o_orderdate AS DATE) <= h.c + INTERVAL 90 DAY
+)
+SELECT f.customer_id, f.n_orders_90d, f.n_orders_365d,
+       f.rev_cents_90d, f.recency_days, f.tenure_days,
+       f.n_orders_total,
+       CAST(CASE WHEN fu.customer_id IS NULL THEN 1 ELSE 0 END
+           AS BIGINT) AS churned
+FROM feat f LEFT JOIN future fu USING (customer_id)
+"""
+
+
+@query("customer_churn_training_set", _TRAIN_ORACLE)
+def q_customer_churn_training_set(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Leakage-safe churn training matrix: per customer active at or
+    before the cutoff (max orderdate - 180d), point-in-time features
+    (90/365-day order counts, 90-day revenue cents, recency, tenure,
+    lifetime count — all from rows <= cutoff only) plus the label
+    churned = 1 iff no order lands in (cutoff, cutoff+90] →
+    the (features | label) relation a trainer consumes directly.
+    Features and label draw from DISJOINT date ranges by
+    construction; tests/test_round13.py additionally perturbs
+    post-label-window rows and asserts the matrix is invariant.
+
+    Scale shape: ONE conditional-aggregation pass over pre-cutoff
+    orders (the feature snapshot shape) + one DISTINCT custkey
+    projection of the 90-day label window anti-joined in; both sides
+    shuffle once on the customer key."""
+    o = _orders(spark, sf_dir)
+    horizon = o.agg(
+        F.date_sub(
+            F.max(F.col("o_orderdate").cast("date")), 180
+        ).alias("c")
+    )
+    pit = (
+        o.crossJoin(F.broadcast(horizon))
+        .withColumn("d", F.col("o_orderdate").cast("date"))
+        .filter(F.col("d") <= F.col("c"))
+    )
+    dec0 = F.lit(0).cast("decimal(18,2)")
+    feat = pit.groupBy(
+        F.col("o_custkey").alias("customer_id")
+    ).agg(
+        F.sum(
+            F.when(
+                F.col("d") > F.date_sub(F.col("c"), 90), 1
+            ).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("n_orders_90d"),
+        F.sum(
+            F.when(
+                F.col("d") > F.date_sub(F.col("c"), 365), 1
+            ).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("n_orders_365d"),
+        (
+            F.sum(
+                F.when(
+                    F.col("d") > F.date_sub(F.col("c"), 90),
+                    F.col("o_totalprice").cast("decimal(18,2)"),
+                ).otherwise(dec0)
+            )
+            * 100
+        )
+        .cast("bigint")
+        .alias("rev_cents_90d"),
+        F.datediff(F.max("c"), F.max("d"))
+        .cast("bigint")
+        .alias("recency_days"),
+        F.datediff(F.max("c"), F.min("d"))
+        .cast("bigint")
+        .alias("tenure_days"),
+        F.count("*").cast("bigint").alias("n_orders_total"),
+    )
+    future = (
+        o.crossJoin(F.broadcast(horizon))
+        .withColumn("d", F.col("o_orderdate").cast("date"))
+        .filter(
+            (F.col("d") > F.col("c"))
+            & (F.col("d") <= F.date_add(F.col("c"), 90))
+        )
+        .select(F.col("o_custkey").alias("customer_id"))
+        .distinct()
+        .withColumn("__hit", F.lit(1))
+    )
+    return feat.join(future, "customer_id", "left").select(
+        "customer_id",
+        "n_orders_90d",
+        "n_orders_365d",
+        "rev_cents_90d",
+        "recency_days",
+        "tenure_days",
+        "n_orders_total",
+        F.when(F.col("__hit").isNull(), 1)
+        .otherwise(0)
+        .cast("bigint")
+        .alias("churned"),
+    )
+
+
+# -- Competence-based curriculum pacing ------------------------------------------
+# Curriculum learning schedule (competence pacing, Platanios et al.
+# NAACL'19): at training phase t the model's competence c(t) =
+# sqrt(t/T) admits the easiest c(t)-fraction of the corpus, with
+# difficulty = whitespace token count (the standard length proxy).
+# The pacing table is computed WITHOUT sorting the corpus: counts and
+# token sums per DISTINCT difficulty VALUE (a bounded relation — the
+# docs_score_auc discipline), cumulated over that value relation
+# only; each phase's cutoff is the smallest difficulty whose
+# cumulative count reaches ceil(c(t) * n). sqrt is the one
+# correctly-rounded IEEE power, so c(t) and every derived comparison
+# is bit-identical across engines.
+
+_CURR_PHASES = 10
+
+_CURRICULUM_ORACLE = f"""
+WITH diff AS (
+    SELECT doc_id,
+           CAST(COALESCE(LENGTH(TRIM(text)) - LENGTH(REPLACE(TRIM(text), ' ', ''))
+                + CASE WHEN TRIM(text) = '' THEN 0 ELSE 1 END, 0)
+               AS BIGINT) AS d
+    FROM documents
+),
+tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM diff),
+vals AS (
+    SELECT d, CAST(COUNT(*) AS BIGINT) AS cnt,
+           CAST(SUM(d) AS BIGINT) AS dtok
+    FROM diff GROUP BY 1
+),
+cum AS (
+    SELECT d,
+           CAST(SUM(cnt) OVER (ORDER BY d
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS BIGINT) AS ccnt,
+           CAST(SUM(dtok) OVER (ORDER BY d
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS BIGINT) AS ctok
+    FROM vals
+),
+phases AS (
+    SELECT CAST(unnest(range(1, {_CURR_PHASES + 1})) AS BIGINT)
+        AS phase
+),
+targets AS (
+    SELECT phase,
+           SQRT(CAST(phase AS DOUBLE) / {_CURR_PHASES}.0e0)
+               AS competence,
+           CAST(CEIL(SQRT(CAST(phase AS DOUBLE)
+                / {_CURR_PHASES}.0e0) * n) AS BIGINT) AS want
+    FROM phases, tot
+)
+SELECT t.phase, t.competence,
+       CAST(MIN(c.d) AS BIGINT) AS difficulty_cutoff,
+       CAST(MIN(c.ccnt) AS BIGINT) AS n_admitted,
+       CAST(MIN(c.ctok) AS BIGINT) AS tokens_admitted
+FROM targets t JOIN cum c ON c.ccnt >= t.want
+GROUP BY 1, 2
+"""
+
+
+@query("docs_curriculum_pacing", _CURRICULUM_ORACLE)
+def q_docs_curriculum_pacing(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Competence-based curriculum pacing table: for training phases
+    1..10 with competence c(t) = sqrt(t/10), the difficulty cutoff
+    (whitespace token count) admitting the easiest ceil(c(t)·n) docs,
+    plus how many docs and tokens that admits → (phase, competence,
+    difficulty_cutoff, n_admitted, tokens_admitted). The schedule a
+    curriculum dataloader consumes: phase t reads docs with
+    difficulty <= cutoff(t), so each phase's delta is the newly
+    admitted band.
+
+    Correctness note: MIN(c.d) over rows with ccnt >= want is the
+    FIRST value relation row reaching the target, and its ccnt/ctok
+    are the admitted totals (cum counts are strictly increasing in d,
+    so MIN picks all three columns from the same row).
+
+    Scale shape: difficulty is one map-side expression; the only
+    shuffles are the per-VALUE groupBy (bounded by distinct token
+    counts, not corpus size) and the cumulative window over that
+    bounded value relation (ALLOWED_UNPARTITIONED, aggregate-gated);
+    the phase join is 10 x |values|. The corpus is never sorted."""
+    docs = _docs(spark, sf_dir)
+    t = F.trim(F.col("text"))
+    diff = docs.select(
+        "doc_id",
+        F.coalesce(
+            F.length(t)
+            - F.length(F.replace(t, F.lit(" "), F.lit("")))
+            + F.when(t == "", 0).otherwise(1),
+            F.lit(0),
+        )
+        .cast("bigint")
+        .alias("d"),
+    )
+    tot = diff.agg(F.count("*").cast("bigint").alias("n"))
+    vals = diff.groupBy("d").agg(
+        F.count("*").cast("bigint").alias("cnt"),
+        F.sum("d").cast("bigint").alias("dtok"),
+    )
+    w = Window.orderBy("d").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    cum = vals.select(
+        "d",
+        F.sum("cnt").over(w).cast("bigint").alias("ccnt"),
+        F.sum("dtok").over(w).cast("bigint").alias("ctok"),
+    )
+    comp = F.sqrt(
+        F.col("phase").cast("double") / F.lit(float(_CURR_PHASES))
+    )
+    targets = (
+        spark.range(1, _CURR_PHASES + 1)
+        .select(F.col("id").cast("bigint").alias("phase"))
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "phase",
+            comp.alias("competence"),
+            F.ceil(comp * F.col("n")).cast("bigint").alias("want"),
+        )
+    )
+    return (
+        targets.join(
+            cum, F.col("ccnt") >= F.col("want"), "inner"
+        )
+        .groupBy("phase", "competence")
+        .agg(
+            F.min("d").cast("bigint").alias("difficulty_cutoff"),
+            F.min("ccnt").cast("bigint").alias("n_admitted"),
+            F.min("ctok").cast("bigint").alias("tokens_admitted"),
+        )
+    )
+
+
+# -- Snapshot-retention vacuum planner -------------------------------------------
+# The table-maintenance twin of layout_compaction_plan: given the
+# same simulated file manifest plus a snapshot lineage (each file
+# carries the snapshot that added it and, for ~1/5 of files, the
+# snapshot that logically deleted it — the Iceberg/Delta commit
+# model), plan an `expire_snapshots(retain_last=2)` + vacuum: a file
+# is reclaimable iff NO retained snapshot references it, i.e. its
+# delete landed at or before the oldest retained snapshot. Pure
+# arithmetic over the manifest — data never moves, exactly like the
+# compaction planner.
+
+_VACUUM_SNAPSHOTS = 4  # snapshots 0..3; retain the last 2 (2 and 3)
+_VACUUM_RETAIN = 2
+
+_VACUUM_ORACLE = f"""
+WITH files AS (
+    SELECT date_trunc('month', o_orderdate) AS part_month,
+           o_orderkey % 32 AS file_id,
+           CAST(COUNT(*) * 128 AS BIGINT) AS bytes
+    FROM orders GROUP BY 1, 2
+),
+lineage AS (
+    SELECT part_month, file_id, bytes,
+           CAST(file_id % 3 AS BIGINT) AS created_snap,
+           CASE WHEN file_id % 5 = 0
+                THEN CAST(file_id % 3 + 1 AS BIGINT)
+                ELSE NULL END AS deleted_snap
+    FROM files
+)
+SELECT CAST(part_month AS DATE) AS part_month,
+       CAST(file_id AS BIGINT) AS file_id,
+       bytes, created_snap, deleted_snap,
+       CASE WHEN deleted_snap IS NOT NULL
+                 AND deleted_snap
+                     <= {_VACUUM_SNAPSHOTS - _VACUUM_RETAIN}
+            THEN 'DELETE' ELSE 'RETAIN' END AS action
+FROM lineage
+"""
+
+
+@query("layout_vacuum_plan", _VACUUM_ORACLE)
+def q_layout_vacuum_plan(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Snapshot-retention vacuum plan over the simulated file
+    manifest: every file carries (created_snap, deleted_snap) commit
+    lineage; retaining the last 2 of 4 snapshots, a file
+    is DELETE iff its logical delete landed at or before the oldest
+    retained snapshot (no retained snapshot can reference it — the
+    Iceberg expire_snapshots + vacuum contract) → (part_month,
+    file_id, bytes, created_snap, deleted_snap, action). The
+    reclaimed-bytes rollup is one filter+sum over this plan.
+
+    Scale shape: one groupBy builds the manifest (at a real lakehouse
+    this relation IS the metadata layer, ~1 row per file, millions of
+    rows at 100 TB — trivially partition-parallel); the plan itself
+    is a pure map over manifest rows. Data files are never read."""
+    o = _orders(spark, sf_dir)
+    files = o.groupBy(
+        F.date_trunc("month", F.col("o_orderdate"))
+        .cast("date")
+        .alias("part_month"),
+        (F.col("o_orderkey") % 32).alias("file_id"),
+    ).agg((F.count("*") * 128).cast("bigint").alias("bytes"))
+    created = (F.col("file_id") % 3).cast("bigint")
+    deleted = F.when(
+        F.col("file_id") % 5 == 0, (F.col("file_id") % 3 + 1)
+    ).cast("bigint")
+    oldest_retained = _VACUUM_SNAPSHOTS - _VACUUM_RETAIN
+    return files.select(
+        "part_month",
+        F.col("file_id").cast("bigint").alias("file_id"),
+        "bytes",
+        created.alias("created_snap"),
+        deleted.alias("deleted_snap"),
+        F.when(
+            deleted.isNotNull() & (deleted <= oldest_retained),
+            F.lit("DELETE"),
+        )
+        .otherwise(F.lit("RETAIN"))
+        .alias("action"),
+    )
+
+
+@query("stream_curriculum_pacing", _CURRICULUM_ORACLE)
+def q_stream_curriculum_pacing(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Streaming twin of docs_curriculum_pacing: a 3-batch
+    AvailableNow document ingest reduces each micro-batch to
+    per-difficulty-value (count, token-sum) partials — associative,
+    so the merged value relation and the pacing table derived from it
+    equal the batch query exactly and the batch SQL oracle applies
+    verbatim (streaming/jobs.curriculum_pacing_stream; partials land
+    under the batch_id-partition idempotency discipline)."""
+    from ..streaming import jobs as stream_jobs
+
+    return stream_jobs.curriculum_pacing_stream(spark, sf_dir)
+
+
+# -- Two-period profile drift ----------------------------------------------------
+# Training-data drift monitoring: split orders at the midpoint date
+# and compare per-column profiles — row counts, mean price, and for
+# each categorical column the L1 distance between the two periods'
+# value-frequency distributions plus distinct counts. The report a
+# dataset-QA gate reads before admitting a new snapshot (PSI's
+# two-period sibling; events_psi_value_drift covers the binned
+# numeric shape, this covers the categorical/profile shape).
+#
+# Exactness: the L1 distance is computed from the EXACT integer
+# cross-product |ca*nb - cb*na| per value — summed as DECIMAL(19,0)
+# products (exact at any count magnitude, per the cross-engine
+# decimal-width rule) — and divided by na*nb once at the end, so the
+# float result is order-independent and bit-identical across engines.
+
+_DRIFT_ORACLE = """
+WITH bounds AS (
+    SELECT CAST(MIN(o_orderdate) AS DATE) AS d0,
+           CAST(MAX(o_orderdate) AS DATE) AS d1
+    FROM orders
+),
+tagged AS (
+    SELECT o.o_totalprice, o.o_orderstatus, o.o_orderpriority,
+           CASE WHEN CAST(o.o_orderdate AS DATE)
+                     < b.d0 + CAST(date_diff('day', b.d0, b.d1) // 2
+                                   AS INT) * INTERVAL 1 DAY
+                THEN 0 ELSE 1 END AS per
+    FROM orders o CROSS JOIN bounds b
+),
+price AS (
+    SELECT CAST(SUM(CASE WHEN per = 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS na,
+           CAST(SUM(CASE WHEN per = 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS nb,
+           CAST(SUM(CASE WHEN per = 0
+                THEN CAST(o_totalprice AS DECIMAL(18,2))
+                ELSE CAST(0 AS DECIMAL(18,2)) END) * 100
+               AS BIGINT) AS sa,
+           CAST(SUM(CASE WHEN per = 1
+                THEN CAST(o_totalprice AS DECIMAL(18,2))
+                ELSE CAST(0 AS DECIMAL(18,2)) END) * 100
+               AS BIGINT) AS sb
+    FROM tagged
+),
+cat AS (
+    SELECT col, val,
+           CAST(SUM(CASE WHEN per = 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS ca,
+           CAST(SUM(CASE WHEN per = 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS cb
+    FROM (
+        SELECT per, 'o_orderstatus' AS col, o_orderstatus AS val
+        FROM tagged
+        UNION ALL
+        SELECT per, 'o_orderpriority', o_orderpriority FROM tagged
+    ) GROUP BY 1, 2
+),
+catl1 AS (
+    SELECT c.col,
+           CAST(SUM(ABS(CAST(c.ca AS DECIMAL(19,0))
+                        * CAST(p.nb AS DECIMAL(19,0))
+                        - CAST(c.cb AS DECIMAL(19,0))
+                        * CAST(p.na AS DECIMAL(19,0))))
+               AS DECIMAL(38,0)) AS l1_num,
+           CAST(MIN(p.na) AS BIGINT) AS na,
+           CAST(MIN(p.nb) AS BIGINT) AS nb,
+           CAST(SUM(CASE WHEN c.ca > 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS da,
+           CAST(SUM(CASE WHEN c.cb > 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS db
+    FROM cat c, price p GROUP BY 1
+)
+SELECT 'o_totalprice' AS col_name, 'mean_cents' AS metric,
+       CAST(sa AS DOUBLE) / na AS stat_a,
+       CAST(sb AS DOUBLE) / nb AS stat_b
+FROM price
+UNION ALL
+SELECT 'o_totalprice', 'row_count', CAST(na AS DOUBLE),
+       CAST(nb AS DOUBLE)
+FROM price
+UNION ALL
+SELECT col, 'freq_l1',
+       CAST(l1_num AS DOUBLE)
+           / (CAST(na AS DOUBLE) * CAST(nb AS DOUBLE)),
+       CAST(l1_num AS DOUBLE)
+           / (CAST(na AS DOUBLE) * CAST(nb AS DOUBLE))
+FROM catl1
+UNION ALL
+SELECT col, 'distinct_count', CAST(da AS DOUBLE), CAST(db AS DOUBLE)
+FROM catl1
+"""
+
+
+@query("profile_drift_two_period", _DRIFT_ORACLE)
+def q_profile_drift_two_period(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Two-period profile drift over orders, split at the midpoint
+    date → long-form (col_name, metric, stat_a, stat_b): row counts
+    and mean price (cents) for the numeric column, frequency-L1
+    distance and distinct counts for each categorical column. The
+    dataset-QA gate a training pipeline reads before admitting a new
+    snapshot; the categorical sibling of events_psi_value_drift.
+
+    L1 is order-independent by construction (exact DECIMAL(19,0)
+    cross-products |ca*nb - cb*na| summed, one double division at the
+    end), so both engines emit bit-identical doubles.
+
+    Scale shape: ONE conditional-aggregation pass for the numeric
+    profile plus one (col, val)-keyed groupBy for the categorical
+    frequencies (value cardinality bounded by the domains); the split
+    tag is a map-side expression off a broadcast 1-row bounds
+    relation."""
+    o = _orders(spark, sf_dir)
+    bounds = o.agg(
+        F.min(F.col("o_orderdate").cast("date")).alias("d0"),
+        F.max(F.col("o_orderdate").cast("date")).alias("d1"),
+    )
+    tagged = (
+        o.crossJoin(F.broadcast(bounds))
+        .select(
+            "o_totalprice",
+            "o_orderstatus",
+            "o_orderpriority",
+            F.when(
+                F.col("o_orderdate").cast("date")
+                < F.expr(
+                    "date_add(d0, cast(datediff(d1, d0) div 2 as int))"
+                ),
+                0,
+            )
+            .otherwise(1)
+            .alias("per"),
+        )
+        .localCheckpoint(eager=False)  # feeds price + cat unpivot
+    )
+    price = tagged.agg(
+        F.sum(F.when(F.col("per") == 0, 1).otherwise(0))
+        .cast("bigint")
+        .alias("na"),
+        F.sum(F.when(F.col("per") == 1, 1).otherwise(0))
+        .cast("bigint")
+        .alias("nb"),
+        (
+            F.sum(
+                F.when(
+                    F.col("per") == 0,
+                    F.col("o_totalprice").cast("decimal(18,2)"),
+                ).otherwise(F.lit(0).cast("decimal(18,2)"))
+            )
+            * 100
+        )
+        .cast("bigint")
+        .alias("sa"),
+        (
+            F.sum(
+                F.when(
+                    F.col("per") == 1,
+                    F.col("o_totalprice").cast("decimal(18,2)"),
+                ).otherwise(F.lit(0).cast("decimal(18,2)"))
+            )
+            * 100
+        )
+        .cast("bigint")
+        .alias("sb"),
+    )
+    cat = (
+        tagged.select(
+            "per",
+            F.lit("o_orderstatus").alias("col"),
+            F.col("o_orderstatus").alias("val"),
+        )
+        .unionAll(
+            tagged.select(
+                "per",
+                F.lit("o_orderpriority").alias("col"),
+                F.col("o_orderpriority").alias("val"),
+            )
+        )
+        .groupBy("col", "val")
+        .agg(
+            F.sum(F.when(F.col("per") == 0, 1).otherwise(0))
+            .cast("bigint")
+            .alias("ca"),
+            F.sum(F.when(F.col("per") == 1, 1).otherwise(0))
+            .cast("bigint")
+            .alias("cb"),
+        )
+    )
+    d19 = lambda c: F.col(c).cast("decimal(19,0)")
+    catl1 = (
+        cat.crossJoin(F.broadcast(price))
+        .groupBy("col")
+        .agg(
+            F.sum(
+                F.abs(d19("ca") * d19("nb") - d19("cb") * d19("na"))
+            )
+            .cast("decimal(38,0)")
+            .alias("l1_num"),
+            F.min("na").cast("bigint").alias("na"),
+            F.min("nb").cast("bigint").alias("nb"),
+            F.sum(F.when(F.col("ca") > 0, 1).otherwise(0))
+            .cast("bigint")
+            .alias("da"),
+            F.sum(F.when(F.col("cb") > 0, 1).otherwise(0))
+            .cast("bigint")
+            .alias("db"),
+        )
+    )
+    l1 = F.col("l1_num").cast("double") / (
+        F.col("na").cast("double") * F.col("nb").cast("double")
+    )
+    return (
+        price.select(
+            F.lit("o_totalprice").alias("col_name"),
+            F.lit("mean_cents").alias("metric"),
+            (F.col("sa").cast("double") / F.col("na")).alias("stat_a"),
+            (F.col("sb").cast("double") / F.col("nb")).alias("stat_b"),
+        )
+        .unionAll(
+            price.select(
+                F.lit("o_totalprice").alias("col_name"),
+                F.lit("row_count").alias("metric"),
+                F.col("na").cast("double").alias("stat_a"),
+                F.col("nb").cast("double").alias("stat_b"),
+            )
+        )
+        .unionAll(
+            catl1.select(
+                F.col("col").alias("col_name"),
+                F.lit("freq_l1").alias("metric"),
+                l1.alias("stat_a"),
+                l1.alias("stat_b"),
+            )
+        )
+        .unionAll(
+            catl1.select(
+                F.col("col").alias("col_name"),
+                F.lit("distinct_count").alias("metric"),
+                F.col("da").cast("double").alias("stat_a"),
+                F.col("db").cast("double").alias("stat_b"),
+            )
         )
     )

@@ -33,7 +33,7 @@ import shutil
 from collections.abc import Iterator
 from typing import TYPE_CHECKING, Any
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
@@ -1471,4 +1471,107 @@ def feature_snapshot_stream(
         .cast("bigint")
         .alias("tenure_days"),
         "n_orders_total",
+    )
+
+
+def curriculum_pacing_stream(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Streaming twin of ``docs_curriculum_pacing``: documents arrive
+    as a 3-file AvailableNow stream; each micro-batch reduces to
+    per-difficulty-VALUE partials (count of docs, sum of tokens at
+    that difficulty — both associative), written idempotently under
+    the batch_id-partition discipline. Publishing = merge the
+    partials (sums of sums over the bounded value relation) and run
+    the identical pacing arithmetic — cumulative counts over DISTINCT
+    difficulty values, phase cutoffs at ceil(sqrt(t/10)·n). After the
+    drain the table equals the batch query exactly, so the batch SQL
+    oracle applies verbatim.
+
+    At scale each micro-batch is one map-side-combined aggregate of
+    just that batch; standing state is one partial row per distinct
+    difficulty value per batch (bounded by the token-count range,
+    never corpus size), and the pacing pass never rescans history."""
+    from ..plans.queries_r13 import _CURR_PHASES
+
+    src = _scratch("curr_src")
+    docs = load_table(spark, sf_dir, "documents")
+    for i in range(3):
+        docs.filter(F.col("doc_id") % 3 == i).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+    partials_dir = os.path.join(_SCRATCH, "curr_partials")
+    if os.path.exists(partials_dir):
+        shutil.rmtree(partials_dir)
+
+    t = F.trim(F.col("text"))
+    diff_expr = (
+        F.coalesce(
+            F.length(t)
+            - F.length(F.replace(t, F.lit(" "), F.lit("")))
+            + F.when(t == "", 0).otherwise(1),
+            F.lit(0),
+        )
+        .cast("bigint")
+        .alias("d")
+    )
+
+    def step(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df.select(diff_expr).groupBy("d").agg(
+            F.count("*").cast("bigint").alias("cnt"),
+            F.sum("d").cast("bigint").alias("dtok"),
+        ).write.mode("overwrite").parquet(
+            os.path.join(partials_dir, f"batch_id={batch_id}")
+        )
+
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    with _shuffle_partitions(spark, 8):
+        q = (
+            stream.writeStream.foreachBatch(step)
+            .option("checkpointLocation", _scratch("curr_ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    vals = (
+        spark.read.parquet(partials_dir)
+        .groupBy("d")
+        .agg(
+            F.sum("cnt").cast("bigint").alias("cnt"),
+            F.sum("dtok").cast("bigint").alias("dtok"),
+        )
+    )
+    tot = vals.agg(F.sum("cnt").cast("bigint").alias("n"))
+    w = Window.orderBy("d").rowsBetween(Window.unboundedPreceding, 0)
+    cum = vals.select(
+        "d",
+        F.sum("cnt").over(w).cast("bigint").alias("ccnt"),
+        F.sum("dtok").over(w).cast("bigint").alias("ctok"),
+    )
+    comp = F.sqrt(
+        F.col("phase").cast("double") / F.lit(float(_CURR_PHASES))
+    )
+    targets = (
+        spark.range(1, _CURR_PHASES + 1)
+        .select(F.col("id").cast("bigint").alias("phase"))
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "phase",
+            comp.alias("competence"),
+            F.ceil(comp * F.col("n")).cast("bigint").alias("want"),
+        )
+    )
+    return (
+        targets.join(cum, F.col("ccnt") >= F.col("want"), "inner")
+        .groupBy("phase", "competence")
+        .agg(
+            F.min("d").cast("bigint").alias("difficulty_cutoff"),
+            F.min("ccnt").cast("bigint").alias("n_admitted"),
+            F.min("ctok").cast("bigint").alias("tokens_admitted"),
+        )
     )

@@ -172,3 +172,224 @@ class TestMutualKnnAnn:
         precision = len(ann & exact) / len(ann)
         assert recall >= 0.9, f"recall {recall:.3f} < 0.9"
         assert precision >= 0.9, f"precision {precision:.3f} < 0.9"
+
+
+class TestAcf:
+    def test_acf_invariants(self, spark):
+        rows = {
+            r.lag: r
+            for r in registry.QUERIES["orders_acf"](
+                spark, SF
+            ).collect()
+        }
+        assert set(rows) == set(range(1, 15))
+        den = {r.acf_den for r in rows.values()}
+        assert len(den) == 1 and den.pop() > 0
+        for r in rows.values():
+            assert -1.0 <= r.acf <= 1.0
+            assert r.acf == r.acf_num / r.acf_den
+        # lag pairs shrink by ~1 per lag on a contiguous calendar
+        assert rows[1].n_pairs > rows[14].n_pairs
+
+
+class TestMannKendall:
+    def test_mk_against_sequential_replay(self, spark):
+        r = registry.QUERIES["orders_mann_kendall"](
+            spark, SF
+        ).collect()[0]
+        daily = sorted(
+            (
+                (x.d, x.x)
+                for x in spark.read.parquet(f"{SF}/orders.parquet")
+                .groupBy(F.col("o_orderdate").cast("date").alias("d"))
+                .agg(
+                    (
+                        F.sum(
+                            F.col("o_totalprice").cast("decimal(18,2)")
+                        )
+                        * 100
+                    )
+                    .cast("bigint")
+                    .alias("x")
+                )
+                .collect()
+            )
+        )
+        xs = [x for _, x in daily]
+        n = len(xs)
+        s = 0
+        for i in range(n):
+            for j in range(i + 1, n):
+                s += (xs[j] > xs[i]) - (xs[j] < xs[i])
+        assert r.n_days == n and r.s_stat == s
+        from collections import Counter
+
+        tie = sum(
+            t * (t - 1) * (2 * t + 5)
+            for t in Counter(xs).values()
+            if t > 1
+        )
+        assert r.var18_num == n * (n - 1) * (2 * n + 5) - tie
+        import math
+
+        want_z = (
+            (s - 1) / math.sqrt(r.var18_num / 18.0)
+            if s > 0
+            else (s + 1) / math.sqrt(r.var18_num / 18.0)
+            if s < 0
+            else 0.0
+        )
+        assert r.z == want_z
+
+
+class TestChurnTrainingSet:
+    def test_leakage_guard_and_label(self, spark):
+        df = registry.QUERIES["customer_churn_training_set"](
+            spark, SF
+        )
+        rows = df.collect()
+        assert rows
+        o = spark.read.parquet(f"{SF}/orders.parquet")
+        mx = o.agg(
+            F.max(F.col("o_orderdate").cast("date"))
+        ).collect()[0][0]
+        import datetime
+
+        c = mx - datetime.timedelta(days=180)
+        hist = {}
+        for x in o.select(
+            "o_custkey", F.col("o_orderdate").cast("date").alias("d")
+        ).collect():
+            hist.setdefault(x.o_custkey, []).append(x.d)
+        for r in rows:
+            ds = hist[r.customer_id]
+            pre = [d for d in ds if d <= c]
+            assert pre, "customer with no pre-cutoff order emitted"
+            assert r.n_orders_total == len(pre)
+            label_window = [
+                d for d in ds if c < d <= c + datetime.timedelta(days=90)
+            ]
+            assert r.churned == (0 if label_window else 1)
+            # recency/tenure computed against the cutoff, not data edge
+            assert r.recency_days == (c - max(pre)).days
+            assert r.tenure_days == (c - min(pre)).days
+
+
+class TestCurriculumPacing:
+    def test_monotone_and_complete(self, spark):
+        rows = sorted(
+            registry.QUERIES["docs_curriculum_pacing"](
+                spark, SF
+            ).collect(),
+            key=lambda r: r.phase,
+        )
+        n = (
+            spark.read.parquet(f"{SF}/documents.parquet").count()
+        )
+        assert [r.phase for r in rows] == list(range(1, 11))
+        prev = None
+        import math
+
+        for r in rows:
+            want = math.ceil(
+                math.sqrt(r.phase / 10.0) * n
+            )
+            assert r.n_admitted >= want
+            if prev is not None:
+                assert r.difficulty_cutoff >= prev.difficulty_cutoff
+                assert r.n_admitted >= prev.n_admitted
+                assert r.tokens_admitted >= prev.tokens_admitted
+            prev = r
+        # final phase admits the whole corpus
+        assert rows[-1].n_admitted == n
+
+
+class TestVacuumPlan:
+    def test_plan_covers_manifest_and_delete_rule(self, spark):
+        rows = registry.QUERIES["layout_vacuum_plan"](
+            spark, SF
+        ).collect()
+        assert rows
+        for r in rows:
+            expect_delete = (
+                r.deleted_snap is not None and r.deleted_snap <= 2
+            )
+            assert (r.action == "DELETE") == expect_delete
+            if r.deleted_snap is not None:
+                assert r.deleted_snap == r.created_snap + 1
+            assert r.bytes > 0
+        acts = {r.action for r in rows}
+        assert acts == {"DELETE", "RETAIN"}
+
+    def test_matrix_invariant_to_post_window_rows(self, spark, tmp_path):
+        """Leakage probe: dropping every order AFTER the label window
+        must not change a single matrix row (features come from
+        <= cutoff, label from (cutoff, cutoff+90] — nothing later may
+        leak in). The cutoff anchor (max orderdate) is pinned by
+        keeping exactly one post-window row."""
+        o = spark.read.parquet(f"{SF}/orders.parquet")
+        mx = o.agg(
+            F.max(F.col("o_orderdate").cast("date"))
+        ).collect()[0][0]
+        import datetime
+
+        c = mx - datetime.timedelta(days=180)
+        keep = o.filter(
+            (F.col("o_orderdate").cast("date") <= F.date_add(F.lit(c), 90))
+            | (F.col("o_orderdate").cast("date") == F.lit(mx))
+        )
+        d = str(tmp_path / "orders.parquet")
+        keep.write.mode("overwrite").parquet(d)
+        base = {
+            tuple(r)
+            for r in registry.QUERIES["customer_churn_training_set"](
+                spark, SF
+            ).collect()
+        }
+        pert = {
+            tuple(r)
+            for r in registry.QUERIES["customer_churn_training_set"](
+                spark, str(tmp_path)
+            ).collect()
+        }
+        assert base == pert
+
+
+class TestCurriculumStream:
+    def test_drain_equals_batch(self, spark):
+        batch = {
+            tuple(r)
+            for r in registry.QUERIES["docs_curriculum_pacing"](
+                spark, SF
+            ).collect()
+        }
+        stream = {
+            tuple(r)
+            for r in registry.QUERIES["stream_curriculum_pacing"](
+                spark, SF
+            ).collect()
+        }
+        assert stream == batch and len(batch) == 10
+
+
+class TestProfileDrift:
+    def test_long_form_and_l1_bounds(self, spark):
+        rows = registry.QUERIES["profile_drift_two_period"](
+            spark, SF
+        ).collect()
+        got = {(r.col_name, r.metric) for r in rows}
+        assert got == {
+            ("o_totalprice", "mean_cents"),
+            ("o_totalprice", "row_count"),
+            ("o_orderstatus", "freq_l1"),
+            ("o_orderpriority", "freq_l1"),
+            ("o_orderstatus", "distinct_count"),
+            ("o_orderpriority", "distinct_count"),
+        }
+        by = {(r.col_name, r.metric): r for r in rows}
+        for col in ("o_orderstatus", "o_orderpriority"):
+            r = by[(col, "freq_l1")]
+            assert 0.0 <= r.stat_a <= 2.0 and r.stat_a == r.stat_b
+        rc = by[("o_totalprice", "row_count")]
+        n = spark.read.parquet(f"{SF}/orders.parquet").count()
+        assert rc.stat_a + rc.stat_b == n

@@ -29,6 +29,12 @@ SF = "/root/testdata/sf0.001"
 
 # The documented partition-less-window sites and why each is bounded.
 ALLOWED_UNPARTITIONED = {
+    # cumulative counts over the DISTINCT difficulty-value relation
+    # (bounded by distinct token counts, not corpus size — r13);
+    # the streaming twin runs the identical pacing pass over the
+    # merged partials (same bounded value relation)
+    "docs_curriculum_pacing",
+    "stream_curriculum_pacing",
     # bootstrap replicate table (B=100 rows) ranked for the CI
     "agg_bootstrap_ci_mean",
     # tercile thresholds over per-bucket totals (<= n_buckets rows)
