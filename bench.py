@@ -276,6 +276,9 @@ EXT_HEADLINE = [
     "layout_vacuum_plan",
     "stream_curriculum_pacing",
     "profile_drift_two_period",
+    "docs_split_leakage_audit",
+    "orders_rfm_segments",
+    "parts_abc_classification",
 ]
 
 

