@@ -279,6 +279,8 @@ EXT_HEADLINE = [
     "docs_split_leakage_audit",
     "orders_rfm_segments",
     "parts_abc_classification",
+    "emb_kmeans_lloyd",
+    "pipeline_gdpr_erasure_plan",
 ]
 
 

@@ -1586,3 +1586,280 @@ def q_parts_abc_classification(
             / F.min("total").cast("double")
         ).alias("revenue_share"),
     )
+
+
+# -- Exact-integer Lloyd k-means ---------------------------------------------------
+# The iterative-ML family's clustering member (next to PageRank/LPA/
+# power-iteration): 3 unrolled Lloyd iterations over the embedding
+# corpus, k=4, made hash-exact by the binary-fixed-point discipline —
+# vectors quantize to integer 2^-10 units ONCE (floor(x*1024)), so
+# every distance is an exact int64 ((v-c)^2 sums <= ~64*(2^11)^2 per
+# pair), every centroid update is an integer truncating division
+# (Spark DIV == DuckDB // — both truncate toward zero; verified, and
+# the numpy replay in tests/test_round13.py uses the same rule), and
+# argmin ties break to the lowest centroid id via the composite key
+# d2*2k + cid. The oracle unrolls the iterations as MATERIALIZED CTEs
+# (the k-core discipline: plain CTEs inline exponentially).
+
+_KMEANS_K = 4
+_KMEANS_ITERS = 3
+_KMEANS_SCALE = 1024
+
+
+def _kmeans_oracle() -> str:
+    k2 = _KMEANS_K * 2
+    sumsq = (
+        lambda l: f"list_reduce(list_prepend(CAST(0 AS BIGINT), {l}),"
+        " (acc, x) -> acc + x*x)"
+    )
+    vq = (
+        f"list_transform(embedding, x -> CAST(FLOOR(x *"
+        f" {_KMEANS_SCALE}.0e0) AS BIGINT))"
+    )
+    parts = [
+        f"""
+WITH vecs AS MATERIALIZED (
+    SELECT vec_id, {vq} AS vq,
+           CAST({sumsq(vq)} AS BIGINT) AS vv
+    FROM embeddings
+),
+c0 AS MATERIALIZED (
+    SELECT row_number() OVER (ORDER BY vec_id) - 1 AS centroid_id,
+           vq AS cv, vv AS cc
+    FROM (SELECT * FROM vecs ORDER BY vec_id LIMIT {_KMEANS_K})
+)"""
+    ]
+    for i in range(_KMEANS_ITERS):
+        parts.append(
+            f""",
+asn{i + 1} AS MATERIALIZED (
+    SELECT vec_id, CAST(key % {k2} AS BIGINT) AS cid,
+           CAST(key // {k2} AS BIGINT) AS d2
+    FROM (
+        SELECT v.vec_id,
+               CAST(MIN((list_dot_product(v.vq, c.cv) * (-2)
+                    + v.vv + c.cc) * {k2} + c.centroid_id)
+                   AS BIGINT) AS key
+        FROM vecs v, c{i} c
+        GROUP BY 1
+    )
+)"""
+        )
+        if i < _KMEANS_ITERS - 1:
+            parts.append(
+                f""",
+c{i + 1} AS MATERIALIZED (
+    SELECT cid AS centroid_id,
+           list(mv ORDER BY dim) AS cv,
+           CAST({sumsq("list(mv ORDER BY dim)")} AS BIGINT) AS cc
+    FROM (
+        SELECT a.cid, t.dim,
+               CAST(SUM(v.vq[CAST(t.dim AS INT)])
+                    // COUNT(*) AS BIGINT) AS mv
+        FROM asn{i + 1} a JOIN vecs v USING (vec_id),
+             range(1, 65) t(dim)
+        GROUP BY 1, 2
+    ) GROUP BY 1
+)"""
+            )
+    parts.append(
+        f"""
+SELECT cid AS centroid_id,
+       CAST(COUNT(*) AS BIGINT) AS n_members,
+       CAST(SUM(d2) AS BIGINT) AS inertia_q
+FROM asn{_KMEANS_ITERS} GROUP BY 1"""
+    )
+    return "".join(parts)
+
+
+@query("emb_kmeans_lloyd", _kmeans_oracle())
+def q_emb_kmeans_lloyd(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Exact-integer Lloyd k-means over the embedding corpus (k=4,
+    3 iterations, deterministic min-vec_id seeds) → per final cluster
+    (centroid_id, n_members, inertia_q) with inertia in squared
+    2^-10-quantized units. Every step is integer-exact (quantize
+    once, integer distances, truncating-division centroid means,
+    composite-key argmin ties), so both engines walk bit-identical
+    iterates — the clustering member of the iterative family whose
+    fixed-point discipline PageRank/LPA/power-iteration established.
+    spark.ml KMeans slots in where float convergence (not
+    hash-exactness) is the goal; this operator is the
+    oracle-checkable reference path.
+
+    Scale shape: per iteration ONE broadcast of the k×64 centroid
+    relation + a narrow per-row argmin (no exchange), then one
+    (cid, dim)-keyed aggregate (64k cells) for the update;
+    localCheckpoint cuts lineage between iterations (the superstep
+    discipline). Nothing corpus-sized ever sorts or windows."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    k2 = _KMEANS_K * 2
+    vq_expr = F.transform(
+        F.col("embedding"),
+        lambda x: F.floor(x.cast("double") * _KMEANS_SCALE).cast(
+            "bigint"
+        ),
+    )
+    sumsq = lambda c: F.aggregate(
+        c,
+        F.lit(0).cast("bigint"),
+        lambda acc, x: acc + x * x,
+    )
+    vecs = (
+        emb.select("vec_id", vq_expr.alias("vq"))
+        .select("vec_id", "vq", sumsq(F.col("vq")).alias("vv"))
+        .localCheckpoint(eager=False)  # consumed every iteration
+    )
+    seeds = vecs.orderBy("vec_id").limit(_KMEANS_K)
+    packed = seeds.agg(
+        F.array_sort(
+            F.collect_list(F.struct("vec_id", "vq", "vv"))
+        ).alias("a")
+    )
+    cents = packed.select(
+        F.posexplode("a").alias("centroid_id", "s")
+    ).select(
+        F.col("centroid_id").cast("bigint").alias("centroid_id"),
+        F.col("s.vq").alias("cv"),
+        F.col("s.vv").alias("cc"),
+    )
+    dot = F.aggregate(
+        F.zip_with(F.col("vq"), F.col("cv"), lambda a, b: a * b),
+        F.lit(0).cast("bigint"),
+        lambda acc, x: acc + x,
+    )
+    asn = None
+    for i in range(_KMEANS_ITERS):
+        key = (
+            (dot * -2 + F.col("vv") + F.col("cc")) * k2
+            + F.col("centroid_id")
+        )
+        asn = (
+            vecs.crossJoin(F.broadcast(cents))
+            .groupBy("vec_id")
+            .agg(F.min(key).cast("bigint").alias("key"))
+            .select(
+                "vec_id",
+                (F.col("key") % k2).cast("bigint").alias("cid"),
+                F.expr(f"key div {k2}").cast("bigint").alias("d2"),
+            )
+            .localCheckpoint(eager=False)  # superstep lineage cut
+        )
+        if i < _KMEANS_ITERS - 1:
+            means = (
+                asn.join(vecs, "vec_id")
+                .select(
+                    "cid", F.posexplode("vq").alias("dim", "x")
+                )
+                .groupBy("cid", "dim")
+                .agg(
+                    F.expr("sum(x) div count(*)")
+                    .cast("bigint")
+                    .alias("mv")
+                )
+            )
+            cents = (
+                means.groupBy("cid")
+                .agg(
+                    F.transform(
+                        F.array_sort(
+                            F.collect_list(F.struct("dim", "mv"))
+                        ),
+                        lambda s: s["mv"],
+                    ).alias("cv")
+                )
+                .select(
+                    F.col("cid").alias("centroid_id"),
+                    "cv",
+                    sumsq(F.col("cv")).alias("cc"),
+                )
+            )
+    return asn.groupBy(F.col("cid").alias("centroid_id")).agg(
+        F.count("*").cast("bigint").alias("n_members"),
+        F.sum("d2").cast("bigint").alias("inertia_q"),
+    )
+
+
+# -- GDPR erasure cascade plan ----------------------------------------------------
+# The right-to-erasure planning op a governed warehouse runs per
+# deletion batch: given the subject set (deterministic md5 permille
+# gate, ~1% of customers — the docs_split_train_val discipline, no
+# RNG), size the cascade across the star schema before executing it:
+# customer rows hard-DELETE, their orders PSEUDONYMIZE (the fact rows
+# survive with the key tombstoned — the standard GDPR treatment for
+# transactional facts), lineitem RETAINs (keyed to orders only, no
+# direct subject reference) but is counted so the audit shows the
+# full blast radius.
+
+_GDPR_ORACLE = """
+WITH erase AS (
+    SELECT c_custkey FROM customer
+    WHERE ('0x' || substr(md5(CAST(c_custkey AS VARCHAR)),
+           1, 8))::BIGINT % 1000 < 10
+),
+o AS (
+    SELECT o_orderkey FROM orders JOIN erase ON o_custkey = c_custkey
+)
+SELECT 'customer' AS tbl, 'DELETE' AS action,
+       CAST((SELECT COUNT(*) FROM erase) AS BIGINT) AS n_rows
+UNION ALL
+SELECT 'orders', 'PSEUDONYMIZE',
+       CAST((SELECT COUNT(*) FROM o) AS BIGINT)
+UNION ALL
+SELECT 'lineitem', 'RETAIN',
+       CAST((SELECT COUNT(*) FROM lineitem l
+             JOIN o ON l.l_orderkey = o.o_orderkey) AS BIGINT)
+"""
+
+
+@query("pipeline_gdpr_erasure_plan", _GDPR_ORACLE)
+def q_pipeline_gdpr_erasure_plan(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Right-to-erasure cascade plan: for a deterministic ~1% subject
+    batch, the per-table blast radius → (tbl, action, n_rows) with
+    customer DELETE, orders PSEUDONYMIZE, lineitem RETAIN-but-counted.
+    The sizing/audit pass a governed lakehouse runs before executing
+    a deletion vector write (customers_k_anonymity's operational
+    sibling: that query audits identifiability, this one plans the
+    actual erasure).
+
+    Scale shape: the subject set is a map-side hash gate on the
+    dimension; the cascade is two key joins that both broadcast the
+    (tiny) subject/order-key sets at production ratios; counts are
+    one aggregate each. Nothing rewrites data — the plan relation is
+    what the DELETE/MERGE jobs consume."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = _orders(spark, sf_dir)
+    li = load_table(spark, sf_dir, "lineitem")
+    gate = (
+        F.conv(
+            F.substring(
+                F.md5(F.col("c_custkey").cast("string")), 1, 8
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        % 1000
+    )
+    erase = cust.filter(gate < 10).select("c_custkey")
+    o = orders.join(
+        F.broadcast(erase),
+        orders["o_custkey"] == erase["c_custkey"],
+    ).select("o_orderkey")
+    n_c = erase.agg(F.count("*").cast("bigint").alias("n_rows"))
+    n_o = o.agg(F.count("*").cast("bigint").alias("n_rows"))
+    n_l = li.join(
+        F.broadcast(o), li["l_orderkey"] == o["o_orderkey"]
+    ).agg(F.count("*").cast("bigint").alias("n_rows"))
+    row = lambda df, tbl, action: df.select(
+        F.lit(tbl).alias("tbl"),
+        F.lit(action).alias("action"),
+        "n_rows",
+    )
+    return (
+        row(n_c, "customer", "DELETE")
+        .unionAll(row(n_o, "orders", "PSEUDONYMIZE"))
+        .unionAll(row(n_l, "lineitem", "RETAIN"))
+    )

@@ -467,3 +467,103 @@ class TestAbcClassification:
             .distinct()
             .count()
         )
+
+
+class TestKmeansLloyd:
+    def test_matches_numpy_trunc_replay(self, spark):
+        import numpy as np
+
+        rows = {
+            r.centroid_id: r
+            for r in registry.QUERIES["emb_kmeans_lloyd"](
+                spark, SF
+            ).collect()
+        }
+        raw = sorted(
+            (r.vec_id, list(r.embedding))
+            for r in spark.read.parquet(
+                f"{SF}/embeddings.parquet"
+            ).collect()
+        )
+        V = np.array(
+            [
+                [int(np.floor(float(np.float64(x)) * 1024)) for x in e]
+                for _, e in raw
+            ],
+            dtype=np.int64,
+        )
+        K = 4
+        C = V[:K].copy()
+        for it in range(3):
+            d2 = ((V[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+            key = d2 * (K * 2) + np.arange(K)[None, :]
+            cid = key.argmin(axis=1)
+            if it < 2:
+                # truncating division toward zero — the Spark DIV /
+                # DuckDB // rule, NOT numpy floor_divide
+                C = np.array(
+                    [
+                        (
+                            V[cid == c].sum(axis=0)
+                            / (cid == c).sum()
+                        ).astype(np.int64)
+                        for c in range(K)
+                    ],
+                    dtype=np.int64,
+                )
+        best = key.min(axis=1) // (K * 2)
+        from collections import Counter
+
+        want_n = Counter(cid.tolist())
+        assert set(rows) == set(range(K))
+        for c in range(K):
+            assert rows[c].n_members == want_n[c]
+            assert rows[c].inertia_q == int(best[cid == c].sum())
+
+
+class TestGdprErasurePlan:
+    def test_cascade_counts(self, spark):
+        rows = {
+            r.tbl: r
+            for r in registry.QUERIES["pipeline_gdpr_erasure_plan"](
+                spark, SF
+            ).collect()
+        }
+        assert set(rows) == {"customer", "orders", "lineitem"}
+        assert rows["customer"].action == "DELETE"
+        assert rows["orders"].action == "PSEUDONYMIZE"
+        assert rows["lineitem"].action == "RETAIN"
+        import hashlib
+
+        cust = [
+            r.c_custkey
+            for r in spark.read.parquet(
+                f"{SF}/customer.parquet"
+            ).collect()
+        ]
+        erase = {
+            c
+            for c in cust
+            if int(hashlib.md5(str(c).encode()).hexdigest()[:8], 16)
+            % 1000
+            < 10
+        }
+        assert rows["customer"].n_rows == len(erase)
+        okeys = {
+            r.o_orderkey
+            for r in spark.read.parquet(
+                f"{SF}/orders.parquet"
+            ).collect()
+            if r.o_custkey in erase
+        }
+        assert rows["orders"].n_rows == len(okeys)
+        nl = sum(
+            1
+            for r in spark.read.parquet(
+                f"{SF}/lineitem.parquet"
+            )
+            .select("l_orderkey")
+            .collect()
+            if r.l_orderkey in okeys
+        )
+        assert rows["lineitem"].n_rows == nl
