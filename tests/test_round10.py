@@ -42,14 +42,13 @@ class TestDriverWindowContract:
             if n not in registry.ORACLES and n not in declared_rows_only
         ]
         assert undeclared == []
-        # the r12 window carries exactly the 4 rows-only r6-stale rows
+        # the r13 window carries exactly the 2 rows-only r6-stale rows
+        # (the r12 four rotated out with the r13 queue)
         assert sorted(
             n for n in registry.DRIVER_PRIORITY if n not in registry.ORACLES
         ) == [
-            "agg_approx_distinct",
-            "agg_approx_quantile",
-            "dedup_embedding_lsh",
-            "dedup_minhash_ml",
+            "profile_table_approx",
+            "sim_ann_ivf_kmeans",
         ]
 
 
