@@ -281,6 +281,7 @@ EXT_HEADLINE = [
     "parts_abc_classification",
     "emb_kmeans_lloyd",
     "pipeline_gdpr_erasure_plan",
+    "dedup_payload_cdc_incremental",
 ]
 
 

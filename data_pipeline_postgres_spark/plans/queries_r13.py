@@ -1865,3 +1865,145 @@ def q_pipeline_gdpr_erasure_plan(
         .unionAll(row(n_o, "orders", "PSEUDONYMIZE"))
         .unionAll(row(n_l, "lineitem", "RETAIN"))
     )
+
+
+# -- Incremental payload dedup over CDC chunks --------------------------------
+# The scale path for dedup_payload_incremental, exactly as
+# dedup_payload_cdc is for dedup_payload_shingle — with one designed
+# improvement: candidate generation uses corpus-RARE chunks (df <= 10
+# — the LSH-band discipline that bounds every probe bucket), but the
+# containment VERIFY runs over each batch doc's FULL distinct chunk
+# signature, not just its rare subset. The gram version scores
+# containment on the rare subset only, which saturates at corpus
+# scale (tiny denominators -> noisy flags: measured precision 0.147
+# vs uncapped byte-8-gram truth at sf0.1); candidates-then-full-
+# verify measures 0.87 precision with every one of the old truth
+# set's pairs recovered (the residual 4/30 are chunk-granularity
+# true but sit just under 0.5 at byte granularity).
+
+_PAYLOAD_CDC_INCR_ORACLE = f"""
+WITH manifest AS MATERIALIZED (
+{_CDC_ORACLE_TMPL.format(mask=_CDC_PAIR_MASK)}
+),
+cs AS (
+    SELECT DISTINCT m.doc_id, d.source, m.chunk_md5
+    FROM manifest m JOIN documents d USING (doc_id)
+),
+corpus AS (SELECT doc_id, chunk_md5 FROM cs WHERE source <> 'src0'),
+batch AS (SELECT doc_id, chunk_md5 FROM cs WHERE source = 'src0'),
+freq AS (SELECT chunk_md5 FROM corpus GROUP BY chunk_md5
+         HAVING COUNT(*) <= {_PAYLOAD_DF_CAP}),
+cand AS (
+    SELECT DISTINCT b.doc_id, c.doc_id AS doc_b
+    FROM batch b JOIN freq USING (chunk_md5)
+    JOIN corpus c USING (chunk_md5)
+),
+na AS (
+    SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n FROM batch GROUP BY 1
+),
+inter AS (
+    SELECT k.doc_id, k.doc_b, CAST(COUNT(*) AS BIGINT) AS c
+    FROM cand k
+    JOIN batch b ON b.doc_id = k.doc_id
+    JOIN corpus cc ON cc.doc_id = k.doc_b
+                  AND cc.chunk_md5 = b.chunk_md5
+    GROUP BY 1, 2
+)
+SELECT i.doc_id,
+       CAST(min_by(doc_b, (na.n - i.c) * 281474976710656 + doc_b)
+           AS BIGINT) AS dup_of,
+       MAX(i.c) AS n_common,
+       CAST(MAX(i.c) AS DOUBLE) / CAST(MIN(na.n) AS DOUBLE)
+           AS containment
+FROM inter i JOIN na ON na.doc_id = i.doc_id
+GROUP BY i.doc_id
+HAVING CAST(MAX(i.c) AS DOUBLE) / CAST(MIN(na.n) AS DOUBLE)
+       >= 0.5e0
+"""
+
+
+@query("dedup_payload_cdc_incremental", _PAYLOAD_CDC_INCR_ORACLE)
+def q_dedup_payload_cdc_incremental(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Daily-ingest byte near-dup over CDC chunks: corpus-rare
+    mask-16 chunks GENERATE candidates (bounded probe buckets), the
+    batch doc's FULL distinct chunk signature VERIFIES containment
+    against each candidate partner, best partner kept at containment
+    >= 0.5 → (doc_id, dup_of, n_common, containment). The production
+    twin of ``dedup_payload_incremental`` exactly as
+    ``dedup_payload_cdc`` is of the batch pair finder — and the
+    candidates-then-full-verify split fixes the rare-subset scoring
+    that saturates at corpus scale (gram version precision 0.147 vs
+    uncapped byte-gram truth at sf0.1; this one 0.87 with full
+    recall of the prior truth set — PLANS.md).
+
+    Scale shape: the chunk stream is ONE Arrow-batched vectorized
+    fold (cdc_chunks_np) at ~1/128th the gram version's feature
+    volume; rarity is a corpus-side statistic so candidate buckets
+    fan out <= df_cap; the verify joins touch only candidate
+    (doc, partner) pairs; winner per batch doc is min_by on the
+    composite scalar through map-side partial merges. Measured 2.6s
+    vs the gram version's 9.6s warm at sf0.1."""
+    from ..operators import multimodal
+
+    docs = _docs(spark, sf_dir)
+    m = multimodal.cdc_chunks_np(docs, mask=_CDC_PAIR_MASK)
+    cs = (
+        m.join(docs.select("doc_id", "source"), "doc_id")
+        .select("doc_id", "source", "chunk")
+        .distinct()
+        .localCheckpoint(eager=False)  # feeds corpus + batch sides
+    )
+    corpus = cs.filter(F.col("source") != "src0").select(
+        "doc_id", "chunk"
+    )
+    batch = cs.filter(F.col("source") == "src0").select(
+        "doc_id", "chunk"
+    )
+    freq = (
+        corpus.groupBy("chunk")
+        .agg(F.count("*").alias("df"))
+        .filter(F.col("df") <= _PAYLOAD_DF_CAP)
+        .select("chunk")
+    )
+    cand = (
+        batch.join(freq, "chunk")
+        .join(
+            corpus.select(F.col("doc_id").alias("doc_b"), "chunk"),
+            "chunk",
+        )
+        .select("doc_id", "doc_b")
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    na = batch.groupBy("doc_id").agg(
+        F.count("*").cast("bigint").alias("n")
+    )
+    inter = (
+        cand.join(batch, "doc_id")
+        .join(
+            corpus.select(
+                F.col("doc_id").alias("doc_b"), "chunk"
+            ),
+            ["doc_b", "chunk"],
+        )
+        .groupBy("doc_id", "doc_b")
+        .agg(F.count("*").cast("bigint").alias("c"))
+    )
+    key = (F.col("n") - F.col("c")) * F.lit(281474976710656) + F.col(
+        "doc_b"
+    )
+    j = inter.join(na, "doc_id")
+    return (
+        j.groupBy("doc_id")
+        .agg(
+            F.min_by("doc_b", key).cast("bigint").alias("dup_of"),
+            F.max("c").cast("bigint").alias("n_common"),
+            (
+                F.max("c").cast("double")
+                / F.min("n").cast("double")
+            ).alias("containment"),
+        )
+        .filter(F.col("containment") >= 0.5)
+    )

@@ -52,14 +52,15 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 # 1 + 32 + 17 = 50.
 #
 # Round-14 rotation queue (to be committed at the start of round 14,
-# kept honest here per the standing VERDICT discipline): the 14
+# kept honest here per the standing VERDICT discipline): the 15
 # round-13 net-new queries first (dedup_payload_cdc,
 # emb_mutual_knn_ann, orders_acf, orders_mann_kendall,
 # customer_churn_training_set, docs_curriculum_pacing,
 # stream_curriculum_pacing, layout_vacuum_plan,
 # profile_drift_two_period, docs_split_leakage_audit,
 # orders_rfm_segments, parts_abc_classification, emb_kmeans_lloyd,
-# pipeline_gdpr_erasure_plan — all locally
+# pipeline_gdpr_erasure_plan, dedup_payload_cdc_incremental — all
+# locally
 # oracle-verified at sf0.001 + sf0.01 with the inline Arrow type
 # audit, or accuracy-gated where rows-only), then ``sim_topk_lsh``
 # (the one round-6 row deferred from r13) and the 17 round-6 rows
@@ -70,7 +71,7 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 # stream_tumbling_watermark, text_inverted_index,
 # tpch_q12_priority_class, window_lead_lag, window_moving_avg_rows,
 # window_rolling_7d, window_session_1h, window_sliding_3d1d,
-# window_tumbling_daily. That is 14 + 18 = 32; the remaining 18 slots
+# window_tumbling_daily. That is 15 + 18 = 33; the remaining 17 slots
 # go to the alphabetically-first round-7 rows (the next-stalest
 # tier). Any slots beyond 50 spill to round 15.
 

@@ -567,3 +567,22 @@ class TestGdprErasurePlan:
             if r.l_orderkey in okeys
         )
         assert rows["lineitem"].n_rows == nl
+
+
+class TestPayloadCdcIncremental:
+    def test_flags_are_batch_docs_with_valid_partners(self, spark):
+        rows = registry.QUERIES["dedup_payload_cdc_incremental"](
+            spark, SF
+        ).collect()
+        assert rows
+        srcs = {
+            r.doc_id: r.source
+            for r in spark.read.parquet(f"{SF}/documents.parquet")
+            .select("doc_id", "source")
+            .collect()
+        }
+        for r in rows:
+            assert srcs[r.doc_id] == "src0", "flagged a corpus doc"
+            assert srcs[r.dup_of] != "src0", "partner inside the batch"
+            assert 0.5 <= r.containment <= 1.0
+            assert r.n_common >= 1
