@@ -1346,11 +1346,13 @@ def knn_block_topk(emb: DataFrame, k: int = 5) -> DataFrame:
             c_int = np.rint(mat * 1000000.0).astype(np.int64)
             # the composite key is tie-correct only while ids fit
             # under the 2^33 shift — fail loudly rather than silently
-            # corrupt top-k order beyond ~8.6e9 ids (r12-advisory fix)
-            assert n_ids.max(initial=0) < (1 << 33), (
-                "vec_id >= 2^33 overflows the composite sort key; "
-                "widen the shift in knn_block_topk"
-            )
+            # corrupt top-k order beyond ~8.6e9 ids (r12-advisory fix;
+            # ValueError not assert, so the guard survives python -O)
+            if n_ids.max(initial=0) >= (1 << 33):
+                raise ValueError(
+                    "vec_id >= 2^33 overflows the composite sort key; "
+                    "widen the shift in knn_block_topk"
+                )
             key = c_int * (1 << 33) - n_ids[None, :]
             # self-matches sink below everything
             key[q_ids[:, None] == n_ids[None, :]] = np.int64(-(1 << 62))
@@ -1474,11 +1476,13 @@ def ivf_knn_topk(
         mn = np.sqrt((M * M).sum(axis=1).astype(np.float64))
         cos = (Q @ M.T).astype(np.float64) / np.outer(qn, mn)
         cos = np.floor(cos * scale + 0.5) / scale
-        # identical tie-break contract as knn_block_topk
-        assert m_ids.max(initial=0) < (1 << 33), (
-            "vec_id >= 2^33 overflows the composite sort key; "
-            "widen the shift in ivf_knn_topk"
-        )
+        # identical tie-break contract as knn_block_topk (ValueError
+        # not assert, so the guard survives python -O)
+        if m_ids.max(initial=0) >= (1 << 33):
+            raise ValueError(
+                "vec_id >= 2^33 overflows the composite sort key; "
+                "widen the shift in ivf_knn_topk"
+            )
         c_int = np.rint(cos * scale).astype(np.int64)
         key = c_int * (1 << 33) - m_ids[None, :]
         key[q_ids[:, None] == m_ids[None, :]] = np.int64(-(1 << 62))

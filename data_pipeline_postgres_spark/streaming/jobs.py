@@ -1340,6 +1340,15 @@ def dq_constraints_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         q.awaitTermination()
 
+    return _dq_publish(spark, counters_dir)
+
+
+def _dq_publish(spark: SparkSession, counters_dir: str) -> DataFrame:
+    """Publish step of ``dq_constraints_stream``: column-sum the
+    batch_id-partitioned counter partials into the report. Module-level
+    (not a closure) so the replay-idempotence test can re-publish after
+    simulating an at-least-once foreachBatch replay
+    (tests/test_streaming_restart.py, r13-verdict item 3)."""
     tot = spark.read.parquet(counters_dir).agg(
         F.sum("bad_status").cast("bigint").alias("bad_status"),
         F.sum("big_price").cast("bigint").alias("big_price"),
@@ -1444,6 +1453,18 @@ def feature_snapshot_stream(
         )
         q.awaitTermination()
 
+    return _feat_merge(spark, partials_dir, cutoff)
+
+
+def _feat_merge(
+    spark: SparkSession, partials_dir: str, cutoff: DataFrame
+) -> DataFrame:
+    """Publish step of ``feature_snapshot_stream``: merge the
+    batch_id-partitioned per-customer partials (sums of sums, min of
+    mins, max of maxes) and derive the snapshot columns. Module-level
+    (not a closure) so the replay-idempotence test can re-merge after
+    simulating an at-least-once foreachBatch replay
+    (tests/test_streaming_restart.py, r13-verdict item 3)."""
     merged = (
         spark.read.parquet(partials_dir)
         .groupBy("o_custkey")

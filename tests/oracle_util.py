@@ -21,8 +21,11 @@ from data_pipeline_postgres_spark.catalog import TABLES
 def spark_type_family(dt) -> str:
     """Collapse a Spark type to the family the driver's value-hasher
     canonicalizes by (ints of any width together; TIMESTAMP and
-    TIMESTAMP_NTZ together — 17 ntz-emitting queries hold repeated
-    driver hash-greens against tz-naive DuckDB timestamps)."""
+    TIMESTAMP_NTZ together for NON-NULL columns — LTZ-with-zero-nulls
+    and NTZ both hold repeated driver hash-greens against tz-naive
+    DuckDB timestamps, but NULL-BEARING LTZ is driver-hash-red
+    (cdc_scd2_apply r13, FIXTURES.md F6) and is blocked separately in
+    :func:`assert_matches_oracle`)."""
     from pyspark.sql import types as T
 
     if isinstance(dt, (T.ByteType, T.ShortType, T.IntegerType, T.LongType)):
@@ -113,6 +116,15 @@ def normalize(rows, columns):
 # empty until the shape ever earns a green driver row.
 NULL_DATE_ALLOWED: frozenset = frozenset()
 
+# Queries allowed to emit null-bearing TIMESTAMP (LTZ) columns
+# (FIXTURES.md F6, round 14): the r13 driver history separates
+# perfectly on this axis — every LTZ emitter with zero nulls is green,
+# every NTZ emitter (nulls or not) is green, and the fleet's only
+# null-bearing-LTZ emitter (cdc_scd2_apply r13) was its only red.
+# Empty until the shape ever earns a green driver row; a nullable
+# timestamp output must be cast to timestamp_ntz instead.
+NULL_LTZ_ALLOWED: frozenset = frozenset()
+
 
 def assert_matches_oracle(spark_df, con, sql: str, name: str = "?") -> None:
     s_rows = [tuple(r) for r in spark_df.collect()]
@@ -152,9 +164,34 @@ def assert_matches_oracle(spark_df, con, sql: str, name: str = "?") -> None:
     }
     assert not null_dates, (
         f"[{name}] null-bearing DATE output column(s) {sorted(null_dates)} "
-        "— driver-hash-suspect shape, emit TIMESTAMP instead "
+        "— driver-hash-suspect shape, emit TIMESTAMP_NTZ instead "
         "(FIXTURES.md F6, cdc_scd2_apply r12 precedent)"
     )
+    # FIXTURES.md F6 (round 14): null-bearing LTZ (Spark TimestampType,
+    # Arrow timestamp[us, tz=UTC]) is the OTHER driver-hash-red shape —
+    # cdc_scd2_apply's r13 repin chose it and stayed red while
+    # value/row/schema-exact. LTZ with zero nulls is many-round green;
+    # nullable timestamps must be TIMESTAMP_NTZ.
+    from pyspark.sql import types as _T
+
+    ltz_cols = [
+        f.name
+        for f in spark_df.schema.fields
+        if isinstance(f.dataType, _T.TimestampType)
+        and name not in NULL_LTZ_ALLOWED
+    ]
+    if ltz_cols:
+        col_idx = {c: i for i, c in enumerate(s_cols)}
+        null_ltz = sorted(
+            c
+            for c in ltz_cols
+            if any(r[col_idx[c]] is None for r in s_rows)
+        )
+        assert not null_ltz, (
+            f"[{name}] null-bearing LTZ output column(s) {null_ltz} "
+            "— driver-hash-red shape, cast to timestamp_ntz instead "
+            "(FIXTURES.md F6, cdc_scd2_apply r13 precedent)"
+        )
     assert len(s_rows) == len(d_rows), (
         f"[{name}] row count: spark={len(s_rows)} duck={len(d_rows)}"
     )

@@ -42,13 +42,17 @@ class TestDriverWindowContract:
             if n not in registry.ORACLES and n not in declared_rows_only
         ]
         assert undeclared == []
-        # the r13 window carries exactly the 2 rows-only r6-stale rows
-        # (the r12 four rotated out with the r13 queue)
+        # the r14 window carries exactly 4 rows-only entries: the two
+        # sketch queries + LSH from the stale tiers (nondeterministic
+        # spark.ml / sketch internals, accuracy-gated in pytest) and
+        # the ANN twin (recall-gated, r13-new)
         assert sorted(
             n for n in registry.DRIVER_PRIORITY if n not in registry.ORACLES
         ) == [
-            "profile_table_approx",
-            "sim_ann_ivf_kmeans",
+            "agg_hll_sketch_rollup",
+            "agg_kll_quantile_sketch",
+            "emb_mutual_knn_ann",
+            "sim_topk_lsh",
         ]
 
 

@@ -274,6 +274,38 @@ class TestChurnTrainingSet:
             assert r.recency_days == (c - max(pre)).days
             assert r.tenure_days == (c - min(pre)).days
 
+    def test_matrix_invariant_to_post_window_rows(self, spark, tmp_path):
+        """Leakage probe: dropping every order AFTER the label window
+        must not change a single matrix row (features come from
+        <= cutoff, label from (cutoff, cutoff+90] — nothing later may
+        leak in). The cutoff anchor (max orderdate) is pinned by
+        keeping exactly one post-window row."""
+        o = spark.read.parquet(f"{SF}/orders.parquet")
+        mx = o.agg(
+            F.max(F.col("o_orderdate").cast("date"))
+        ).collect()[0][0]
+        import datetime
+
+        c = mx - datetime.timedelta(days=180)
+        keep = o.filter(
+            (F.col("o_orderdate").cast("date") <= F.date_add(F.lit(c), 90))
+            | (F.col("o_orderdate").cast("date") == F.lit(mx))
+        )
+        d = str(tmp_path / "orders.parquet")
+        keep.write.mode("overwrite").parquet(d)
+        base = {
+            tuple(r)
+            for r in registry.QUERIES["customer_churn_training_set"](
+                spark, SF
+            ).collect()
+        }
+        pert = {
+            tuple(r)
+            for r in registry.QUERIES["customer_churn_training_set"](
+                spark, str(tmp_path)
+            ).collect()
+        }
+        assert base == pert
 
 class TestCurriculumPacing:
     def test_monotone_and_complete(self, spark):
@@ -320,39 +352,6 @@ class TestVacuumPlan:
             assert r.bytes > 0
         acts = {r.action for r in rows}
         assert acts == {"DELETE", "RETAIN"}
-
-    def test_matrix_invariant_to_post_window_rows(self, spark, tmp_path):
-        """Leakage probe: dropping every order AFTER the label window
-        must not change a single matrix row (features come from
-        <= cutoff, label from (cutoff, cutoff+90] — nothing later may
-        leak in). The cutoff anchor (max orderdate) is pinned by
-        keeping exactly one post-window row."""
-        o = spark.read.parquet(f"{SF}/orders.parquet")
-        mx = o.agg(
-            F.max(F.col("o_orderdate").cast("date"))
-        ).collect()[0][0]
-        import datetime
-
-        c = mx - datetime.timedelta(days=180)
-        keep = o.filter(
-            (F.col("o_orderdate").cast("date") <= F.date_add(F.lit(c), 90))
-            | (F.col("o_orderdate").cast("date") == F.lit(mx))
-        )
-        d = str(tmp_path / "orders.parquet")
-        keep.write.mode("overwrite").parquet(d)
-        base = {
-            tuple(r)
-            for r in registry.QUERIES["customer_churn_training_set"](
-                spark, SF
-            ).collect()
-        }
-        pert = {
-            tuple(r)
-            for r in registry.QUERIES["customer_churn_training_set"](
-                spark, str(tmp_path)
-            ).collect()
-        }
-        assert base == pert
 
 
 class TestCurriculumStream:

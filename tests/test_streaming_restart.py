@@ -102,3 +102,97 @@ def test_restart_from_checkpoint_is_exactly_once(spark, tmp_path):
     # the restart resumed from the checkpoint rather than starting
     # over: it processed strictly fewer batches than a cold run would
     assert len(second) < 4
+
+
+def _replay_batch_partition(spark, partials_dir: str) -> str:
+    """Simulate foreachBatch's at-least-once replay against the LAST
+    committed batch partition: first leave a TORN write behind (a
+    crash mid-write leaves a partial file set), then re-run the
+    replayed write — same rows, same batch_id-keyed target, overwrite
+    mode — exactly what step() does when Structured Streaming re-fires
+    an uncommitted micro-batch after restart. Returns the partition
+    dir that was replayed."""
+    import glob as _glob
+
+    parts = sorted(_glob.glob(os.path.join(partials_dir, "batch_id=*")))
+    assert parts, f"no batch partitions under {partials_dir}"
+    target = parts[-1]
+    full = spark.read.parquet(target)
+    schema = full.schema
+    rows = full.collect()
+    # torn state: strictly fewer rows than the committed batch
+    torn = spark.createDataFrame(rows[: len(rows) // 2], schema)
+    torn.write.mode("overwrite").parquet(target)
+    # the replay: the SAME batch content lands on the SAME target
+    spark.createDataFrame(rows, schema).write.mode("overwrite").parquet(
+        target
+    )
+    # a second replay (multiple retries) must also be absorbed
+    spark.createDataFrame(rows, schema).write.mode("overwrite").parquet(
+        target
+    )
+    return target
+
+
+def test_dq_counters_replay_still_matches_batch_oracle(spark):
+    """r13-verdict item 3: dq_constraints_stream's counter sink must
+    absorb an at-least-once foreachBatch replay. Drain the stream,
+    replay the last committed counter batch (torn write + two
+    retries), re-publish from the partials — the report must still
+    match the registered batch SQL oracle."""
+    from data_pipeline_postgres_spark.plans import registry
+    from data_pipeline_postgres_spark.streaming import jobs
+
+    from .oracle_util import assert_matches_oracle, duck_connect
+
+    registry.load_all()
+
+    base = {
+        tuple(r)
+        for r in jobs.dq_constraints_stream(spark, SF_SMOKE).collect()
+    }
+    counters_dir = os.path.join(jobs._SCRATCH, "dq_counters")
+    _replay_batch_partition(spark, counters_dir)
+    republished = jobs._dq_publish(spark, counters_dir)
+    assert {tuple(r) for r in republished.collect()} == base
+    con = duck_connect(SF_SMOKE)
+    assert_matches_oracle(
+        republished,
+        con,
+        registry.ORACLES["stream_dq_constraints"],
+        "stream_dq_constraints+replay",
+    )
+
+
+def test_feature_snapshot_replay_still_matches_batch_oracle(spark):
+    """r13-verdict item 3, feature-store twin: replay the last
+    committed per-customer partial batch (torn write + two retries),
+    re-merge — the snapshot must still match the registered batch SQL
+    oracle (an append-mode sink would double-count every replayed
+    customer)."""
+    from data_pipeline_postgres_spark.plans import registry
+    from data_pipeline_postgres_spark.streaming import jobs
+
+    from .oracle_util import assert_matches_oracle, duck_connect
+
+    registry.load_all()
+
+    snap = jobs.feature_snapshot_stream(spark, SF_SMOKE)
+    base = {tuple(r) for r in snap.collect()}
+    partials_dir = os.path.join(jobs._SCRATCH, "feat_partials")
+    _replay_batch_partition(spark, partials_dir)
+    orders = spark.read.parquet(os.path.join(SF_SMOKE, "orders.parquet"))
+    cutoff = orders.agg(
+        F.date_sub(
+            F.max(F.col("o_orderdate").cast("date")), 90
+        ).alias("c")
+    )
+    remerged = jobs._feat_merge(spark, partials_dir, cutoff)
+    assert {tuple(r) for r in remerged.collect()} == base
+    con = duck_connect(SF_SMOKE)
+    assert_matches_oracle(
+        remerged,
+        con,
+        registry.ORACLES["stream_feature_snapshot"],
+        "stream_feature_snapshot+replay",
+    )

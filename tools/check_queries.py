@@ -82,7 +82,23 @@ for name in names:
         continue
     sdf = qs[name](spark, SF)
     scols = sorted(sdf.columns)
-    srows = sorted(tuple(canon(r[c]) for c in scols) for r in sdf.collect())
+    raw = sdf.collect()
+    srows = sorted(tuple(canon(r[c]) for c in scols) for r in raw)
+    # FIXTURES.md F6 (r14): null-bearing LTZ output is driver-hash-red
+    # (cdc_scd2_apply r13) even when values/types/rows all match —
+    # fail it here so the shape can't pass the local checker.
+    from pyspark.sql import types as _T
+    null_ltz = [
+        f.name for f in sdf.schema.fields
+        if isinstance(f.dataType, _T.TimestampType)
+        and any(r[f.name] is None for r in raw)
+    ]
+    if null_ltz:
+        fails.append(name)
+        print(f"{name}: NULL-BEARING LTZ column(s) {null_ltz} — "
+              "driver-hash-red shape, cast to timestamp_ntz "
+              "(FIXTURES.md F6, cdc_scd2_apply r13)")
+        continue
     rel = con.sql(os_[name]); dcols = sorted(rel.columns)
     idx = [rel.columns.index(c) for c in dcols]
     drows = sorted(tuple(canon(r[i]) for i in idx) for r in rel.fetchall())

@@ -95,8 +95,29 @@ for name in names:
         if pat.is_date(f.type) and tbl.column(f.name).null_count > 0:
             print(f"{name}: WARN null-bearing DATE column '{f.name}' "
                   f"({tbl.column(f.name).null_count} nulls) — "
-                  "driver-hash-suspect shape, prefer TIMESTAMP "
+                  "driver-hash-suspect shape, prefer TIMESTAMP_NTZ "
                   "(FIXTURES.md F6)")
+    # Null-bearing LTZ sweep (FIXTURES.md F6, round 14): Spark
+    # TimestampType (LTZ) surfaces through Arrow as
+    # timestamp[us, tz=UTC]; the r13 driver history separates on
+    # exactly this axis — LTZ-with-nulls was the fleet's only red
+    # (cdc_scd2_apply r13 repin) while LTZ-without-nulls and NTZ are
+    # many-round green. HARD-FAIL the shape: a nullable timestamp
+    # output must be cast to timestamp_ntz.
+    from pyspark.sql import types as _T
+    ltz = [f.name for f in sdf.schema.fields
+           if isinstance(f.dataType, _T.TimestampType)]
+    if ltz:
+        from pyspark.sql import functions as _F
+        nulls = sdf.select([
+            _F.sum(_F.col(c).isNull().cast("int")).alias(c) for c in ltz
+        ]).collect()[0]
+        null_ltz = [c for c in ltz if (nulls[c] or 0) > 0]
+        if null_ltz:
+            bad.append(name)
+            print(f"{name}: NULL-BEARING LTZ column(s) {null_ltz} — "
+                  "driver-hash-red shape, cast to timestamp_ntz "
+                  "(FIXTURES.md F6, cdc_scd2_apply r13)")
 
 print(f"\naudited {len(names)}; type-mismatched {len(bad)}; errors {len(err)}")
 if bad:
