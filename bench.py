@@ -282,6 +282,16 @@ EXT_HEADLINE = [
     "emb_kmeans_lloyd",
     "pipeline_gdpr_erasure_plan",
     "dedup_payload_cdc_incremental",
+    # round-14 additions
+    "stream_scd2_apply",
+    "dedup_bloom_incremental",
+    "emb_ivf_delta_merge",
+    "layout_file_skipping_audit",
+    "layout_partition_skew_audit",
+    "parts_er_fuzzy_name",
+    "parts_price_elasticity",
+    "customers_dp_group_counts",
+    "supplier_scorecard_weighted",
 ]
 
 

@@ -1,0 +1,877 @@
+"""Round-14 query additions (SURVEY.md §2.11/§2.12 [EXT]) — widening
+chosen from the r13 verdict's "what a user of a 100 TB lakehouse still
+reaches for" gaps:
+
+- ``layout_file_skipping_audit``: zone-map (per-file min/max)
+  pruning effectiveness of two physical layouts under a date-range
+  workload — the data-layout engineering companion to
+  ``layout_zorder``/``layout_compaction_plan``;
+- ``layout_partition_skew_audit``: shuffle-partition skew profile of
+  a join/agg key with a per-partition salt recommendation — the
+  planning twin of ``join_salted_skew`` (which executes the fix);
+- ``parts_er_fuzzy_name``: blocked entity-resolution candidate pairs
+  via built-in Levenshtein (JVM-side on Spark, native on DuckDB) with
+  a length-band prefilter — the classic MDM blocking shape;
+- ``parts_price_elasticity``: per-part log-log OLS price elasticity
+  in exact integer arithmetic (quantized ln sums, one final double
+  division);
+- ``customers_dp_group_counts``: epsilon-DP Laplace release of
+  segment counts with a deterministic inverse-CDF noise draw;
+- ``supplier_scorecard_weighted``: multi-metric supplier scorecard
+  (revenue / latency / discount) normalized by broadcast global
+  maxima — no global window;
+- ``dedup_bloom_incremental``: incremental exact dedup behind a
+  materialized bloom-filter prefilter relation (the production shape:
+  the corpus never re-shuffles; candidates are the only rows that
+  reach the verify join);
+- ``emb_ivf_delta_merge``: ANN index maintenance — assign a delta
+  batch of vectors to the FROZEN centroids of a standing IVF index
+  and report per-list growth/imbalance (re-cluster is a separate,
+  rarer job at scale).
+
+Conventions identical to queries_r9..r13: every computed column
+aliased the same in the Spark plan and the DuckDB oracle; counts CAST
+to BIGINT on both sides; floats only via FLOOR over the identical
+double expression or a single shared-literal division.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from .registry import query
+
+# -- layout_file_skipping_audit ------------------------------------------------
+# Zone maps (per-file column min/max) are what lets a 100 TB scan skip
+# files: a predicate prunes a file iff its range misses the file's
+# [min, max]. The audit measures that skip rate for the SAME table
+# under two layouts — "arrival" order (file = ingestion chunk, dates
+# scattered, zone maps wide) vs date-clustered (file = shipdate month,
+# zone maps tight) — over a quarterly date-range workload. This is the
+# measurement a layout-optimization job (layout_zorder, compaction)
+# justifies itself with. At scale: two map-side-combinable groupBys of
+# the fact table (one per layout), then a tiny zone-map-x-workload
+# broadcast join; the fact table is scanned once per layout and never
+# shuffled on a wide key.
+
+_SKIP_QUARTERS = [
+    ("1996Q1", "1996-01-01", "1996-04-01"),
+    ("1996Q2", "1996-04-01", "1996-07-01"),
+    ("1996Q3", "1996-07-01", "1996-10-01"),
+    ("1996Q4", "1996-10-01", "1997-01-01"),
+    ("1997Q1", "1997-01-01", "1997-04-01"),
+    ("1997Q2", "1997-04-01", "1997-07-01"),
+    ("1997Q3", "1997-07-01", "1997-10-01"),
+    ("1997Q4", "1997-10-01", "1998-01-01"),
+]
+_SKIP_FILE_ROWS = 256  # orderkeys per "arrival" file
+
+_SKIP_ORACLE = f"""
+WITH base AS (
+    SELECT CAST(l_shipdate AS DATE) AS d, l_orderkey FROM lineitem
+),
+zonemaps AS (
+    SELECT 'arrival' AS layout, l_orderkey // {_SKIP_FILE_ROWS} AS file_id,
+           MIN(d) AS min_d, MAX(d) AS max_d
+    FROM base GROUP BY 2
+    UNION ALL
+    SELECT 'clustered' AS layout,
+           (CAST(year(d) AS BIGINT) - 1995) * 12
+               + (CAST(month(d) AS BIGINT) - 1) AS file_id,
+           MIN(d) AS min_d, MAX(d) AS max_d
+    FROM base GROUP BY 2
+),
+workload(q_label, q_start, q_end) AS (
+    VALUES {", ".join(
+        f"('{lbl}', DATE '{s}', DATE '{e}')" for lbl, s, e in _SKIP_QUARTERS
+    )}
+)
+SELECT layout, q_label,
+       CAST(COUNT(*) AS BIGINT) AS n_files,
+       CAST(SUM(CASE WHEN max_d < q_start OR min_d >= q_end
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_skipped,
+       CAST(SUM(CASE WHEN max_d < q_start OR min_d >= q_end
+                     THEN 1 ELSE 0 END) AS DOUBLE)
+           / CAST(COUNT(*) AS DOUBLE) AS skip_rate
+FROM zonemaps CROSS JOIN workload
+GROUP BY layout, q_label
+"""
+
+
+@query("layout_file_skipping_audit", _SKIP_ORACLE)
+def q_layout_file_skipping_audit(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Zone-map skip-rate audit: per (layout, quarter predicate), how
+    many simulated files a min/max zone map would prune →
+    (layout, q_label, n_files, n_skipped, skip_rate). 'arrival' files
+    are ingestion chunks (orderkey ranges — shipdates scattered, so
+    almost nothing prunes); 'clustered' files are shipdate months
+    (tight zone maps — all but the overlapping months prune). The gap
+    between the two rates IS the value of date-clustering the table.
+
+    Scale shape: the fact table aggregates straight to |files| zone-map
+    rows (map-side combine on a derived key, no wide shuffle); the
+    workload join is |files| x 8 literal rows, broadcast. At 100 TB
+    the zone-map relation is ~#files (10^5-10^6) rows — driver-safe
+    and re-usable as an actual pruning index.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    base = li.select(
+        F.col("l_shipdate").cast("date").alias("d"), "l_orderkey"
+    )
+    arrival = (
+        base.groupBy(
+            (F.col("l_orderkey") / _SKIP_FILE_ROWS)
+            .cast("bigint")
+            .alias("file_id")
+        )
+        .agg(F.min("d").alias("min_d"), F.max("d").alias("max_d"))
+        .select(F.lit("arrival").alias("layout"), "min_d", "max_d")
+    )
+    clustered = (
+        base.groupBy(
+            (
+                (F.year("d").cast("bigint") - 1995) * 12
+                + (F.month("d").cast("bigint") - 1)
+            ).alias("file_id")
+        )
+        .agg(F.min("d").alias("min_d"), F.max("d").alias("max_d"))
+        .select(F.lit("clustered").alias("layout"), "min_d", "max_d")
+    )
+    workload = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(lbl).alias("q_label"),
+                    F.lit(s).cast("date").alias("q_start"),
+                    F.lit(e).cast("date").alias("q_end"),
+                )
+                for lbl, s, e in _SKIP_QUARTERS
+            ]
+        )
+    ).alias("w")
+    zm = arrival.unionByName(clustered)
+    joined = zm.select("*", workload).select(
+        "layout", "min_d", "max_d", "w.q_label", "w.q_start", "w.q_end"
+    )
+    skipped = F.sum(
+        F.when(
+            (F.col("max_d") < F.col("q_start"))
+            | (F.col("min_d") >= F.col("q_end")),
+            1,
+        ).otherwise(0)
+    ).cast("bigint")
+    return joined.groupBy("layout", "q_label").agg(
+        F.count("*").cast("bigint").alias("n_files"),
+        skipped.alias("n_skipped"),
+        (
+            skipped.cast("double") / F.count("*").cast("double")
+        ).alias("skip_rate"),
+    )
+
+
+# -- layout_partition_skew_audit ------------------------------------------------
+# join_salted_skew EXECUTES a salted join; this is the audit that
+# DECIDES the salt: profile the shuffle-partition load a key would
+# produce and recommend per-partition split factors. Partition id is
+# the deterministic `key % P` stand-in for pmod(hash(key), P) —
+# cross-engine hash functions differ, and the skew STRUCTURE (modular
+# bucketing of a Zipf-ish key) is the same either way; the audit's
+# contract is the recommendation logic, not Spark's exact hash.
+
+_SKEW_P = 32
+
+_SKEW_ORACLE = f"""
+WITH per_part AS (
+    SELECT user_id % {_SKEW_P} AS partition_id,
+           CAST(COUNT(*) AS BIGINT) AS n_rows
+    FROM events GROUP BY 1
+),
+tot AS (SELECT CAST(SUM(n_rows) AS BIGINT) AS total FROM per_part)
+SELECT partition_id, n_rows,
+       CAST(n_rows * {_SKEW_P} AS DOUBLE) / CAST(total AS DOUBLE)
+           AS skew_factor,
+       CAST((n_rows * {_SKEW_P} + total - 1) // total AS BIGINT)
+           AS recommended_splits
+FROM per_part CROSS JOIN tot
+"""
+
+
+@query("layout_partition_skew_audit", _SKEW_ORACLE)
+def q_layout_partition_skew_audit(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Shuffle-skew audit of events.user_id at P=32 reducers →
+    (partition_id, n_rows, skew_factor, recommended_splits).
+    skew_factor is the partition's load relative to the uniform ideal
+    (n x P / total); recommended_splits = ceil(skew_factor) is the
+    salt fan-out that would level it (1 = leave alone). Feeding the
+    hot partitions' keys into a salted join (join_salted_skew) or
+    AQE's skew-join threshold is the production follow-up.
+
+    Scale shape: one map-side-combined groupBy to P rows, then a
+    broadcast of the 1-row total — the audited table streams through
+    once, and the audit's own shuffle is P rows.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    per = ev.groupBy(
+        (F.col("user_id") % _SKEW_P).alias("partition_id")
+    ).agg(F.count("*").cast("bigint").alias("n_rows"))
+    tot = per.agg(F.sum("n_rows").cast("bigint").alias("total"))
+    return per.crossJoin(F.broadcast(tot)).select(
+        "partition_id",
+        "n_rows",
+        (
+            (F.col("n_rows") * _SKEW_P).cast("double")
+            / F.col("total").cast("double")
+        ).alias("skew_factor"),
+        F.expr(
+            f"CAST((n_rows * {_SKEW_P} + total - 1) DIV total AS BIGINT)"
+        ).alias("recommended_splits"),
+    )
+
+
+# -- parts_er_fuzzy_name --------------------------------------------------------
+# Entity resolution's canonical shape: BLOCK on a cheap exact key so
+# the quadratic pairwise compare runs inside bounded blocks, prefilter
+# with a length band (|len(a)-len(b)| > t implies edit distance > t),
+# then score survivors with an edit distance. Both engines ship a
+# native Levenshtein, so the match predicate never leaves the JVM /
+# the vectorized kernel.
+
+_ER_LEV_MAX = 2
+
+_ER_ORACLE = f"""
+SELECT a.p_brand AS brand,
+       a.p_partkey AS part_a, b.p_partkey AS part_b,
+       CAST(levenshtein(a.p_name, b.p_name) AS BIGINT) AS lev_dist
+FROM part a JOIN part b
+  ON a.p_brand = b.p_brand AND a.p_partkey < b.p_partkey
+WHERE abs(length(a.p_name) - length(b.p_name)) <= {_ER_LEV_MAX}
+  AND levenshtein(a.p_name, b.p_name) <= {_ER_LEV_MAX}
+"""
+
+
+@query("parts_er_fuzzy_name", _ER_ORACLE)
+def q_parts_er_fuzzy_name(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Blocked fuzzy-duplicate candidate pairs over part names →
+    (brand, part_a, part_b, lev_dist): pairs within the same brand
+    block whose names are within Levenshtein distance 2 (0 = exact
+    duplicate listings, 1-2 = typo/variant listings — the MDM
+    dedupe-before-merge input).
+
+    Scale shape: the self-join is an equi-join on the block key
+    (p_brand), so pairs are enumerated only within blocks — work is
+    sum(block^2), not corpus^2, the standard ER blocking bound. The
+    length-band inequality (a true Levenshtein lower bound) and the
+    key inequality are cheap JVM predicates evaluated before the
+    O(len^2) distance; a skewed mega-block is the known failure mode,
+    handled by salting or a second blocking key, not by this audit.
+    """
+    p = load_table(spark, sf_dir, "part").select(
+        "p_partkey", "p_brand", "p_name"
+    )
+    a = p.select(
+        F.col("p_brand").alias("brand"),
+        F.col("p_partkey").alias("part_a"),
+        F.col("p_name").alias("name_a"),
+    )
+    b = p.select(
+        F.col("p_brand").alias("brand"),
+        F.col("p_partkey").alias("part_b"),
+        F.col("p_name").alias("name_b"),
+    )
+    return (
+        a.join(b, "brand")
+        .filter(F.col("part_a") < F.col("part_b"))
+        .filter(
+            F.abs(F.length("name_a") - F.length("name_b")) <= _ER_LEV_MAX
+        )
+        .filter(F.levenshtein("name_a", "name_b") <= _ER_LEV_MAX)
+        .select(
+            "brand",
+            "part_a",
+            "part_b",
+            F.levenshtein("name_a", "name_b")
+            .cast("bigint")
+            .alias("lev_dist"),
+        )
+    )
+
+
+# -- parts_price_elasticity -----------------------------------------------------
+# Per-part demand elasticity: OLS slope of ln(quantity) on
+# ln(unit price) across the part's lineitems, in closed form. The
+# float policy makes it hash-exact: ln() is evaluated over the
+# IDENTICAL double expression on both engines, FLOOR-quantized to
+# 1e-4 (floor, never round — cross-engine tie rules differ), then all
+# sums run in exact int64; the slope is one final double division.
+# The 1e4 scale keeps every moment sum under int64 at 100 TB row
+# counts (|x_q| <= ~2e5, so Sxy per row <= 4e10; ~1e7 rows per part
+# still fits with 10^3 headroom).
+
+_ELAST_MIN_N = 5
+
+_ELAST_ORACLE = f"""
+WITH obs AS (
+    SELECT l_partkey,
+           CAST(FLOOR(ln(l_extendedprice * (1e0 - l_discount)
+                         / l_quantity) * 1e4) AS BIGINT) AS xq,
+           CAST(FLOOR(ln(l_quantity) * 1e4) AS BIGINT) AS yq
+    FROM lineitem
+    WHERE l_quantity > 0 AND l_extendedprice > 0
+),
+m AS (
+    SELECT l_partkey AS p_partkey,
+           CAST(COUNT(*) AS BIGINT) AS n_obs,
+           CAST(SUM(xq) AS BIGINT) AS sx, CAST(SUM(yq) AS BIGINT) AS sy,
+           CAST(SUM(xq * yq) AS BIGINT) AS sxy,
+           CAST(SUM(xq * xq) AS BIGINT) AS sxx
+    FROM obs GROUP BY 1
+)
+SELECT p_partkey, n_obs,
+       CAST(n_obs * sxy - sx * sy AS DOUBLE)
+           / CAST(n_obs * sxx - sx * sx AS DOUBLE) AS elasticity
+FROM m
+WHERE n_obs >= {_ELAST_MIN_N} AND n_obs * sxx - sx * sx <> 0
+"""
+
+
+@query("parts_price_elasticity", _ELAST_ORACLE)
+def q_parts_price_elasticity(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Per-part price elasticity of demand → (p_partkey, n_obs,
+    elasticity): the OLS slope of ln(quantity) on ln(effective unit
+    price) over the part's lineitems, closed-form from exact integer
+    moment sums (quantized ln at 1e-4). Negative slope = normal good;
+    the magnitude feeds the repricing what-if the flagship demand
+    pipeline exists to serve.
+
+    Scale shape: one map-side-combined groupBy on l_partkey carrying
+    five int64 moments — no window, no second pass, no floats until
+    the final per-group division. Degenerate groups (constant price)
+    are excluded by the exact integer variance test, not a float
+    epsilon.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    up = (
+        F.col("l_extendedprice")
+        * (F.lit(1.0) - F.col("l_discount"))
+        / F.col("l_quantity")
+    )
+    obs = li.filter(
+        (F.col("l_quantity") > 0) & (F.col("l_extendedprice") > 0)
+    ).select(
+        "l_partkey",
+        F.floor(F.log(up) * 1e4).cast("bigint").alias("xq"),
+        F.floor(F.log(F.col("l_quantity")) * 1e4)
+        .cast("bigint")
+        .alias("yq"),
+    )
+    m = obs.groupBy(F.col("l_partkey").alias("p_partkey")).agg(
+        F.count("*").cast("bigint").alias("n_obs"),
+        F.sum("xq").cast("bigint").alias("sx"),
+        F.sum("yq").cast("bigint").alias("sy"),
+        F.sum(F.col("xq") * F.col("yq")).cast("bigint").alias("sxy"),
+        F.sum(F.col("xq") * F.col("xq")).cast("bigint").alias("sxx"),
+    )
+    den = F.col("n_obs") * F.col("sxx") - F.col("sx") * F.col("sx")
+    return (
+        m.filter((F.col("n_obs") >= _ELAST_MIN_N) & (den != 0))
+        .select(
+            "p_partkey",
+            "n_obs",
+            (
+                (
+                    F.col("n_obs") * F.col("sxy")
+                    - F.col("sx") * F.col("sy")
+                ).cast("double")
+                / den.cast("double")
+            ).alias("elasticity"),
+        )
+    )
+
+
+# -- customers_dp_group_counts ---------------------------------------------------
+# The privacy family's release step: customers_k_anonymity suppresses,
+# pipeline_gdpr_erasure_plan deletes — this publishes aggregate counts
+# under epsilon-differential privacy (Laplace mechanism, sensitivity 1
+# for a count). The noise draw uses the standard inverse-CDF transform
+# over a DETERMINISTIC uniform derived from the count by an LCG-style
+# mix — reproducible for the oracle differential (and for pipeline
+# replays); a production release swaps in a secure RNG at this one
+# expression, leaving the shape untouched.
+
+_DP_EPS = 1.0
+_DP_MOD = 1000003  # prime modulus for the deterministic uniform
+
+
+def _dp_terms(n_sql: str) -> tuple[str, str]:
+    """(u, noise) SQL expressions over a BIGINT count expression —
+    shared literal text so both engines compute the identical tree."""
+    u = (
+        f"(CAST((({n_sql} % {_DP_MOD}) * 2654435761) % {_DP_MOD} + 1"
+        f" AS DOUBLE) / {_DP_MOD + 1}e0)"
+    )
+    noise = (
+        f"(-(1e0 / {_DP_EPS}e0) * (CASE WHEN {u} >= 0.5e0 THEN 1e0 "
+        f"ELSE -1e0 END) * ln(1e0 - 2e0 * abs({u} - 0.5e0)))"
+    )
+    return u, noise
+
+
+_DP_U, _DP_NOISE = _dp_terms("n")
+
+_DP_ORACLE = f"""
+WITH g AS (
+    SELECT c_mktsegment AS segment, CAST(COUNT(*) AS BIGINT) AS n
+    FROM customer GROUP BY 1
+)
+SELECT segment, n, n + {_DP_NOISE} AS n_dp
+FROM g
+"""
+
+
+@query("customers_dp_group_counts", _DP_ORACLE)
+def q_customers_dp_group_counts(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Differentially-private segment counts → (segment, n, n_dp):
+    true count plus Laplace(1/epsilon) noise (epsilon=1, sensitivity 1
+    — one customer changes any count by at most 1). Noise is the
+    inverse-CDF transform -b*sgn(U-1/2)*ln(1-2|U-1/2|) over a
+    deterministic LCG uniform; the true n is emitted alongside for
+    the oracle differential and would be DROPPED in a real release.
+
+    Scale shape: one map-side-combined groupBy to |segments| rows;
+    the noise is a per-group scalar expression. The modular mix runs
+    on n % p first, so the int64 product is bounded regardless of the
+    group's absolute count (safe at 100 TB cardinalities).
+    """
+    c = load_table(spark, sf_dir, "customer")
+    g = c.groupBy(F.col("c_mktsegment").alias("segment")).agg(
+        F.count("*").cast("bigint").alias("n")
+    )
+    return g.select(
+        "segment", "n", F.expr(f"n + {_DP_NOISE}").alias("n_dp")
+    )
+
+
+# -- supplier_scorecard_weighted --------------------------------------------------
+# Multi-metric vendor scorecard: revenue contribution (higher better),
+# ship latency (lower better), discount depth given away (lower
+# better), combined as a weighted sum of max-normalized metrics. The
+# normalizers are one broadcast 1-row global aggregate — no global
+# window/rank over the supplier relation, so the plan has no
+# partition-less sort at any size.
+
+_SCORE_W_REV, _SCORE_W_LAT, _SCORE_W_DISC = 0.5, 0.3, 0.2
+
+_SCORECARD_ORACLE = f"""
+WITH per AS (
+    SELECT l.l_suppkey AS s_suppkey,
+           CAST(COUNT(*) AS BIGINT) AS n_items,
+           CAST(SUM(CAST(FLOOR(l.l_extendedprice * (1e0 - l.l_discount)
+                               * 100e0) AS BIGINT)) AS BIGINT)
+               AS revenue_cents,
+           CAST(SUM(CAST(datediff('day', CAST(o.o_orderdate AS DATE),
+                                  CAST(l.l_shipdate AS DATE)) AS BIGINT))
+                AS BIGINT) AS lat_days_sum,
+           CAST(SUM(CAST(FLOOR(l.l_discount * 10000e0) AS BIGINT))
+                AS BIGINT) AS disc_bp_sum
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    GROUP BY 1
+),
+norm AS (
+    SELECT MAX(revenue_cents) AS max_rev,
+           MAX(CAST(lat_days_sum AS DOUBLE) / CAST(n_items AS DOUBLE))
+               AS max_lat,
+           MAX(CAST(disc_bp_sum AS DOUBLE) / CAST(n_items AS DOUBLE))
+               AS max_disc
+    FROM per
+)
+SELECT s_suppkey, n_items, revenue_cents,
+       {_SCORE_W_REV}e0 * (CAST(revenue_cents AS DOUBLE)
+                           / CAST(max_rev AS DOUBLE))
+     + {_SCORE_W_LAT}e0 * (1e0 - (CAST(lat_days_sum AS DOUBLE)
+                                  / CAST(n_items AS DOUBLE)) / max_lat)
+     + {_SCORE_W_DISC}e0 * (1e0 - (CAST(disc_bp_sum AS DOUBLE)
+                                   / CAST(n_items AS DOUBLE)) / max_disc)
+       AS score
+FROM per CROSS JOIN norm
+"""
+
+
+@query("supplier_scorecard_weighted", _SCORECARD_ORACLE)
+def q_supplier_scorecard_weighted(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Weighted supplier scorecard → (s_suppkey, n_items,
+    revenue_cents, score): 0.5 x normalized revenue + 0.3 x inverted
+    normalized mean ship latency + 0.2 x inverted normalized mean
+    discount. Metrics accumulate as exact int64 (floor-quantized
+    cents / basis points / day counts); floats appear only in the
+    final normalize-and-blend expression, identical on both engines.
+
+    Scale shape: fact-side join on l_orderkey (both sides shuffle on
+    the join key; orders is NOT broadcast — it scales with the fact
+    table), one groupBy to |suppliers| rows, then a broadcast 1-row
+    normalizer join. No window operator.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", F.col("o_orderdate").cast("date").alias("od")
+    )
+    per = (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .groupBy(F.col("l_suppkey").alias("s_suppkey"))
+        .agg(
+            F.count("*").cast("bigint").alias("n_items"),
+            F.sum(
+                F.floor(
+                    F.col("l_extendedprice")
+                    * (F.lit(1.0) - F.col("l_discount"))
+                    * F.lit(100.0)
+                ).cast("bigint")
+            )
+            .cast("bigint")
+            .alias("revenue_cents"),
+            F.sum(
+                F.datediff(F.col("l_shipdate").cast("date"), F.col("od"))
+                .cast("bigint")
+            )
+            .cast("bigint")
+            .alias("lat_days_sum"),
+            F.sum(
+                F.floor(F.col("l_discount") * F.lit(10000.0)).cast(
+                    "bigint"
+                )
+            )
+            .cast("bigint")
+            .alias("disc_bp_sum"),
+        )
+    )
+    norm = per.agg(
+        F.max("revenue_cents").alias("max_rev"),
+        F.max(
+            F.col("lat_days_sum").cast("double")
+            / F.col("n_items").cast("double")
+        ).alias("max_lat"),
+        F.max(
+            F.col("disc_bp_sum").cast("double")
+            / F.col("n_items").cast("double")
+        ).alias("max_disc"),
+    )
+    return per.crossJoin(F.broadcast(norm)).select(
+        "s_suppkey",
+        "n_items",
+        "revenue_cents",
+        (
+            F.lit(_SCORE_W_REV)
+            * (
+                F.col("revenue_cents").cast("double")
+                / F.col("max_rev").cast("double")
+            )
+            + F.lit(_SCORE_W_LAT)
+            * (
+                F.lit(1.0)
+                - (
+                    F.col("lat_days_sum").cast("double")
+                    / F.col("n_items").cast("double")
+                )
+                / F.col("max_lat")
+            )
+            + F.lit(_SCORE_W_DISC)
+            * (
+                F.lit(1.0)
+                - (
+                    F.col("disc_bp_sum").cast("double")
+                    / F.col("n_items").cast("double")
+                )
+                / F.col("max_disc")
+            )
+        ).alias("score"),
+    )
+
+
+# -- dedup_bloom_incremental -----------------------------------------------------
+# dedup_incremental anti-joins the WHOLE batch against the corpus hash
+# index — correct, but at 100 TB the common case is a tiny mostly-novel
+# delta, and shuffling it against a 10^9-row hash index to discover
+# "no match" is wasted motion. The production shape inserts a BLOOM
+# prefilter: the corpus's k=3 bit positions materialize as a bounded
+# DISTINCT (seed, pos) relation (<= k x m rows regardless of corpus
+# size), broadcast to the batch; only rows whose 3 positions all hit
+# proceed to the exact verify join. False positives cost one extra
+# verify probe and never reach the output — the result is EXACTLY the
+# dup map, which is what the oracle checks. Sizing: m bits ~ 1.44*k*n
+# for ~5% FP; the constant here (2^17) fits the test corpus and is a
+# constructor knob, not a semantic.
+
+_BLOOM_M = 1 << 17
+_BLOOM_SEEDS = (0, 1, 2)
+
+_BLOOM_PREFIX = 100
+
+_BLOOM_ORACLE = f"""
+WITH batch AS (
+    SELECT doc_id, md5(substr(lower(trim(text)), 1, {_BLOOM_PREFIX})) AS h
+    FROM documents WHERE doc_id % 10 = 7 AND text IS NOT NULL
+),
+corpus AS (
+    SELECT doc_id, md5(substr(lower(trim(text)), 1, {_BLOOM_PREFIX})) AS h
+    FROM documents WHERE doc_id % 10 <> 7 AND text IS NOT NULL
+)
+SELECT b.doc_id, CAST(MIN(c.doc_id) AS BIGINT) AS dup_of,
+       CAST(COUNT(*) AS BIGINT) AS n_corpus_copies
+FROM batch b JOIN corpus c ON b.h = c.h
+GROUP BY b.doc_id
+"""
+
+
+@query("dedup_bloom_incremental", _BLOOM_ORACLE)
+def q_dedup_bloom_incremental(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Incremental dup MAP behind a bloom prefilter → (doc_id, dup_of,
+    n_corpus_copies): for each new-batch doc (doc_id % 10 == 7) whose
+    prefix fingerprint (md5 of the first 100 normalized chars — the
+    CCNet/C4-style cheap near-exact key; whole-document hashing is
+    dedup_incremental's job) already exists in the standing corpus,
+    the earliest corpus holder and the copy count. The complement of
+    dedup_incremental's survivor set, with provenance — what a
+    suppression log or a "near-miss ingest" dashboard consumes.
+
+    Plan: corpus hashes → k=3 xxhash64 bit positions → DISTINCT
+    (seed, pos) bloom relation (<= 3 x 2^17 rows, broadcast); the
+    batch passes 3 broadcast LEFT SEMI joins (one per seed — a row
+    survives only if every position is set) and only the survivors
+    reach the exact hash-equality verify join. Bloom false positives
+    die at the verify; the output is exact, so the SQL oracle carries
+    no bloom at all. At 100 TB: the corpus is scanned once into the
+    bounded bloom relation + its hash index; the (tiny) batch never
+    shuffles against the corpus until it is candidate-pruned.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    h = F.md5(
+        F.substring(F.lower(F.trim(F.col("text"))), 1, _BLOOM_PREFIX)
+    ).alias("h")
+    batch = d.filter(
+        (F.col("doc_id") % 10 == 7) & F.col("text").isNotNull()
+    ).select("doc_id", h)
+    corpus = d.filter(
+        (F.col("doc_id") % 10 != 7) & F.col("text").isNotNull()
+    ).select("doc_id", h)
+
+    pruned = batch
+    for s in _BLOOM_SEEDS:
+        bits = corpus.select(
+            F.pmod(F.xxhash64(F.lit(s), F.col("h")), F.lit(_BLOOM_M))
+            .alias(f"pos{s}")
+        ).distinct()
+        pruned = pruned.withColumn(
+            f"pos{s}",
+            F.pmod(F.xxhash64(F.lit(s), F.col("h")), F.lit(_BLOOM_M)),
+        ).join(F.broadcast(bits), f"pos{s}", "left_semi")
+    pruned = pruned.select("doc_id", "h")
+
+    return (
+        pruned.join(
+            corpus.select(F.col("doc_id").alias("c_doc_id"), "h"), "h"
+        )
+        .groupBy("doc_id")
+        .agg(
+            F.min("c_doc_id").cast("bigint").alias("dup_of"),
+            F.count("*").cast("bigint").alias("n_corpus_copies"),
+        )
+    )
+
+
+# -- emb_ivf_delta_merge ----------------------------------------------------------
+# The write path of an ANN index: new vectors arrive and must merge
+# into the STANDING inverted lists without re-clustering (re-training
+# the quantizer is a rare offline job; assignment to frozen centroids
+# is the hot path). The audit reports per-list growth and post-merge
+# balance — the signal that eventually TRIGGERS the re-cluster.
+# Assignment arithmetic is EXACTLY mirrored across engines: the score
+# is dot(v, cv)/|cv| (the per-row 1/|v| factor cancels in an argmax),
+# computed as the identical left-to-right fold, so even boundary
+# vectors land in the same list on both sides — counts, not ranks,
+# are the output, so a single reassignment would break the hash.
+
+_DELTA_NLIST = 8
+
+
+def _duck_score(v: str, cv: str) -> str:
+    """dot(v, cv)/|cv| mirroring functions/vectors.py dot/norm: ordered
+    left fold, squares folded in index order."""
+    dot = (
+        f"list_reduce(list_transform(range(64), i -> {v}[i+1]*{cv}[i+1]),"
+        " (x,y) -> x+y)"
+    )
+    ssq = f"list_reduce(list_transform({cv}, x -> x*x), (x,y) -> x+y)"
+    return f"({dot} / sqrt({ssq}))"
+
+
+_DELTA_ORACLE = f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+corpus AS (SELECT * FROM e WHERE vec_id % 10 <> 7),
+delta AS (SELECT * FROM e WHERE vec_id % 10 = 7),
+cents AS (
+    SELECT row_number() OVER (ORDER BY vec_id) - 1 AS centroid_id, v AS cv
+    FROM corpus ORDER BY vec_id LIMIT {_DELTA_NLIST}
+),
+a_old AS (
+    SELECT vec_id, centroid_id FROM (
+        SELECT t.vec_id, c.centroid_id,
+               row_number() OVER (
+                   PARTITION BY t.vec_id
+                   ORDER BY {_duck_score('t.v', 'c.cv')} DESC, c.centroid_id
+               ) AS rn
+        FROM corpus t, cents c
+    ) WHERE rn = 1
+),
+a_new AS (
+    SELECT vec_id, centroid_id FROM (
+        SELECT t.vec_id, c.centroid_id,
+               row_number() OVER (
+                   PARTITION BY t.vec_id
+                   ORDER BY {_duck_score('t.v', 'c.cv')} DESC, c.centroid_id
+               ) AS rn
+        FROM delta t, cents c
+    ) WHERE rn = 1
+),
+n_old AS (SELECT centroid_id, CAST(COUNT(*) AS BIGINT) AS n_old
+          FROM a_old GROUP BY 1),
+n_delta AS (SELECT centroid_id, CAST(COUNT(*) AS BIGINT) AS n_delta
+            FROM a_new GROUP BY 1),
+merged AS (
+    SELECT c.centroid_id,
+           COALESCE(o.n_old, 0) AS n_old,
+           COALESCE(d.n_delta, 0) AS n_delta,
+           COALESCE(o.n_old, 0) + COALESCE(d.n_delta, 0) AS n_new
+    FROM cents c
+    LEFT JOIN n_old o USING (centroid_id)
+    LEFT JOIN n_delta d USING (centroid_id)
+),
+tot AS (SELECT CAST(SUM(n_new) AS BIGINT) AS total FROM merged)
+SELECT centroid_id, CAST(n_old AS BIGINT) AS n_old,
+       CAST(n_delta AS BIGINT) AS n_delta,
+       CAST(n_new AS BIGINT) AS n_new,
+       CAST(n_new * {_DELTA_NLIST} AS DOUBLE) / CAST(total AS DOUBLE)
+           AS load_ratio
+FROM merged CROSS JOIN tot
+"""
+
+
+@query("emb_ivf_delta_merge", _DELTA_ORACLE)
+def q_emb_ivf_delta_merge(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """IVF index delta-merge audit → (centroid_id, n_old, n_delta,
+    n_new, load_ratio): assign the delta batch (vec_id % 10 == 7) to
+    the standing index's FROZEN centroids (seeded from the corpus,
+    vec_id % 10 != 7), and report each inverted list's size before the
+    merge, the delta it absorbs, and its post-merge load relative to
+    the uniform ideal (n_new x nlist / total) — load_ratio drifting
+    past ~2 is the re-cluster trigger.
+
+    Plan: centroids come from the corpus via TakeOrderedAndProject
+    (no window), fold into ONE broadcast array row; both assignment
+    passes are narrow per-row argmax lambdas over that array (the
+    corpus/delta never shuffle for assignment), and the only
+    exchanges are the two nlist-row count aggregates. At 100 TB the
+    delta pass touches ONLY the delta — the standing n_old counts
+    would come from the index's stored list sizes rather than the
+    re-scan this self-contained audit does.
+    """
+    from ..operators import similarity as S
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    vecs = S._vecs(emb)
+    corpus = vecs.filter(F.col("vec_id") % 10 != 7)
+    delta = vecs.filter(F.col("vec_id") % 10 == 7)
+    cents = S.ivf_centroids(corpus.select(
+        "vec_id", F.col("v").alias("embedding")
+    ), _DELTA_NLIST)
+    carr = S._centroid_array(cents)
+
+    def assigned_counts(part: DataFrame, out: str) -> DataFrame:
+        return (
+            part.crossJoin(F.broadcast(carr))
+            .select(
+                S._nearest_centroid(F.col("v"), F.col("cents")).alias(
+                    "centroid_id"
+                )
+            )
+            .groupBy("centroid_id")
+            .agg(F.count("*").cast("bigint").alias(out))
+        )
+
+    merged = (
+        cents.select("centroid_id")
+        .join(assigned_counts(corpus, "n_old"), "centroid_id", "left")
+        .join(assigned_counts(delta, "n_delta"), "centroid_id", "left")
+        .select(
+            "centroid_id",
+            F.coalesce("n_old", F.lit(0)).cast("bigint").alias("n_old"),
+            F.coalesce("n_delta", F.lit(0))
+            .cast("bigint")
+            .alias("n_delta"),
+        )
+        .withColumn("n_new", (F.col("n_old") + F.col("n_delta")).cast("bigint"))
+    )
+    tot = merged.agg(F.sum("n_new").cast("bigint").alias("total"))
+    return merged.crossJoin(F.broadcast(tot)).select(
+        "centroid_id",
+        "n_old",
+        "n_delta",
+        "n_new",
+        (
+            (F.col("n_new") * _DELTA_NLIST).cast("double")
+            / F.col("total").cast("double")
+        ).alias("load_ratio"),
+    )
+
+
+# -- stream_scd2_apply ------------------------------------------------------------
+# The oracle is the BATCH answer: the full-log interval build (lead
+# window per key) — what the streaming version-chain MERGE must
+# converge to after the drain. Nullable validity bounds are TIMESTAMP
+# (NTZ on the Spark side) per FIXTURES.md F6.
+
+_STREAM_SCD2_ORACLE = """
+WITH base AS (
+    SELECT o_custkey, o_orderkey,
+           CAST(o_totalprice AS DECIMAL(18,2)) AS o_totalprice,
+           CAST(o_orderdate AS DATE) AS d
+    FROM orders
+)
+SELECT o_custkey, o_orderkey, o_totalprice,
+       CAST(d AS TIMESTAMP) AS valid_from,
+       CAST(lead(d) OVER (PARTITION BY o_custkey
+                          ORDER BY d, o_orderkey) AS TIMESTAMP)
+           AS valid_to,
+       lead(d) OVER (PARTITION BY o_custkey
+                     ORDER BY d, o_orderkey) IS NULL AS is_current
+FROM base
+"""
+
+
+@query("stream_scd2_apply", _STREAM_SCD2_ORACLE)
+def q_stream_scd2_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming type-2 dimension maintenance: a 3-batch date-ordered
+    AvailableNow CDC drain MERGEs each micro-batch into a
+    batch_id-versioned standing dimension (close current at the key's
+    first change, insert the batch's mini-intervals); post-drain the
+    dimension equals the batch full-log interval build bit for bit
+    (streaming/jobs.scd2_apply_stream)."""
+    from ..streaming import jobs as stream_jobs
+
+    return stream_jobs.scd2_apply_stream(spark, sf_dir)

@@ -54,8 +54,14 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 # 1 + 15 + 18 + 16 = 50.
 #
 # Round-15 rotation queue (committed now per the standing VERDICT
-# discipline): the round-14 net-new queries first, then the 32
-# remaining round-7-stale rows, alphabetically:
+# discipline): the 9 round-14 net-new queries first
+# (stream_scd2_apply, dedup_bloom_incremental, emb_ivf_delta_merge,
+# layout_file_skipping_audit, layout_partition_skew_audit,
+# parts_er_fuzzy_name, parts_price_elasticity,
+# customers_dp_group_counts, supplier_scorecard_weighted — all
+# locally oracle-verified at sf0.001 + sf0.01 + sf0.1 with the inline
+# Arrow type audit), then the 32 remaining round-7-stale rows,
+# alphabetically:
 # docs_token_budget_select, emb_knn_classify, emb_pq_encode,
 # events_activity_streaks, events_anomaly_mad,
 # events_changepoint_cusum, events_markov_transitions,
@@ -150,6 +156,7 @@ def load_all() -> None:
     from . import queries_r11  # noqa: F401
     from . import queries_r12  # noqa: F401
     from . import queries_r13  # noqa: F401
+    from . import queries_r14  # noqa: F401
     from . import queries_tpch  # noqa: F401
 
     _reorder()

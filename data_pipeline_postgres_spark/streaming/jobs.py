@@ -1596,3 +1596,134 @@ def curriculum_pacing_stream(
             F.min("ctok").cast("bigint").alias("tokens_admitted"),
         )
     )
+
+
+def scd2_apply_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming SCD2 (type-2 dimension) maintenance — the ingest-side
+    twin of the batch pair ``scd2_intervals`` (build from a full log)
+    and ``cdc_scd2_apply`` (apply one change batch).
+
+    Orders arrive as a 3-file AvailableNow stream split on DISJOINT
+    order-date ranges (CDC arrives per-key in order; equal dates land
+    in the same file, so the global (date, orderkey) sort order is the
+    concatenation of the batches). Each micro-batch MERGEs into the
+    standing dimension: the batch expands to its own mini-intervals
+    (lead window WITHIN the batch), each key's standing current row
+    closes at the key's first change date in the batch, untouched rows
+    pass through. After the drain the dimension equals the batch
+    interval build from the full log bit for bit — the lead window's
+    answer — so that SQL oracle applies verbatim.
+
+    Fault tolerance: the dimension is a batch_id-keyed VERSION CHAIN
+    (``v{batch_id}`` reads ``v{batch_id - 1}``); a replayed microbatch
+    deterministically rewrites its own version, so foreachBatch's
+    at-least-once delivery lands exactly-once (same contract as
+    dq_constraints_stream's counter partitions, tested in
+    tests/test_streaming_restart.py).
+
+    At 100 TB this is Delta/Iceberg ``MERGE WHEN MATCHED UPDATE /
+    WHEN NOT MATCHED INSERT`` with copy-on-write limited to files
+    holding changed keys; the self-contained version here rewrites the
+    whole (dimension-sized, not fact-sized) relation per batch. Each
+    batch's window shuffles only the BATCH on o_custkey; the standing
+    dimension joins the (small) per-key first-change relation with AQE
+    free to broadcast it.
+    """
+    src = _scratch("scd2_src")
+    orders = load_table(spark, sf_dir, "orders")
+    typed = orders.select(
+        "o_custkey",
+        "o_orderkey",
+        F.col("o_totalprice").cast("decimal(18,2)").alias("o_totalprice"),
+        F.col("o_orderdate").cast("date").alias("d"),
+    )
+    cuts = ("1997-01-01", "1999-01-01")
+    ranges = [
+        F.col("d") < F.lit(cuts[0]).cast("date"),
+        (F.col("d") >= F.lit(cuts[0]).cast("date"))
+        & (F.col("d") < F.lit(cuts[1]).cast("date")),
+        F.col("d") >= F.lit(cuts[1]).cast("date"),
+    ]
+    import time as _time
+
+    for cond in ranges:
+        typed.filter(cond).coalesce(1).write.mode("append").parquet(src)
+        # FileStreamSource orders new files by modification time; the
+        # date-tercile batches MUST arrive in order for the SCD2 fold
+        _time.sleep(0.05)
+
+    dim_root = os.path.join(_SCRATCH, "scd2_dim")
+    if os.path.exists(dim_root):
+        shutil.rmtree(dim_root)
+
+    def step(batch_df: DataFrame, batch_id: int) -> None:
+        w = Window.partitionBy("o_custkey").orderBy("d", "o_orderkey")
+        nxt = F.lead("d").over(w)
+        mini = batch_df.select(
+            "o_custkey",
+            "o_orderkey",
+            "o_totalprice",
+            F.col("d").alias("valid_from"),
+            nxt.alias("valid_to"),
+            nxt.isNull().alias("is_current"),
+        )
+        first_change = batch_df.groupBy("o_custkey").agg(
+            F.min("d").alias("close_at")
+        )
+        prev_dir = os.path.join(dim_root, f"v{batch_id - 1}")
+        if batch_id == 0 or not os.path.exists(prev_dir):
+            dim = mini
+        else:
+            prev = spark.read.parquet(prev_dir)
+            cur = prev.filter("is_current")
+            closed = cur.join(first_change, "o_custkey").select(
+                "o_custkey",
+                "o_orderkey",
+                "o_totalprice",
+                "valid_from",
+                F.col("close_at").alias("valid_to"),
+                F.lit(False).alias("is_current"),
+            )
+            untouched_cur = cur.join(
+                first_change, "o_custkey", "left_anti"
+            )
+            history = prev.filter(~F.col("is_current"))
+            dim = (
+                history.unionByName(closed)
+                .unionByName(untouched_cur)
+                .unionByName(mini)
+            )
+        dim.write.mode("overwrite").parquet(
+            os.path.join(dim_root, f"v{batch_id}")
+        )
+
+    stream = (
+        spark.readStream.schema(typed.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    with _shuffle_partitions(spark, 8):
+        q = (
+            stream.writeStream.foreachBatch(step)
+            .option("checkpointLocation", _scratch("scd2_ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    versions = sorted(
+        int(v[1:]) for v in os.listdir(dim_root) if v.startswith("v")
+    )
+    final = spark.read.parquet(
+        os.path.join(dim_root, f"v{versions[-1]}")
+    )
+    # nullable validity bounds surface as TIMESTAMP_NTZ, never LTZ or
+    # DATE (FIXTURES.md F6 — the cdc_scd2_apply r12/r13 lesson)
+    return final.select(
+        "o_custkey",
+        "o_orderkey",
+        "o_totalprice",
+        F.col("valid_from").cast("timestamp_ntz").alias("valid_from"),
+        F.col("valid_to").cast("timestamp_ntz").alias("valid_to"),
+        "is_current",
+    )

@@ -1,0 +1,288 @@
+"""Round-14 additions: properties beyond the oracle differential
+(which tests/test_oracle_parity.py already runs for every new query).
+Each class pins the invariant that makes its query TRUSTWORTHY, not
+just oracle-consistent — bloom transparency, fold exactness, layout
+dominance, version-chain convergence."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from data_pipeline_postgres_spark.plans import registry
+
+from .conftest import SF_SMOKE
+
+registry.load_all()
+SF = SF_SMOKE
+
+
+class TestFileSkippingAudit:
+    def test_clustered_layout_dominates(self, spark):
+        rows = registry.QUERIES["layout_file_skipping_audit"](
+            spark, SF
+        ).collect()
+        by = {(r.layout, r.q_label): r for r in rows}
+        quarters = sorted({r.q_label for r in rows})
+        assert len(quarters) == 8
+        for q in quarters:
+            c, a = by[("clustered", q)], by[("arrival", q)]
+            # tighter zone maps can only skip MORE files (rate-wise)
+            assert c.skip_rate >= a.skip_rate
+            assert 0.0 <= a.skip_rate <= 1.0
+            assert c.n_skipped <= c.n_files
+        # month-files outside a quarter always prune: with ~7 years of
+        # months, a 3-month quarter keeps <= 5 files (3 months + edge
+        # overlap) -> the clustered rate is high where arrival's is ~0
+        assert max(by[("clustered", q)].skip_rate for q in quarters) > 0.8
+
+    def test_file_counts_constant_across_predicates(self, spark):
+        rows = registry.QUERIES["layout_file_skipping_audit"](
+            spark, SF
+        ).collect()
+        for layout in ("arrival", "clustered"):
+            ns = {r.n_files for r in rows if r.layout == layout}
+            assert len(ns) == 1  # workload never changes the layout
+
+
+class TestPartitionSkewAudit:
+    def test_counts_and_recommendation_consistent(self, spark):
+        rows = registry.QUERIES["layout_partition_skew_audit"](
+            spark, SF
+        ).collect()
+        total = (
+            spark.read.parquet(f"{SF}/events.parquet").count()
+        )
+        assert sum(r.n_rows for r in rows) == total
+        assert len(rows) <= 32
+        for r in rows:
+            # recommended_splits is the integer ceiling of skew_factor
+            assert r.recommended_splits - 1 < r.skew_factor
+            assert r.skew_factor <= r.recommended_splits
+            assert r.recommended_splits >= 1
+
+
+class TestErFuzzyName:
+    def test_pairs_canonical_and_distance_exact(self, spark):
+        rows = registry.QUERIES["parts_er_fuzzy_name"](
+            spark, SF
+        ).collect()
+        assert rows
+        names = {
+            r.p_partkey: (r.p_brand, r.p_name)
+            for r in spark.read.parquet(f"{SF}/part.parquet").collect()
+        }
+
+        def lev(a: str, b: str) -> int:
+            prev = list(range(len(b) + 1))
+            for i, ca in enumerate(a, 1):
+                cur = [i]
+                for j, cb in enumerate(b, 1):
+                    cur.append(
+                        min(
+                            prev[j] + 1,
+                            cur[-1] + 1,
+                            prev[j - 1] + (ca != cb),
+                        )
+                    )
+                prev = cur
+            return prev[-1]
+
+        for r in rows[:200]:
+            assert r.part_a < r.part_b
+            ba, na = names[r.part_a]
+            bb, nb = names[r.part_b]
+            assert ba == bb == r.brand  # blocking is sound
+            assert r.lev_dist == lev(na, nb) <= 2
+
+    def test_length_band_is_a_true_lower_bound(self, spark):
+        # no pair with |len diff| > 2 can have lev <= 2: the prefilter
+        # drops nothing the verify would keep (completeness)
+        p = spark.read.parquet(f"{SF}/part.parquet").collect()
+        by_brand: dict = {}
+        for r in p:
+            by_brand.setdefault(r.p_brand, []).append(r)
+        got = {
+            (r.part_a, r.part_b)
+            for r in registry.QUERIES["parts_er_fuzzy_name"](
+                spark, SF
+            ).collect()
+        }
+        import itertools
+
+        def lev2(a, b):
+            if abs(len(a) - len(b)) > 2:
+                return 3
+            prev = list(range(len(b) + 1))
+            for i, ca in enumerate(a, 1):
+                cur = [i]
+                for j, cb in enumerate(b, 1):
+                    cur.append(
+                        min(prev[j] + 1, cur[-1] + 1,
+                            prev[j - 1] + (ca != cb))
+                    )
+                prev = cur
+            return prev[-1]
+
+        want = set()
+        for rows in by_brand.values():
+            for a, b in itertools.combinations(
+                sorted(rows, key=lambda r: r.p_partkey), 2
+            ):
+                if lev2(a.p_name, b.p_name) <= 2:
+                    want.add((a.p_partkey, b.p_partkey))
+        assert got == want
+
+
+class TestPriceElasticity:
+    def test_closed_form_matches_numpy(self, spark):
+        import math
+
+        import numpy as np
+
+        rows = registry.QUERIES["parts_price_elasticity"](
+            spark, SF
+        ).collect()
+        assert rows
+        li = spark.read.parquet(f"{SF}/lineitem.parquet").collect()
+        obs: dict = {}
+        for r in li:
+            if r.l_quantity > 0 and r.l_extendedprice > 0:
+                xq = math.floor(
+                    math.log(
+                        r.l_extendedprice
+                        * (1.0 - r.l_discount)
+                        / r.l_quantity
+                    )
+                    * 1e4
+                )
+                yq = math.floor(math.log(r.l_quantity) * 1e4)
+                obs.setdefault(r.l_partkey, []).append((xq, yq))
+        for r in rows[:50]:
+            pts = np.array(obs[r.p_partkey], dtype=np.float64)
+            slope = np.polyfit(pts[:, 0], pts[:, 1], 1)[0]
+            assert r.n_obs == len(pts) >= 5
+            assert abs(r.elasticity - slope) < 1e-6
+
+
+class TestDpGroupCounts:
+    def test_noise_present_deterministic_and_scaled(self, spark):
+        q = registry.QUERIES["customers_dp_group_counts"]
+        a = {r.segment: r for r in q(spark, SF).collect()}
+        b = {r.segment: r for r in q(spark, SF).collect()}
+        assert a.keys() == b.keys() and len(a) >= 2
+        for seg in a:
+            assert a[seg].n_dp == b[seg].n_dp  # reproducible release
+            assert a[seg].n_dp != a[seg].n  # noise actually applied
+            # Laplace(b=1) at the deterministic quantiles stays modest
+            assert abs(a[seg].n_dp - a[seg].n) < 20
+
+
+class TestSupplierScorecard:
+    def test_score_decomposition_bounds(self, spark):
+        rows = registry.QUERIES["supplier_scorecard_weighted"](
+            spark, SF
+        ).collect()
+        assert rows
+        max_rev = max(r.revenue_cents for r in rows)
+        for r in rows:
+            # each normalized term is <= 1, latency/discount terms can
+            # go negative only if a mean exceeded the max mean — never
+            assert r.score <= 1.0 + 1e-9
+            if r.revenue_cents == max_rev:
+                assert r.score >= 0.5 - 1e-9  # full revenue term
+
+
+class TestBloomIncremental:
+    def test_bloom_is_transparent(self, spark):
+        """The headline property: the bloom is a PREFILTER — the
+        output must equal the plain exact dup map (false positives
+        die at the verify join; false negatives are impossible)."""
+        got = {
+            tuple(r)
+            for r in registry.QUERIES["dedup_bloom_incremental"](
+                spark, SF
+            ).collect()
+        }
+        d = spark.read.parquet(f"{SF}/documents.parquet")
+        h = F.md5(
+            F.substring(F.lower(F.trim(F.col("text"))), 1, 100)
+        ).alias("h")
+        batch = d.filter(
+            (F.col("doc_id") % 10 == 7) & F.col("text").isNotNull()
+        ).select("doc_id", h)
+        corpus = d.filter(
+            (F.col("doc_id") % 10 != 7) & F.col("text").isNotNull()
+        ).select(F.col("doc_id").alias("c_doc_id"), h)
+        want = {
+            tuple(r)
+            for r in batch.join(corpus, "h")
+            .groupBy("doc_id")
+            .agg(
+                F.min("c_doc_id").cast("bigint").alias("dup_of"),
+                F.count("*").cast("bigint").alias("n_corpus_copies"),
+            )
+            .collect()
+        }
+        assert got == want and got
+
+    def test_plan_has_three_broadcast_semijoins(self, spark):
+        plan = registry.QUERIES["dedup_bloom_incremental"](
+            spark, SF
+        )._jdf.queryExecution().executedPlan().toString()
+        import re
+
+        semis = len(re.findall(r"BroadcastHashJoin .*LeftSemi", plan))
+        assert semis >= 3, f"bloom prefilter not in plan:\n{plan[:2000]}"
+
+
+class TestIvfDeltaMerge:
+    def test_conservation_and_balance(self, spark):
+        rows = registry.QUERIES["emb_ivf_delta_merge"](
+            spark, SF
+        ).collect()
+        assert len(rows) == 8
+        emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+        n_all = emb.count()
+        n_delta = emb.filter(F.col("vec_id") % 10 == 7).count()
+        assert sum(r.n_new for r in rows) == n_all
+        assert sum(r.n_delta for r in rows) == n_delta
+        for r in rows:
+            assert r.n_new == r.n_old + r.n_delta
+        assert abs(sum(r.load_ratio for r in rows) - 8.0) < 1e-9
+
+
+class TestStreamScd2Apply:
+    def test_version_chain_monotone_and_final_current_unique(
+        self, spark
+    ):
+        from data_pipeline_postgres_spark.streaming import jobs
+
+        final = jobs.scd2_apply_stream(spark, SF)
+        rows = final.collect()
+        dim_root = os.path.join(jobs._SCRATCH, "scd2_dim")
+        versions = sorted(
+            int(v[1:]) for v in os.listdir(dim_root)
+            if v.startswith("v")
+        )
+        assert versions == [0, 1, 2]
+        counts = [
+            spark.read.parquet(
+                os.path.join(dim_root, f"v{b}")
+            ).count()
+            for b in versions
+        ]
+        assert counts[0] < counts[1] < counts[2] == len(rows)
+        # SCD2 invariants on the final dimension
+        cur = [r for r in rows if r.is_current]
+        by_key: dict = {}
+        for r in rows:
+            by_key.setdefault(r.o_custkey, []).append(r)
+        assert len(cur) == len(by_key)  # exactly one current per key
+        for k, ivs in by_key.items():
+            ivs.sort(key=lambda r: (r.valid_from, r.o_orderkey))
+            for a, b in zip(ivs, ivs[1:]):
+                assert a.valid_to == b.valid_from  # gap-free chain
+            assert ivs[-1].valid_to is None

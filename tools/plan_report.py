@@ -206,6 +206,15 @@ SHOWCASE = [
     "layout_vacuum_plan",
     "profile_drift_two_period",
     "pipeline_gdpr_erasure_plan",
+    # round-14 additions
+    "dedup_bloom_incremental",
+    "emb_ivf_delta_merge",
+    "layout_file_skipping_audit",
+    "layout_partition_skew_audit",
+    "parts_er_fuzzy_name",
+    "parts_price_elasticity",
+    "customers_dp_group_counts",
+    "supplier_scorecard_weighted",
 ]
 
 
