@@ -235,23 +235,34 @@ def q_layout_partition_skew_audit(
 
 
 # -- parts_er_fuzzy_name --------------------------------------------------------
-# Entity resolution's canonical shape: BLOCK on a cheap exact key so
-# the quadratic pairwise compare runs inside bounded blocks, prefilter
-# with a length band (|len(a)-len(b)| > t implies edit distance > t),
-# then score survivors with an edit distance. Both engines ship a
-# native Levenshtein, so the match predicate never leaves the JVM /
-# the vectorized kernel.
+# Entity resolution's canonical shape, in the order production MDM
+# actually runs it: (1) COLLAPSE exact duplicates first — group by the
+# canonical key, keep one representative + member count (emitting
+# pairwise rows for identical strings is O(group^2) output for zero
+# information); (2) BLOCK the distinct names on a cheap exact key;
+# (3) pairwise Levenshtein only between DISTINCT names inside blocks.
+# Work and output are bounded by the distinct-name vocabulary (which
+# grows sublinearly with rows), not the row count — the r14 scaling
+# run measured the naive variant at 39.6x wall growth under 10x data
+# (quadratic in duplicate-group size) and this formulation at ~1x.
 
 _ER_LEV_MAX = 2
 
 _ER_ORACLE = f"""
-SELECT a.p_brand AS brand,
-       a.p_partkey AS part_a, b.p_partkey AS part_b,
-       CAST(levenshtein(a.p_name, b.p_name) AS BIGINT) AS lev_dist
-FROM part a JOIN part b
-  ON a.p_brand = b.p_brand AND a.p_partkey < b.p_partkey
-WHERE abs(length(a.p_name) - length(b.p_name)) <= {_ER_LEV_MAX}
-  AND levenshtein(a.p_name, b.p_name) <= {_ER_LEV_MAX}
+WITH names AS (
+    SELECT p_brand AS brand, p_name AS name,
+           CAST(MIN(p_partkey) AS BIGINT) AS rep_key,
+           CAST(COUNT(*) AS BIGINT) AS n_members
+    FROM part GROUP BY 1, 2
+)
+SELECT a.brand,
+       a.rep_key AS part_a, b.rep_key AS part_b,
+       a.n_members AS n_a, b.n_members AS n_b,
+       CAST(levenshtein(a.name, b.name) AS BIGINT) AS lev_dist
+FROM names a JOIN names b
+  ON a.brand = b.brand AND a.name < b.name
+WHERE abs(length(a.name) - length(b.name)) <= {_ER_LEV_MAX}
+  AND levenshtein(a.name, b.name) <= {_ER_LEV_MAX}
 """
 
 
@@ -259,36 +270,47 @@ WHERE abs(length(a.p_name) - length(b.p_name)) <= {_ER_LEV_MAX}
 def q_parts_er_fuzzy_name(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
-    """Blocked fuzzy-duplicate candidate pairs over part names →
-    (brand, part_a, part_b, lev_dist): pairs within the same brand
-    block whose names are within Levenshtein distance 2 (0 = exact
-    duplicate listings, 1-2 = typo/variant listings — the MDM
-    dedupe-before-merge input).
+    """Blocked fuzzy-duplicate candidates over DISTINCT part names →
+    (brand, part_a, part_b, n_a, n_b, lev_dist): within each brand
+    block, pairs of distinct name spellings within Levenshtein
+    distance 1-2 (typo/variant listings), each side carried as its
+    duplicate group's representative (min partkey) and member count.
+    Exact duplicates are the n_members > 1 groups — collapsed, never
+    pair-enumerated. The MDM dedupe-before-merge input.
 
-    Scale shape: the self-join is an equi-join on the block key
-    (p_brand), so pairs are enumerated only within blocks — work is
-    sum(block^2), not corpus^2, the standard ER blocking bound. The
-    length-band inequality (a true Levenshtein lower bound) and the
-    key inequality are cheap JVM predicates evaluated before the
+    Scale shape: the exact-collapse groupBy is one hash shuffle of the
+    raw table; everything after runs on the DISTINCT (brand, name)
+    relation, whose size tracks the name vocabulary, not the row
+    count — so the blocked self-join's sum(block^2) work and the
+    output are both row-count-stable (r14 scaling: ~1x wall under 10x
+    rows, vs 39.6x for the pre-collapse formulation this replaces).
+    The length-band inequality (a true Levenshtein lower bound) and
+    the name inequality are cheap JVM predicates evaluated before the
     O(len^2) distance; a skewed mega-block is the known failure mode,
-    handled by salting or a second blocking key, not by this audit.
+    handled by a second blocking key, not by this audit.
     """
-    p = load_table(spark, sf_dir, "part").select(
-        "p_partkey", "p_brand", "p_name"
+    p = load_table(spark, sf_dir, "part")
+    names = p.groupBy(
+        F.col("p_brand").alias("brand"), F.col("p_name").alias("name")
+    ).agg(
+        F.min("p_partkey").cast("bigint").alias("rep_key"),
+        F.count("*").cast("bigint").alias("n_members"),
     )
-    a = p.select(
-        F.col("p_brand").alias("brand"),
-        F.col("p_partkey").alias("part_a"),
-        F.col("p_name").alias("name_a"),
+    a = names.select(
+        "brand",
+        F.col("name").alias("name_a"),
+        F.col("rep_key").alias("part_a"),
+        F.col("n_members").alias("n_a"),
     )
-    b = p.select(
-        F.col("p_brand").alias("brand"),
-        F.col("p_partkey").alias("part_b"),
-        F.col("p_name").alias("name_b"),
+    b = names.select(
+        "brand",
+        F.col("name").alias("name_b"),
+        F.col("rep_key").alias("part_b"),
+        F.col("n_members").alias("n_b"),
     )
     return (
         a.join(b, "brand")
-        .filter(F.col("part_a") < F.col("part_b"))
+        .filter(F.col("name_a") < F.col("name_b"))
         .filter(
             F.abs(F.length("name_a") - F.length("name_b")) <= _ER_LEV_MAX
         )
@@ -297,6 +319,8 @@ def q_parts_er_fuzzy_name(
             "brand",
             "part_a",
             "part_b",
+            "n_a",
+            "n_b",
             F.levenshtein("name_a", "name_b")
             .cast("bigint")
             .alias("lev_dist"),

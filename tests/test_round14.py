@@ -65,15 +65,16 @@ class TestPartitionSkewAudit:
 
 
 class TestErFuzzyName:
-    def test_pairs_canonical_and_distance_exact(self, spark):
+    def test_pairs_exact_distance_and_group_counts(self, spark):
         rows = registry.QUERIES["parts_er_fuzzy_name"](
             spark, SF
         ).collect()
         assert rows
-        names = {
-            r.p_partkey: (r.p_brand, r.p_name)
-            for r in spark.read.parquet(f"{SF}/part.parquet").collect()
-        }
+        parts = spark.read.parquet(f"{SF}/part.parquet").collect()
+        groups: dict = {}
+        for r in parts:
+            g = groups.setdefault((r.p_brand, r.p_name), [])
+            g.append(r.p_partkey)
 
         def lev(a: str, b: str) -> int:
             prev = list(range(len(b) + 1))
@@ -90,27 +91,28 @@ class TestErFuzzyName:
                 prev = cur
             return prev[-1]
 
-        for r in rows[:200]:
-            assert r.part_a < r.part_b
-            ba, na = names[r.part_a]
-            bb, nb = names[r.part_b]
-            assert ba == bb == r.brand  # blocking is sound
-            assert r.lev_dist == lev(na, nb) <= 2
-
-    def test_length_band_is_a_true_lower_bound(self, spark):
-        # no pair with |len diff| > 2 can have lev <= 2: the prefilter
-        # drops nothing the verify would keep (completeness)
-        p = spark.read.parquet(f"{SF}/part.parquet").collect()
-        by_brand: dict = {}
-        for r in p:
-            by_brand.setdefault(r.p_brand, []).append(r)
-        got = {
-            (r.part_a, r.part_b)
-            for r in registry.QUERIES["parts_er_fuzzy_name"](
-                spark, SF
-            ).collect()
+        rep = {
+            (brand, name): (min(keys), len(keys))
+            for (brand, name), keys in groups.items()
         }
+        by_rep = {v[0]: (brand, name, v[1]) for (brand, name), v in rep.items()}
+        for r in rows:
+            ba, na, n_a = by_rep[r.part_a]
+            bb, nb, n_b = by_rep[r.part_b]
+            assert ba == bb == r.brand  # blocking is sound
+            assert r.n_a == n_a and r.n_b == n_b
+            assert na != nb  # exact dups collapsed, never paired
+            assert 1 <= r.lev_dist == lev(na, nb) <= 2
+
+    def test_distinct_name_completeness(self, spark):
+        """The blocked + length-banded plan finds EVERY distinct-name
+        pair within lev <= 2 (the band is a true lower bound)."""
         import itertools
+
+        parts = spark.read.parquet(f"{SF}/part.parquet").collect()
+        names: dict = {}
+        for r in parts:
+            names.setdefault(r.p_brand, set()).add(r.p_name)
 
         def lev2(a, b):
             if abs(len(a) - len(b)) > 2:
@@ -127,13 +129,46 @@ class TestErFuzzyName:
             return prev[-1]
 
         want = set()
-        for rows in by_brand.values():
-            for a, b in itertools.combinations(
-                sorted(rows, key=lambda r: r.p_partkey), 2
-            ):
-                if lev2(a.p_name, b.p_name) <= 2:
-                    want.add((a.p_partkey, b.p_partkey))
-        assert got == want
+        for brand, ns in names.items():
+            for x, y in itertools.combinations(sorted(ns), 2):
+                if 1 <= lev2(x, y) <= 2:
+                    want.add((brand, x, y))
+        got = registry.QUERIES["parts_er_fuzzy_name"](
+            spark, SF
+        ).count()
+        assert got == len(want)
+
+    def test_output_is_vocabulary_bounded(self, spark):
+        """The scale contract that motivated the r14 rewrite: output
+        pairs track DISTINCT names, not rows — duplicating every part
+        must not change the pair count (only the member counts)."""
+        p = spark.read.parquet(f"{SF}/part.parquet")
+        import pyspark.sql.functions as SF_
+
+        doubled_rows = p.unionByName(
+            p.withColumn(
+                "p_partkey", SF_.col("p_partkey") + 1000000
+            )
+        )
+        import tempfile
+
+        with tempfile.TemporaryDirectory() as tmp:
+            doubled_rows.write.parquet(f"{tmp}/part.parquet")
+            base = registry.QUERIES["parts_er_fuzzy_name"](
+                spark, SF
+            ).collect()
+            doubled = registry.QUERIES["parts_er_fuzzy_name"](
+                spark, tmp
+            ).collect()
+        assert len(doubled) == len(base)
+        assert {(r.brand, r.part_a, r.part_b) for r in doubled} == {
+            (r.brand, r.part_a, r.part_b) for r in base
+        }
+        assert all(r.n_a + r.n_b for r in base)
+        by = {(r.brand, r.part_a, r.part_b): r for r in doubled}
+        for r in base:
+            d = by[(r.brand, r.part_a, r.part_b)]
+            assert d.n_a == 2 * r.n_a and d.n_b == 2 * r.n_b
 
 
 class TestPriceElasticity:
