@@ -292,6 +292,8 @@ EXT_HEADLINE = [
     "parts_price_elasticity",
     "customers_dp_group_counts",
     "supplier_scorecard_weighted",
+    "pipeline_ivm_agg_maintenance",
+    "multimodal_nibble_entropy",
 ]
 
 

@@ -443,9 +443,17 @@ def _dp_terms(n_sql: str) -> tuple[str, str]:
         f"(CAST((({n_sql} % {_DP_MOD}) * 2654435761) % {_DP_MOD} + 1"
         f" AS DOUBLE) / {_DP_MOD + 1}e0)"
     )
-    noise = (
+    raw = (
         f"(-(1e0 / {_DP_EPS}e0) * (CASE WHEN {u} >= 0.5e0 THEN 1e0 "
         f"ELSE -1e0 END) * ln(1e0 - 2e0 * abs({u} - 0.5e0)))"
+    )
+    # micro-quantize the draw (profile_column_entropy discipline): JVM
+    # and libm ln() can differ by 1 ulp on some inputs, and the noise
+    # is emitted raw — floor-to-micro makes the release hash-stable
+    # except on measure-zero boundary draws
+    noise = (
+        f"(CAST(FLOOR({raw} * 1000000e0 + 0.5e0) AS BIGINT)"
+        f" / 1000000e0)"
     )
     return u, noise
 
@@ -899,3 +907,168 @@ def q_stream_scd2_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..streaming import jobs as stream_jobs
 
     return stream_jobs.scd2_apply_stream(spark, sf_dir)
+
+
+# -- pipeline_ivm_agg_maintenance -------------------------------------------------
+# Incremental view maintenance (the TPC-H RF1/RF2 shape): a standing
+# aggregate absorbs an insert batch and a delete batch WITHOUT
+# recomputing from the base table — new = old + agg(inserts) −
+# agg(deletes), valid because SUM/COUNT are abelian-group aggregates.
+# The oracle recomputes directly from the post-refresh relation, so
+# the differential proves the maintenance algebra, not just the
+# arithmetic. Deletes: l_orderkey % 97 == 0; inserts: a modified copy
+# of l_orderkey % 89 == 0 (quantity + 1, keys offset past the domain).
+
+_IVM_DEL_MOD, _IVM_INS_MOD, _IVM_KEY_OFFSET = 97, 89, 1 << 40
+
+_IVM_ORACLE = f"""
+WITH refreshed AS (
+    SELECT l_returnflag, l_linestatus, l_quantity, l_extendedprice
+    FROM lineitem WHERE l_orderkey % {_IVM_DEL_MOD} <> 0
+    UNION ALL
+    SELECT l_returnflag, l_linestatus, l_quantity + 1, l_extendedprice
+    FROM lineitem WHERE l_orderkey % {_IVM_INS_MOD} = 0
+)
+SELECT l_returnflag, l_linestatus,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+           AS sum_base_price,
+       CAST(COUNT(*) AS BIGINT) AS count_order
+FROM refreshed
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+@query("pipeline_ivm_agg_maintenance", _IVM_ORACLE)
+def q_pipeline_ivm_agg_maintenance(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Incremental view maintenance of a q1-style pricing aggregate
+    under a refresh (delete batch + insert batch) →
+    (l_returnflag, l_linestatus, sum_qty, sum_base_price,
+    count_order). The Spark plan NEVER aggregates the refreshed base
+    relation: the standing aggregate and the two (small) delta
+    aggregates merge as signed partials — sum(old) + sum(ins) −
+    sum(del), count likewise — which is the entire point of IVM at
+    100 TB (the refresh touches delta-sized data; the base aggregate
+    is a standing |groups|-row relation, here recomputed once only
+    because the audit is self-contained).
+
+    Decimal sums keep the merge exact (the float policy: DECIMAL(18,2)
+    partials, double only at the very end), so maintained == recomputed
+    bit for bit — the oracle recomputes from the refreshed relation
+    directly and the hash must agree.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    qty = F.col("l_quantity").cast("decimal(18,2)")
+    price = F.col("l_extendedprice").cast("decimal(18,2)")
+
+    def signed_agg(df: DataFrame, sign: int, qty_col) -> DataFrame:
+        return df.groupBy("l_returnflag", "l_linestatus").agg(
+            (F.sum(qty_col) * sign).alias("p_qty"),
+            (F.sum(price) * sign).alias("p_price"),
+            (F.count("*") * sign).cast("bigint").alias("p_n"),
+        )
+
+    base = signed_agg(li, 1, qty)
+    deletes = signed_agg(
+        li.filter(F.col("l_orderkey") % _IVM_DEL_MOD == 0), -1, qty
+    )
+    inserts = signed_agg(
+        li.filter(F.col("l_orderkey") % _IVM_INS_MOD == 0),
+        1,
+        (F.col("l_quantity") + 1).cast("decimal(18,2)"),
+    )
+    return (
+        base.unionByName(deletes)
+        .unionByName(inserts)
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum("p_qty").cast("decimal(18,2)").cast("double")
+            .alias("sum_qty"),
+            F.sum("p_price").cast("decimal(18,2)").cast("double")
+            .alias("sum_base_price"),
+            F.sum("p_n").cast("bigint").alias("count_order"),
+        )
+    )
+
+
+# -- multimodal_nibble_entropy ----------------------------------------------------
+# Byte-level Shannon entropy flags payloads that are already
+# compressed/encrypted (recompression is wasted work; near-zero
+# entropy flags corruption/padding). Exact byte histograms need 256
+# counters; the hex-NIBBLE histogram (16 counters) is the cheap proxy
+# both engines can compute with pure string built-ins — and the
+# entropy sum is written as an explicit 16-term left-to-right
+# expression so the doubles are bit-identical cross-engine.
+
+_NIBBLES = "0123456789ABCDEF"
+
+
+def _nibble_terms(h: str, ln: str) -> str:
+    """Entropy in MICRO-NATS as an exact int64 sum: each nibble's
+    -(c/L)*ln(c/L) term is floor(term*1e6 + 0.5)-quantized to BIGINT
+    before summing (the profile_column_entropy discipline) — JVM and
+    libm ln() can differ by 1 ulp on some inputs (measured: 11/500
+    docs on the raw 16-term double sum), and per-term quantization
+    makes that harmless except on measure-zero boundary inputs."""
+    terms = []
+    for c in _NIBBLES:
+        cnt = f"(length({h}) - length(replace({h}, '{c}', '')))"
+        pp = f"(CAST({cnt} AS DOUBLE) / CAST({ln} AS DOUBLE))"
+        terms.append(
+            f"(CASE WHEN {cnt} > 0 THEN CAST(FLOOR(-({pp} * ln({pp}))"
+            f" * 1000000e0 + 0.5e0) AS BIGINT) ELSE 0 END)"
+        )
+    return "(CAST((" + " + ".join(terms) + ") AS DOUBLE) / 1000000e0)"
+
+
+_ENTROPY_ORACLE = f"""
+WITH p AS (
+    SELECT doc_id, upper(hex(encode(text))) AS h,
+           CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
+    FROM documents WHERE text IS NOT NULL AND length(text) > 0
+)
+SELECT doc_id, n_bytes,
+       {_nibble_terms('h', '(n_bytes * 2)')} AS entropy_nats,
+       CASE WHEN {_nibble_terms('h', '(n_bytes * 2)')} < 1.5e0
+            THEN 'low' ELSE 'normal' END AS entropy_class
+FROM p
+"""
+
+
+@query("multimodal_nibble_entropy", _ENTROPY_ORACLE)
+def q_multimodal_nibble_entropy(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Payload nibble-entropy screen → (doc_id, n_bytes, entropy_nats,
+    entropy_class): Shannon entropy of the payload's hex-nibble
+    distribution (16-symbol proxy for the byte histogram — max ln 16 ≈
+    2.77 nats). 'low' (< 1.5 nats) marks degenerate/padded payloads;
+    already-compressed bytes sit near the maximum, telling a 100 TB
+    ingest which payloads to skip recompressing.
+
+    Scale shape: map-only (zero Exchange) — one hex projection and 16
+    fixed-order count/entropy terms per row, all JVM string built-ins;
+    the payload column itself never shuffles. The decode-free sibling
+    of multimodal_decode's stubbed feature extraction.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    from ..operators.multimodal import attach_payload
+
+    p = attach_payload(
+        d.filter(F.col("text").isNotNull() & (F.length("text") > 0))
+    ).select(
+        "doc_id",
+        F.upper(F.hex(F.col("payload"))).alias("h"),
+        F.col("meta.n_bytes").alias("n_bytes"),
+    )
+    ent = F.expr(_nibble_terms("h", "(n_bytes * 2)"))
+    return p.select(
+        "doc_id",
+        "n_bytes",
+        ent.alias("entropy_nats"),
+        F.when(ent < 1.5, F.lit("low"))
+        .otherwise(F.lit("normal"))
+        .alias("entropy_class"),
+    )

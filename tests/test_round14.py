@@ -321,3 +321,93 @@ class TestStreamScd2Apply:
             for a, b in zip(ivs, ivs[1:]):
                 assert a.valid_to == b.valid_from  # gap-free chain
             assert ivs[-1].valid_to is None
+
+
+class TestIvmAggMaintenance:
+    def test_maintained_equals_direct_recompute(self, spark):
+        """IVM algebra check via an independent Spark path: aggregate
+        the refreshed relation DIRECTLY and compare to the signed
+        partial merge (the oracle proves it against DuckDB; this
+        proves it against a second in-engine plan)."""
+        got = {
+            (r.l_returnflag, r.l_linestatus): (
+                r.sum_qty,
+                r.sum_base_price,
+                r.count_order,
+            )
+            for r in registry.QUERIES["pipeline_ivm_agg_maintenance"](
+                spark, SF
+            ).collect()
+        }
+        li = spark.read.parquet(f"{SF}/lineitem.parquet")
+        refreshed = li.filter(F.col("l_orderkey") % 97 != 0).select(
+            "l_returnflag",
+            "l_linestatus",
+            F.col("l_quantity").cast("decimal(18,2)").alias("q"),
+            F.col("l_extendedprice").cast("decimal(18,2)").alias("p"),
+        ).unionByName(
+            li.filter(F.col("l_orderkey") % 89 == 0).select(
+                "l_returnflag",
+                "l_linestatus",
+                (F.col("l_quantity") + 1).cast("decimal(18,2)").alias("q"),
+                F.col("l_extendedprice").cast("decimal(18,2)").alias("p"),
+            )
+        )
+        want = {
+            (r.l_returnflag, r.l_linestatus): (
+                r.sum_qty,
+                r.sum_base_price,
+                r.count_order,
+            )
+            for r in refreshed.groupBy("l_returnflag", "l_linestatus")
+            .agg(
+                F.sum("q").cast("double").alias("sum_qty"),
+                F.sum("p").cast("double").alias("sum_base_price"),
+                F.count("*").cast("bigint").alias("count_order"),
+            )
+            .collect()
+        }
+        assert got == want
+
+    def test_delta_only_plan(self, spark):
+        """The merge never re-aggregates the refreshed base: the plan
+        holds exactly three aggregations over lineitem scans (base,
+        deletes, inserts) plus the final partial merge — no join, no
+        scan of a unioned refreshed relation."""
+        plan = registry.QUERIES["pipeline_ivm_agg_maintenance"](
+            spark, SF
+        )._jdf.queryExecution().executedPlan().toString()
+        assert "Join" not in plan
+
+
+class TestNibbleEntropy:
+    def test_matches_python_and_bounds(self, spark):
+        import math
+
+        rows = registry.QUERIES["multimodal_nibble_entropy"](
+            spark, SF
+        ).collect()
+        assert rows
+        docs = {
+            r.doc_id: r.text
+            for r in spark.read.parquet(
+                f"{SF}/documents.parquet"
+            ).collect()
+            if r.text
+        }
+        for r in rows[:100]:
+            raw = docs[r.doc_id].encode("utf-8")
+            assert r.n_bytes == len(raw)
+            h = raw.hex().upper()
+            total = 0
+            for c in "0123456789ABCDEF":
+                n = h.count(c)
+                if n:
+                    p = n / len(h)
+                    total += math.floor(-p * math.log(p) * 1e6 + 0.5)
+            want = total / 1e6
+            assert abs(r.entropy_nats - want) < 1e-9
+            assert 0.0 <= r.entropy_nats <= math.log(16) + 1e-6
+            assert r.entropy_class == (
+                "low" if r.entropy_nats < 1.5 else "normal"
+            )
