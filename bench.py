@@ -294,6 +294,7 @@ EXT_HEADLINE = [
     "supplier_scorecard_weighted",
     "pipeline_ivm_agg_maintenance",
     "multimodal_nibble_entropy",
+    "events_attribution_shapley",
 ]
 
 

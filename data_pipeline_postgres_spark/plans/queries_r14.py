@@ -1072,3 +1072,209 @@ def q_multimodal_nibble_entropy(
         .otherwise(F.lit("normal"))
         .alias("entropy_class"),
     )
+
+
+# -- events_attribution_shapley ---------------------------------------------------
+# Completes the attribution family (first/last touch, linear, Markov
+# removal-effect) with the game-theoretic member: Shapley values over
+# channel coalitions. Journeys (a user's events since their previous
+# purchase, the family's shared definition) reduce to a 4-bit touched-
+# channel mask; the coalition value v(S) counts converting journeys
+# whose touch set is contained in S; each channel's Shapley value is
+# the weighted sum of its marginal contributions v(S ∪ {i}) − v(S).
+# With k=4 fixed channels the whole game lives on 16 coalition rows,
+# and multiplying the |S|!(k−1−|S|)!/k! weights by k!=24 keeps every
+# step in exact int64 — the only float is one final /24 division.
+
+_SHAPLEY_CHANNELS = (  # fixed channel universe -> bit positions
+    ("click", 1),
+    ("error", 2),
+    ("signup", 4),
+    ("view", 8),
+)
+_SHAPLEY_K = 4
+# |S|! * (k-1-|S|)! for k=4, indexed by |S| = popcount(S)
+_SHAPLEY_W = {0: 6, 1: 2, 2: 2, 3: 6}
+
+_SHAPLEY_BIT_SQL = (
+    "CASE event_type WHEN 'click' THEN 1 WHEN 'error' THEN 2 "
+    "WHEN 'signup' THEN 4 WHEN 'view' THEN 8 ELSE 0 END"
+)
+_SHAPLEY_WEIGHT_SQL = (
+    "CASE bit_count(S) WHEN 0 THEN 6 WHEN 1 THEN 2 WHEN 2 THEN 2 "
+    "ELSE 6 END"
+)
+
+_SHAPLEY_ORACLE = f"""
+WITH e AS (
+    SELECT user_id, event_type, ts, event_id,
+           {_SHAPLEY_BIT_SQL} AS bit
+    FROM events
+),
+j AS (
+    SELECT user_id, event_type, bit,
+           COALESCE(SUM(CASE WHEN event_type = 'purchase' THEN 1
+                             ELSE 0 END) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+           ), 0) AS jid
+    FROM e
+),
+journeys AS (
+    SELECT user_id, jid,
+           bit_or(bit) AS mask,
+           MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+               AS converted
+    FROM j GROUP BY 1, 2
+),
+conv AS (
+    SELECT mask, CAST(COUNT(*) AS BIGINT) AS n
+    FROM journeys WHERE converted = 1 AND mask > 0
+    GROUP BY 1
+),
+subsets AS (SELECT unnest(range(0, 16)) AS S),
+v AS (
+    SELECT S, CAST(COALESCE(SUM(n), 0) AS BIGINT) AS val
+    FROM subsets LEFT JOIN conv ON (conv.mask & subsets.S) = conv.mask
+    GROUP BY S
+),
+channels(channel, bit) AS (
+    VALUES ('click', 1), ('error', 2), ('signup', 4), ('view', 8)
+),
+marginals AS (
+    SELECT c.channel,
+           CAST(SUM((CASE bit_count(vs.S) WHEN 0 THEN 6 WHEN 1 THEN 2
+                     WHEN 2 THEN 2 ELSE 6 END)
+                    * (vp.val - vs.val)) AS BIGINT) AS shapley_x24
+    FROM channels c
+    JOIN v vs ON (vs.S & c.bit) = 0
+    JOIN v vp ON vp.S = (vs.S | c.bit)
+    GROUP BY 1
+),
+touched AS (
+    SELECT c.channel,
+           CAST(COALESCE(SUM(conv.n), 0) AS BIGINT) AS n_journeys_touched
+    FROM channels c
+    LEFT JOIN conv ON (conv.mask & c.bit) <> 0
+    GROUP BY 1
+)
+SELECT m.channel, t.n_journeys_touched, m.shapley_x24,
+       CAST(m.shapley_x24 AS DOUBLE) / 24e0 AS shapley
+FROM marginals m JOIN touched t USING (channel)
+"""
+
+
+@query("events_attribution_shapley", _SHAPLEY_ORACLE)
+def q_events_attribution_shapley(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Shapley-value conversion attribution → (channel,
+    n_journeys_touched, shapley_x24, shapley): each channel's average
+    marginal contribution to the coalition conversion count v(S) =
+    |converting journeys touching only channels in S|, over all
+    orderings of the 4-channel universe. Shapley's efficiency axiom
+    makes the values sum exactly to v(full) — the total attributed
+    conversions — which the round-14 tests assert from the x24
+    integers, not a float tolerance.
+
+    Scale shape: ONE user-keyed window splits journeys (the family's
+    shared shuffle), one (user, jid) groupBy reduces each journey to a
+    4-bit mask via bit_or, and from there the ENTIRE game is algebra
+    on a <=15-row mask-count relation x 16 coalition rows — journey
+    volume never touches the Shapley combinatorics. k is a fixed
+    literal universe: the k! weight table and the 2^k coalition
+    lattice are compile-time constants (exact up to k~20 before int64
+    weights overflow; marketing channel counts live well below that).
+    """
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        "event_type",
+        F.col("ts").cast("timestamp").alias("ts"),
+        "event_id",
+    )
+    bit = F.when(F.col("event_type") == "click", 1)
+    for name, b in _SHAPLEY_CHANNELS[1:]:
+        bit = bit.when(F.col("event_type") == name, b)
+    bit = bit.otherwise(0)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    j = ev.withColumn("bit", bit).withColumn(
+        "jid",
+        F.coalesce(
+            F.sum(
+                F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+            ).over(w),
+            F.lit(0),
+        ),
+    )
+    journeys = j.groupBy("user_id", "jid").agg(
+        F.bit_or("bit").alias("mask"),
+        F.max(
+            F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+        ).alias("converted"),
+    )
+    conv = (
+        journeys.filter((F.col("converted") == 1) & (F.col("mask") > 0))
+        .groupBy("mask")
+        .agg(F.count("*").cast("bigint").alias("n"))
+    )
+    subsets = F.broadcast(
+        j.sparkSession.range(16).select(F.col("id").cast("int").alias("S"))
+    )
+    v = (
+        subsets.join(
+            F.broadcast(conv),
+            F.expr("(mask & S) = mask"),
+            "left",
+        )
+        .groupBy("S")
+        .agg(F.coalesce(F.sum("n"), F.lit(0)).cast("bigint").alias("val"))
+    )
+    channels = F.broadcast(
+        j.sparkSession.createDataFrame(
+            list(_SHAPLEY_CHANNELS), "channel string, bit int"
+        )
+    )
+    pc = F.bit_count(F.col("vs_S"))
+    weight = (
+        F.when(pc == 0, 6)
+        .when(pc == 1, 2)
+        .when(pc == 2, 2)
+        .otherwise(6)
+    )
+    vs = v.select(F.col("S").alias("vs_S"), F.col("val").alias("vs_val"))
+    vp = v.select(F.col("S").alias("vp_S"), F.col("val").alias("vp_val"))
+    marginals = (
+        channels.join(F.broadcast(vs), F.expr("(vs_S & bit) = 0"))
+        .join(F.broadcast(vp), F.expr("vp_S = (vs_S | bit)"))
+        .groupBy("channel")
+        .agg(
+            F.sum(weight * (F.col("vp_val") - F.col("vs_val")))
+            .cast("bigint")
+            .alias("shapley_x24")
+        )
+    )
+    touched = (
+        channels.join(
+            F.broadcast(conv), F.expr("(mask & bit) <> 0"), "left"
+        )
+        .groupBy("channel")
+        .agg(
+            F.coalesce(F.sum("n"), F.lit(0))
+            .cast("bigint")
+            .alias("n_journeys_touched")
+        )
+    )
+    return marginals.join(touched, "channel").select(
+        "channel",
+        "n_journeys_touched",
+        "shapley_x24",
+        (F.col("shapley_x24").cast("double") / F.lit(24.0)).alias(
+            "shapley"
+        ),
+    )

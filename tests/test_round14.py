@@ -411,3 +411,46 @@ class TestNibbleEntropy:
             assert r.entropy_class == (
                 "low" if r.entropy_nats < 1.5 else "normal"
             )
+
+
+class TestShapleyAttribution:
+    def test_efficiency_axiom_exact(self, spark):
+        """Shapley's efficiency axiom, asserted on the x24 integers:
+        the channel values sum EXACTLY to the total attributed
+        conversions v(full) = converting journeys with >=1 touch."""
+        rows = registry.QUERIES["events_attribution_shapley"](
+            spark, SF
+        ).collect()
+        assert {r.channel for r in rows} == {
+            "click", "error", "signup", "view",
+        }
+        ev = spark.read.parquet(f"{SF}/events.parquet").collect()
+        by_user: dict = {}
+        for e in ev:
+            by_user.setdefault(e.user_id, []).append(e)
+        bit = {"click": 1, "error": 2, "signup": 4, "view": 8}
+        v_full = 0
+        touched = dict.fromkeys(bit, 0)
+        for es in by_user.values():
+            es.sort(key=lambda e: (e.ts, e.event_id))
+            mask, converted = 0, False
+            journeys = []
+            for e in es:
+                if e.event_type == "purchase":
+                    journeys.append((mask, True))
+                    mask = 0
+                else:
+                    mask |= bit[e.event_type]
+            for m, conv in journeys:
+                if conv and m > 0:
+                    v_full += 1
+                    for c, b in bit.items():
+                        if m & b:
+                            touched[c] += 1
+        assert sum(r.shapley_x24 for r in rows) == 24 * v_full
+        for r in rows:
+            assert r.n_journeys_touched == touched[r.channel]
+            assert abs(r.shapley - r.shapley_x24 / 24.0) < 1e-12
+            # null player upper bound: no channel can earn more than
+            # the journeys it actually touched
+            assert r.shapley <= r.n_journeys_touched + 1e-9

@@ -217,6 +217,7 @@ SHOWCASE = [
     "supplier_scorecard_weighted",
     "pipeline_ivm_agg_maintenance",
     "multimodal_nibble_entropy",
+    "events_attribution_shapley",
 ]
 
 
