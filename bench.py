@@ -295,6 +295,8 @@ EXT_HEADLINE = [
     "pipeline_ivm_agg_maintenance",
     "multimodal_nibble_entropy",
     "events_attribution_shapley",
+    "parts_eoq_policy",
+    "events_gap_fill_interpolate",
 ]
 
 

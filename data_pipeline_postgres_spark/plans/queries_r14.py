@@ -1278,3 +1278,233 @@ def q_events_attribution_shapley(
             "shapley"
         ),
     )
+
+
+# -- parts_eoq_policy -------------------------------------------------------------
+# What the demand pipeline is FOR: turn per-part demand rates into an
+# inventory policy — the Economic Order Quantity sqrt(2DS/H) and a
+# lead-time reorder point. sqrt is the ONE correctly-rounded IEEE
+# power (verify-notes round 8), and everything under it is built from
+# exact int64 sums, shared literals, and basic IEEE ops — so the
+# doubles are bit-identical cross-engine with no quantization needed.
+
+_EOQ_ORDER_COST = 100.0  # fixed cost per purchase order ($)
+_EOQ_HOLD_FRAC = 0.2  # annual holding cost as a fraction of unit price
+_EOQ_LEAD_DAYS = 7.0
+
+_EOQ_ORACLE = f"""
+WITH span AS (
+    SELECT CAST(datediff('day', MIN(CAST(l_shipdate AS DATE)),
+                         MAX(CAST(l_shipdate AS DATE))) + 1 AS BIGINT)
+           AS n_days
+    FROM lineitem
+),
+d AS (
+    SELECT l_partkey AS p_partkey,
+           CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS total_qty
+    FROM lineitem GROUP BY 1
+)
+SELECT d.p_partkey, d.total_qty,
+       CAST(d.total_qty AS DOUBLE) * 365e0 / CAST(s.n_days AS DOUBLE)
+           AS annual_demand,
+       sqrt(2e0 * (CAST(d.total_qty AS DOUBLE) * 365e0
+                   / CAST(s.n_days AS DOUBLE)) * {_EOQ_ORDER_COST}e0
+            / ({_EOQ_HOLD_FRAC}e0 * p.p_retailprice)) AS eoq_units,
+       (CAST(d.total_qty AS DOUBLE) * 365e0 / CAST(s.n_days AS DOUBLE))
+           / 365e0 * {_EOQ_LEAD_DAYS}e0 AS reorder_point_units
+FROM d JOIN part p ON p.p_partkey = d.p_partkey
+CROSS JOIN span s
+WHERE p.p_retailprice > 0
+"""
+
+
+@query("parts_eoq_policy", _EOQ_ORACLE)
+def q_parts_eoq_policy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-part inventory policy from observed demand →
+    (p_partkey, total_qty, annual_demand, eoq_units,
+    reorder_point_units): EOQ = sqrt(2DS/H) with S the fixed order
+    cost, H = 20% of unit retail price per year, and a 7-day lead-time
+    reorder point — the downstream consumer of the flagship's demand
+    numbers (material_demand, demand_croston_forecast feed D in
+    production; here D is the observed annualized rate).
+
+    Scale shape: one map-side-combined int64 quantity sum per part,
+    one broadcast 1-row calendar span, one key join to the part dim —
+    and because sqrt is correctly rounded and every input reaches it
+    through exact sums and basic IEEE ops, the output hashes exactly
+    with zero quantization.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part").select(
+        "p_partkey", "p_retailprice"
+    )
+    span = li.agg(
+        (
+            F.datediff(
+                F.max(F.col("l_shipdate").cast("date")),
+                F.min(F.col("l_shipdate").cast("date")),
+            )
+            + 1
+        )
+        .cast("bigint")
+        .alias("n_days")
+    )
+    d = li.groupBy(F.col("l_partkey").alias("p_partkey")).agg(
+        F.sum(F.col("l_quantity").cast("bigint"))
+        .cast("bigint")
+        .alias("total_qty")
+    )
+    annual = (
+        F.col("total_qty").cast("double")
+        * F.lit(365.0)
+        / F.col("n_days").cast("double")
+    )
+    return (
+        d.join(p, "p_partkey")
+        .filter(F.col("p_retailprice") > 0)
+        .crossJoin(F.broadcast(span))
+        .select(
+            "p_partkey",
+            "total_qty",
+            annual.alias("annual_demand"),
+            F.sqrt(
+                F.lit(2.0)
+                * annual
+                * F.lit(_EOQ_ORDER_COST)
+                / (F.lit(_EOQ_HOLD_FRAC) * F.col("p_retailprice"))
+            ).alias("eoq_units"),
+            (annual / F.lit(365.0) * F.lit(_EOQ_LEAD_DAYS)).alias(
+                "reorder_point_units"
+            ),
+        )
+    )
+
+
+# -- events_gap_fill_interpolate --------------------------------------------------
+# events_forward_fill carries the LAST observation across gaps; linear
+# interpolation is the other canonical gap repair (sensor/finance
+# series, demand calendars). Per event_type, the sparse daily revenue
+# series is densified onto its min..max calendar and interior gaps are
+# filled with the straight line between the neighboring observations —
+# prev/next located with the same ignore-nulls window carries the
+# as-of family uses, no join against the observation relation.
+
+_GAPFILL_ORACLE = """
+WITH obs AS (
+    SELECT user_id, CAST(ts AS DATE) AS day,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS y
+    FROM events WHERE event_type = 'purchase' GROUP BY 1, 2
+),
+bounds AS (
+    SELECT user_id, MIN(day) AS d0, MAX(day) AS d1
+    FROM obs GROUP BY 1
+),
+cal AS (
+    SELECT user_id, CAST(u.d AS DATE) AS day
+    FROM bounds, unnest(generate_series(CAST(d0 AS TIMESTAMP),
+                                        CAST(d1 AS TIMESTAMP),
+                                        INTERVAL 1 DAY)) AS u(d)
+),
+g AS (
+    SELECT c.user_id, c.day, o.y,
+           last_value(o.y IGNORE NULLS) OVER w_prev AS prev_y,
+           last_value(CASE WHEN o.y IS NOT NULL THEN c.day END
+                      IGNORE NULLS) OVER w_prev AS prev_d,
+           first_value(o.y IGNORE NULLS) OVER w_next AS next_y,
+           first_value(CASE WHEN o.y IS NOT NULL THEN c.day END
+                       IGNORE NULLS) OVER w_next AS next_d
+    FROM cal c LEFT JOIN obs o
+      ON o.user_id = c.user_id AND o.day = c.day
+    WINDOW
+      w_prev AS (PARTITION BY c.user_id ORDER BY c.day
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+      w_next AS (PARTITION BY c.user_id ORDER BY c.day
+                 ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+)
+SELECT user_id, day,
+       y IS NOT NULL AS is_observed,
+       CASE WHEN y IS NOT NULL THEN y
+            ELSE prev_y + (next_y - prev_y)
+                 * (CAST(datediff('day', prev_d, day) AS DOUBLE)
+                    / CAST(datediff('day', prev_d, next_d) AS DOUBLE))
+       END AS y_filled
+FROM g
+"""
+
+
+@query("events_gap_fill_interpolate", _GAPFILL_ORACLE)
+def q_events_gap_fill_interpolate(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Linear-interpolation gap fill → (user_id, day, is_observed,
+    y_filled): each user's sparse daily purchase-revenue series
+    densified onto its own min..max calendar (~60% of calendar days
+    are gaps on this corpus at every SF), interior gaps filled with
+    the straight line between neighboring observations — the other
+    half of the gap-repair pair with events_forward_fill. Endpoints
+    are observed by construction (the calendar is bounded by
+    observations), so interpolation is total.
+
+    Scale shape: one (user, day) aggregate, a calendar explode bounded
+    by each series' span, and two ignore-nulls window carries per
+    series — the same single-shuffle carry discipline as the as-of
+    family; no self-join against the observation relation. Series
+    count and calendar rows both grow LINEARLY with users (measured
+    15/150/1500 series at sf0.001/0.01/0.1), and every window is
+    partitioned by the series key.
+
+    Float contract: y_filled is prev + (next-prev) * (dt/span) over
+    IEEE basic ops only (+,-,*,/) on decimal-exact endpoints —
+    bit-identical cross-engine, no transcendentals (FIXTURES.md F7).
+    """
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    obs = ev.filter(F.col("event_type") == "purchase").groupBy(
+        "user_id", F.col("ts").cast("date").alias("day")
+    ).agg(
+        F.sum(F.col("value").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("y")
+    )
+    cal = (
+        obs.groupBy("user_id")
+        .agg(F.min("day").alias("d0"), F.max("day").alias("d1"))
+        .select(
+            "user_id",
+            F.explode(F.sequence("d0", "d1")).alias("day"),
+        )
+    )
+    g = cal.join(obs, ["user_id", "day"], "left")
+    w_prev = (
+        Window.partitionBy("user_id")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    w_next = (
+        Window.partitionBy("user_id")
+        .orderBy("day")
+        .rowsBetween(0, Window.unboundedFollowing)
+    )
+    obs_day = F.when(F.col("y").isNotNull(), F.col("day"))
+    g = g.select(
+        "user_id",
+        "day",
+        "y",
+        F.last("y", ignorenulls=True).over(w_prev).alias("prev_y"),
+        F.last(obs_day, ignorenulls=True).over(w_prev).alias("prev_d"),
+        F.first("y", ignorenulls=True).over(w_next).alias("next_y"),
+        F.first(obs_day, ignorenulls=True).over(w_next).alias("next_d"),
+    )
+    lerp = F.col("prev_y") + (F.col("next_y") - F.col("prev_y")) * (
+        F.datediff(F.col("day"), F.col("prev_d")).cast("double")
+        / F.datediff(F.col("next_d"), F.col("prev_d")).cast("double")
+    )
+    return g.select(
+        "user_id",
+        "day",
+        F.col("y").isNotNull().alias("is_observed"),
+        F.when(F.col("y").isNotNull(), F.col("y"))
+        .otherwise(lerp)
+        .alias("y_filled"),
+    )

@@ -54,13 +54,14 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 # 1 + 15 + 18 + 16 = 50.
 #
 # Round-15 rotation queue (committed now per the standing VERDICT
-# discipline): the 12 round-14 net-new queries first
+# discipline): the 14 round-14 net-new queries first
 # (stream_scd2_apply, dedup_bloom_incremental, emb_ivf_delta_merge,
 # layout_file_skipping_audit, layout_partition_skew_audit,
 # parts_er_fuzzy_name, parts_price_elasticity,
 # customers_dp_group_counts, supplier_scorecard_weighted,
 # pipeline_ivm_agg_maintenance, multimodal_nibble_entropy,
-# events_attribution_shapley — all
+# events_attribution_shapley, parts_eoq_policy,
+# events_gap_fill_interpolate — all
 # locally oracle-verified at sf0.001 + sf0.01 + sf0.1 with the inline
 # Arrow type audit), then the 32 remaining round-7-stale rows,
 # alphabetically:

@@ -454,3 +454,59 @@ class TestShapleyAttribution:
             # null player upper bound: no channel can earn more than
             # the journeys it actually touched
             assert r.shapley <= r.n_journeys_touched + 1e-9
+
+
+class TestEoqPolicy:
+    def test_formula_exact(self, spark):
+        import math
+
+        rows = registry.QUERIES["parts_eoq_policy"](spark, SF).collect()
+        assert rows
+        li = spark.read.parquet(f"{SF}/lineitem.parquet")
+        span = li.selectExpr(
+            "datediff(max(cast(l_shipdate as date)),"
+            " min(cast(l_shipdate as date))) + 1 as n"
+        ).collect()[0].n
+        price = {
+            r.p_partkey: r.p_retailprice
+            for r in spark.read.parquet(f"{SF}/part.parquet").collect()
+        }
+        qty: dict = {}
+        for r in li.groupBy("l_partkey").agg(
+            F.sum(F.col("l_quantity").cast("bigint")).alias("q")
+        ).collect():
+            qty[r.l_partkey] = r.q
+        for r in rows[:50]:
+            assert r.total_qty == qty[r.p_partkey]
+            annual = r.total_qty * 365.0 / span
+            assert r.annual_demand == annual
+            assert r.eoq_units == math.sqrt(
+                2.0 * annual * 100.0 / (0.2 * price[r.p_partkey])
+            )
+            assert r.reorder_point_units == annual / 365.0 * 7.0
+
+
+class TestGapFillInterpolate:
+    def test_interpolation_exact_and_gaps_present(self, spark):
+        rows = registry.QUERIES["events_gap_fill_interpolate"](
+            spark, SF
+        ).collect()
+        assert rows
+        n_gap = sum(1 for r in rows if not r.is_observed)
+        assert n_gap > 0  # the corpus genuinely exercises the lerp arm
+        by_user: dict = {}
+        for r in rows:
+            by_user.setdefault(r.user_id, []).append(r)
+        for series in by_user.values():
+            series.sort(key=lambda r: r.day)
+            # endpoints observed (calendar bounded by observations)
+            assert series[0].is_observed and series[-1].is_observed
+            obs = [
+                (i, r.y_filled)
+                for i, r in enumerate(series)
+                if r.is_observed
+            ]
+            for (i0, y0), (i1, y1) in zip(obs, obs[1:]):
+                for j in range(i0 + 1, i1):
+                    want = y0 + (y1 - y0) * ((j - i0) / (i1 - i0))
+                    assert series[j].y_filled == want
