@@ -1646,11 +1646,19 @@ def scd2_apply_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     ]
     import time as _time
 
-    for cond in ranges:
+    # FileStreamSource orders new files by modification time; the
+    # date-tercile batches MUST arrive in order for the SCD2 fold.
+    # Timing-based ordering (a sleep between writes) breaks on
+    # coarse-mtime filesystems, so pin each tercile's part files to an
+    # EXPLICIT, strictly increasing mtime instead (r14 advisory).
+    t0 = _time.time()
+    for i, cond in enumerate(ranges):
+        before = set(os.listdir(src)) if os.path.exists(src) else set()
         typed.filter(cond).coalesce(1).write.mode("append").parquet(src)
-        # FileStreamSource orders new files by modification time; the
-        # date-tercile batches MUST arrive in order for the SCD2 fold
-        _time.sleep(0.05)
+        stamp = t0 + 10.0 * i
+        for name in set(os.listdir(src)) - before:
+            if name.endswith(".parquet"):
+                os.utime(os.path.join(src, name), (stamp, stamp))
 
     dim_root = os.path.join(_SCRATCH, "scd2_dim")
     if os.path.exists(dim_root):
@@ -1717,13 +1725,18 @@ def scd2_apply_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     final = spark.read.parquet(
         os.path.join(dim_root, f"v{versions[-1]}")
     )
-    # nullable validity bounds surface as TIMESTAMP_NTZ, never LTZ or
-    # DATE (FIXTURES.md F6 — the cdc_scd2_apply r12/r13 lesson)
+    # validity bounds surface as NULL-FREE TIMESTAMP_NTZ: sentinel
+    # 9999-12-31 on the open interval (FIXTURES.md F6 — the
+    # cdc_scd2_apply r12/r13/r14 lesson: every hash-red shared the
+    # null-bearing-timestamp shape while values were exact)
+    open_end = F.lit("9999-12-31 00:00:00").cast("timestamp_ntz")
     return final.select(
         "o_custkey",
         "o_orderkey",
         "o_totalprice",
         F.col("valid_from").cast("timestamp_ntz").alias("valid_from"),
-        F.col("valid_to").cast("timestamp_ntz").alias("valid_to"),
+        F.coalesce(
+            F.col("valid_to").cast("timestamp_ntz"), open_end
+        ).alias("valid_to"),
         "is_current",
     )

@@ -106,18 +106,24 @@ class TestScd2ApplyInvariants:
             .count()
         )
         assert cur == 0, "a key has != 1 current row"
+        # r15 shape: valid_to is NULL-FREE — open intervals carry the
+        # 9999-12-31 sentinel (FIXTURES.md F6)
+        sentinel = F.lit("9999-12-31 00:00:00").cast("timestamp_ntz")
+        assert (
+            df.filter(F.col("valid_to").isNull()).count() == 0
+        ), "valid_to must be null-free (sentinel shape)"
         assert (
             df.filter(~F.col("is_current"))
-            .filter(F.col("valid_to").isNull())
+            .filter(F.col("valid_to") >= sentinel)
             .count()
             == 0
-        ), "a closed row lost its valid_to"
+        ), "a closed row carries the open-interval sentinel"
         assert (
             df.filter(F.col("is_current"))
-            .filter(F.col("valid_to").isNotNull())
+            .filter(F.col("valid_to") != sentinel)
             .count()
             == 0
-        ), "a current row carries a valid_to"
+        ), "a current row must carry the open-interval sentinel"
 
 
 class TestForecasters:

@@ -579,7 +579,21 @@ def main() -> None:
     ]
     for name, truth, measured in accuracy_rows(spark, sf_dir):
         out.append(f"| `{name}` | {truth} | {measured} |")
-    out.append("")
+    out += [
+        "",
+        "### Standing demotions & caveats",
+        "",
+        "- `customers_dp_group_counts` is NOT ACTUALLY PRIVATE (r14",
+        "  judge demotion, mirroring the `sim_topk_lsh` discipline):",
+        "  the Laplace draw is a deterministic, INVERTIBLE function of",
+        "  the true count (LCG mix of n) and the true n ships in the",
+        "  output — it demonstrates the epsilon-DP release PLAN SHAPE",
+        "  only. A real release swaps the one `_DP_NOISE` expression",
+        "  for a secure RNG and drops the n column.",
+        "- `sim_topk_lsh` is a regime study, not an offering (demoted",
+        "  r10; see its table row) — use `sim_ann_ivf` for top-k.",
+        "",
+    ]
     for name in SHOWCASE:
         if name not in registry.QUERIES:
             continue

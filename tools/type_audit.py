@@ -118,6 +118,20 @@ for name in names:
             print(f"{name}: NULL-BEARING LTZ column(s) {null_ltz} — "
                   "driver-hash-red shape, cast to timestamp_ntz "
                   "(FIXTURES.md F6, cdc_scd2_apply r13)")
+    # Per-column NULLABILITY report (FIXTURES.md F6, round 15): the
+    # type-family comparison alone let cdc_scd2_apply pass locally
+    # while the driver hash-failed three rounds running — the blind
+    # spot was WHICH columns actually carry nulls. Report every
+    # null-bearing oracle column with its Arrow type so the
+    # null-timestamp sweep is mechanical; WARN on any null-bearing
+    # timestamp flavor until the r15 scd2_intervals experiment lands.
+    for f in tbl.schema:
+        nc = tbl.column(f.name).null_count
+        if nc > 0:
+            suspect = pat.is_timestamp(f.type) or pat.is_date(f.type)
+            tag = " [HASH-SUSPECT: null-bearing timestamp]" if suspect else ""
+            print(f"{name}: NULLS {f.name} arrow={f.type} "
+                  f"nulls={nc}/{tbl.num_rows}{tag}")
 
 print(f"\naudited {len(names)}; type-mismatched {len(bad)}; errors {len(err)}")
 if bad:
