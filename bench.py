@@ -297,6 +297,11 @@ EXT_HEADLINE = [
     "events_attribution_shapley",
     "parts_eoq_policy",
     "events_gap_fill_interpolate",
+    # round-15 additions
+    "orders_theil_sen_trend_long",
+    "orders_price_index_laspeyres",
+    "lineitem_p_chart",
+    "stream_ivm_agg_maintenance",
 ]
 
 

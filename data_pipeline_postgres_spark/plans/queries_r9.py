@@ -4920,8 +4920,9 @@ def q_orders_theil_sen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     round-10 advisory: the old driver-side ``daily.count()`` guard
     paid a full orders scan at BUILD time for any caller that merely
     constructs the DataFrame), and the first action raises loudly
-    naming the repeated-median / deterministic-pair-sample variant as
-    the long-calendar path instead of silently going
+    naming ``orders_theil_sen_trend_long`` (queries_r15.py, the
+    deterministic md5 pair-sample estimator implemented r15) as the
+    long-calendar path instead of silently going
     quadratic-in-calendar."""
     from pyspark.sql import Window
 
@@ -4951,9 +4952,10 @@ def q_orders_theil_sen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(
                 f" distinct days exceeds the {_TS_MAX_DAYS}-day "
                 "ceiling (quadratic pairwise-slope stage). For longer "
-                "calendars use a repeated-median or a deterministic "
-                "md5 pair sample instead of the exact all-pairs "
-                "median."
+                "calendars use orders_theil_sen_trend_long "
+                "(queries_r15.py): a deterministic md5 uniform pair "
+                "sample, O(K*n) slopes, same triangular gap law as "
+                "the exact pair set."
             ),
         ),
     )

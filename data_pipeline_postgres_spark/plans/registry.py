@@ -143,6 +143,7 @@ def load_all() -> None:
     from . import queries_r12  # noqa: F401
     from . import queries_r13  # noqa: F401
     from . import queries_r14  # noqa: F401
+    from . import queries_r15  # noqa: F401
     from . import queries_tpch  # noqa: F401
 
     _reorder()

@@ -1740,3 +1740,121 @@ def scd2_apply_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("valid_to"),
         "is_current",
     )
+
+
+def ivm_agg_maintenance_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming incremental view maintenance — the ingest-side twin of
+    the batch ``pipeline_ivm_agg_maintenance`` (queries_r14.py): a
+    standing q1-style pricing aggregate absorbs a 3-batch AvailableNow
+    refresh stream (base load, delete batch, insert batch) as SIGNED
+    PARTIALS, never re-aggregating the base relation.
+
+    Each refresh file carries (l_returnflag, l_linestatus, qty, price,
+    sign): deletes ship sign = -1, inserts/base sign = +1, and every
+    micro-batch folds into the standing aggregate as
+    ``new = old + sign * agg(batch)`` — valid because SUM/COUNT form
+    an abelian group, which also makes the drain ARRIVAL-ORDER
+    INVARIANT (unlike scd2_apply_stream, no mtime pinning is needed:
+    any batch interleaving converges to the same aggregate).
+
+    Fault tolerance: the standing aggregate is a batch_id-keyed
+    VERSION CHAIN (``v{batch_id}`` reads ``v{batch_id - 1}``), so
+    foreachBatch's at-least-once replay lands exactly-once — the same
+    contract as scd2_apply_stream / dq_constraints_stream.
+
+    At 100 TB the standing aggregate is a |groups|-row relation and
+    each micro-batch costs one map-side-combined groupBy of the BATCH
+    — the fact table is read exactly once at initial load and never
+    again; that is the entire point of IVM. Decimal partials keep the
+    merge exact (the float policy), so the drained result hashes
+    bit-identically to the oracle's direct recompute of the refreshed
+    relation.
+    """
+    from ..plans.queries_r14 import _IVM_DEL_MOD, _IVM_INS_MOD
+
+    src = _scratch("ivm_src")
+    li = load_table(spark, sf_dir, "lineitem")
+    qty = F.col("l_quantity").cast("decimal(18,2)")
+    price = F.col("l_extendedprice").cast("decimal(18,2)")
+    typed = li.select(
+        "l_returnflag",
+        "l_linestatus",
+        qty.alias("qty"),
+        price.alias("price"),
+        "l_orderkey",
+    )
+    batches = [
+        # base load: the full relation, sign +1
+        typed.select(
+            "l_returnflag", "l_linestatus", "qty", "price",
+            F.lit(1).alias("sign"),
+        ),
+        # delete batch: refunded keys, sign -1
+        typed.filter(F.col("l_orderkey") % _IVM_DEL_MOD == 0).select(
+            "l_returnflag", "l_linestatus", "qty", "price",
+            F.lit(-1).alias("sign"),
+        ),
+        # insert batch: modified copies (quantity + 1), sign +1
+        typed.filter(F.col("l_orderkey") % _IVM_INS_MOD == 0).select(
+            "l_returnflag",
+            "l_linestatus",
+            (F.col("qty") + 1).cast("decimal(18,2)").alias("qty"),
+            "price",
+            F.lit(1).alias("sign"),
+        ),
+    ]
+    schema = batches[0].schema
+    for b in batches:
+        b.coalesce(1).write.mode("append").parquet(src)
+
+    agg_root = os.path.join(_SCRATCH, "ivm_agg")
+    if os.path.exists(agg_root):
+        shutil.rmtree(agg_root)
+
+    def step(batch_df: DataFrame, batch_id: int) -> None:
+        part = batch_df.groupBy("l_returnflag", "l_linestatus").agg(
+            F.sum(F.col("qty") * F.col("sign"))
+            .cast("decimal(18,2)")
+            .alias("p_qty"),
+            F.sum(F.col("price") * F.col("sign"))
+            .cast("decimal(18,2)")
+            .alias("p_price"),
+            F.sum("sign").cast("bigint").alias("p_n"),
+        )
+        prev_dir = os.path.join(agg_root, f"v{batch_id - 1}")
+        if batch_id > 0 and os.path.exists(prev_dir):
+            part = spark.read.parquet(prev_dir).unionByName(part)
+        merged = part.groupBy("l_returnflag", "l_linestatus").agg(
+            F.sum("p_qty").cast("decimal(18,2)").alias("p_qty"),
+            F.sum("p_price").cast("decimal(18,2)").alias("p_price"),
+            F.sum("p_n").cast("bigint").alias("p_n"),
+        )
+        merged.write.mode("overwrite").parquet(
+            os.path.join(agg_root, f"v{batch_id}")
+        )
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    with _shuffle_partitions(spark, 8):
+        q = (
+            stream.writeStream.foreachBatch(step)
+            .option("checkpointLocation", _scratch("ivm_ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    versions = sorted(
+        int(v[1:]) for v in os.listdir(agg_root) if v.startswith("v")
+    )
+    final = spark.read.parquet(os.path.join(agg_root, f"v{versions[-1]}"))
+    return final.select(
+        "l_returnflag",
+        "l_linestatus",
+        F.col("p_qty").cast("double").alias("sum_qty"),
+        F.col("p_price").cast("double").alias("sum_base_price"),
+        F.col("p_n").alias("count_order"),
+    )
