@@ -302,6 +302,7 @@ EXT_HEADLINE = [
     "orders_price_index_laspeyres",
     "lineitem_p_chart",
     "stream_ivm_agg_maintenance",
+    "tokenizer_bpe_apply",
 ]
 
 

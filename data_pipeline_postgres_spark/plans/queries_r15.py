@@ -17,6 +17,11 @@
   query — a standing aggregate absorbs base/delete/insert refresh
   batches as signed partials in foreachBatch, arrival-order invariant
   because SUM/COUNT form an abelian group.
+- ``tokenizer_bpe_apply``: the APPLY half of the BPE tokenizer family
+  — train classic character-level BPE on the capped word-type table,
+  encode distinct types with an Arrow-batched pandas UDF, publish
+  per-source fertility; rows-only with an exact pure-Python
+  reference-equality pytest gate.
 
 Conventions identical to queries_r9..r14: every computed column
 aliased the same in the Spark plan and the DuckDB oracle; counts CAST
@@ -475,3 +480,85 @@ def q_stream_ivm_agg_maintenance(
     from ..streaming import jobs as stream_jobs
 
     return stream_jobs.ivm_agg_maintenance_stream(spark, sf_dir)
+
+
+# -- tokenizer_bpe_apply -----------------------------------------------------------
+# The missing APPLY half of the tokenizer family: bpe_pair_merges /
+# docs_bpe_train_merges demonstrate merge SELECTION; this trains the
+# classic character-level BPE (Sennrich et al. 2016) on the
+# frequency-weighted word-type table and ENCODES the corpus with it,
+# publishing per-source fertility — the number every tokenizer-budget
+# decision (docs_token_budget_select, tokenizer_fertility_by_lang)
+# consumes. Sequential merge application is not SQL-expressible, so
+# this is a rows-only query with an EXACT pytest gate: the Spark
+# pipeline's piece counts must equal an independent pure-Python
+# reference encode of the whole corpus (tests/test_round15.py).
+
+_BPE_APPLY_TRAIN_TYPES = 1 << 14  # train on the top-16k types
+_BPE_APPLY_MERGES = 60
+
+
+@query("tokenizer_bpe_apply")
+def q_tokenizer_bpe_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train a 60-merge character-level BPE on the corpus's top-16k
+    word types (frequency-weighted, deterministic tie-breaks) and
+    encode EVERY word with it -> per-source
+    (source, n_word_types, n_words, n_pieces, fertility): fertility =
+    BPE pieces per whitespace word, the compression measure tokenizer
+    QA publishes per language/source slice.
+
+    UDF policy (SURVEY §2.10): the encode kernel is an Arrow-batched
+    pandas UDF applied to DISTINCT word types only — identical words
+    encode identically, so the Python path touches |vocab| rows while
+    the token stream stays JVM-side; per-type piece counts join back
+    to the per-(source, type) frequency relation and aggregate with
+    exact int64 arithmetic (fertility is the single final division).
+
+    Scale shape: one explode + ONE (source, word) map-side-combined
+    count of the corpus; the global type table derives from it by a
+    second (small) aggregate. Training collects the CAPPED top-16k
+    type rows — a bounded driver artifact in the documented class
+    (Markov matrix, Gram matrix): real trainers cap candidate vocab
+    identically, and the cap holds at any corpus size. The merge
+    table ships to executors inside the UDF closure (~60 pairs).
+    """
+    from ..functions import text as TX
+    from ..operators import bpe
+
+    docs = load_table(spark, sf_dir, "documents")
+    words = docs.select(
+        "source", F.explode(TX.tokens("text")).alias("w")
+    ).filter(F.length("w") > 0)
+    per_sw = words.groupBy("source", "w").agg(
+        F.count("*").cast("bigint").alias("n")
+    ).localCheckpoint(eager=False)
+    top_types = (
+        per_sw.groupBy("w")
+        .agg(F.sum("n").cast("bigint").alias("n"))
+        .orderBy(F.desc("n"), "w")
+        .limit(_BPE_APPLY_TRAIN_TYPES)
+        .collect()
+    )
+    merges = bpe.train_merges(
+        [(r["w"], r["n"]) for r in top_types], _BPE_APPLY_MERGES
+    )
+    ranks = {pair: i for i, pair in enumerate(merges)}
+    n_pieces = bpe.make_n_pieces_udf(ranks)
+    types = per_sw.select("w").distinct().select(
+        "w", n_pieces("w").alias("np")
+    )
+    return (
+        per_sw.join(types, "w")
+        .groupBy("source")
+        .agg(
+            F.count("*").cast("bigint").alias("n_word_types"),
+            F.sum("n").cast("bigint").alias("n_words"),
+            F.sum(F.col("n") * F.col("np")).cast("bigint").alias(
+                "n_pieces"
+            ),
+            (
+                F.sum(F.col("n") * F.col("np")).cast("double")
+                / F.sum("n").cast("double")
+            ).alias("fertility"),
+        )
+    )

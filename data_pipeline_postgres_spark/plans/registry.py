@@ -57,10 +57,30 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 # alphabetically-first 2 of the round-8-stale tier.
 # 1 + 1 + 14 + 32 + 2 = 50.
 #
-# Round-16 rotation queue: the remaining 48 round-8-stale rows,
-# alphabetically (agg_group_sum_multi..window_topk_per_group minus the
-# 2 pulled forward and minus scd2_intervals, which moves to wherever
-# the F6 experiment outcome dictates), then any r15 net-new queries.
+# Round-16 rotation queue (enumerated, VERDICT r14 item 4): the 47
+# remaining round-8-stale rows, alphabetically — the 50-row tier minus
+# the 2 pulled into r15 and minus scd2_intervals, which moves to
+# wherever the F6 experiment outcome dictates:
+# arith_div, arith_mul, cast_numeric, cdc_merge, csv_read, csv_write,
+# customer_churn_inactive, date_fmt_partition, delete_all,
+# distinct_rows, docs_curation_funnel,
+# docs_length_percentiles_by_source, docs_source_quality, drop_col,
+# events_attribution_first_touch, events_attribution_last_touch,
+# events_dau_wau_mau, events_hourly_seasonality,
+# events_user_diversity, filter_date_range, graph_communities_lpa,
+# graph_degree_stats, graph_link_prediction,
+# graph_pagerank_copurchase, in_list_pred, jdbc_scan_full,
+# jdbc_scan_param, jdbc_scan_pushdown, join_broadcast_dim,
+# join_shuffle_fact, order_by_multi, orders_interarrival_stats,
+# orders_monthly_revenue_yoy, profile_corr_matrix, project_cols,
+# referential_integrity_sweep, sort_pandas, str_lit_tag,
+# text_lines_roundtrip, union_all, unpivot_melt, unpivot_union_all,
+# upsert_on_conflict, window_cumulative, window_latest_per_key,
+# window_ntile, window_topk_per_group
+# — then the 5 r15 net-new queries (orders_theil_sen_trend_long,
+# orders_price_index_laspeyres, lineitem_p_chart,
+# stream_ivm_agg_maintenance, tokenizer_bpe_apply) fill the window
+# to 50, spilling the tail to r17 with the round-9-stale tier next.
 #
 DRIVER_PRIORITY: tuple[str, ...] = (
     # (a) the r12/r13/r14 red, re-driven with null-free sentinel bounds

@@ -42,18 +42,13 @@ class TestDriverWindowContract:
             if n not in registry.ORACLES and n not in declared_rows_only
         ]
         assert undeclared == []
-        # the r14 window carries exactly 4 rows-only entries: the two
-        # sketch queries + LSH from the stale tiers (nondeterministic
-        # spark.ml / sketch internals, accuracy-gated in pytest) and
-        # the ANN twin (recall-gated, r13-new)
+        # the r15 window carries exactly 1 rows-only entry: the
+        # streaming HLL rollup from the round-7-stale tier (sketch
+        # internals, accuracy-gated in pytest); everything else in the
+        # window is oracle-backed
         assert sorted(
             n for n in registry.DRIVER_PRIORITY if n not in registry.ORACLES
-        ) == [
-            "agg_hll_sketch_rollup",
-            "agg_kll_quantile_sketch",
-            "emb_mutual_knn_ann",
-            "sim_topk_lsh",
-        ]
+        ) == ["stream_hll_rollup"]
 
 
 class TestSurveyRegistrySync:

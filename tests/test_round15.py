@@ -107,3 +107,85 @@ class TestStreamIvm:
             ).collect()
         }
         assert stream == batch
+
+
+class TestBpeApply:
+    def test_spark_pipeline_equals_pure_python_reference(self, spark):
+        """EXACT gate for the rows-only BPE apply: the distributed
+        pipeline (type-table collect -> shared trainer -> Arrow-batched
+        encode over distinct types -> join-back aggregate) must equal
+        an INDEPENDENT pure-Python pass over the corpus — DuckDB read,
+        regex tokenize, one-at-a-time leftmost-occurrence reference
+        encoder (a different apply algorithm than the batch scanner in
+        operators/bpe.encode)."""
+        import collections
+        import re
+
+        import duckdb
+
+        from data_pipeline_postgres_spark.operators import bpe
+        from data_pipeline_postgres_spark.plans.queries_r15 import (
+            _BPE_APPLY_MERGES,
+            _BPE_APPLY_TRAIN_TYPES,
+        )
+
+        got = {
+            r.source: (r.n_word_types, r.n_words, r.n_pieces, r.fertility)
+            for r in registry.QUERIES["tokenizer_bpe_apply"](
+                spark, SF
+            ).collect()
+        }
+
+        rows = duckdb.sql(
+            f"SELECT source, text FROM '{SF}/documents.parquet'"
+        ).fetchall()
+        per_sw: dict = collections.defaultdict(collections.Counter)
+        for source, text in rows:
+            for w in re.split(r"\s+", text.strip()):
+                if w:
+                    per_sw[source][w] += 1
+        global_types = collections.Counter()
+        for c in per_sw.values():
+            global_types.update(c)
+        top = sorted(global_types.items(), key=lambda kv: (-kv[1], kv[0]))[
+            :_BPE_APPLY_TRAIN_TYPES
+        ]
+        merges = bpe.train_merges(top, _BPE_APPLY_MERGES)
+        ranks = {p: i for i, p in enumerate(merges)}
+
+        def ref_encode_len(word: str) -> int:
+            # one-at-a-time leftmost apply — independent of the batch
+            # left-to-right scanner in operators/bpe.encode
+            sym = list(word)
+            while True:
+                best = None
+                for i, pair in enumerate(zip(sym, sym[1:])):
+                    r = ranks.get(pair)
+                    if r is not None and (best is None or r < best[0]):
+                        best = (r, i, pair)
+                if best is None:
+                    return len(sym)
+                _, _, (a, b) = best
+                i = next(
+                    i
+                    for i in range(len(sym) - 1)
+                    if sym[i] == a and sym[i + 1] == b
+                )
+                sym[i : i + 2] = [a + b]
+
+        want = {}
+        piece_cache: dict = {}
+        for source, counter in per_sw.items():
+            n_words = sum(counter.values())
+            n_pieces = 0
+            for w, n in counter.items():
+                if w not in piece_cache:
+                    piece_cache[w] = ref_encode_len(w)
+                n_pieces += n * piece_cache[w]
+            want[source] = (
+                len(counter),
+                n_words,
+                n_pieces,
+                n_pieces / n_words,
+            )
+        assert got == want

@@ -220,6 +220,12 @@ SHOWCASE = [
     "events_attribution_shapley",
     "parts_eoq_policy",
     "events_gap_fill_interpolate",
+    # round-15 additions
+    "orders_theil_sen_trend_long",
+    "orders_price_index_laspeyres",
+    "lineitem_p_chart",
+    "stream_ivm_agg_maintenance",
+    "tokenizer_bpe_apply",
 ]
 
 
@@ -551,6 +557,26 @@ def accuracy_rows(spark, sf_dir):
     )
     docs.unpersist()
     emb.unpersist()
+
+    # BPE apply (rows-only, r15): exact-equality gate, not approximate
+    # — the distributed pipeline must reproduce a pure-Python corpus
+    # pass bit-for-bit; surfaced here as the fertility spread so the
+    # audit shows the number is live (the equality itself is the
+    # pytest gate in tests/test_round15.py::TestBpeApply).
+    ferts = [
+        r.fertility
+        for r in Q["tokenizer_bpe_apply"](spark, sf_dir).collect()
+    ]
+    rows.append(
+        (
+            "tokenizer_bpe_apply",
+            "pure-Python reference encode of the full corpus"
+            " (independent one-at-a-time apply algorithm)",
+            "EXACT equality pytest-gated (piece counts, word counts,"
+            " fertility per source) — not an approximation; fertility"
+            f" range {min(ferts):.3f}-{max(ferts):.3f} at this SF",
+        )
+    )
     return rows
 
 
