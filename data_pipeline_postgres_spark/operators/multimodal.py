@@ -142,6 +142,189 @@ def decode_payloads(docs: DataFrame) -> DataFrame:
     return payloads.mapInPandas(run, DECODED_SCHEMA)
 
 
+def spread_small_scan(df: DataFrame, key: str = "doc_id") -> DataFrame:
+    """Scale-adaptive parallelism fix for heavy map-side kernels
+    (optimization guide §2.5 "input skew: one huge unsplittable
+    file... repartition immediately after the read"): the local
+    testdata is ONE parquet file with ONE row group, so every
+    downstream mapInPandas kernel runs in a single task on one core.
+    Repartition by ``key`` up to ``defaultParallelism`` ONLY when the
+    scan yields fewer partitions than cores — at 100 TB the scan
+    already carries thousands of splits and this is a no-op branch, so
+    the payload bytes are never gratuitously re-shuffled (guide §8:
+    move heavy bytes once)."""
+    spark = df.sparkSession
+    target = spark.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target, F.col(key))
+    return df
+
+
+def payload_grams(
+    payload_df: DataFrame, extra_cols: tuple[str, ...] = ()
+) -> DataFrame:
+    """Stride-1 byte 8-grams over the binary payload as packed int64
+    keys via a vectorized Arrow-batched kernel: (doc_id, *extra_cols,
+    g bigint), DISTINCT per doc (``np.unique`` inside the kernel, so
+    no downstream ``.distinct()`` exchange is needed).
+
+    ``g`` is the 8 bytes ``payload[i:i+8]`` packed big-endian into one
+    int64 — a BIJECTION onto the 16-hex-char substring the original
+    formulation (and the DuckDB oracle) joins on, so every equality,
+    count and Jaccard downstream is EXACTLY preserved (no hash, no
+    collisions). 8-byte int64 join keys replace ~16-char strings on
+    every exchange (guide §2.3 narrower types), and the per-byte work
+    runs as 7 shifted vector ORs over the batch's concatenated bytes
+    instead of an interpreted per-position substring lambda (guide
+    §4.2). Input rows must already satisfy len(payload) >= 8."""
+    import numpy as np
+    import pandas as pd
+
+    fields = [T.StructField("doc_id", T.LongType())]
+    for c in extra_cols:
+        fields.append(T.StructField(c, T.StringType()))
+    fields.append(T.StructField("g", T.LongType()))
+    schema = T.StructType(fields)
+
+    def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            payloads = [bytes(p) for p in pdf["payload"]]
+            lens = np.fromiter(
+                (len(p) for p in payloads), dtype=np.int64
+            )
+            nall = int(lens.sum())
+            if nall < 8:
+                continue
+            allb = np.frombuffer(b"".join(payloads), dtype=np.uint8)
+            n_win = nall - 7
+            h = allb[:n_win].astype(np.uint64)
+            for j in range(1, 8):
+                h = (h << np.uint64(8)) | allb[j : n_win + j]
+            # valid window starts: wholly inside one document
+            offs = np.concatenate(([0], np.cumsum(lens)))
+            pos = np.arange(n_win, dtype=np.int64)
+            doc_ix = np.searchsorted(offs, pos, side="right") - 1
+            valid = (pos - offs[doc_ix]) <= (lens[doc_ix] - 8)
+            doc_ix = doc_ix[valid]
+            hv = h[valid].view(np.int64)
+            # per-doc distinct, fully vectorized: sort by (doc, g),
+            # keep first of each run
+            order = np.lexsort((hv, doc_ix))
+            doc_ix = doc_ix[order]
+            hv = hv[order]
+            keep = np.ones(len(hv), dtype=bool)
+            keep[1:] = (doc_ix[1:] != doc_ix[:-1]) | (
+                hv[1:] != hv[:-1]
+            )
+            doc_ix = doc_ix[keep]
+            out = {"doc_id": pdf["doc_id"].to_numpy()[doc_ix]}
+            for c in extra_cols:
+                out[c] = pdf[c].to_numpy()[doc_ix]
+            out["g"] = hv[keep]
+            yield pd.DataFrame(out)
+
+    return spread_small_scan(payload_df).mapInPandas(run, schema)
+
+
+CDC_MANIFEST_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("chunk_idx", T.LongType()),
+        T.StructField("start_byte", T.LongType()),
+        T.StructField("chunk_len", T.LongType()),
+        T.StructField("chunk_md5", T.StringType()),
+    ]
+)
+
+
+def cdc_manifest_np(docs: DataFrame, mask: int) -> DataFrame:
+    """Gear-hash CDC manifest via the vectorized Arrow kernel:
+    (doc_id, chunk_idx, start_byte, chunk_len, chunk_md5) — the fast
+    twin of the pure-SQL per-byte fold in
+    ``plans.queries_r12._cdc_manifest_sql``, byte-identical output
+    (asserted in tests/test_round15_opt.py): same windowed gear hash
+    as ``cdc_chunks_np`` (see its docstring for the boundary-semantics
+    proof), and ``chunk_md5 = md5(lowercase-hex(chunk bytes))`` is
+    exactly the oracle's ``md5(substr(hx, ...))`` since Python
+    ``bytes.hex()`` is lowercase.
+
+    Per-doc md5 calls are one per ~``mask`` bytes (not per byte), so
+    the Python-side loop is O(n_chunks); everything per-byte is numpy
+    (guide §4.2). Zero exchanges before any downstream chunk-hash
+    groupBy; the single scan task limit is lifted by
+    ``spread_small_scan``."""
+    import hashlib
+
+    import numpy as np
+    import pandas as pd
+
+    from ..plans.queries_r12 import _GEAR
+
+    gear = np.array(_GEAR, dtype=np.uint64)
+
+    def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        md5 = hashlib.md5
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            payloads = [bytes(p) for p in pdf["payload"]]
+            lens = np.fromiter(
+                (len(p) for p in payloads), dtype=np.int64
+            )
+            offs = np.concatenate(([0], np.cumsum(lens)))
+            nall = int(lens.sum())
+            if nall:
+                allb = np.frombuffer(b"".join(payloads), dtype=np.uint8)
+                gv = gear[allb]
+                h = gv.copy()
+                for j in range(1, 32):
+                    h[j:] += gv[:-j] << np.uint64(j)
+                h &= np.uint64(0xFFFFFFFF)
+                is_cut = (h & np.uint64(mask - 1)) == 0
+                pos = np.arange(nall, dtype=np.int64)
+                doc_ix = np.searchsorted(offs, pos, side="right") - 1
+                is_cut &= (pos - offs[doc_ix]) >= 31
+            ids = pdf["doc_id"].to_numpy()
+            o_id, o_ci, o_s, o_len, o_md5 = [], [], [], [], []
+            for k, p in enumerate(payloads):
+                nb = len(p)
+                if nb:
+                    cuts = np.flatnonzero(
+                        is_cut[offs[k] : offs[k + 1]]
+                    )
+                    starts = np.concatenate(([0], cuts + 1))
+                    ends = np.concatenate((cuts, [nb - 1]))
+                else:
+                    # SQL fold emits ONE zero-length chunk row for an
+                    # empty payload (s=0, e=nb-1=-1)
+                    starts = np.array([0])
+                    ends = np.array([-1])
+                for ci, (s, e) in enumerate(zip(starts, ends)):
+                    o_id.append(ids[k])
+                    o_ci.append(ci)
+                    o_s.append(s)
+                    o_len.append(e - s + 1)
+                    o_md5.append(
+                        md5(p[s : e + 1].hex().encode()).hexdigest()
+                    )
+            yield pd.DataFrame(
+                {
+                    "doc_id": np.array(o_id, dtype=np.int64),
+                    "chunk_idx": np.array(o_ci, dtype=np.int64),
+                    "start_byte": np.array(o_s, dtype=np.int64),
+                    "chunk_len": np.array(o_len, dtype=np.int64),
+                    "chunk_md5": o_md5,
+                }
+            )
+
+    payloads = attach_payload(docs).select("doc_id", "payload")
+    return spread_small_scan(payloads).mapInPandas(
+        run, CDC_MANIFEST_SCHEMA
+    )
+
+
 def cdc_chunks_np(docs: DataFrame, mask: int) -> DataFrame:
     """Content-defined chunk stream via a vectorized Arrow-batched
     kernel: (doc_id, chunk binary) — the fast twin of the pure-SQL
@@ -215,4 +398,4 @@ def cdc_chunks_np(docs: DataFrame, mask: int) -> DataFrame:
             yield pd.DataFrame({"doc_id": out_ids, "chunk": out_chunks})
 
     payloads = attach_payload(docs).select("doc_id", "payload")
-    return payloads.mapInPandas(run, schema)
+    return spread_small_scan(payloads).mapInPandas(run, schema)

@@ -415,29 +415,20 @@ def q_dedup_payload_shingle(
     their >= 0.5 pair sets are identical, pytest'd)."""
     from ..operators import multimodal
 
+    # r15 optimization (guide §4.2 + §2.3): grams come from the
+    # vectorized int64-packing kernel (one Arrow hop, per-doc distinct
+    # inside the kernel — no corpus-wide .distinct() exchange); the
+    # packed int64 is a BIJECTION of the original 16-hex-char
+    # substring, so every downstream equality/count is exactly
+    # preserved while the shuffles move 8-byte ints instead of
+    # 16-char strings. Equivalence pytest'd in
+    # tests/test_round15_opt.py; oracle unchanged.
     b = (
         multimodal.attach_payload(_docs(spark, sf_dir))
         .select("doc_id", "payload")
         .filter(F.length("payload") >= 8)
     )
-    hx = b.select("doc_id", F.hex("payload").alias("hx"))
-    sh = (
-        hx.select(
-            "doc_id",
-            F.explode(
-                F.transform(
-                    F.sequence(
-                        F.lit(0),
-                        (F.length("hx") / 2 - 8).cast("int"),
-                    ),
-                    lambda i: F.substring(
-                        F.col("hx"), i * 2 + 1, 16
-                    ),
-                )
-            ).alias("g"),
-        )
-        .distinct()
-    )
+    sh = multimodal.payload_grams(b)
     freq = (
         sh.groupBy("g")
         .agg(F.count("*").alias("df"))
@@ -776,36 +767,25 @@ def q_dedup_payload_incremental(
     over candidates."""
     from ..operators import multimodal
 
+    # r15 optimization: int64-packed gram kernel (see
+    # q_dedup_payload_shingle) with `source` carried through the
+    # kernel — the old per-byte hex-substring transform, the
+    # corpus-wide .distinct() exchange AND the doc_id self-join that
+    # only re-attached `source` are gone (attach_payload's payload is
+    # encode(text) by definition, so projecting it directly alongside
+    # source computes the identical relation without the join).
     b = (
-        multimodal.attach_payload(
-            _docs(spark, sf_dir).select("doc_id", "text", "source")
-        )
-        .join(
-            _docs(spark, sf_dir).select("doc_id", "source"), "doc_id"
-        )
-        .select("doc_id", "source", "payload")
-        .filter(F.length("payload") >= 8)
-    )
-    hx = b.select("doc_id", "source", F.hex("payload").alias("hx"))
-    sh = (
-        hx.select(
+        _docs(spark, sf_dir)
+        .select(
             "doc_id",
             "source",
-            F.explode(
-                F.transform(
-                    F.sequence(
-                        F.lit(0),
-                        (F.length("hx") / 2 - 8).cast("int"),
-                    ),
-                    lambda i: F.substring(
-                        F.col("hx"), i * 2 + 1, 16
-                    ),
-                )
-            ).alias("g"),
+            F.encode(F.col("text"), "UTF-8").alias("payload"),
         )
-        .distinct()
-        .localCheckpoint(eager=False)
+        .filter(F.length("payload") >= 8)
     )
+    sh = multimodal.payload_grams(
+        b, extra_cols=("source",)
+    ).localCheckpoint(eager=False)
     corpus = sh.filter(F.col("source") != "src0").select("doc_id", "g")
     freq = (
         corpus.groupBy("g")
@@ -911,27 +891,43 @@ def q_docs_dup_spectrum(spark: SparkSession, sf_dir: str) -> DataFrame:
     sum as docs_pack_sequences — no single-partition window."""
     from ..operators import textdup
 
-    level0, _ = textdup.position_stream(_docs(spark, sf_dir))
-    levels = textdup.hash_doubling_levels(level0, _SPECTRUM_ROUNDS)
-    out = None
-    for k, lvl in enumerate(levels):
-        cnt = lvl.groupBy("h").agg(F.count("*").alias("cnt"))
-        row = cnt.agg(
-            F.lit(k).cast("bigint").alias("k"),
-            F.lit(1 << k).cast("bigint").alias("win_tokens"),
-            F.coalesce(
-                F.sum(F.when(F.col("cnt") >= 2, F.col("cnt"))),
-                F.lit(0),
-            )
-            .cast("bigint")
-            .alias("n_dup_positions"),
-            F.sum(F.when(F.col("cnt") >= 2, 1).otherwise(0))
-            .cast("bigint")
-            .alias("n_dup_windows"),
-            F.max("cnt").cast("bigint").alias("max_multiplicity"),
+    # r15 optimization (guide §2.4): the 9 per-level shift-joins
+    # (2 exchanges + a lineage cut each) collapse into ONE blocked
+    # window pyramid (1 Exchange + 1 Sort + stacked Window ops, all
+    # JVM) over 128-bit xxhash64 pair fingerprints (16-byte keys vs
+    # 33+-byte md5 strings on every exchange, guide §2.3), and the 9
+    # per-level groupBy jobs collapse into one stack() + one grouped
+    # pass. Fingerprint equality remains content equality modulo
+    # 128-bit collisions — the repo-wide digest posture; spectrum
+    # equality vs the md5 chain is pytest'd at sf0.001
+    # (tests/test_round15_opt.py) and the md5 oracle is unchanged.
+    stream = textdup.token_stream64(_docs(spark, sf_dir))
+    pyr = textdup.hash_doubling_pyramid(stream, _SPECTRUM_ROUNDS)
+    long = textdup.pyramid_long(pyr, _SPECTRUM_ROUNDS)
+    cnt = long.groupBy("k", "ha", "hb").agg(
+        F.count("*").alias("cnt")
+    )
+    return cnt.groupBy("k").agg(
+        F.expr("cast(shiftleft(1L, k) as bigint)").alias(
+            "win_tokens"
+        ),
+        F.coalesce(
+            F.sum(F.when(F.col("cnt") >= 2, F.col("cnt"))),
+            F.lit(0),
         )
-        out = row if out is None else out.unionByName(row)
-    return out
+        .cast("bigint")
+        .alias("n_dup_positions"),
+        F.sum(F.when(F.col("cnt") >= 2, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_dup_windows"),
+        F.max("cnt").cast("bigint").alias("max_multiplicity"),
+    ).select(
+        F.col("k").cast("bigint").alias("k"),
+        "win_tokens",
+        "n_dup_positions",
+        "n_dup_windows",
+        "max_multiplicity",
+    )
 
 
 @query("stream_payload_dedup", _PAYLOAD_DEDUP_ORACLE)
@@ -1008,23 +1004,23 @@ def q_docs_dup_maxrun(spark: SparkSession, sf_dir: str) -> DataFrame:
     window."""
     from ..operators import textdup
 
-    level0, docmap = textdup.position_stream(_docs(spark, sf_dir))
-    levels = textdup.hash_doubling_levels(level0, _SPECTRUM_ROUNDS)
-    flags = None
-    for k, lvl in enumerate(levels):
-        dup = (
-            lvl.groupBy("h")
-            .agg(F.count("*").alias("cnt"))
-            .filter(F.col("cnt") >= 2)
-            .select("h")
-        )
-        f_k = (
-            lvl.join(dup, "h")
-            .join(docmap, "pos")
-            .select("doc_id", F.lit(k).alias("k"))
-            .distinct()
-        )
-        flags = f_k if flags is None else flags.unionByName(f_k)
+    # r15 optimization: same single-shuffle pyramid as
+    # docs_dup_spectrum (guide §2.4); additionally the per-level
+    # dup-digest groupBy + join-back + docmap join (3 exchanges x 9
+    # levels) become ONE window count over the melted (k, ha, hb)
+    # relation — doc_id rides along in the stream (sentinels carry
+    # NULL and are filtered, exactly the old docmap inner join's
+    # effect). Results pytest'd equal to the md5-chain formulation
+    # at sf0.001; md5 oracle unchanged.
+    stream = textdup.token_stream64(_docs(spark, sf_dir))
+    pyr = textdup.hash_doubling_pyramid(stream, _SPECTRUM_ROUNDS)
+    long = textdup.pyramid_long(pyr, _SPECTRUM_ROUNDS)
+    w = Window.partitionBy("k", "ha", "hb")
+    flags = (
+        long.withColumn("cnt", F.count("*").over(w))
+        .filter((F.col("cnt") >= 2) & F.col("doc_id").isNotNull())
+        .select("doc_id", "k")
+    )
     all_docs = _docs(spark, sf_dir).select("doc_id")
     best = flags.groupBy("doc_id").agg(F.max("k").alias("mk"))
     return (
@@ -1532,8 +1528,25 @@ def _cdc_manifest(
 ) -> DataFrame:
     """Gear-hash CDC manifest at a caller-chosen boundary mask
     (expected chunk length ~= mask bytes). Shared by
-    multimodal_cdc_chunks (mask 64) and queries_r13.dedup_payload_cdc
-    (mask 16)."""
+    multimodal_cdc_chunks (mask 64) and queries_r13's CDC pair
+    queries (mask 16).
+
+    r15 optimization (guide §4.2): the manifest comes from the
+    vectorized Arrow kernel ``operators.multimodal.cdc_manifest_np``
+    — byte-identical output to the pure-SQL per-byte fold kept below
+    as ``_cdc_manifest_sql`` (equivalence pytest'd at sf0.001 in
+    tests/test_round15_opt.py; the oracle is unchanged). Measured at
+    sf0.1 solo: multimodal_cdc_chunks 6.0 s -> see OPTIMIZATION_r15.md."""
+    from ..operators import multimodal
+
+    return multimodal.cdc_manifest_np(_docs(spark, sf_dir), mask=mask)
+
+
+def _cdc_manifest_sql(
+    spark: SparkSession, sf_dir: str, mask: int = 64
+) -> DataFrame:
+    """Pure-SQL per-byte gear fold (the original formulation) — kept
+    as the reference twin for the kernel-equivalence test."""
     from ..operators import multimodal
 
     b = multimodal.attach_payload(_docs(spark, sf_dir)).select(

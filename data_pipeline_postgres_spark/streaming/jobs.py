@@ -106,6 +106,54 @@ def _scratch(name: str) -> str:
     return path
 
 
+def _split_source(
+    spark: SparkSession,
+    df: DataFrame,
+    key_col: "str | Column",
+    name: str,
+    n: int = 3,
+) -> str:
+    """Materialize ``df`` as an ``n``-file stream source (file i =
+    rows with ``key_col % n == i``) in ONE Spark job: write all
+    splits via ``partitionBy`` on the split id, then move each part
+    file to a stable name with an explicit, strictly increasing
+    mtime.
+
+    r15 optimization + r14-advisory hardening: replaces n sequential
+    ``filter().coalesce(1).write`` jobs (n source scans) with one
+    scan, and replaces write-order mtimes with pinned ones so
+    FileStreamSource's mtime ordering is deterministic even on
+    coarse-mtime filesystems. Batch contents are IDENTICAL to the
+    sequential form (same key % n split, same arrival order)."""
+    import glob
+    import time
+
+    split = (
+        (F.col(key_col) % n) if isinstance(key_col, str) else key_col
+    )
+    src = _scratch(name)
+    tmp = src + "__parts"
+    (
+        df.withColumn("__t", split.cast("int"))
+        .repartition(n, F.col("__t"))
+        .write.partitionBy("__t")
+        .mode("overwrite")
+        .parquet(tmp)
+    )
+    t0 = time.time()
+    for i in range(n):
+        parts = sorted(
+            glob.glob(os.path.join(tmp, f"__t={i}", "*.parquet"))
+        )
+        for j, part in enumerate(parts):
+            dst = os.path.join(src, f"{i:03d}_{j}.parquet")
+            os.replace(part, dst)
+            stamp = t0 + 10.0 * i
+            os.utime(dst, (stamp, stamp))
+    shutil.rmtree(tmp)
+    return src
+
+
 class _shuffle_partitions:
     """Temporarily pin the shuffle-partition count for a streaming
     query. The state store allocates one instance per shuffle
@@ -615,14 +663,10 @@ def incremental_agg_foreachbatch(spark: SparkSession, sf_dir: str) -> DataFrame:
     The input is split into 3 files streamed one per micro-batch
     (``maxFilesPerTrigger=1``) to force a genuinely incremental run.
     """
-    src = _scratch("incr_src")
     # Fix the ts unit BEFORE splitting, so the split files always carry
     # native TimestampType regardless of the source file's unit.
     raw = load_table(spark, sf_dir, "events")
-    for i in range(3):
-        raw.filter(F.col("event_id") % 3 == i).coalesce(1).write.mode(
-            "append"
-        ).parquet(src)
+    src = _split_source(spark, raw, "event_id", "incr_src")
 
     target = os.path.join(_SCRATCH, "incr_target")
     tmp = os.path.join(_SCRATCH, "incr_target_tmp")
@@ -699,12 +743,8 @@ def minhash_dedup_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from ..operators import dedup as dedup_ops
 
-    src = _scratch("mh_src")
     docs = load_table(spark, sf_dir, "documents")
-    for i in range(3):
-        docs.filter(F.col("doc_id") % 3 == i).coalesce(1).write.mode(
-            "append"
-        ).parquet(src)
+    src = _split_source(spark, docs, "doc_id", "mh_src")
 
     index_dir = os.path.join(_SCRATCH, "mh_index")
     pairs_dir = os.path.join(_SCRATCH, "mh_pairs")
@@ -855,11 +895,7 @@ def gopher_filter_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators import textstats
 
     docs = load_table(spark, sf_dir, "documents")
-    src = _scratch("gopher_src")
-    for i in range(3):
-        docs.filter(F.col("doc_id") % 3 == i).coalesce(1).write.mode(
-            "append"
-        ).parquet(src)
+    src = _split_source(spark, docs, "doc_id", "gopher_src")
     spool = _scratch("gopher_spool")
 
     stream = (
@@ -899,12 +935,8 @@ def zscore_daily_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     z window needs the trailing days, which a per-batch stream could
     not see without unbounded state.
     """
-    src = _scratch("zscore_src")
     raw = load_table(spark, sf_dir, "events")
-    for i in range(3):
-        raw.filter(F.col("event_id") % 3 == i).coalesce(1).write.mode(
-            "append"
-        ).parquet(src)
+    src = _split_source(spark, raw, "event_id", "zscore_src")
 
     target = os.path.join(_SCRATCH, "zscore_target")
     tmp = os.path.join(_SCRATCH, "zscore_target_tmp")
@@ -960,11 +992,7 @@ def pii_redact_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators import textclean
 
     docs = load_table(spark, sf_dir, "documents")
-    src = _scratch("pii_src")
-    for i in range(3):
-        docs.filter(F.col("doc_id") % 3 == i).coalesce(1).write.mode(
-            "append"
-        ).parquet(src)
+    src = _split_source(spark, docs, "doc_id", "pii_src")
     spool = _scratch("pii_spool")
 
     stream = (
@@ -1014,11 +1042,7 @@ def decontaminate_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
         .localCheckpoint()
     )
-    src = _scratch("decon_src")
-    for i in range(3):
-        docs.filter(F.col("doc_id") % 3 == i).coalesce(1).write.mode(
-            "append"
-        ).parquet(src)
+    src = _split_source(spark, docs, "doc_id", "decon_src")
     spool = _scratch("decon_spool")
 
     stream = (
@@ -1068,11 +1092,7 @@ def cms_rollup_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..plans.queries_r9 import _CMS_D, _cms_bucket
 
     docs = load_table(spark, sf_dir, "documents")
-    src = _scratch("cms_src")
-    for i in range(3):
-        docs.filter(F.col("doc_id") % 3 == i).coalesce(1).write.mode(
-            "append"
-        ).parquet(src)
+    src = _split_source(spark, docs, "doc_id", "cms_src")
 
     stream = (
         spark.readStream.schema(docs.schema)
@@ -1134,12 +1154,8 @@ def payload_dedup_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     df_cap = 10
     j_min = 0.5
 
-    src = _scratch("payload_src")
     docs = load_table(spark, sf_dir, "documents")
-    for i in range(3):
-        docs.filter(F.col("doc_id") % 3 == i).coalesce(1).write.mode(
-            "append"
-        ).parquet(src)
+    src = _split_source(spark, docs, "doc_id", "payload_src")
 
     index_dir = os.path.join(_SCRATCH, "payload_gram_index")
     pairs_dir = os.path.join(_SCRATCH, "payload_cand_pairs")
@@ -1148,29 +1164,17 @@ def payload_dedup_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
             shutil.rmtree(d)
 
     def _grams(batch: DataFrame) -> DataFrame:
+        # r15 optimization: the int64-packing gram kernel (bijective
+        # re-encoding of the 16-hex-char gram, per-doc distinct inside
+        # the kernel — see q_dedup_payload_shingle). The standing
+        # index stores 8-byte ints instead of 16-char strings, so
+        # every per-batch join and the index parquet shrink ~2-4x.
         b = (
             multimodal.attach_payload(batch)
             .select("doc_id", "payload")
             .filter(F.length("payload") >= 8)
         )
-        hx = b.select("doc_id", F.hex("payload").alias("hx"))
-        return (
-            hx.select(
-                "doc_id",
-                F.explode(
-                    F.transform(
-                        F.sequence(
-                            F.lit(0),
-                            (F.length("hx") / 2 - 8).cast("int"),
-                        ),
-                        lambda i: F.substring(
-                            F.col("hx"), i * 2 + 1, 16
-                        ),
-                    )
-                ).alias("g"),
-            )
-            .distinct()
-        )
+        return multimodal.payload_grams(b)
 
     def step(batch_df: DataFrame, batch_id: int) -> None:
         bg = _grams(batch_df).localCheckpoint()  # feeds joins + append
@@ -1284,12 +1288,8 @@ def dq_constraints_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     plus a single aggregate — no state store at all; the standing
     state is three integers per check.
     """
-    src = _scratch("dq_src")
     orders = load_table(spark, sf_dir, "orders")
-    for i in range(3):
-        orders.filter(F.col("o_orderkey") % 3 == i).coalesce(1).write.mode(
-            "append"
-        ).parquet(src)
+    src = _split_source(spark, orders, "o_orderkey", "dq_src")
     cust = load_table(spark, sf_dir, "customer").select("c_custkey")
     counters_dir = os.path.join(_SCRATCH, "dq_counters")
     if os.path.exists(counters_dir):
@@ -1393,12 +1393,8 @@ def feature_snapshot_stream(
     that batch; standing state is |customers| partial rows, and the
     state never rescans history.
     """
-    src = _scratch("feat_src")
     orders = load_table(spark, sf_dir, "orders")
-    for i in range(3):
-        orders.filter(F.col("o_orderkey") % 3 == i).coalesce(1).write.mode(
-            "append"
-        ).parquet(src)
+    src = _split_source(spark, orders, "o_orderkey", "feat_src")
     cutoff = orders.agg(
         F.date_sub(
             F.max(F.col("o_orderdate").cast("date")), 90
@@ -1515,12 +1511,8 @@ def curriculum_pacing_stream(
     never corpus size), and the pacing pass never rescans history."""
     from ..plans.queries_r13 import _CURR_PHASES
 
-    src = _scratch("curr_src")
     docs = load_table(spark, sf_dir, "documents")
-    for i in range(3):
-        docs.filter(F.col("doc_id") % 3 == i).coalesce(1).write.mode(
-            "append"
-        ).parquet(src)
+    src = _split_source(spark, docs, "doc_id", "curr_src")
     partials_dir = os.path.join(_SCRATCH, "curr_partials")
     if os.path.exists(partials_dir):
         shutil.rmtree(partials_dir)
@@ -1629,7 +1621,6 @@ def scd2_apply_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     dimension joins the (small) per-key first-change relation with AQE
     free to broadcast it.
     """
-    src = _scratch("scd2_src")
     orders = load_table(spark, sf_dir, "orders")
     typed = orders.select(
         "o_custkey",
@@ -1644,21 +1635,17 @@ def scd2_apply_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("d") < F.lit(cuts[1]).cast("date")),
         F.col("d") >= F.lit(cuts[1]).cast("date"),
     ]
-    import time as _time
-
     # FileStreamSource orders new files by modification time; the
     # date-tercile batches MUST arrive in order for the SCD2 fold.
-    # Timing-based ordering (a sleep between writes) breaks on
-    # coarse-mtime filesystems, so pin each tercile's part files to an
-    # EXPLICIT, strictly increasing mtime instead (r14 advisory).
-    t0 = _time.time()
-    for i, cond in enumerate(ranges):
-        before = set(os.listdir(src)) if os.path.exists(src) else set()
-        typed.filter(cond).coalesce(1).write.mode("append").parquet(src)
-        stamp = t0 + 10.0 * i
-        for name in set(os.listdir(src)) - before:
-            if name.endswith(".parquet"):
-                os.utime(os.path.join(src, name), (stamp, stamp))
+    # _split_source pins each tercile file to an EXPLICIT, strictly
+    # increasing mtime (r14 advisory) and writes all three in ONE
+    # Spark job (r15: one orders scan instead of three).
+    tercile = (
+        F.when(ranges[0], F.lit(0))
+        .when(ranges[1], F.lit(1))
+        .otherwise(F.lit(2))
+    )
+    src = _split_source(spark, typed, tercile, "scd2_src")
 
     dim_root = os.path.join(_SCRATCH, "scd2_dim")
     if os.path.exists(dim_root):
