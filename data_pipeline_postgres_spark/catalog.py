@@ -105,6 +105,52 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(path)
 
 
+def table_num_rows(sf_dir: str, name: str) -> int:
+    """Row count of a lake table from the parquet footer — a
+    driver-side metadata read (no Spark job), cached on (path, mtime)
+    like ``parquet_ts_unit``. Used to derive scale-adaptive
+    partitioning constants (e.g. the textdup prefix-sum bucket width)
+    instead of hard-coding either the local or the cluster value."""
+    path = table_path(sf_dir, name)
+    if os.path.isdir(path):
+        inner = sorted(glob.glob(os.path.join(path, "*.parquet")))
+        return sum(
+            _parquet_num_rows_cached(p, os.stat(p).st_mtime_ns)
+            for p in inner
+        )
+    return _parquet_num_rows_cached(path, os.stat(path).st_mtime_ns)
+
+
+@lru_cache(maxsize=64)
+def _parquet_num_rows_cached(path: str, mtime_ns: int) -> int:
+    import pyarrow.parquet as pq
+
+    return pq.ParquetFile(path).metadata.num_rows
+
+
+def spread_scan(df: DataFrame, key: str) -> DataFrame:
+    """Scale-adaptive scan-parallelism fix for heavy per-row work
+    (optimization guide §2.5 "input skew: one huge unsplittable file
+    ... repartition immediately after the read"). The test lake's
+    tables are ONE parquet file with ONE row group, so every stage up
+    to the first exchange — tokenize/shingle/md5/explode, often the
+    dominant cost of a text query — runs as a single task on one core
+    regardless of cluster width. Hash-repartition by ``key`` up to
+    ``defaultParallelism`` ONLY when the scan yields fewer partitions
+    than cores: at 100 TB a table scan already carries thousands of
+    splits, the branch is a no-op, and no gratuitous exchange is ever
+    added at scale. Results are unchanged for any downstream plan
+    that is row-order independent (everything here is: aggregations,
+    joins, windows keyed by columns) — do NOT use upstream of
+    ``monotonically_increasing_id``/``spark_partition_id`` consumers,
+    whose values depend on the physical partitioning."""
+    spark = df.sparkSession
+    target = spark.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target, F.col(key))
+    return df
+
+
 def register_views(
     spark: SparkSession, sf_dir: str, names: tuple[str, ...] = TABLES
 ) -> dict[str, DataFrame]:

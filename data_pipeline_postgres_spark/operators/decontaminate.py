@@ -48,8 +48,14 @@ def doc_ngrams(docs: DataFrame, n: int) -> DataFrame:
 
 
 def raw_ngrams(docs: DataFrame, n: int) -> DataFrame:
-    """(doc_id, ngram) with per-doc duplicates — a narrow explode."""
-    return docs.select(
+    """(doc_id, ngram) with per-doc duplicates — a narrow explode.
+
+    r15: spread across cores first (catalog.spread_scan — no-op at
+    real scale) so the shingle explode never runs single-task on the
+    single-row-group test files (guide §2.5)."""
+    from ..catalog import spread_scan
+
+    return spread_scan(docs, "doc_id").select(
         "doc_id",
         F.explode(TX.word_shingles(TX.tokens("text"), n)).alias("ngram"),
     )

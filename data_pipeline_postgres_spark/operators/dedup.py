@@ -101,8 +101,15 @@ def doc_shingles(
     ``distinct=True`` (set semantics, needed for Jaccard counting)
     costs a shuffle; min-hashing is idempotent under duplicates, so
     the signature path passes ``distinct=False`` and skips it.
+
+    r15: the input is spread across cores first (catalog.spread_scan
+    — a no-op at real scale) so the tokenize + shingle + explode, the
+    dominant cost of every shingle consumer, never runs as one task
+    on the single-row-group test files (guide §2.5).
     """
-    sh = docs.select(
+    from ..catalog import spread_scan
+
+    sh = spread_scan(docs, "doc_id").select(
         "doc_id",
         F.explode(TX.word_shingles(TX.tokens("text"), n)).alias("shingle"),
     )

@@ -152,12 +152,11 @@ def spread_small_scan(df: DataFrame, key: str = "doc_id") -> DataFrame:
     scan yields fewer partitions than cores — at 100 TB the scan
     already carries thousands of splits and this is a no-op branch, so
     the payload bytes are never gratuitously re-shuffled (guide §8:
-    move heavy bytes once)."""
-    spark = df.sparkSession
-    target = spark.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < target:
-        return df.repartition(target, F.col(key))
-    return df
+    move heavy bytes once). Delegates to ``catalog.spread_scan``, the
+    repo-wide implementation of this pattern."""
+    from ..catalog import spread_scan
+
+    return spread_scan(df, key)
 
 
 def payload_grams(

@@ -129,6 +129,18 @@ _PAD_A = 0x45
 _PAD_B = 0x45
 
 
+def adaptive_bucket_width(n_docs: int, parallelism: int) -> int:
+    """Prefix-sum bucket width sized so the bucket-partitioned stages
+    (the posexplode + per-token hashing, the heaviest work in the
+    pyramid pipeline) spread over every core even on a small corpus:
+    ~4x more buckets than cores (guide §2.5 — enough distinct key
+    values that hash collisions don't idle partitions), capped at the
+    original 1000 so at 100 TB the per-bucket window stays small and
+    the bucket-offsets relation stays a broadcastable
+    n_docs/1000-row table."""
+    return max(1, min(1000, n_docs // (4 * parallelism)))
+
+
 def token_stream64(
     docs: DataFrame, bucket_width: int = 1000
 ) -> DataFrame:

@@ -211,7 +211,12 @@ def q_docs_bpe_train_merges(
     corpus size per round; rounds are a fixed constant (real trainers
     run this loop to vocab size — the shape per round is identical).
     """
-    seqs = _docs(spark, sf_dir).select(
+    from ..catalog import spread_scan
+
+    # r15: spread the single-row-group scan so round 1's explode +
+    # pair count is not one task (guide §2.5; later rounds are already
+    # doc_id-partitioned by the rebuild windows).
+    seqs = spread_scan(_docs(spark, sf_dir), "doc_id").select(
         "doc_id", TX.tokens("text").alias("toks")
     )
     outs = []
@@ -732,9 +737,12 @@ def q_decontaminate_overlap_frac(
     full corpus n-gram relation never shuffles (the
     operators/decontaminate.py invariant, kept).
     """
+    from ..catalog import spread_scan
     from ..operators import decontaminate
 
-    docs = _docs(spark, sf_dir)
+    # r15: spread the single-row-group scan before the per-doc shingle
+    # HOFs (guide §2.5; no-op at scale — see catalog.spread_scan).
+    docs = spread_scan(_docs(spark, sf_dir), "doc_id")
     is_eval = F.col("doc_id") % 97 == 0
     ev = (
         decontaminate.raw_ngrams(docs.filter(is_eval), 4)
@@ -2161,9 +2169,12 @@ def q_text_textrank_keywords(
     (operators/graph.pagerank — same machinery, same oracle step SQL
     as graph_pagerank_copurchase).
     """
+    from ..catalog import spread_scan
     from ..operators import graph
 
-    docs = _docs(spark, sf_dir)
+    # r15: spread the single-row-group scan before the token/bigram
+    # explodes (guide §2.5; no-op at scale — see catalog.spread_scan).
+    docs = spread_scan(_docs(spark, sf_dir), "doc_id")
     toks = TX.tokens("text")
     tok = docs.select(F.explode(toks).alias("t"))
     vocab = (

@@ -849,6 +849,28 @@ def q_dedup_payload_incremental(
 _SPECTRUM_ROUNDS = 8  # windows 2^0 .. 2^8 = 256 tokens
 
 
+def _token_stream(spark: SparkSession, sf_dir: str):
+    """The shared 128-bit token stream for the pyramid queries, with
+    the prefix-sum bucket width derived from the table's footer row
+    count (r15, guide §2.5): the heavy posexplode + per-token hashing
+    stage is partitioned by bucket, and the original fixed width of
+    1000 yields only n_docs/1000 distinct buckets — 5 at the local
+    test SF, idling 27 of 32 cores. The adaptive width keeps ~4x more
+    buckets than cores locally and returns the same 1000 at scale
+    (positions are identical for ANY width — the two-level prefix sum
+    computes global dense positions — so results are unchanged)."""
+    from ..catalog import table_num_rows
+    from ..operators import textdup
+
+    width = textdup.adaptive_bucket_width(
+        table_num_rows(sf_dir, "documents"),
+        spark.sparkContext.defaultParallelism,
+    )
+    return textdup.token_stream64(
+        _docs(spark, sf_dir), bucket_width=width
+    )
+
+
 def _spectrum_oracle() -> str:
     from ..operators.textdup import oracle_level_ctes
 
@@ -901,7 +923,7 @@ def q_docs_dup_spectrum(spark: SparkSession, sf_dir: str) -> DataFrame:
     # 128-bit collisions — the repo-wide digest posture; spectrum
     # equality vs the md5 chain is pytest'd at sf0.001
     # (tests/test_round15_opt.py) and the md5 oracle is unchanged.
-    stream = textdup.token_stream64(_docs(spark, sf_dir))
+    stream = _token_stream(spark, sf_dir)
     pyr = textdup.hash_doubling_pyramid(stream, _SPECTRUM_ROUNDS)
     long = textdup.pyramid_long(pyr, _SPECTRUM_ROUNDS)
     cnt = long.groupBy("k", "ha", "hb").agg(
@@ -1012,7 +1034,7 @@ def q_docs_dup_maxrun(spark: SparkSession, sf_dir: str) -> DataFrame:
     # NULL and are filtered, exactly the old docmap inner join's
     # effect). Results pytest'd equal to the md5-chain formulation
     # at sf0.001; md5 oracle unchanged.
-    stream = textdup.token_stream64(_docs(spark, sf_dir))
+    stream = _token_stream(spark, sf_dir)
     pyr = textdup.hash_doubling_pyramid(stream, _SPECTRUM_ROUNDS)
     long = textdup.pyramid_long(pyr, _SPECTRUM_ROUNDS)
     w = Window.partitionBy("k", "ha", "hb")

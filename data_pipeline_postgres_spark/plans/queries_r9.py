@@ -5203,7 +5203,11 @@ def q_docs_winnowing_fingerprints(
     pairs is exact. Scale: the whole selection pipeline is array HOFs
     inside one projection — zero shuffles until the final
     fingerprint-key aggregation; per-doc cost is O(tokens * w)."""
-    docs = _docs(spark, sf_dir)
+    from ..catalog import spread_scan
+
+    # r15: spread the single-row-group scan before the winnowing HOFs
+    # (guide §2.5; no-op at scale — see catalog.spread_scan).
+    docs = spread_scan(_docs(spark, sf_dir), "doc_id")
     base = docs.select(
         "doc_id", TX.tokens("text").alias("t")
     ).select(
@@ -5520,7 +5524,11 @@ def q_docs_ngram_novelty_curve(
     per-bucket aggs are map-side-combinable; nothing is quadratic and
     nothing sorts globally (buckets come from the id RANGE, not a
     global ntile)."""
-    docs = _docs(spark, sf_dir)
+    from ..catalog import spread_scan
+
+    # r15: spread the single-row-group scan before the per-shingle md5
+    # work (guide §2.5; no-op at scale — see catalog.spread_scan).
+    docs = spread_scan(_docs(spark, sf_dir), "doc_id")
     sh = (
         docs.select("doc_id", TX.tokens("text").alias("t"))
         .select("doc_id", TX.word_shingles(F.col("t"), 3).alias("sh"))
