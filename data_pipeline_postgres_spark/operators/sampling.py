@@ -112,7 +112,7 @@ def shuffle_shard(docs: DataFrame, n_shards: int = 16) -> DataFrame:
 
 
 def token_budget_select(
-    docs: DataFrame, budget_tokens: int, n_ranges: int = 32
+    docs: DataFrame, budget_tokens: int, n_ranges: int | None = None
 ) -> DataFrame:
     """Greedy token-budget selection: walk the corpus in quality order
     (longest docs first, doc_id tiebreak) and keep every doc that
@@ -137,6 +137,14 @@ def token_budget_select(
     """
     from ..functions import text as TX
 
+    if n_ranges is None:
+        # r15 (guide §2: scale-adaptive partitioning): a fixed 32
+        # ranges caps the parallel scan on a wide cluster; the prefix
+        # sum is range-boundary independent (exact int64 totals), so
+        # sizing from defaultParallelism changes no result.
+        n_ranges = max(
+            32, docs.sparkSession.sparkContext.defaultParallelism
+        )
     toks = docs.select(
         "doc_id",
         F.coalesce(TX.ws_token_count("text").cast("bigint"), F.lit(0)).alias(

@@ -57,7 +57,7 @@ def latest_per_key_first_value(
 def global_rank(
     df: DataFrame,
     order_cols: Sequence[str],
-    num_partitions: int = 32,
+    num_partitions: int | None = None,
     rank_col: str = "rn",
 ) -> DataFrame:
     """Exact 1-based global rank over a TOTAL order without a
@@ -104,6 +104,16 @@ def global_rank(
     the band width.
     """
     cols = list(order_cols)
+    if num_partitions is None:
+        # r15 (guide §2: scale-adaptive partitioning): the old fixed
+        # default of 32 ranges matched the local harness but CAPS the
+        # parallel sort on a wide cluster. Ranks are range-boundary
+        # independent (docstring above), so deriving the count from
+        # defaultParallelism (floor 32 to keep per-range row counts
+        # far under the 2^33 id band at scale) changes no result.
+        num_partitions = max(
+            32, df.sparkSession.sparkContext.defaultParallelism
+        )
     s = (
         df.repartitionByRange(num_partitions, *cols)
         .sortWithinPartitions(*cols)

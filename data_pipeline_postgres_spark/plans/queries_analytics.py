@@ -2127,8 +2127,16 @@ def q_supplier_pareto_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     # lineage cut: both consumers (within-scan + per-range totals)
     # must see ONE set of sampled range boundaries — same rationale
     # as operators/sampling.py token_budget_select
+    # r15: range count scale-adaptive (floor 32 keeps the local
+    # harness layout; a wide cluster gets one range per core). The
+    # two-level cumulative is range-boundary independent — exact
+    # decimal sums, offsets from per-range totals — so the count
+    # changes no result.
+    n_ranges = max(
+        32, spark.sparkContext.defaultParallelism
+    )
     ranged = (
-        rev.repartitionByRange(32, *order)
+        rev.repartitionByRange(n_ranges, *order)
         .sortWithinPartitions(*order)
         .withColumn("_pid", F.spark_partition_id())
         .localCheckpoint(eager=False)

@@ -322,6 +322,13 @@ def q_orders_price_index_laspeyres(
             "qty"
         ),
     )
+    # r15 (guide §2.4, the repo's shared-relation rule): monthly feeds
+    # the base-month slice AND the current-month side, and the pushed
+    # month filters differ, so exchange reuse never fires — the
+    # captured before-plan shows 4 parquet scans of the fact table.
+    # The lazy localCheckpoint pins the |parts x months| unit-value
+    # relation so lineitem is aggregated exactly once.
+    monthly = monthly.localCheckpoint(eager=False)
     base = monthly.filter(F.col("m") == _PIDX_BASE).select(
         "l_partkey",
         F.col("cents").alias("c0"),
@@ -428,6 +435,14 @@ def q_lineitem_p_chart(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("n_returned"),
     )
+    # r15 (guide §2.4, the repo's shared-relation rule): wk feeds TWO
+    # consumers (the 1-row pbar aggregate and the chart projection);
+    # without a lineage cut each consumer re-runs the fact groupBy —
+    # the captured before-plan shows 4 parquet scans, 0 reused
+    # exchanges. The lazy localCheckpoint pins the calendar-bounded
+    # weekly relation so the fact table is scanned exactly once, as
+    # the docstring promises.
+    wk = wk.localCheckpoint(eager=False)
     tot = wk.agg(
         (
             F.sum("n_returned").cast("double")

@@ -112,6 +112,7 @@ def _split_source(
     key_col: "str | Column",
     name: str,
     n: int = 3,
+    tagged: bool = False,
 ) -> str:
     """Materialize ``df`` as an ``n``-file stream source (file i =
     rows with ``key_col % n == i``) in ONE Spark job: write all
@@ -128,9 +129,15 @@ def _split_source(
     import glob
     import time
 
-    split = (
-        (F.col(key_col) % n) if isinstance(key_col, str) else key_col
-    )
+    if tagged:
+        # df already carries the 0..n-1 split id in column ``key_col``
+        # (rows may have been fanned out upstream, e.g. the IVM
+        # base/delete/insert explode) — use it verbatim.
+        split = F.col(key_col)
+    else:
+        split = (
+            (F.col(key_col) % n) if isinstance(key_col, str) else key_col
+        )
     src = _scratch(name)
     tmp = src + "__parts"
     (
@@ -1183,7 +1190,14 @@ def payload_dedup_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         else:
             idx = bg.limit(0)
         # df so far (standing + batch): a gram past the cap can never
-        # become rare again — joins on it are pruned forever
+        # become rare again — joins on it are pruned forever.
+        # (r15 note: restricting this count to batch-present grams via
+        # a semi-join was tried and REVERTED — without a broadcastable
+        # batch-gram set it adds a distinct + an extra index pass for
+        # the same shuffle bytes; the full groupBy and the semi-join
+        # are both O(index) per batch, and the semi only wins when the
+        # batch side broadcasts, which a day's distinct grams cannot
+        # be assumed to do.)
         df_now = (
             idx.select("g")
             .unionByName(bg.select("g"))
@@ -1759,7 +1773,6 @@ def ivm_agg_maintenance_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from ..plans.queries_r14 import _IVM_DEL_MOD, _IVM_INS_MOD
 
-    src = _scratch("ivm_src")
     li = load_table(spark, sf_dir, "lineitem")
     qty = F.col("l_quantity").cast("decimal(18,2)")
     price = F.col("l_extendedprice").cast("decimal(18,2)")
@@ -1770,29 +1783,49 @@ def ivm_agg_maintenance_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         price.alias("price"),
         "l_orderkey",
     )
-    batches = [
-        # base load: the full relation, sign +1
-        typed.select(
-            "l_returnflag", "l_linestatus", "qty", "price",
-            F.lit(1).alias("sign"),
+    # r15 (guide §2.4 "remove shuffles/passes outright"): the three
+    # refresh files (base +1, delete -1, insert +1 with qty+1) were
+    # written by three sequential jobs — a full fact scan plus two
+    # filtered rescans. One explode fans each row out to the batches
+    # it belongs to (tag 0 always; 1/2 when the key matches the
+    # delete/insert modulus), so ONE scan and ONE partitionBy job
+    # write all three files; batch contents are row-for-row identical
+    # to the sequential form, and the fold is arrival-order invariant
+    # anyway (abelian partials).
+    tag = F.array_remove(
+        F.array(
+            F.lit(0),
+            F.when(
+                F.col("l_orderkey") % _IVM_DEL_MOD == 0, F.lit(1)
+            ).otherwise(F.lit(-1)),
+            F.when(
+                F.col("l_orderkey") % _IVM_INS_MOD == 0, F.lit(2)
+            ).otherwise(F.lit(-1)),
         ),
-        # delete batch: refunded keys, sign -1
-        typed.filter(F.col("l_orderkey") % _IVM_DEL_MOD == 0).select(
-            "l_returnflag", "l_linestatus", "qty", "price",
-            F.lit(-1).alias("sign"),
-        ),
-        # insert batch: modified copies (quantity + 1), sign +1
-        typed.filter(F.col("l_orderkey") % _IVM_INS_MOD == 0).select(
-            "l_returnflag",
-            "l_linestatus",
-            (F.col("qty") + 1).cast("decimal(18,2)").alias("qty"),
-            "price",
-            F.lit(1).alias("sign"),
-        ),
-    ]
-    schema = batches[0].schema
-    for b in batches:
-        b.coalesce(1).write.mode("append").parquet(src)
+        -1,
+    )
+    out = typed.select(
+        "l_returnflag",
+        "l_linestatus",
+        "qty",
+        "price",
+        F.explode(tag).alias("__t"),
+    ).select(
+        "l_returnflag",
+        "l_linestatus",
+        F.when(
+            F.col("__t") == 2, (F.col("qty") + 1).cast("decimal(18,2)")
+        )
+        .otherwise(F.col("qty"))
+        .alias("qty"),
+        "price",
+        F.when(F.col("__t") == 1, F.lit(-1))
+        .otherwise(F.lit(1))
+        .alias("sign"),
+        "__t",
+    )
+    schema = out.drop("__t").schema
+    src = _split_source(spark, out, "__t", "ivm_src", tagged=True)
 
     agg_root = os.path.join(_SCRATCH, "ivm_agg")
     if os.path.exists(agg_root):
