@@ -2585,6 +2585,9 @@ def q_docs_ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..functions import text as TX
     from ..operators import aggregate
 
+    # (r15: a spread_scan head was A/B-measured at 2.41->2.48 s — the
+    # cost here is the token-frequency join, not the explode — and
+    # reverted; see OPTIMIZATION_r15.md.)
     docs = _docs(spark, sf_dir)
     tok = docs.select("doc_id", F.explode(TX.tokens("text")).alias("tok"))
     freq = tok.groupBy("tok").agg(F.count("*").alias("cnt"))

@@ -605,6 +605,9 @@ def q_docs_perplexity_bucket(
     """
     from ..operators import aggregate
 
+    # (r15: a spread_scan head was A/B-measured at 2.97->3.25 s —
+    # docs feeds three filtered branches, so the added exchange can
+    # execute per branch — and reverted; see OPTIMIZATION_r15.md.)
     docs = _docs(spark, sf_dir)
     is_ref = F.col("doc_id") % _PPL_REF_MOD == 0
 

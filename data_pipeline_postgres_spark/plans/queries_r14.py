@@ -1062,16 +1062,26 @@ def q_multimodal_nibble_entropy(
     already-compressed bytes sit near the maximum, telling a 100 TB
     ingest which payloads to skip recompressing.
 
-    Scale shape: map-only (zero Exchange) — one hex projection and 16
-    fixed-order count/entropy terms per row, all JVM string built-ins;
-    the payload column itself never shuffles. The decode-free sibling
+    Scale shape: map-only at scale (zero Exchange — the local
+    spread_scan branch below is a no-op there) — one hex projection
+    and 16 fixed-order count/entropy terms per row, all JVM string
+    built-ins; the payload column never shuffles at scale. The decode-free sibling
     of multimodal_decode's stubbed feature extraction.
     """
     d = load_table(spark, sf_dir, "documents")
+    from ..catalog import spread_scan
     from ..operators.multimodal import attach_payload
 
+    # r15: the query is map-only (zero Exchange), so the whole
+    # hex + 16-term entropy fold ran as ONE task on the
+    # single-row-group local file. spread_scan parallelizes the map
+    # work and is a no-op at scale (guide §2.5); row-map output is
+    # partitioning-independent.
     p = attach_payload(
-        d.filter(F.col("text").isNotNull() & (F.length("text") > 0))
+        spread_scan(
+            d.filter(F.col("text").isNotNull() & (F.length("text") > 0)),
+            "doc_id",
+        )
     ).select(
         "doc_id",
         F.upper(F.hex(F.col("payload"))).alias("h"),

@@ -1150,7 +1150,11 @@ def q_docs_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     the token stream, one doc-keyed aggregate; the per-token state is
     ONE int64. At 100 TB the target distribution is a 256-row
     broadcast literal refreshed offline."""
-    docs = _docs(spark, sf_dir)
+    from ..catalog import spread_scan
+
+    # r15: spread the single-row-group scan before the per-token md5
+    # bucketing (guide §2.5; no-op at scale — see catalog.spread_scan).
+    docs = spread_scan(_docs(spark, sf_dir), "doc_id")
     tok = docs.select(
         "doc_id", F.explode(TX.tokens("text")).alias("t")
     )

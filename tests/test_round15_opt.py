@@ -215,3 +215,116 @@ def test_cdc_manifest_kernel_matches_sql_fold(spark, mask):
     )
     assert new == old
     assert len(new) > 100
+
+
+def test_ivm_tagged_split_matches_sequential_batches(spark):
+    """The r15 one-scan IVM source build (explode fan-out +
+    _split_source(tagged=True)) must write the SAME three batch files
+    as the original sequential construction: base (+1), deletes (-1),
+    inserts (+1, qty+1) — row-for-row identical sets, one file per
+    batch, strictly increasing mtimes."""
+    import os
+
+    from data_pipeline_postgres_spark.streaming import jobs as SJ
+    from data_pipeline_postgres_spark.plans.queries_r14 import (
+        _IVM_DEL_MOD,
+        _IVM_INS_MOD,
+    )
+    from data_pipeline_postgres_spark.catalog import load_table
+
+    li = load_table(spark, SF, "lineitem")
+    qty = F.col("l_quantity").cast("decimal(18,2)")
+    price = F.col("l_extendedprice").cast("decimal(18,2)")
+    typed = li.select(
+        "l_returnflag",
+        "l_linestatus",
+        qty.alias("qty"),
+        price.alias("price"),
+        "l_orderkey",
+    )
+    # sequential reference construction (the pre-r15 formulation)
+    seq = [
+        typed.select(
+            "l_returnflag", "l_linestatus", "qty", "price",
+            F.lit(1).alias("sign"),
+        ),
+        typed.filter(F.col("l_orderkey") % _IVM_DEL_MOD == 0).select(
+            "l_returnflag", "l_linestatus", "qty", "price",
+            F.lit(-1).alias("sign"),
+        ),
+        typed.filter(F.col("l_orderkey") % _IVM_INS_MOD == 0).select(
+            "l_returnflag",
+            "l_linestatus",
+            (F.col("qty") + 1).cast("decimal(18,2)").alias("qty"),
+            "price",
+            F.lit(1).alias("sign"),
+        ),
+    ]
+    # the new fan-out build, exactly as ivm_agg_maintenance_stream does
+    tag = F.array_remove(
+        F.array(
+            F.lit(0),
+            F.when(
+                F.col("l_orderkey") % _IVM_DEL_MOD == 0, F.lit(1)
+            ).otherwise(F.lit(-1)),
+            F.when(
+                F.col("l_orderkey") % _IVM_INS_MOD == 0, F.lit(2)
+            ).otherwise(F.lit(-1)),
+        ),
+        -1,
+    )
+    out = typed.select(
+        "l_returnflag", "l_linestatus", "qty", "price",
+        F.explode(tag).alias("__t"),
+    ).select(
+        "l_returnflag",
+        "l_linestatus",
+        F.when(
+            F.col("__t") == 2, (F.col("qty") + 1).cast("decimal(18,2)")
+        ).otherwise(F.col("qty")).alias("qty"),
+        "price",
+        F.when(F.col("__t") == 1, F.lit(-1)).otherwise(F.lit(1)).alias(
+            "sign"
+        ),
+        "__t",
+    )
+    src = SJ._split_source(spark, out, "__t", "ivm_src_test", tagged=True)
+    files = sorted(os.listdir(src))
+    assert len(files) == 3, files
+    mtimes = [os.path.getmtime(os.path.join(src, f)) for f in files]
+    assert mtimes == sorted(mtimes) and len(set(mtimes)) == 3
+    for i, f in enumerate(files):
+        got = sorted(
+            map(tuple, spark.read.parquet(os.path.join(src, f)).collect())
+        )
+        want = sorted(map(tuple, seq[i].collect()))
+        assert got == want, f"batch {i} differs"
+
+
+def test_global_rank_partition_count_invariance(spark):
+    """global_rank's contract: ranks are range-boundary independent,
+    so any num_partitions (including the r15 scale-adaptive default)
+    yields identical output."""
+    from data_pipeline_postgres_spark.operators.window import global_rank
+
+    df = _docs(spark).select(
+        "doc_id", F.length("text").alias("n")
+    )
+    base = sorted(
+        map(
+            tuple,
+            global_rank(df, ["n", "doc_id"], num_partitions=4)
+            .select("doc_id", "rn")
+            .collect(),
+        )
+    )
+    for np_ in (7, 32, None):
+        got = sorted(
+            map(
+                tuple,
+                global_rank(df, ["n", "doc_id"], num_partitions=np_)
+                .select("doc_id", "rn")
+                .collect(),
+            )
+        )
+        assert got == base, f"num_partitions={np_} diverges"
