@@ -195,6 +195,14 @@ def token_stream64(
         F.xxhash64(sent_tok).alias("ha"),
         F.xxhash64(F.lit("\x02"), sent_tok).alias("hb"),
     )
+    # r15: a localCheckpoint lineage cut here (the shared-relation
+    # rule — hash_doubling_pyramid consumes the stream twice, owned +
+    # halo, so the plan inlines 16 small parquet scans) was A/B-
+    # measured and REVERTED: spectrum 4.63->7.06 s, maxrun
+    # 4.53->9.94 s. Re-hashing the stream 4x is cheaper than
+    # materializing ~n_tokens x 32-byte rows; at 100 TB the trade is
+    # ~4 tokenize passes vs a stream-sized persist write+read — a
+    # wash, not a win. See OPTIMIZATION_r15.md.
     return toks.unionByName(sent)
 
 

