@@ -3385,12 +3385,21 @@ def q_graph_random_walks(spark: SparkSession, sf_dir: str) -> DataFrame:
         "ranked.parquet",
         build,
     )
+    # r15 (guide §2.4): pin the tiny frontier (≤ _WALK_STARTS rows)
+    # after the starts pick and after EVERY hop. Without the cuts,
+    # part k's plan embeds hops 1..k AND the starts sort — the
+    # _WALK_LEN+1-way union re-executed each hop O(len²/2) times and
+    # re-scanned the ranked index ~15× per walk relation (60× in the
+    # skip-gram self-join; plans/r15/graph_random_walks_before.txt).
+    # localCheckpoint of a ≤20-row frontier costs one sub-100ms job
+    # per hop and makes every hop execute exactly once at any scale.
     starts = (
         ranked.select("src", "deg")
         .distinct()
         .orderBy(F.desc("deg"), F.asc("src"))
         .limit(_WALK_STARTS)
         .select(F.col("src").alias("start"))
+        .localCheckpoint()
     )
     parts = [
         starts.select(
@@ -3414,6 +3423,7 @@ def q_graph_random_walks(spark: SparkSession, sf_dir: str) -> DataFrame:
             ranked.join(F.broadcast(cur), ranked["src"] == cur["cur"])
             .filter(F.col("rnk") == h % F.col("deg"))
             .select("start", F.col("dst").alias("cur"))
+            .localCheckpoint()  # ≤ |starts| rows — see note above
         )
         parts.append(
             step.select(
@@ -3654,7 +3664,20 @@ def _bm25_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
     search_hybrid_rrf (rank fusion)."""
     docs = _docs(spark, sf_dir)
     toks = docs.select("doc_id", F.explode(TX.tokens("text")).alias("w"))
-    tf = toks.groupBy("doc_id", "w").agg(F.count("*").alias("tf"))
+    # r15 (guide §2.4): tf — the inverted index — feeds FOUR consumers
+    # (dl, stats via dl, df, scored) plus the query-term pick below.
+    # Unpinned, each consumer's plan embeds its own tokenize + count
+    # subtree with branch-specific column pruning, so runtime exchange
+    # reuse cannot collapse them and the corpus was tokenized 5× (16
+    # document scans in plans/r15/text_bm25_search_before.txt). Pinning
+    # tf makes the corpus pass execute exactly once; everything
+    # downstream reads the materialized (doc_id, w, tf) relation — at
+    # 100 TB this is ONE corpus pass instead of five.
+    tf = (
+        toks.groupBy("doc_id", "w")
+        .agg(F.count("*").alias("tf"))
+        .localCheckpoint()
+    )
     dl = tf.groupBy("doc_id").agg(F.sum("tf").alias("len"))
     stats = dl.agg(
         F.count("*").alias("n"),
@@ -3664,12 +3687,12 @@ def _bm25_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     df = tf.groupBy("w").agg(F.count("*").alias("df"))
     qmin = docs.agg(F.min("doc_id").alias("qid"))
+    # query terms from the pinned tf, not a fresh tokenize: tf rows
+    # are distinct per (doc_id, w) by construction, so selecting the
+    # min-doc's w IS the old toks.distinct() term set.
     q = (
-        toks.join(
-            F.broadcast(qmin), toks["doc_id"] == F.col("qid")
-        )
+        tf.join(F.broadcast(qmin), tf["doc_id"] == F.col("qid"))
         .select("w")
-        .distinct()
     )
     d = lambda c: F.col(c).cast("double")  # noqa: E731
     term = F.floor(
@@ -3847,7 +3870,11 @@ def q_graph_walk_skipgram_pairs(
     Shape: the walk relation is tiny (|starts|·(len+1) rows); the
     window join is a self-join on the walk id — bounded by
     |walks|·(2·window), never touching the edge relation again."""
-    walks = q_graph_random_walks(spark, sf_dir)
+    # r15 (guide §2.4): pin the ≤ |starts|·(len+1)-row walk relation
+    # before the self-join — otherwise the whole hop chain (stored-
+    # index scans + frontier broadcasts) is embedded twice in the
+    # join's plan and built twice.
+    walks = q_graph_random_walks(spark, sf_dir).localCheckpoint()
     a, b = walks.alias("a"), walks.alias("b")
     dist = F.abs(F.col("a.step") - F.col("b.step"))
     return (
