@@ -450,7 +450,14 @@ def minhash_incremental_dedup(
     admitted = batch.join(batch_ids, "doc_id", "left_semi").unionByName(
         corpus.join(corpus_ids, "doc_id", "left_semi")
     )
-    pairs = jaccard_pairs(doc_shingles(admitted, n), cands, threshold)
+    # r15 (guide §2.4): pin the admitted-docs shingle relation —
+    # jaccard_pairs consumes it THREE times (sizes + both join
+    # sides), and each consumer otherwise re-embeds the whole
+    # batch∪corpus semi-join + tokenize lineage (20 documents scans
+    # in the incremental query's plan). The relation is candidate-
+    # bounded (admitted docs only), so the pin is small at any scale.
+    sh = doc_shingles(admitted, n).localCheckpoint(eager=False)
+    pairs = jaccard_pairs(sh, cands, threshold)
     from pyspark.sql import Window
 
     w = Window.partitionBy("doc_a").orderBy("doc_b")
@@ -851,15 +858,32 @@ def embedding_near_dup_lsh(
     from ..operators import similarity as S
 
     src = emb.select("vec_id", V.as_double(F.col("embedding")).alias("v"))
-    per_band = [
-        S.sign_lsh_buckets(emb, planes, dim, band=t).withColumn(
-            "band", F.lit(t)
-        )
-        for t in range(bands)
-    ]
-    bk = per_band[0]
-    for more in per_band[1:]:
-        bk = bk.unionByName(more)
+
+    # r15 (guide §2.4): ALL bands' buckets in ONE corpus pass — the
+    # per-band union of sign_lsh_buckets() calls scanned the
+    # embeddings once per band (8 scans, 16 across the self-join). A
+    # posexplode over the per-band bucket array computes the identical
+    # (vec_id, band, bucket) rows from a single scan; the relation is
+    # then pinned because the candidate self-join reads it twice.
+    def _band_bucket(t: int) -> Column:
+        bits = [
+            F.when(
+                V.dot(F.col("v"), S._hyperplane(t * planes + p, dim)) >= 0,
+                F.lit(1 << p),
+            ).otherwise(F.lit(0))
+            for p in range(planes)
+        ]
+        acc = bits[0]
+        for x in bits[1:]:
+            acc = acc + x
+        return acc.cast("bigint")
+
+    bk = src.select(
+        "vec_id",
+        F.posexplode(
+            F.array(*[_band_bucket(t) for t in range(bands)])
+        ).alias("band", "bucket"),
+    ).localCheckpoint(eager=False)
     a = bk.alias("a")
     b = bk.alias("b")
     cands = (
@@ -875,7 +899,11 @@ def embedding_near_dup_lsh(
         )
         .distinct()
     )
-    q = src.select("vec_id", quantize_col(F.col("v")).alias("q"))
+    # quantized vectors feed both verify join sides — pin so the
+    # normalize+quantize pass (and its scan) runs once, not twice
+    q = src.select(
+        "vec_id", quantize_col(F.col("v")).alias("q")
+    ).localCheckpoint(eager=False)
     qa = q.select(
         F.col("vec_id").alias("vec_id_a"), F.col("q").alias("qa")
     )

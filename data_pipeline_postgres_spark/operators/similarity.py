@@ -273,23 +273,26 @@ def ivf_batch_topk(
 
 def _hyperplane(p: int, dim: int) -> Column:
     """Deterministic pseudo-random hyperplane p: component d is mapped
-    from md5("p:d") hex into [-1, 1). Reproducible everywhere."""
-    return F.transform(
-        F.sequence(F.lit(0), F.lit(dim - 1)),
-        lambda d: (
-            F.conv(
-                F.substring(
-                    F.md5(F.concat_ws(":", F.lit(str(p)), d.cast("string"))),
-                    1,
-                    8,
-                ),
-                16,
-                10,
-            ).cast("double")
-            / F.lit(float(2**31))
-            - 1.0
-        ),
-    )
+    from md5("p:d") hex into [-1, 1). Reproducible everywhere.
+
+    r15 (guide §4.2 + the r12 CollapseProject lesson): emitted as a
+    LITERAL array, not a transform() HOF over the md5 expression — a
+    lambda-bearing HOF is never constant-folded, so every dot(v, hp)
+    consumer was re-evaluating dim md5s PER ROW (32 planes × 64
+    components × n rows in the near-dup LSH plan). The Python md5
+    below computes the bit-identical values once on the driver:
+    int(md5hex[:8], 16) is exact in double, /2^31 is a power-of-two
+    division (exact), and the -1.0 bracketing matches the old
+    expression, so every bucket id is unchanged."""
+    import hashlib
+
+    vals = [
+        int(hashlib.md5(f"{p}:{d}".encode()).hexdigest()[:8], 16)
+        / float(2**31)
+        - 1.0
+        for d in range(dim)
+    ]
+    return F.array(*[F.lit(v) for v in vals])
 
 
 def sign_lsh_buckets(

@@ -1062,7 +1062,12 @@ def q_dedup_minhash_band_sweep(
         .orderBy(F.md5(F.col("doc_id").cast("string")))
         .limit(_SWEEP_SAMPLE)
     )
-    docs = docs.join(F.broadcast(samp), "doc_id", "left_semi")
+    # r15 (guide §2.4): pin the ≤_SWEEP_SAMPLE-row sampled docs — the
+    # md5-ordered sample sort + semi-join otherwise re-runs inside
+    # every shingle consumer (8 documents scans in the before-plan).
+    docs = docs.join(
+        F.broadcast(samp), "doc_id", "left_semi"
+    ).localCheckpoint()
     sh_raw = dedup.doc_shingles(docs, distinct=False)
     base = sh_raw.select(
         "doc_id", minhash_base(F.col("shingle")).alias("h")
@@ -1097,7 +1102,9 @@ def q_dedup_minhash_band_sweep(
         cand = cand.unionByName(candidates(*c))
     cand = cand.localCheckpoint(eager=False)
     all_pairs = cand.select("doc_a", "doc_b").distinct()
-    sh = dedup.doc_shingles(docs)  # distinct, for exact Jaccard
+    # pin the sample's distinct shingles too: jaccard_pairs reads the
+    # relation 3× (sizes + both join sides); the sample cap bounds it
+    sh = dedup.doc_shingles(docs).localCheckpoint(eager=False)
     jac = dedup.jaccard_pairs(sh, all_pairs, threshold=0.0).select(
         "doc_a", "doc_b", F.col("jaccard").alias("jac")
     )

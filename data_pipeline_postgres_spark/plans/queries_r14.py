@@ -840,9 +840,15 @@ def q_emb_ivf_delta_merge(
     vecs = S._vecs(emb)
     corpus = vecs.filter(F.col("vec_id") % 10 != 7)
     delta = vecs.filter(F.col("vec_id") % 10 == 7)
+    # r15 (guide §2.4): pin the nlist-row centroid relation — it
+    # feeds the broadcast array AND the merged join spine, and both
+    # assignment branches embed the array's lineage, so the corpus
+    # seeding pass otherwise re-ran per consumer (10 embeddings scans
+    # in the before-plan; 3 after: seed once, assign corpus, assign
+    # delta).
     cents = S.ivf_centroids(corpus.select(
         "vec_id", F.col("v").alias("embedding")
-    ), _DELTA_NLIST)
+    ), _DELTA_NLIST).localCheckpoint()
     carr = S._centroid_array(cents)
 
     def assigned_counts(part: DataFrame, out: str) -> DataFrame:

@@ -4765,9 +4765,21 @@ def _nb_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     ttok = train.select(
         "source", F.explode(TX.tokens("text")).alias("tok")
     )
-    cnt = ttok.groupBy("source", "tok").agg(F.count("*").alias("c"))
+    # r15 (guide §2.4): cnt — the (source, tok, c) NB model counts,
+    # model-sized (≤ classes × vocab rows) — feeds nsrc, vocab, v and
+    # the model join; unpinned, every consumer re-embedded its own
+    # train tokenize subtree (18 documents scans in the margin-
+    # calibration plan). Pin it once; vocab is derived from cnt
+    # (distinct tok present in train — the identical set ttok's
+    # distinct produced) so the train corpus is tokenized exactly
+    # once at any scale.
+    cnt = (
+        ttok.groupBy("source", "tok")
+        .agg(F.count("*").alias("c"))
+        .localCheckpoint()
+    )
     nsrc = cnt.groupBy("source").agg(F.sum("c").alias("n_src"))
-    vocab = ttok.select("tok").distinct()
+    vocab = cnt.select("tok").distinct()
     v = vocab.agg(F.count("*").alias("v"))
 
     def q_log2(num, den):

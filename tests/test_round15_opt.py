@@ -328,3 +328,86 @@ def test_global_rank_partition_count_invariance(spark):
             )
         )
         assert got == base, f"num_partitions={np_} diverges"
+
+
+def test_hyperplane_literal_matches_md5_expression(spark):
+    """_hyperplane now emits a driver-computed LITERAL array (the md5
+    HOF was re-evaluated per consuming row — the r12 CollapseProject
+    lesson). The literal must be bit-identical to the original
+    expression for every component of several planes."""
+    from data_pipeline_postgres_spark.operators.similarity import (
+        _hyperplane,
+    )
+
+    for p in (0, 3, 17, 31):
+        lit = spark.range(1).select(
+            _hyperplane(p, 64).alias("h")
+        ).collect()[0]["h"]
+        expr = spark.range(1).select(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(63)),
+                lambda d: (
+                    F.conv(
+                        F.substring(
+                            F.md5(
+                                F.concat_ws(
+                                    ":", F.lit(str(p)), d.cast("string")
+                                )
+                            ),
+                            1,
+                            8,
+                        ),
+                        16,
+                        10,
+                    ).cast("double")
+                    / F.lit(float(2**31))
+                    - 1.0
+                ),
+            ).alias("h")
+        ).collect()[0]["h"]
+        assert lit == expr, f"plane {p} diverges"
+
+
+def test_one_pass_banded_buckets_match_per_band_union(spark):
+    """embedding_near_dup_lsh's single-scan posexplode bucket build
+    must emit exactly the per-band sign_lsh_buckets union's rows."""
+    from data_pipeline_postgres_spark.catalog import load_table
+    from data_pipeline_postgres_spark.functions import vectors as V
+    from data_pipeline_postgres_spark.operators import similarity as S
+
+    emb = load_table(spark, SF, "embeddings")
+    planes, dim, bands = 4, 64, 8
+    old = set()
+    for t in range(bands):
+        for r in S.sign_lsh_buckets(emb, planes, dim, band=t).collect():
+            old.add((r.vec_id, t, r.bucket))
+
+    src = emb.select(
+        "vec_id", V.as_double(F.col("embedding")).alias("v")
+    )
+
+    def band_bucket(t):
+        bits = [
+            F.when(
+                V.dot(F.col("v"), S._hyperplane(t * planes + p, dim))
+                >= 0,
+                F.lit(1 << p),
+            ).otherwise(F.lit(0))
+            for p in range(planes)
+        ]
+        acc = bits[0]
+        for x in bits[1:]:
+            acc = acc + x
+        return acc.cast("bigint")
+
+    new = {
+        (r.vec_id, r.band, r.bucket)
+        for r in src.select(
+            "vec_id",
+            F.posexplode(
+                F.array(*[band_bucket(t) for t in range(bands)])
+            ).alias("band", "bucket"),
+        ).collect()
+    }
+    assert new == old
+    assert len(new) > 100
