@@ -2900,10 +2900,16 @@ def q_orders_assoc_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     is TakeOrderedAndProject."""
     l = _t(spark, sf_dir, "lineitem")
     p = _t(spark, sf_dir, "part")
+    # r15 (guide §2.4): basket feeds FOUR consumers (n, na, arrs →
+    # nab) and each otherwise re-runs the fact join + distinct
+    # exchange — 4 lineitem passes (plans/r15/orders_assoc_rules_
+    # before.txt). The pin bounds at the post-distinct (order, brand)
+    # relation: one fact pass + one distinct at any scale.
     basket = (
         l.join(F.broadcast(p), l["l_partkey"] == p["p_partkey"])
         .select("l_orderkey", "p_brand")
         .distinct()
+        .localCheckpoint(eager=False)
     )
     n = basket.agg(F.countDistinct("l_orderkey").alias("n_orders"))
     na = basket.groupBy(F.col("p_brand")).agg(F.count("*").alias("n_a"))
@@ -3643,6 +3649,10 @@ def q_graph_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
     (shared-neighbor pairing) is the bounded-fan-out triangle-join
     idiom; existing edges are removed by a broadcast anti-join before
     degrees attach."""
+    # (r15: a localCheckpoint pin on edges was A/B-measured at
+    # 0.78→0.91 s and REVERTED — the 5 repeated reads are pruned
+    # scans of the already-materialized stored index, cheaper than
+    # pinning a second copy.)
     edges = _copurchase_edge_index(spark, sf_dir).filter(
         (F.col("weight") >= 2) & (F.col("src") < F.col("dst"))
     ).select("src", "dst")
@@ -3725,7 +3735,16 @@ def q_referential_integrity_sweep(
     against its (broadcast where dim-sized) parent keyset — child
     scans read ONE column; the per-edge counts are 1-row aggregates
     unioned into the report, so the whole sweep is a handful of
-    column-pruned scans, never a wide join."""
+    column-pruned scans, never a wide join.
+
+    (r15: a one-pass-per-child rewrite — all FK columns on one scan,
+    broadcast LEFT joins + a single multi-orphan aggregate — was
+    interleaved-A/B-measured at 2.2→2.8 s and REVERTED: the per-edge
+    form's six single-column pushed scans are cheap, while the fused
+    pass pays wider reads, per-row join probes for every edge at
+    once, and checkpoint job boundaries. At scale the per-edge form
+    also keeps each parent join independently plannable — a
+    non-broadcastable parent degrades only its own edge's pass.)"""
     out = None
     for child, ck, parent, pk in _RI_EDGES:
         c = _t(spark, sf_dir, child).select(F.col(ck).alias("k"))

@@ -334,6 +334,12 @@ def q_text_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("s")["1"].alias("w2"),
         )
     )
+    # (r15: localCheckpoint pins on tf and/or cb were interleaved-
+    # A/B-measured at 1.3→1.8 s and REVERTED — the lineage-cut
+    # relation loses stats, flipping downstream broadcasts to wider
+    # joins, and the pin adds job boundaries; runtime exchange reuse
+    # already dedups the repeated subtrees here. See OPTIMIZATION_
+    # r15.md §14.)
     tf = bg.groupBy("doc_id", "w1", "w2").agg(F.count("*").alias("tf"))
     cb = tf.groupBy("w1", "w2").agg(F.sum("tf").alias("cnt"))
     cl = cb.groupBy("w1").agg(F.sum("cnt").alias("lcnt"))
@@ -2614,6 +2620,9 @@ def q_text_bigram_kn_logprob(
             F.col("s")["1"].alias("w2"),
         )
     )
+    # (r15: localCheckpoint pins on tf and/or cb were interleaved-
+    # A/B-measured at 1.5→2.2 s and REVERTED — same cause as
+    # text_bigram_logprob's note; see OPTIMIZATION_r15.md §14.)
     tf = bg.groupBy("doc_id", "w1", "w2").agg(F.count("*").alias("tf"))
     cb = tf.groupBy("w1", "w2").agg(F.sum("tf").alias("cnt"))
     cl = cb.groupBy("w1").agg(F.sum("cnt").alias("lcnt"))
