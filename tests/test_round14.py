@@ -316,17 +316,18 @@ class TestStreamScd2Apply:
         for r in rows:
             by_key.setdefault(r.o_custkey, []).append(r)
         assert len(cur) == len(by_key)  # exactly one current per key
-        # r15 shape: open intervals carry the 9999-12-31 sentinel, not
-        # NULL (FIXTURES.md F6)
-        import datetime
-
-        sentinel = datetime.datetime(9999, 12, 31)
+        # r16 shape (FIXTURES.md F6): DATE bounds, NULL valid_to on
+        # exactly the open (is_current) interval per key
         for k, ivs in by_key.items():
-            ivs.sort(key=lambda r: (r.valid_from, r.o_orderkey))
+            ivs.sort(
+                key=lambda r: (r.valid_from, r.o_orderkey)
+            )
             for a, b in zip(ivs, ivs[1:]):
                 assert a.valid_to == b.valid_from  # gap-free chain
-            assert ivs[-1].valid_to == sentinel
-        assert all(r.valid_to is not None for r in rows)
+            assert ivs[-1].valid_to is None
+        assert all(
+            (r.valid_to is None) == r.is_current for r in rows
+        )
 
 
 class TestIvmAggMaintenance:
