@@ -80,10 +80,27 @@ def pagerank(
     run against a prepared graph artifact starts straight at
     superstep 1.
     """
+    # r16 (guide §2.4): the edge relation is HASH-PARTITIONED BY dst
+    # and deliberately NOT lineage-cut — localCheckpoint erases the
+    # partitioning (the ExistingRDD scan reports UnknownPartitioning,
+    # measured in plans/r16), which is exactly what forced one
+    # contribution shuffle per superstep in the r15 shape. With the
+    # partitioning visible, every superstep (norm ⋈ broadcast(ranks)
+    # → groupBy(dst-as-node)) needs NO exchange: the broadcast join
+    # preserves the streamed side's partitioning and Project/
+    # Aggregate rewrite it through the alias, so the per-superstep
+    # destination aggregate — the only corpus-scale shuffle in the
+    # loop — drops out of the plan. The repartition exchange itself
+    # appears once per lineage-cut segment (~3 supersteps) and is
+    # deduplicated within a segment by exchange reuse: ~3 edge-sized
+    # shuffles total instead of `iters` contribution shuffles. The
+    # partition count is the session's default parallelism (scale-
+    # adaptive: a cluster derives it from its size), not a local tune.
+    n_parts = edges.sparkSession.sparkContext.defaultParallelism
     if prenormalized:
-        # one in-memory materialization so the 8 supersteps read
-        # executor-local blocks instead of re-scanning the source
-        norm = edges.select("src", "dst", "p").localCheckpoint(eager=True)
+        norm = edges.select("src", "dst", "p").repartition(
+            n_parts, "dst"
+        )
     else:
         out_w = edges.groupBy("src").agg(F.sum("weight").alias("outw"))
         norm = (
@@ -93,13 +110,21 @@ def pagerank(
                 "dst",
                 (F.col("weight") / F.col("outw")).alias("p"),
             )
-            .localCheckpoint(eager=True)  # reused every superstep
+            .repartition(n_parts, "dst")
         )
-    src_nodes = norm.select(F.col("src").alias("node")).distinct()
+    # node relation from the RAW edges (distinct's map-side partial
+    # aggregation makes this shuffle node-sized, not edge-sized),
+    # pinned once: n-count, ranks₀ and every segment read the pin
+    # instead of re-running the distinct (bounded, node-scale — §14).
+    src_nodes = (
+        edges.select(F.col("src").alias("node"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
     if dangling:
         nodes = (
             src_nodes.unionByName(
-                norm.select(F.col("dst").alias("node"))
+                edges.select(F.col("dst").alias("node"))
             )
             .distinct()
             .localCheckpoint(eager=True)
@@ -216,6 +241,16 @@ def label_propagation(
     label lineage is cut every few rounds. Symmetric-graph callers
     guarantee every node has in-degree ≥ 1 so no node drops out.
     """
+    # r16 (guide §2.4): the edge relation is hash-partitioned by dst
+    # and NOT lineage-cut (localCheckpoint erases partitioning — see
+    # pagerank): each round's (dst, label) aggregate AND the per-dst
+    # argmax window both have their clustering satisfied by
+    # HashPartitioning(dst) — rows with equal dst share a partition —
+    # so the per-round exchanges (the only corpus-scale shuffles in
+    # the loop) drop out of the plan; the one repartition exchange is
+    # deduplicated per lineage-cut segment by exchange reuse.
+    n_parts = edges.sparkSession.sparkContext.defaultParallelism
+    edges = edges.repartition(n_parts, "dst")
     labels = (
         edges.select(F.col("src").alias("node"))
         .distinct()

@@ -2122,7 +2122,6 @@ def q_supplier_pareto_share(spark: SparkSession, sf_dir: str) -> DataFrame:
             * (F.lit(1) - F.col("l_discount").cast("decimal(4,2)"))
         ).alias("revenue")
     )
-    total = rev.agg(F.sum("revenue").alias("total"))
     order = [F.desc("revenue"), F.asc("l_suppkey")]
     # lineage cut: both consumers (within-scan + per-range totals)
     # must see ONE set of sampled range boundaries — same rationale
@@ -2148,6 +2147,13 @@ def q_supplier_pareto_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     within = ranged.withColumn("_cum_in", F.sum("revenue").over(w_in))
     totals = ranged.groupBy("_pid").agg(F.sum("revenue").alias("_ptot"))
+    # r16 (guide §2.4): the grand total is the exact decimal sum of
+    # the per-range totals — deriving it from `totals` (a ≤n_ranges
+    # relation the plan already builds) instead of a separate
+    # rev-aggregate removes a second full lineitem scan + groupBy
+    # exchange. Decimal sums are order-free exact, so the value (and
+    # the final double share) is bit-identical.
+    total = totals.agg(F.sum("_ptot").alias("total"))
     w_p = W.orderBy("_pid").rowsBetween(W.unboundedPreceding, -1)
     offsets = totals.select(
         "_pid",
@@ -2900,21 +2906,26 @@ def q_orders_assoc_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     is TakeOrderedAndProject."""
     l = _t(spark, sf_dir, "lineitem")
     p = _t(spark, sf_dir, "part")
-    # r15 (guide §2.4): basket feeds FOUR consumers (n, na, arrs →
-    # nab) and each otherwise re-runs the fact join + distinct
-    # exchange — 4 lineitem passes (plans/r15/orders_assoc_rules_
-    # before.txt). The pin bounds at the post-distinct (order, brand)
-    # relation: one fact pass + one distinct at any scale.
-    basket = (
+    # r16 (guide §2.3/§2.4, reworking the r15 basket pin the driver
+    # bench read flat-to-negative): every consumer derives from the
+    # per-order brand-set relation, and collect_set ITSELF dedups —
+    # so the separate distinct exchange disappears and the single
+    # orderkey exchange (with map-side partial collect_set) is the
+    # only corpus-scale shuffle. n = rows of arrs (≡ countDistinct
+    # orderkey), na = exploded per-brand order counts (≡ counts over
+    # the distinct (order, brand) relation) — both exact identities.
+    arrs = (
         l.join(F.broadcast(p), l["l_partkey"] == p["p_partkey"])
         .select("l_orderkey", "p_brand")
-        .distinct()
+        .groupBy("l_orderkey")
+        .agg(F.array_sort(F.collect_set("p_brand")).alias("bs"))
         .localCheckpoint(eager=False)
     )
-    n = basket.agg(F.countDistinct("l_orderkey").alias("n_orders"))
-    na = basket.groupBy(F.col("p_brand")).agg(F.count("*").alias("n_a"))
-    arrs = basket.groupBy("l_orderkey").agg(
-        F.array_sort(F.collect_set("p_brand")).alias("bs")
+    n = arrs.agg(F.count("*").alias("n_orders"))
+    na = (
+        arrs.select(F.explode("bs").alias("p_brand"))
+        .groupBy("p_brand")
+        .agg(F.count("*").alias("n_a"))
     )
     nab = (
         arrs.select(

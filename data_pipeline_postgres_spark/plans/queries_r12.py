@@ -1037,6 +1037,13 @@ def q_docs_dup_maxrun(spark: SparkSession, sf_dir: str) -> DataFrame:
     stream = _token_stream(spark, sf_dir)
     pyr = textdup.hash_doubling_pyramid(stream, _SPECTRUM_ROUNDS)
     long = textdup.pyramid_long(pyr, _SPECTRUM_ROUNDS)
+    # r16 measured REVERT (guide §1): repartition(k,ha,hb) + a
+    # pre-aggregate per (k,ha,hb,doc_id) + window-sum — intended to
+    # shrink the WindowExec sort to the occurrence-deduped relation —
+    # went 4.19/4.50 s → 5.97/5.33 s in two interleaved A/B pairs
+    # (control orders_theil_sen_trend flat at 3.1-3.2 s): the hash
+    # aggregate over the mostly-distinct 4-tuple keys costs more than
+    # the sort it saves. The plain count window stays.
     w = Window.partitionBy("k", "ha", "hb")
     flags = (
         long.withColumn("cnt", F.count("*").over(w))

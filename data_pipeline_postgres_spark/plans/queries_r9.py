@@ -3408,7 +3408,7 @@ def q_graph_random_walks(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("deg"), F.asc("src"))
         .limit(_WALK_STARTS)
         .select(F.col("src").alias("start"))
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     parts = [
         starts.select(
@@ -3432,7 +3432,10 @@ def q_graph_random_walks(spark: SparkSession, sf_dir: str) -> DataFrame:
             ranked.join(F.broadcast(cur), ranked["src"] == cur["cur"])
             .filter(F.col("rnk") == h % F.col("deg"))
             .select("start", F.col("dst").alias("cur"))
-            .localCheckpoint()  # ≤ |starts| rows — see note above
+            # lazy (r15 advisory): cuts lineage identically while
+            # deferring execution to the first action, so EXPLAIN-only
+            # callers don't run per-hop jobs at construction time
+            .localCheckpoint(eager=False)  # ≤ |starts| rows
         )
         parts.append(
             step.select(
@@ -3883,7 +3886,9 @@ def q_graph_walk_skipgram_pairs(
     # before the self-join — otherwise the whole hop chain (stored-
     # index scans + frontier broadcasts) is embedded twice in the
     # join's plan and built twice.
-    walks = q_graph_random_walks(spark, sf_dir).localCheckpoint()
+    walks = q_graph_random_walks(spark, sf_dir).localCheckpoint(
+        eager=False  # lazy pin (r15 advisory): no construction-time job
+    )
     a, b = walks.alias("a"), walks.alias("b")
     dist = F.abs(F.col("a.step") - F.col("b.step"))
     return (

@@ -339,7 +339,9 @@ def test_hyperplane_literal_matches_md5_expression(spark):
         _hyperplane,
     )
 
-    for p in (0, 3, 17, 31):
+    # 127 covers indices ≥ 32 (multi-band LSH and lsh_topk reach
+    # bands·planes−1 ≥ 32; r15 advisory item 4)
+    for p in (0, 3, 17, 31, 127):
         lit = spark.range(1).select(
             _hyperplane(p, 64).alias("h")
         ).collect()[0]["h"]
