@@ -1786,7 +1786,9 @@ inserts AS (
     FROM ch
 )
 SELECT o_custkey, o_orderkey, o_totalprice,
-       valid_from, valid_to, is_current
+       CAST(valid_from AS TIMESTAMP) AS valid_from,
+       CAST(valid_to AS TIMESTAMP) AS valid_to,
+       is_current
 FROM (
     SELECT * FROM closed
     UNION ALL SELECT * FROM unchanged
@@ -1818,17 +1820,19 @@ def q_cdc_scd2_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     partitioning the batch's own row_number window already
     established.
 
-    Validity-bound shape (r16, FIXTURES.md F6): DATE-typed
-    ``valid_from``/``valid_to`` with NULL on the open interval —
-    exactly the shape of ``scd2_intervals``, which passed all three
-    driver checks (rows+schema+hash) in the r15 window while this
-    query's r15 sentinel (``9999-12-31`` TIMESTAMP_NTZ) broke the
-    driver comparator outright: pandas ns timestamps max out at
-    2262-04-11, so the oracle harness raised OutOfBoundsDatetime and
-    the query became uncomparable. The r15 controlled experiment
-    proved NULL-bearing bounds were never the hasher problem; both
-    bounds derive from ``o_orderdate`` DATE, so DATE output is
-    lossless and ``is_current`` still encodes open-endedness.
+    Validity-bound shape (r16, FIXTURES.md F6): nullable
+    TIMESTAMP_NTZ ``valid_from``/``valid_to`` with NULL on the open
+    interval — exactly the shape of ``scd2_intervals``, which passed
+    all three driver checks (rows+schema+hash) in the r15 window
+    (``o_orderdate`` is parquet timestamp[us], so scd2_intervals's
+    bounds are NTZ, NOT DATE — null-bearing DATE was the r12 RED
+    shape and stays blocked by the oracle_util F6 guard). The r15
+    sentinel (``9999-12-31`` NTZ) broke the driver comparator
+    outright: pandas ns timestamps max out at 2262-04-11, so the
+    oracle harness raised OutOfBoundsDatetime and the query became
+    uncomparable. The r15 controlled experiment proved NULL-bearing
+    NTZ bounds hash green; the date values sit at midnight so the
+    cast is lossless and ``is_current`` still encodes open-endedness.
     """
     o = load_table(spark, sf_dir, "orders")
     price = F.col("o_totalprice").cast("decimal(18,2)")
@@ -1904,8 +1908,8 @@ def q_cdc_scd2_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
             "o_custkey",
             "o_orderkey",
             "o_totalprice",
-            "valid_from",
-            "valid_to",
+            F.col("valid_from").cast("timestamp_ntz").alias("valid_from"),
+            F.col("valid_to").cast("timestamp_ntz").alias("valid_to"),
             "is_current",
         )
     )

@@ -892,10 +892,12 @@ def q_emb_ivf_delta_merge(
 # -- stream_scd2_apply ------------------------------------------------------------
 # The oracle is the BATCH answer: the full-log interval build (lead
 # window per key) — what the streaming version-chain MERGE must
-# converge to after the drain. Validity bounds are DATE with NULL on
-# the open interval per FIXTURES.md F6 r16 (the scd2_intervals shape,
-# green on all three driver checks in r15; the r15 9999-12-31
-# sentinel overflowed pandas ns in the driver's oracle harness).
+# converge to after the drain. Validity bounds are nullable
+# TIMESTAMP with NULL on the open interval per FIXTURES.md F6 r16
+# (the scd2_intervals shape — its bounds are NTZ because o_orderdate
+# is parquet timestamp[us]; green on all three driver checks in r15.
+# The r15 9999-12-31 sentinel overflowed pandas ns in the driver's
+# oracle harness; null-bearing DATE was the r12 red shape).
 
 _STREAM_SCD2_ORACLE = """
 WITH base AS (
@@ -905,9 +907,10 @@ WITH base AS (
     FROM orders
 )
 SELECT o_custkey, o_orderkey, o_totalprice,
-       d AS valid_from,
-       lead(d) OVER (PARTITION BY o_custkey
-                     ORDER BY d, o_orderkey) AS valid_to,
+       CAST(d AS TIMESTAMP) AS valid_from,
+       CAST(lead(d) OVER (PARTITION BY o_custkey
+                          ORDER BY d, o_orderkey) AS TIMESTAMP)
+           AS valid_to,
        lead(d) OVER (PARTITION BY o_custkey
                      ORDER BY d, o_orderkey) IS NULL AS is_current
 FROM base

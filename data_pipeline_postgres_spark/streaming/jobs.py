@@ -1166,7 +1166,8 @@ def payload_dedup_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     index_dir = os.path.join(_SCRATCH, "payload_gram_index")
     pairs_dir = os.path.join(_SCRATCH, "payload_cand_pairs")
-    for d in (index_dir, pairs_dir):
+    df_dir = os.path.join(_SCRATCH, "payload_gram_df")
+    for d in (index_dir, pairs_dir, df_dir):
         if os.path.exists(d):
             shutil.rmtree(d)
 
@@ -1184,46 +1185,69 @@ def payload_dedup_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         return multimodal.payload_grams(b)
 
     def step(batch_df: DataFrame, batch_id: int) -> None:
-        bg = _grams(batch_df).localCheckpoint()  # feeds joins + append
-        if os.path.exists(index_dir):
-            idx = spark.read.parquet(index_dir)
+        bg = _grams(batch_df).localCheckpoint()  # feeds publish + joins
+        # r16 (guide §2.4): publish the batch's grams FIRST, into a
+        # batch-id-keyed partition (a replayed batch OVERWRITES its
+        # own dir — strictly safer than the old blind append, whose
+        # replay safety depended on append-last ordering). The index
+        # read below then already contains THIS batch, so the old
+        # new×new self-join folds into the single index join: the
+        # under-cap condition rides the join key g via the admitted
+        # side, making right-side filtering redundant — pair sets are
+        # identical (least/greatest + the per-batch distinct dedup
+        # the doubled direction), and one join + one union + one
+        # eager pin per batch disappear. df semantics unchanged:
+        # count over (standing ∪ batch) == count over the updated
+        # index. (r15 note kept: restricting this count to
+        # batch-present grams via a semi-join was tried and REVERTED
+        # — without a broadcastable batch-gram set it adds a distinct
+        # + an extra index pass for the same shuffle bytes.)
+        bg.write.mode("overwrite").parquet(
+            os.path.join(index_dir, f"b{batch_id}")
+        )
+        idx_all = spark.read.parquet(os.path.join(index_dir, "b*"))
+        # r16 (VERDICT item 6, now measured VIABLE): the corpus is
+        # repetition-dominated (sf0.1: 1,351,090 index rows but only
+        # 13,005 distinct grams — ratio 0.0096), so the per-batch df
+        # recount over the whole index is ~100× larger than the
+        # standing (g, df) relation. Maintain df as a batch-id-keyed
+        # VERSION CHAIN instead: v{b} = merge(v{b-1}, batch counts) —
+        # exact integer sums, so v{b} ≡ groupBy over the index after
+        # batch b, and a replayed batch deterministically rewrites
+        # its own version (the scd2/ivm exactly-once contract). Per
+        # batch the shuffle ships ≤|distinct grams| partial-agged
+        # rows instead of the full index.
+        bcnt = bg.groupBy("g").agg(F.count("*").alias("df"))
+        prev_df = os.path.join(df_dir, f"v{batch_id - 1}")
+        if batch_id == 0 or not os.path.exists(prev_df):
+            merged = bcnt
         else:
-            idx = bg.limit(0)
-        # df so far (standing + batch): a gram past the cap can never
-        # become rare again — joins on it are pruned forever.
-        # (r15 note: restricting this count to batch-present grams via
-        # a semi-join was tried and REVERTED — without a broadcastable
-        # batch-gram set it adds a distinct + an extra index pass for
-        # the same shuffle bytes; the full groupBy and the semi-join
-        # are both O(index) per batch, and the semi only wins when the
-        # batch side broadcasts, which a day's distinct grams cannot
-        # be assumed to do.)
+            merged = (
+                spark.read.parquet(prev_df)
+                .unionByName(bcnt)
+                .groupBy("g")
+                .agg(F.sum("df").alias("df"))
+            )
+        merged.write.mode("overwrite").parquet(
+            os.path.join(df_dir, f"v{batch_id}")
+        )
         df_now = (
-            idx.select("g")
-            .unionByName(bg.select("g"))
-            .groupBy("g")
-            .agg(F.count("*").alias("df"))
+            spark.read.parquet(os.path.join(df_dir, f"v{batch_id}"))
             .filter(F.col("df") <= df_cap)
             .select("g")
         )
-        a = bg.join(df_now, "g").localCheckpoint()
-        new_new = (
-            a.select(F.col("doc_id").alias("doc_a"), "g")
-            .join(a.select(F.col("doc_id").alias("doc_b"), "g"), "g")
-            .filter(F.col("doc_a") < F.col("doc_b"))
-            .select("doc_a", "doc_b")
-        )
-        cross = (
-            a.join(idx.withColumnRenamed("doc_id", "doc_b"), "g")
+        a = bg.join(df_now, "g")
+        (
+            a.join(idx_all.withColumnRenamed("doc_id", "doc_b"), "g")
+            .filter(F.col("doc_id") != F.col("doc_b"))
             .select(
                 F.least("doc_id", "doc_b").alias("doc_a"),
                 F.greatest("doc_id", "doc_b").alias("doc_b"),
             )
+            .distinct()
+            .write.mode("append")
+            .parquet(pairs_dir)
         )
-        new_new.unionByName(cross).distinct().write.mode(
-            "append"
-        ).parquet(pairs_dir)
-        bg.write.mode("append").parquet(index_dir)
 
     stream = (
         spark.readStream.schema(docs.schema)
@@ -1242,7 +1266,7 @@ def payload_dedup_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     # verify OFF THE INDEX: final rarity + exact Jaccard over the
     # admitted pairs' rare-gram sets — the corpus text is never
     # re-shingled
-    idx = spark.read.parquet(index_dir)
+    idx = spark.read.parquet(os.path.join(index_dir, "b*"))
     rare = (
         idx.groupBy("g")
         .agg(F.count("*").alias("df"))
@@ -1726,16 +1750,18 @@ def scd2_apply_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     final = spark.read.parquet(
         os.path.join(dim_root, f"v{versions[-1]}")
     )
-    # validity bounds surface as DATE with NULL on the open interval
-    # (FIXTURES.md F6 r16: the scd2_intervals shape, green on all
-    # three driver checks in r15; the r15 9999-12-31 sentinel
-    # overflowed pandas ns timestamps in the driver's oracle harness)
+    # validity bounds surface as nullable TIMESTAMP_NTZ with NULL on
+    # the open interval (FIXTURES.md F6 r16: the scd2_intervals shape
+    # — o_orderdate is parquet timestamp[us], so that query's green
+    # bounds are NTZ — null-bearing DATE was the r12 RED shape; the
+    # r15 9999-12-31 sentinel overflowed pandas ns in the driver's
+    # oracle harness)
     return final.select(
         "o_custkey",
         "o_orderkey",
         "o_totalprice",
-        F.col("valid_from").cast("date").alias("valid_from"),
-        F.col("valid_to").cast("date").alias("valid_to"),
+        F.col("valid_from").cast("timestamp_ntz").alias("valid_from"),
+        F.col("valid_to").cast("timestamp_ntz").alias("valid_to"),
         "is_current",
     )
 

@@ -106,9 +106,10 @@ class TestScd2ApplyInvariants:
             .count()
         )
         assert cur == 0, "a key has != 1 current row"
-        # r16 shape (FIXTURES.md F6): DATE bounds, NULL valid_to on
+        # r16 shape (FIXTURES.md F6): nullable TIMESTAMP_NTZ bounds
+        # (the proven-green scd2_intervals shape), NULL valid_to on
         # exactly the open (is_current) intervals
-        assert dict(df.dtypes)["valid_to"] == "date"
+        assert dict(df.dtypes)["valid_to"] == "timestamp_ntz"
         assert (
             df.filter(~F.col("is_current"))
             .filter(F.col("valid_to").isNull())

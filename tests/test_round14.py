@@ -316,8 +316,8 @@ class TestStreamScd2Apply:
         for r in rows:
             by_key.setdefault(r.o_custkey, []).append(r)
         assert len(cur) == len(by_key)  # exactly one current per key
-        # r16 shape (FIXTURES.md F6): DATE bounds, NULL valid_to on
-        # exactly the open (is_current) interval per key
+        # r16 shape (FIXTURES.md F6): nullable TIMESTAMP_NTZ bounds,
+        # NULL valid_to on exactly the open interval per key
         for k, ivs in by_key.items():
             ivs.sort(
                 key=lambda r: (r.valid_from, r.o_orderkey)
